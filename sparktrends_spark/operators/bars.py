@@ -1,0 +1,64 @@
+"""OHLCV bar aggregation (SURVEY §2.5 A2, deterministic variant).
+
+The reference builds 1-minute bars with ``first(price)``/``last(price)``
+inside a windowed groupBy (stock_stream.py:146-166) — non-deterministic
+after a shuffle (SURVEY Q9). Our engine uses ``min_by``/``max_by`` keyed
+on (timestamp, tiebreak) so open/close are the true earliest/latest
+trade prices regardless of physical row order.
+
+Scale notes: this is a single hash aggregation keyed on
+(symbol, window); Catalyst plans partial (map-side) + final aggregation
+so the shuffle carries one row per (symbol, minute) per mapper, not one
+per trade. No skew concern unless one symbol dominates — at which point
+AQE skew handling applies to downstream joins, and bars remain bounded
+by minutes × symbols.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ohlcv_bars(
+    trades: DataFrame,
+    window_duration: str = "1 minute",
+    symbol_col: str = "symbol",
+    ts_col: str = "timestamp",
+    price_col: str = "price",
+    volume_col: str = "volume",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Aggregate trades into per-(symbol, window) OHLCV bars.
+
+    ``tiebreak_col`` disambiguates trades sharing a timestamp (e.g. a
+    monotonic trade id); without it, equal-timestamp open/close picks
+    are unspecified (as in any engine).
+    """
+    order: Column = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.col(ts_col)
+    )
+    bucket = F.window(F.col(ts_col), window_duration)
+    return (
+        trades.groupBy(F.col(symbol_col).alias("symbol"), bucket.alias("w"))
+        .agg(
+            F.min_by(F.col(price_col), order).alias("open"),
+            F.max(price_col).alias("high"),
+            F.min(price_col).alias("low"),
+            F.max_by(F.col(price_col), order).alias("close"),
+            F.sum(volume_col).alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("timestamp"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_trades",
+        )
+    )

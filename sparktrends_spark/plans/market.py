@@ -1,0 +1,204 @@
+"""Market-domain queries — the reference's computational core
+(SURVEY §2.12, §3.2) re-expressed over the driver's ``events`` table.
+
+The testdata has no trade ticks, so a deterministic trades view is
+derived from ``events``: symbol = event_type × (user_id % 10) buckets
+(50 symbols), price = value, volume = props.k + 1 (exercises the JSON
+functions, reference F2). The pipeline is then exactly the reference's:
+trades -> 1-min OHLCV bars (A2) -> trailing VWAP/volatility (W1/W2) ->
+anomaly predicate (P6) -> last-10/latest-per-symbol restriction
+(W3/A1+J1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparktrends_spark.operators.bars import ohlcv_bars
+from sparktrends_spark.operators.metrics import vwap_metrics, vwap_metrics_time_range
+from sparktrends_spark.operators.topk import latest_per_group, top_k_per_group
+from sparktrends_spark.plans.registry import query
+from sparktrends_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared building blocks
+
+_TRADES_CTE = """
+trades AS (
+  SELECT event_type || '_' || CAST(user_id % 10 AS VARCHAR) AS symbol,
+         value AS price,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) + 1.0 AS volume,
+         ts,
+         event_id
+  FROM events
+)
+"""
+
+_BARS_CTE = """
+bars AS (
+  SELECT DISTINCT
+    symbol,
+    date_trunc('minute', ts) AS timestamp,
+    first_value(price) OVER w AS open,
+    max(price) OVER w AS high,
+    min(price) OVER w AS low,
+    last_value(price) OVER w AS close,
+    sum(volume) OVER w AS volume,
+    count(*) OVER w AS n_trades
+  FROM trades
+  WINDOW w AS (
+    PARTITION BY symbol, date_trunc('minute', ts)
+    ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  )
+)
+"""
+
+_METRICS_CTE = """
+metrics AS (
+  SELECT symbol, timestamp, close,
+         sum(close * volume) OVER w / sum(volume) OVER w AS vwap_5,
+         stddev_samp(close) OVER w AS vol_5
+  FROM bars
+  WINDOW w AS (
+    PARTITION BY symbol ORDER BY timestamp
+    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+  )
+)
+"""
+
+_METRIC_COLS = ["symbol", "timestamp", "close", "vwap_5", "vol_5", "is_anomaly"]
+
+
+def trades_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical trades DataFrame derived from ``events``."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(
+            F.col("event_type"), F.lit("_"), (F.col("user_id") % 10).cast("string")
+        ).alias("symbol"),
+        F.col("value").alias("price"),
+        (F.get_json_object("props", "$.k").cast("double") + F.lit(1.0)).alias(
+            "volume"
+        ),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+
+
+def bars_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlcv_bars(
+        trades_view(spark, sf_dir), ts_col="ts", tiebreak_col="event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+
+
+@query(
+    "ohlcv_bars",
+    oracle=f"WITH {_TRADES_CTE.strip()}, {_BARS_CTE.strip()} SELECT * FROM bars",
+)
+def q_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: deterministic 1-minute OHLCV bars (min_by/max_by open/close)."""
+    return bars_df(spark, sf_dir)
+
+
+@query(
+    "vwap_metrics",
+    oracle=f"""
+WITH {_TRADES_CTE.strip()}, {_BARS_CTE.strip()}, {_METRICS_CTE.strip()}
+SELECT symbol, timestamp, close, vwap_5, vol_5,
+       abs(close - vwap_5) > 3.0 * vol_5 AS is_anomaly
+FROM metrics
+""",
+)
+def q_vwap_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: W1+W2+P6 — trailing-5-row VWAP, volatility, anomaly."""
+    return vwap_metrics(bars_df(spark, sf_dir)).select(*_METRIC_COLS)
+
+
+@query(
+    "latest_metrics",
+    oracle=f"""
+WITH {_TRADES_CTE.strip()}, {_BARS_CTE.strip()}, {_METRICS_CTE.strip()}
+SELECT symbol, timestamp, close, vwap_5, vol_5,
+       abs(close - vwap_5) > 3.0 * vol_5 AS is_anomaly
+FROM (
+  SELECT m.*, row_number() OVER (PARTITION BY symbol ORDER BY timestamp DESC) AS rn
+  FROM metrics m
+) WHERE rn = 1
+""",
+)
+def q_latest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+J1 restated: newest metrics row per symbol (single window pass)."""
+    m = vwap_metrics(bars_df(spark, sf_dir)).select(*_METRIC_COLS)
+    return latest_per_group(m, ["symbol"])
+
+
+@query(
+    "anomaly_last10",
+    oracle=f"""
+WITH {_TRADES_CTE.strip()}, {_BARS_CTE.strip()},
+last10 AS (
+  SELECT symbol, timestamp, close, volume FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY symbol ORDER BY timestamp DESC) AS rn
+    FROM bars b
+  ) WHERE rn <= 10
+),
+m10 AS (
+  SELECT symbol, timestamp, close,
+         sum(close * volume) OVER w / sum(volume) OVER w AS vwap_5,
+         stddev_samp(close) OVER w AS vol_5
+  FROM last10
+  WINDOW w AS (
+    PARTITION BY symbol ORDER BY timestamp
+    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+  )
+)
+SELECT symbol, timestamp, close, vwap_5, vol_5,
+       abs(close - vwap_5) > 3.0 * vol_5 AS is_anomaly
+FROM (
+  SELECT m.*, row_number() OVER (PARTITION BY symbol ORDER BY timestamp DESC) AS rn
+  FROM m10 m
+) WHERE rn = 1
+""",
+)
+def q_anomaly_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full §2.12 composite: last-10-bars history (the reference's S3/W3
+    Postgres pushdown, Spark-native) -> metrics -> latest per symbol."""
+    last10 = top_k_per_group(
+        bars_df(spark, sf_dir),
+        ["symbol"],
+        [F.desc("timestamp")],
+        k=10,
+    ).select("symbol", "timestamp", "close", "volume")
+    m = vwap_metrics(last10).select(*_METRIC_COLS)
+    return latest_per_group(m, ["symbol"])
+
+
+@query(
+    "vwap_timerange",
+    oracle=f"""
+WITH {_TRADES_CTE.strip()}, {_BARS_CTE.strip()}
+SELECT symbol, timestamp, close, vwap_t, vol_t,
+       abs(close - vwap_t) > 3.0 * vol_t AS is_anomaly
+FROM (
+  SELECT symbol, timestamp, close,
+         sum(close * volume) OVER w / sum(volume) OVER w AS vwap_t,
+         stddev_samp(close) OVER w AS vol_t
+  FROM bars
+  WINDOW w AS (
+    PARTITION BY symbol ORDER BY CAST(epoch(timestamp) AS BIGINT)
+    RANGE BETWEEN 299 PRECEDING AND CURRENT ROW
+  )
+)
+""",
+)
+def q_vwap_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-true 5-minute VWAP via rangeBetween (SURVEY Q10 variant)."""
+    return vwap_metrics_time_range(
+        bars_df(spark, sf_dir), frame_seconds=300
+    ).select("symbol", "timestamp", "close", "vwap_t", "vol_t", "is_anomaly")

@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Reference parity: the reference builds its session from a YAML config
+(`spark/utilities.py:17-26`, `spark/init_config.py:17-39`). Here the
+factory is code-first and encodes the settings that matter at scale:
+
+- AQE on (runtime coalescing + skew-join splitting) so plans self-tune
+  when the 100 TB partition counts diverge from estimates.
+- ``spark.sql.shuffle.partitions`` sized explicitly (the reference left
+  the old default of 200 on a 1-core worker).
+- UTC session timezone so epoch conversions are deployment-independent.
+- ``nanosAsLong`` so parquet TIMESTAMP(NANOS) files (pyarrow default)
+  are readable; sources/tables.py converts them back to timestamps.
+- Arrow enabled for the Pandas-UDF paths (text/similarity/multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+
+
+def get_spark(
+    app_name: str = "sparktrends_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    builder = SparkSession.builder.master(master or default_master()).appName(app_name)
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.ui.showConsoleProgress": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for key, value in conf.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

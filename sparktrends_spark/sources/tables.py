@@ -1,0 +1,63 @@
+"""Loaders for the driver-generated parquet testdata (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings, one parquet file per table under an sf dir.
+
+The `events` table is written with parquet TIMESTAMP(NANOS), which
+Spark's vectorized reader rejects outright. We read nanos as longs
+(``spark.sql.legacy.parquet.nanosAsLong``) and convert to
+``timestamp_ntz`` with integer microsecond truncation — exactly what
+DuckDB does when it reads the same file, so oracle comparisons agree.
+
+All timestamps stay timezone-naive (``timestamp_ntz``) end-to-end to
+match the DuckDB oracle's TIMESTAMP type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns stored as TIMESTAMP(NANOS) in parquet, surfaced as ns-longs.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _ensure_read_confs(spark: SparkSession) -> None:
+    # Defensive: the driver may hand us a session without our factory
+    # defaults. Both confs are runtime-settable SQL confs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing ns-timestamp columns."""
+    _ensure_read_confs(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        field = df.schema[col] if col in df.columns else None
+        if field is not None and isinstance(field.dataType, LongType):
+            df = df.withColumn(
+                col,
+                F.expr(f"cast(timestamp_micros(cast({col} div 1000 as bigint)) as timestamp_ntz)"),
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for spark.sql use)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,90 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a registered Spark query and its oracle SQL over the same sf dir
+and asserts row count, column names, and values match (order- and
+float-tolerant), so oracle mismatches surface in `pytest` long before
+the driver's CORRECTNESS gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from sparktrends_spark.sources.tables import TABLES
+
+_REL_TOL = 1e-6
+_ABS_TOL = 1e-9
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir.rstrip('/')}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_bool_dtype(df[c]) or df[c].dtype == object:
+            pass
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    # Stable order-insensitive sort on stringified values.
+    key = df.apply(lambda r: tuple(str(v) for v in r), axis=1) if len(df) else None
+    if key is not None:
+        df = df.iloc[key.sort_values().index].reset_index(drop=True)
+    return df
+
+
+def _values_close(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=_REL_TOL, abs_tol=_ABS_TOL)
+    return a == b
+
+
+def assert_query_matches_oracle(spark, sf_dir: str, name: str) -> None:
+    from sparktrends_spark.plans import ORACLES, QUERIES
+
+    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        duck_pdf = con.execute(ORACLES[name]).fetchdf()
+    finally:
+        con.close()
+
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} != oracle {len(duck_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    )
+    s = _normalize(spark_pdf)
+    d = _normalize(duck_pdf)
+    mismatches = []
+    for col in s.columns:
+        sv, dv = s[col].tolist(), d[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            a = None if (a is pd.NaT or (isinstance(a, float) and math.isnan(a))) else a
+            b = None if (b is pd.NaT or (isinstance(b, float) and math.isnan(b))) else b
+            if not _values_close(a, b):
+                mismatches.append((col, i, a, b))
+                if len(mismatches) > 5:
+                    break
+        if len(mismatches) > 5:
+            break
+    assert not mismatches, f"{name}: value mismatches (col,row,spark,duck): {mismatches}"
