@@ -1,0 +1,561 @@
+"""Relational operator breadth (SURVEY §2 "absent" surface) as named,
+oracled queries over the TPC-H-ish testdata.
+
+Covers: grouped aggregation (sum/avg/count/stddev/distinct), multi-way
+joins with broadcast dims, sort + limit top-k, rollup/cube grouping
+sets, semi/anti joins, set operations, ranking/lag/lead/ntile windows,
+pivot, JSON extraction, dedup-keep-first, and as-of join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparktrends_spark.operators.joins import anti_join, as_of_join, enrich, semi_join
+from sparktrends_spark.operators.setops import except_, intersect, union_distinct
+from sparktrends_spark.operators.topk import global_top_k, top_k_per_group
+from sparktrends_spark.plans.registry import query
+from sparktrends_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)                                       AS sum_qty,
+       sum(l_extendedprice)                                  AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       avg(l_quantity)                                       AS avg_qty,
+       avg(l_extendedprice)                                  AS avg_price,
+       avg(l_discount)                                       AS avg_disc,
+       count(*)                                              AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> filter (pushed to parquet) -> hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc).alias("sum_disc_price"),
+            F.sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "segment_stats",
+    oracle="""
+SELECT c_mktsegment,
+       count(*)                     AS n_customers,
+       count(DISTINCT c_nationkey)  AS n_nations,
+       avg(c_acctbal)               AS avg_bal,
+       stddev_samp(c_acctbal)       AS sd_bal,
+       min(c_acctbal)               AS min_bal,
+       max(c_acctbal)               AS max_bal,
+       median(c_acctbal)            AS med_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped stats incl. exact distinct count and exact median."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.avg("c_acctbal").alias("avg_bal"),
+            F.stddev_samp("c_acctbal").alias("sd_bal"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.median("c_acctbal").alias("med_bal"),
+        )
+    )
+
+
+@query(
+    "brand_rollup",
+    oracle="""
+SELECT p_brand, p_type,
+       count(*)            AS n_parts,
+       avg(p_retailprice)  AS avg_price,
+       GROUPING(p_brand, p_type) AS gid
+FROM part
+GROUP BY ROLLUP (p_brand, p_type)
+""",
+)
+def q_brand_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP over (brand, type) with grouping id."""
+    return (
+        _t(spark, sf_dir, "part")
+        .rollup("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.avg("p_retailprice").alias("avg_price"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+@query(
+    "status_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*)          AS n_orders,
+       sum(o_totalprice) AS total_price,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate  > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> joins -> agg -> top-k.
+
+    Customer side is filtered then broadcast; lineitem (the 100 TB
+    side) never shuffles for the join.
+    """
+    cutoff = F.lit("1998-06-15").cast("timestamp_ntz")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    return global_top_k(
+        agg.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        [F.desc("revenue"), F.asc("l_orderkey")],
+        k=10,
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with every dimension broadcast."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey", "n_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@query(
+    "top_customers",
+    oracle="""
+SELECT c_custkey, c_name, sum(o_totalprice) AS total_spend, count(*) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey
+LIMIT 10
+""",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum("o_totalprice").alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return global_top_k(agg, [F.desc("total_spend"), F.asc("c_custkey")], k=10)
+
+
+@query(
+    "enrich_orders",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_name, n_name, r_name
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+""",
+)
+def q_enrich_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment chain, every dim broadcast (SURVEY §2.4)."""
+    out = enrich(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+        on="o_custkey",
+        how="inner",
+    )
+    out = enrich(
+        out,
+        _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey"),
+        on="c_nationkey",
+        how="inner",
+    )
+    out = enrich(
+        out,
+        _t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "n_regionkey"),
+        on="n_regionkey",
+        how="inner",
+    )
+    return out.select("o_orderkey", "o_totalprice", "c_name", "n_name", "r_name")
+
+
+@query(
+    "customers_with_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return semi_join(cust, orders, on="c_custkey")
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return anti_join(cust, orders, on="c_custkey")
+
+
+@query(
+    "events_to_orders_asof",
+    oracle="""
+WITH q AS (
+  SELECT event_id, user_id AS k, ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT k, o_orderdate, max(o_totalprice) AS o_totalprice FROM (
+    SELECT o_custkey % 15 AS k, o_orderdate, o_totalprice FROM orders
+  ) GROUP BY k, o_orderdate
+)
+SELECT q.event_id, q.k, q.ts, q.value,
+       s.o_orderdate AS asof_o_orderdate,
+       s.o_totalprice AS asof_o_totalprice
+FROM q ASOF LEFT JOIN s ON q.k = s.k AND s.o_orderdate <= q.ts
+""",
+)
+def q_events_to_orders_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest prior order per user bucket) — no PySpark
+    builtin; union+window implementation (operators/joins.py)."""
+    q = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("user_id").alias("k"), "ts", "value")
+    )
+    s = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 15).alias("k"),
+            "o_orderdate",
+            "o_totalprice",
+        )
+        .groupBy("k", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("o_totalprice"))
+    )
+    return as_of_join(
+        q,
+        s,
+        on=["k"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderdate", "o_totalprice"],
+    ).select(
+        "event_id", "k", "ts", "value", "asof_o_orderdate", "asof_o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+
+
+@query(
+    "nation_setops",
+    oracle="""
+SELECT 'union' AS op, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'intersect' AS op, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'except' AS op, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey FROM supplier
+)
+""",
+)
+def q_nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    u = union_distinct(cust, supp).withColumn("op", F.lit("union"))
+    i = intersect(cust, supp).withColumn("op", F.lit("intersect"))
+    e = except_(cust, supp).withColumn("op", F.lit("except"))
+    return u.unionByName(i).unionByName(e).select("op", "nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+
+
+@query(
+    "order_rank_window",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+         rank()       OVER (PARTITION BY o_custkey ORDER BY round(o_totalprice, -2) DESC) AS rnk,
+         dense_rank() OVER (PARTITION BY o_custkey ORDER BY round(o_totalprice, -2) DESC) AS drnk
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def q_order_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w_rn = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_rnk = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.round("o_totalprice", -2))
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_rn).alias("rn"),
+            F.rank().over(w_rnk).alias("rnk"),
+            F.dense_rank().over(w_rnk).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "event_lag_lead",
+    oracle="""
+SELECT event_type, event_id, ts, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       value - lag(value) OVER w AS delta
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+""",
+)
+def q_event_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "customer_ntiles",
+    oracle="""
+SELECT c_custkey, c_acctbal,
+       ntile(4)       OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q_customer_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / JSON / dedup
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "user_event_pivot",
+    oracle="""
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY user_id
+""",
+)
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.fillna(0, subset=_EVENT_TYPES)
+
+
+@query(
+    "event_json_stats",
+    oracle="""
+SELECT event_type,
+       avg(CAST(json_extract_string(props, '$.k') AS DOUBLE))            AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS DOUBLE))            AS max_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS n_k
+FROM events GROUP BY event_type
+""",
+)
+def q_event_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.avg(k).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.countDistinct(k).alias("n_k"),
+        )
+    )
+
+
+@query(
+    "event_dedup_first",
+    oracle="""
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT e.*, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events e
+) WHERE rn = 1
+""",
+)
+def q_event_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates-keep-earliest (exact dedup pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    return top_k_per_group(
+        ev, ["user_id", "event_type"], [F.asc("ts"), F.asc("event_id")], k=1
+    ).select("user_id", "event_type", "event_id", "ts", "value")
