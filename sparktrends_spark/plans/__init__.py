@@ -10,5 +10,8 @@ from sparktrends_spark.plans.registry import ORACLES, QUERIES, query
 # Imports for registration side effects.
 from sparktrends_spark.plans import market  # noqa: E402,F401
 from sparktrends_spark.plans import relational  # noqa: E402,F401
+from sparktrends_spark.plans import windows  # noqa: E402,F401
+from sparktrends_spark.plans import text  # noqa: E402,F401
+from sparktrends_spark.plans import similarity  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

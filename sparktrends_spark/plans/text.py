@@ -1,0 +1,252 @@
+"""Text-analysis and dedup queries over ``documents`` (north-star).
+
+Every oracle mirrors the Spark computation token-for-token: the same
+tokenization (split on \\s+ of trimmed lowercased text), the same
+md5-based hashing, the same thresholds — so value hashes must agree.
+SimHash is the one rows-only entry (xxhash64 is Spark-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparktrends_spark.plans.registry import query
+from sparktrends_spark.sources.tables import load_table
+from sparktrends_spark.text.analysis import (
+    LANG_MARKERS,
+    bag_fingerprint,
+    lang_guess,
+    marker_hits,
+    mean_token_length,
+    quality_score,
+    tokens,
+)
+from sparktrends_spark.text.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    shingle_sets,
+    simhash_pairs,
+)
+
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, lang, n_chars,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+)
+"""
+
+_SHINGLES_CTE = """
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
+  FROM toks
+),
+sh2 AS (SELECT * FROM sh WHERE len(sh) > 0)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "doc_exact_dedup",
+    oracle="""
+SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_docs FROM (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM documents
+) GROUP BY content_hash
+""",
+)
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()}
+SELECT lang, count(*) AS n_docs,
+       avg(len(toks)) AS avg_tokens,
+       avg(len(list_distinct(toks))) AS avg_distinct,
+       avg(n_chars) AS avg_chars
+FROM toks GROUP BY lang
+""",
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    return (
+        d.select(
+            "lang",
+            "n_chars",
+            F.size(t).alias("_n"),
+            F.size(F.array_distinct(t)).alias("_nd"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("_n").alias("avg_tokens"),
+            F.avg("_nd").alias("avg_distinct"),
+            F.avg("n_chars").alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "doc_quality",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()}
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       list_sum([CAST(len(t) AS DOUBLE) for t in toks]) / len(toks) AS mean_tok_len,
+       least(1.0, len(toks) / 100.0) * 0.5
+         + (len(list_distinct(toks)) * 1.0 / len(toks)) * 0.5 AS quality
+FROM toks
+""",
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        mean_token_length(t).alias("mean_tok_len"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _lang_oracle() -> str:
+    hit_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hit_exprs.append(
+            f"len(list_filter(toks, t -> list_contains([{lst}], t))) AS {lang}_hits"
+        )
+    hits_sql = ",\n       ".join(hit_exprs)
+    langs = list(LANG_MARKERS)
+    best = f"greatest({', '.join(f'{l}_hits' for l in langs)})"
+    cases = "\n         ".join(
+        f"WHEN {l}_hits > 0 AND {l}_hits = {best} THEN '{l}'" for l in langs
+    )
+    return f"""
+WITH {_TOKS_CTE.strip()},
+hits AS (
+  SELECT doc_id, lang,
+       {hits_sql}
+  FROM toks
+)
+SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+       CASE {cases}
+         ELSE 'und' END AS lang_guess
+FROM hits
+"""
+
+
+@query("doc_lang_id", oracle=_lang_oracle())
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    cols = [
+        marker_hits(t, m).alias(f"{lang}_hits") for lang, m in LANG_MARKERS.items()
+    ]
+    return d.select("doc_id", "lang", *cols, lang_guess(t).alias("lang_guess"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()}
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+       len(list_distinct(toks)) AS n_distinct
+FROM toks
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        bag_fingerprint(F.col("text")).alias("fingerprint"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+    )
+
+
+@query(
+    "doc_ngram_jaccard",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+e AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+counts AS (SELECT s, count(*) AS bn FROM e GROUP BY s),
+eb AS (SELECT e.doc_id, e.s FROM e JOIN counts ON e.s = counts.s WHERE bn <= 1000),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM eb a JOIN eb b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sh) AS n FROM sh2)
+SELECT doc_a, doc_b,
+       inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
+""",
+)
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2)."""
+    shingled = shingle_sets(_docs(spark, sf_dir))
+    return jaccard_pairs(shingled, threshold=0.2)
+
+
+@query(
+    "doc_minhash_pairs",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+sigs AS (
+  SELECT doc_id,
+         [list_min([md5(CAST(p AS VARCHAR) || '|' || s) for s in sh])
+          for p in generate_series(0, 15)] AS sig
+  FROM sh2
+),
+bands AS (
+  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bh
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) * 1.0
+           / (len(sa.sh) + len(sb.sh)
+              - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+  FROM cand
+  JOIN sh2 sa ON doc_a = sa.doc_id
+  JOIN sh2 sb ON doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+""",
+)
+def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup (16 perms, 4 bands x 4 rows, verify >=0.5).
+
+    The DuckDB oracle executes the *identical* md5-permutation MinHash,
+    so even the probabilistic candidate generation matches exactly.
+    """
+    return minhash_dedup_pairs(_docs(spark, sf_dir))
+
+
+@query("doc_simhash_pairs")  # rows-only: xxhash64 has no DuckDB equivalent
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_docs(spark, sf_dir))

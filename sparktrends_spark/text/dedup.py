@@ -1,0 +1,287 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+North-star operators for 100 TB training-data pipelines. Design notes:
+
+- **Exact**: md5 over whitespace-normalized lowercased text; one hash
+  aggregation, fully distributed, no shuffle beyond the groupBy.
+- **N-gram Jaccard**: word n-gram shingles -> explode -> equi-join on
+  shingle -> per-pair intersection counts. Exact but O(pairs sharing a
+  shingle); use on candidate sets or small corpora.
+- **MinHash-LSH**: the scale path. Signature = min over shingles of
+  md5(permutation_index || '|' || shingle) for P permutations; band
+  hashes bucket the corpus so the join only compares likely-similar
+  docs. md5-as-permutation keeps the whole computation in built-in
+  JVM functions AND reproducible in any engine with md5 (the DuckDB
+  oracle runs the identical computation).
+- **SimHash**: 64-bit signed-projection sketch using xxhash64 (JVM
+  built-in); Hamming-distance buckets via band extraction. xxhash64 is
+  Spark-specific, so SimHash queries get rows-only verification.
+
+Shuffle accounting at scale: shingling is a projection (no shuffle);
+signatures are a projection; LSH bucketing shuffles (band, hash) pairs
+— P+B small integers per doc, not the text; candidate verification
+joins only within buckets. Skewed buckets (a shingle set shared by
+thousands of boilerplate docs) are bounded by ``max_bucket_size``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparktrends_spark.text.analysis import tokens
+
+
+def normalized_text(text: Column) -> Column:
+    """Whitespace-collapsed, trimmed, lowercased text."""
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def exact_hash(text: Column) -> Column:
+    return F.md5(normalized_text(text))
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per content-hash groups: surviving (min) id + duplicate count."""
+    return (
+        df.select(F.col(id_col), exact_hash(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (empty array when < n tokens)."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Exact pairwise Jaccard over docs sharing >=1 shingle.
+
+    ``max_bucket_size`` drops degenerate shingles shared by more docs
+    than that (boilerplate), bounding the join fan-out at scale.
+    """
+    exploded = shingled.select(
+        F.col(id_col).alias("doc"), F.explode("shingles").alias("s")
+    )
+    bounded = exploded
+    if max_bucket_size is not None:
+        counts = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("bucket_n"))
+        bounded = exploded.join(
+            counts.filter(F.col("bucket_n") <= max_bucket_size).select("s"), "s"
+        )
+    inter = (
+        bounded.alias("a")
+        .join(bounded.alias("b"), on="s")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = shingled.select(
+        F.col(id_col).alias("doc"), F.size("shingles").alias("n")
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_perm: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per doc: sig[p] = min(md5(p || '|' || shingle)).
+
+    md5-as-random-permutation is engine-portable (identical in DuckDB /
+    Trino / anything with md5), at the cost of hashing strings instead
+    of ints — acceptable because shingling is already string-heavy.
+    """
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda p: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat(p.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+    return shingled.select(F.col(id_col), F.col("shingles"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs from shared buckets."""
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+        ),
+    )
+    banded = signatures.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(band_hashes).alias("band", "bh"),
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bh"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    candidates -> exact-Jaccard verify >= threshold."""
+    shingled = shingle_sets(df, text_col, id_col, shingle_n)
+    sigs = minhash_signatures(shingled, num_perm, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, num_perm // bands, id_col)
+    sets_a = shingled.select(
+        F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sets_b = shingled.select(
+        F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        cands.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+# Single-pass SimHash as a SQL expression over a `shingles` column:
+# the Python shiftright/shiftleft wrappers demand literal shift counts,
+# but the SQL functions take arbitrary int expressions.
+_SIMHASH_SQL = """
+aggregate(
+  sequence(0, 63),
+  cast(0 as bigint),
+  (acc, i) -> acc + CASE
+      WHEN element_at(_bit_sums, i + 1) > 0
+      THEN shiftleft(cast(1 as bigint), cast(i as int))
+      ELSE cast(0 as bigint) END
+)
+"""
+
+_BIT_SUMS_SQL = """
+aggregate(
+  transform(shingles, s -> xxhash64(s)),
+  array_repeat(0, 64),
+  (acc, h) -> zip_with(
+      acc,
+      transform(sequence(0, 63),
+                i -> CASE WHEN (shiftright(h, cast(i as int)) & 1) = 1
+                          THEN 1 ELSE -1 END),
+      (a, b) -> a + b)
+)
+"""
+
+
+def with_simhash64(
+    shingled: DataFrame, out_col: str = "simhash"
+) -> DataFrame:
+    """Add a 64-bit SimHash column computed from a ``shingles`` column.
+
+    bit_i(doc) = sign of sum over shingles of (+1 if bit_i(xxhash64(s))
+    else -1). xxhash64 is a JVM built-in — whole computation stays in
+    codegen, one projection, no shuffle.
+    """
+    return shingled.withColumn("_bit_sums", F.expr(_BIT_SUMS_SQL)).withColumn(
+        out_col, F.expr(_SIMHASH_SQL)
+    ).drop("_bit_sums")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit sketch into 4 16-bit
+    blocks (pigeonhole: hamming<=3 guarantees a shared block; larger
+    distances are found probabilistically), then verify exact Hamming
+    distance <= max_hamming."""
+    n_bands = 64 // band_bits
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), 2).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sh = with_simhash64(shingled, "h").select("doc", "h")
+    mask = (1 << band_bits) - 1
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("h"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+    banded = sh.select("doc", "h", F.posexplode(band_arr).alias("band", "block"))
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "block"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

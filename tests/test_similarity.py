@@ -1,0 +1,73 @@
+"""Similarity-search tests: exactness of brute force, recall of LSH."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sparktrends_spark.similarity.cosine import (
+    brute_force_topk,
+    hyperplanes,
+    lsh_topk,
+)
+from sparktrends_spark.sources.tables import load_table
+
+
+def test_brute_force_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype="float64")
+    ids = pdf["vec_id"].to_numpy()
+    q = 0
+    qv = mat[ids.tolist().index(q)]
+    cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = [
+        int(ids[i])
+        for i in np.lexsort((ids, -np.round(cos, 6)))
+        if ids[i] != q
+    ][:5]
+
+    queries = emb.filter(F.col("vec_id") == q).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        r.vec_id
+        for r in brute_force_topk(queries, emb, k=5)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert got == order
+
+
+def test_hyperplanes_deterministic():
+    a = hyperplanes(4, 16)
+    b = hyperplanes(4, 16)
+    assert a == b
+    assert all(x in (1.0, -1.0) for row in a for x in row)
+    # not degenerate: both signs appear
+    flat = [x for row in a for x in row]
+    assert -1.0 in flat and 1.0 in flat
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(queries, emb, k=1).collect()
+    approx = lsh_topk(
+        queries, emb, num_planes=4, dim=64, k=1, num_tables=4
+    ).collect()
+    exact_best = {r.query_id: r.vec_id for r in exact}
+    approx_best = {r.query_id: r.vec_id for r in approx}
+    hits = sum(
+        1 for q, v in exact_best.items() if approx_best.get(q) == v
+    )
+    recall = hits / len(exact_best)
+    # 4 planes -> 16 buckets over 500 vecs; nearest neighbor shares the
+    # bucket reasonably often. This guards against broken bucketing
+    # (recall ~1/16 if buckets were random).
+    assert recall >= 0.4, f"LSH@1 recall {recall}"

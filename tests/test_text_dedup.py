@@ -1,0 +1,65 @@
+"""Tests for text analysis / dedup beyond the oracle harness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparktrends_spark.sources.tables import load_table
+from sparktrends_spark.text.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    shingle_sets,
+    simhash_pairs,
+)
+
+
+def _docs_with_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (3, "THE quick   brown fox jumps over the lazy dog near the river bank"),  # exact after norm
+        (4, "completely different text about spark query engines and shuffles"),
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalization(spark):
+    groups = exact_dedup_groups(_docs_with_dups(spark))
+    dup = groups.filter(F.col("n_docs") > 1).collect()
+    assert len(dup) == 1 and dup[0].n_docs == 2 and dup[0].keep_id == 1
+
+
+def test_jaccard_finds_near_dup(spark):
+    shingled = shingle_sets(_docs_with_dups(spark))
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(shingled, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.6
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    assert all(4 not in p for p in pairs)
+
+
+def test_minhash_agrees_with_exact_on_high_jaccard(spark):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_dedup_pairs(_docs_with_dups(spark), threshold=0.5).collect()
+    }
+    # identical docs always collide in every band; high-jaccard pair almost surely
+    assert (1, 3) in pairs
+    assert (1, 2) in pairs
+
+
+def test_simhash_pairs_on_testdata(spark, sf_dir):
+    """SimHash (rows-only query) should recover most of the planted
+    near-dups that exact 3-gram Jaccard >= 0.5 finds."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(shingle_sets(docs), threshold=0.5).collect()
+    }
+    sim = {
+        (r.doc_a, r.doc_b) for r in simhash_pairs(docs, max_hamming=12).collect()
+    }
+    assert exact, "testdata should contain planted near-dups"
+    recall = len(exact & sim) / len(exact)
+    assert recall >= 0.6, f"simhash recall too low: {recall} ({len(sim)} pairs)"
