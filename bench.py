@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is fully materialized through the noop sink (no driver
+collect, no toPandas — measures the distributed plan, not Arrow
+transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+HEADLINE = [
+    "vwap_metrics",
+    "anomaly_last10",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customers",
+    "event_sessions",
+    "sliding_event_counts",
+    "event_dedup_first",
+    "doc_quality",
+    "doc_minhash_pairs",
+    "embedding_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from sparktrends_spark.plans import QUERIES
+    from sparktrends_spark.session import get_spark
+
+    spark = get_spark("sparktrends-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/IO paths outside the timed region.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

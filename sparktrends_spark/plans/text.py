@@ -207,18 +207,33 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(shingled, threshold=0.2)
 
 
+def _minhash_sig_sql() -> str:
+    from sparktrends_spark.text.dedup import MINHASH_PRIME, minhash_coeffs
+
+    perms = ", ".join(
+        f"list_min([(h * {a} + {b}) % {MINHASH_PRIME} for h in hs])"
+        for a, b in minhash_coeffs(16)
+    )
+    return f"""
+hashes AS (
+  SELECT doc_id, sh,
+         [CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % {MINHASH_PRIME}
+          for s in sh] AS hs
+  FROM sh2
+),
+sigs AS (
+  SELECT doc_id, [{perms}] AS sig FROM hashes
+)"""
+
+
 @query(
     "doc_minhash_pairs",
     oracle=f"""
 WITH {_TOKS_CTE.strip()}, {_SHINGLES_CTE.strip()},
-sigs AS (
-  SELECT doc_id,
-         [list_min([md5(CAST(p AS VARCHAR) || '|' || s) for s in sh])
-          for p in generate_series(0, 15)] AS sig
-  FROM sh2
-),
+{_minhash_sig_sql().strip()},
 bands AS (
-  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bh
+  SELECT doc_id, b,
+         md5(array_to_string([CAST(x AS VARCHAR) for x in sig[b*4+1:b*4+4]], '|')) AS bh
   FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
 ),
 cand AS (

@@ -118,23 +118,45 @@ def jaccard_pairs(
     )
 
 
+# Affine-permutation MinHash over a 60-bit integer base hash derived
+# from md5 (both Spark `conv(..., 16, 10)` and DuckDB `CAST('0x...')`
+# can parse hex, so any engine reproduces the identical signatures).
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (a_p, b_p), a_p != 0."""
+    coeffs = []
+    for p in range(num_perm):
+        a = (2_654_435_761 * (p + 1)) % MINHASH_PRIME or 1
+        b = (40_503 * (p + 7) + 12_345) % MINHASH_PRIME
+        coeffs.append((a, b))
+    return coeffs
+
+
+def _base_hash(s: Column) -> Column:
+    """First 15 hex digits of md5 as a 60-bit non-negative bigint."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     shingled: DataFrame, num_perm: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
-    """MinHash signature per doc: sig[p] = min(md5(p || '|' || shingle)).
+    """MinHash signature per doc:
+    sig[p] = min over shingles of (a_p * (h(s) % P) + b_p) % P
+    with h = 60-bit md5-derived integer, P = 2^31-1.
 
-    md5-as-random-permutation is engine-portable (identical in DuckDB /
-    Trino / anything with md5), at the cost of hashing strings instead
-    of ints — acceptable because shingling is already string-heavy.
+    One md5 per shingle (not one per shingle x permutation); the
+    permutations are integer arithmetic folded into the same projection.
     """
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda p: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(F.concat(p.cast("string"), F.lit("|"), s)),
-            )
-        ),
+    coeffs = minhash_coeffs(num_perm)
+    hashes = F.transform(F.col("shingles"), lambda s: _base_hash(s) % MINHASH_PRIME)
+
+    def perm(a: int, b: int):
+        return lambda h: (h * a + b) % MINHASH_PRIME
+
+    sig = F.array(
+        *[F.array_min(F.transform(hashes, perm(a, b))) for a, b in coeffs]
     )
     return shingled.select(F.col(id_col), F.col("shingles"), sig.alias("sig"))
 
@@ -146,10 +168,11 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs from shared buckets."""
+    sig_strs = F.transform(F.col("sig"), lambda x: x.cast("string"))
     band_hashes = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.md5(
-            F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+            F.concat_ws("|", F.slice(sig_strs, b * rows_per_band + 1, rows_per_band))
         ),
     )
     banded = signatures.select(
@@ -175,9 +198,15 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
-    candidates -> exact-Jaccard verify >= threshold."""
-    shingled = shingle_sets(df, text_col, id_col, shingle_n)
-    sigs = minhash_signatures(shingled, num_perm, id_col)
+    candidates -> exact-Jaccard verify >= threshold.
+
+    Shingle sets and signatures are persisted: both feed two downstream
+    branches (the banded self-join and the verification join), and
+    without pinning them Spark recomputes the full hash pipeline once
+    per branch.
+    """
+    shingled = shingle_sets(df, text_col, id_col, shingle_n).persist()
+    sigs = minhash_signatures(shingled, num_perm, id_col).persist()
     cands = lsh_candidate_pairs(sigs, bands, num_perm // bands, id_col)
     sets_a = shingled.select(
         F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")

@@ -14,11 +14,20 @@ from sparktrends_spark.text.dedup import (
 )
 
 
+_BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while the sun sets slowly behind the tall mountains and the birds "
+    "fly home to their nests in the old oak trees by the quiet meadow"
+)
+
+
 def _docs_with_dups(spark):
     rows = [
-        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
-        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
-        (3, "THE quick   brown fox jumps over the lazy dog near the river bank"),  # exact after norm
+        (1, _BASE),
+        # near-dup: one word changed in ~40 tokens (jaccard ~0.9)
+        (2, _BASE.replace("river bank", "river bend")),
+        # exact dup after whitespace/case normalization
+        (3, _BASE.upper().replace(" ", "  ", 3)),
         (4, "completely different text about spark query engines and shuffles"),
         (5, "tiny"),
     ]
