@@ -1,0 +1,253 @@
+"""Streaming end-to-end tests (SURVEY §5.5): file-source micro-batches
+through parse -> watermark -> windowed agg -> foreachBatch sinks, with
+checkpoint-restart idempotency.
+
+The strongest assertion pattern: the streaming result over all
+micro-batches must equal the *batch* computation over the union of all
+input — streaming is an incremental evaluation of the same query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparktrends_spark.operators.bars import ohlcv_bars
+from sparktrends_spark.streaming import (
+    run_bar_pipeline,
+    session_window_agg,
+    sliding_window_counts,
+    streaming_minute_bars,
+    trade_stream_from_files,
+    upsert_parquet,
+    write_batch_partitioned,
+)
+
+BASE_MS = 1_700_000_000_000  # stable epoch anchor, minute-aligned below
+
+
+def _minute_ms(minute: int, sec: int = 0) -> int:
+    base = BASE_MS - (BASE_MS % 60_000)
+    return base + minute * 60_000 + sec * 1_000
+
+
+def _frame(trades: list[tuple[str, float, float, int]]) -> str:
+    return json.dumps(
+        {"data": [{"s": s, "p": p, "v": v, "t": t} for s, p, v, t in trades]}
+    )
+
+
+def _write_frames(path: str, name: str, frames: list[str]) -> None:
+    with open(os.path.join(path, name), "w") as fh:
+        fh.write("\n".join(frames) + "\n")
+
+
+@pytest.fixture()
+def trade_dir(tmp_path):
+    d = tmp_path / "frames"
+    d.mkdir()
+    _write_frames(
+        str(d),
+        "b0.json",
+        [
+            _frame(
+                [
+                    ("AAA", 10.0, 1.0, _minute_ms(0, 5)),
+                    ("AAA", 11.0, 2.0, _minute_ms(0, 40)),
+                    ("BBB", 5.0, 1.0, _minute_ms(0, 10)),
+                ]
+            ),
+            _frame([("AAA", 12.0, 1.0, _minute_ms(1, 10))]),
+        ],
+    )
+    _write_frames(
+        str(d),
+        "b1.json",
+        [
+            _frame(
+                [
+                    ("AAA", 13.0, 1.0, _minute_ms(2, 5)),
+                    ("BBB", 6.0, 3.0, _minute_ms(2, 30)),
+                    # late-but-within-watermark trade for minute 1
+                    ("AAA", 11.5, 1.0, _minute_ms(1, 50)),
+                ]
+            ),
+        ],
+    )
+    return str(d)
+
+
+def _run_pipeline(spark, trade_dir, tmp_path, alerts=None):
+    trades = trade_stream_from_files(spark, trade_dir)
+    bars = streaming_minute_bars(trades, watermark="2 minutes")
+    query = run_bar_pipeline(
+        bars,
+        bars_path=str(tmp_path / "bars"),
+        metrics_path=str(tmp_path / "metrics"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        alert_fn=(alerts.append if alerts is not None else None),
+        available_now=True,
+    )
+    query.awaitTermination(180)
+    assert not query.isActive
+
+
+def test_streaming_bars_match_batch(spark, trade_dir, tmp_path):
+    """Streaming OHLCV over micro-batches == batch OHLCV over the union."""
+    _run_pipeline(spark, trade_dir, tmp_path)
+
+    got = (
+        spark.read.parquet(str(tmp_path / "bars"))
+        .select("symbol", "timestamp", "open", "high", "low", "close", "volume")
+        .orderBy("symbol", "timestamp")
+        .collect()
+    )
+
+    from sparktrends_spark.operators.parse import parse_trade_envelope
+
+    all_trades = parse_trade_envelope(spark.read.text(trade_dir))
+    want = (
+        ohlcv_bars(all_trades)
+        .select("symbol", "timestamp", "open", "high", "low", "close", "volume")
+        .orderBy("symbol", "timestamp")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    # the late minute-1 trade must have amended the minute-1 bar
+    aaa_min1 = [r for r in got if r.symbol == "AAA"][1]
+    assert aaa_min1.close == 11.5 and aaa_min1.volume == 2.0
+
+
+def test_streaming_metrics_latest_per_symbol(spark, trade_dir, tmp_path):
+    _run_pipeline(spark, trade_dir, tmp_path)
+    metrics = spark.read.parquet(str(tmp_path / "metrics"))
+    # one metrics row per (symbol, bar); latest bar per symbol present
+    latest = (
+        metrics.groupBy("symbol")
+        .agg(F.max("timestamp").alias("timestamp"))
+        .collect()
+    )
+    assert {r.symbol for r in latest} == {"AAA", "BBB"}
+    cols = set(metrics.columns)
+    assert {"symbol", "timestamp", "close", "vwap_5", "vol_5", "is_anomaly"} <= cols
+
+
+def test_checkpoint_restart_is_idempotent(spark, trade_dir, tmp_path):
+    """Re-running with the same checkpoint after new data arrives must
+    process only the new file and never duplicate bars."""
+    _run_pipeline(spark, trade_dir, tmp_path)
+    n_before = spark.read.parquet(str(tmp_path / "bars")).count()
+
+    # restart with zero new data: nothing changes
+    _run_pipeline(spark, trade_dir, tmp_path)
+    assert spark.read.parquet(str(tmp_path / "bars")).count() == n_before
+
+    # new file -> new bar, old bars unchanged (upsert by natural key)
+    _write_frames(
+        trade_dir, "b2.json", [_frame([("CCC", 1.0, 1.0, _minute_ms(9, 0))])]
+    )
+    _run_pipeline(spark, trade_dir, tmp_path)
+    bars = spark.read.parquet(str(tmp_path / "bars"))
+    assert bars.filter(F.col("symbol") == "CCC").count() == 1
+    assert bars.count() == n_before + 1
+    key_counts = bars.groupBy("symbol", "timestamp").count()
+    assert key_counts.filter(F.col("count") > 1).count() == 0
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered duplicate trades collapse before aggregation."""
+    d = tmp_path / "dup"
+    d.mkdir()
+    tick = ("AAA", 10.0, 2.0, _minute_ms(0, 5))
+    _write_frames(str(d), "b0.json", [_frame([tick, tick, tick])])
+
+    trades = trade_stream_from_files(spark, str(d))
+    bars = streaming_minute_bars(
+        trades,
+        watermark="2 minutes",
+        dedup_cols=("symbol", "price", "volume", "timestamp"),
+    )
+    out = str(tmp_path / "dup_bars")
+
+    def process(batch_df, batch_id):
+        write_batch_partitioned(batch_df, batch_id, out)
+
+    (
+        bars.writeStream.outputMode("update")
+        .foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "dup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert rows[0].volume == 2.0 and rows[0].n_trades == 1
+
+
+def test_sliding_and_session_windows_stream(spark, tmp_path):
+    d = tmp_path / "ev"
+    d.mkdir()
+    _write_frames(
+        str(d),
+        "b0.json",
+        [
+            _frame(
+                [
+                    ("AAA", 1.0, 1.0, _minute_ms(0, 0)),
+                    ("AAA", 1.0, 1.0, _minute_ms(0, 20)),
+                    # > 30s gap -> second session
+                    ("AAA", 1.0, 1.0, _minute_ms(2, 0)),
+                ]
+            )
+        ],
+    )
+    trades = trade_stream_from_files(spark, str(d))
+
+    slide_out = str(tmp_path / "slide")
+    sessions_out = str(tmp_path / "sessions")
+
+    sliding = sliding_window_counts(
+        trades, key_col="symbol", window_duration="2 minutes", slide="1 minute"
+    )
+    sess = session_window_agg(trades, key_col="symbol", gap="30 seconds")
+
+    # session windows can merge as events arrive, so Spark forbids
+    # update mode for them; complete re-emits the whole (bounded) state
+    for stream_df, out, ckpt, mode in [
+        (sliding, slide_out, "ck_slide", "update"),
+        (sess, sessions_out, "ck_sess", "complete"),
+    ]:
+        (
+            stream_df.writeStream.outputMode(mode)
+            .foreachBatch(lambda b, i, p=out: write_batch_partitioned(b, i, p))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    slide_rows = spark.read.parquet(slide_out).collect()
+    # minute-0 events fall in the [-1,0] and [0,1] 2-minute windows etc.
+    per_window = {r.window_start: r.n_events for r in slide_rows}
+    assert max(per_window.values()) == 2
+    assert sum(per_window.values()) == 6  # each event in 2 overlapping windows
+
+    sess_rows = spark.read.parquet(sessions_out).collect()
+    assert len(sess_rows) == 2
+    assert sorted(r.n_events for r in sess_rows) == [1, 2]
+
+
+def test_upsert_parquet_last_writer_wins(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([("A", 1, 10.0)], "k string, ts int, v double")
+    df2 = spark.createDataFrame(
+        [("A", 1, 99.0), ("B", 2, 5.0)], "k string, ts int, v double"
+    )
+    upsert_parquet(df1, path, keys=("k", "ts"), version=0)
+    upsert_parquet(df2, path, keys=("k", "ts"), version=1)
+    rows = {(r.k, r.ts): r.v for r in spark.read.parquet(path).collect()}
+    assert rows == {("A", 1): 99.0, ("B", 2): 5.0}
