@@ -1,0 +1,130 @@
+"""Arrow-batched multimodal compute (``mapInPandas``).
+
+Two canonical shapes:
+
+- ``extract_features``: 1 row in -> 1 row out (per-asset features).
+- ``sample_frames``: 1 row in -> N rows out (video frame fan-out) — the
+  UDTF-style expansion a frame-level training pipeline needs.
+
+Both run per Arrow batch, never per row; payload bytes stay inside the
+batch (no driver collect). Feature values are deterministic byte-level
+stand-ins (md5, byte mean) because real codecs are stubbed
+(multimodal/decode.py) — swap ``decode_payload`` in and the plumbing
+is unchanged.
+
+Scale notes: mapInPandas preserves the input partitioning — partition
+the asset table by storage locality (e.g. date) and the scan, decode
+and feature write all stay shuffle-free. Batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (default 10k), which
+caps executor memory at ~batch x payload size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sparktrends_spark.multimodal.decode import decoder_available
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("mime_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("payload_md5", StringType(), True),
+        StructField("mean_byte", DoubleType(), True),
+        StructField("decode_status", StringType(), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("frame_md5", StringType(), False),
+    ]
+)
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Per-asset byte-level features via one pass of mapInPandas."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "mime_type": pdf["mime_type"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "payload_md5": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "mean_byte": payloads.map(
+                        lambda b: float(sum(b)) / len(b) if len(b) else None
+                    ),
+                    "decode_status": pdf["modality"].map(
+                        lambda m: "decoded"
+                        if decoder_available(m)
+                        else "stubbed_no_codec"
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 400) -> DataFrame:
+    """Fan video assets out to one row per sampled frame.
+
+    Frame content is a deterministic fake (md5 of payload + '#' + idx);
+    a real pipeline swaps in ``decode_payload`` + a frame grab at
+    ``frame_ts_ms`` without touching the dataflow.
+    """
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "frame_idx": [],
+                "frame_ts_ms": [],
+                "frame_md5": [],
+            }
+            vids = pdf[pdf["modality"] == "video"]
+            for asset_id, payload, duration in zip(
+                vids["asset_id"], vids["payload"], vids["duration_ms"]
+            ):
+                n_frames = max(1, int(duration) // every_ms)
+                for i in range(n_frames):
+                    out["asset_id"].append(asset_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * every_ms)
+                    out["frame_md5"].append(
+                        hashlib.md5(
+                            bytes(payload) + b"#" + str(i).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(out).astype(
+                {
+                    "asset_id": "int64",
+                    "frame_idx": "int32",
+                    "frame_ts_ms": "int64",
+                    "frame_md5": "string",
+                }
+            )
+
+    return assets.mapInPandas(explode_frames, FRAME_SCHEMA)

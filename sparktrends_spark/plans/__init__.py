@@ -13,5 +13,6 @@ from sparktrends_spark.plans import relational  # noqa: E402,F401
 from sparktrends_spark.plans import windows  # noqa: E402,F401
 from sparktrends_spark.plans import text  # noqa: E402,F401
 from sparktrends_spark.plans import similarity  # noqa: E402,F401
+from sparktrends_spark.plans import multimodal  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -202,3 +202,68 @@ def q_vwap_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vwap_metrics_time_range(
         bars_df(spark, sf_dir), frame_seconds=300
     ).select("symbol", "timestamp", "close", "vwap_t", "vol_t", "is_anomaly")
+
+
+_DAILY_BARS_CTE = """
+daily AS (
+  SELECT DISTINCT
+    symbol,
+    date_trunc('day', ts) AS day,
+    last_value(price) OVER w AS close
+  FROM trades
+  WINDOW w AS (
+    PARTITION BY symbol, date_trunc('day', ts)
+    ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  )
+)
+"""
+
+
+@query(
+    "weekly_volatility",
+    oracle=f"""
+WITH {_TRADES_CTE.strip()}, {_DAILY_BARS_CTE.strip()}
+SELECT symbol, day, close,
+       stddev_samp(close) OVER (
+         PARTITION BY symbol
+         ORDER BY CAST(epoch(day) AS BIGINT) // 86400
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS vol_7d,
+       count(*) OVER (
+         PARTITION BY symbol
+         ORDER BY CAST(epoch(day) AS BIGINT) // 86400
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS n_days
+FROM daily
+""",
+)
+def q_weekly_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling volatility of daily closes (SURVEY Q12 — the
+    reference generated ``window.weekly_volatility: 7`` config but never
+    consumed it; this is that metric).
+
+    Time-true trailing frame: rangeBetween over epoch-days, so calendar
+    gaps shorten the sample (unlike a 7-row frame).
+    """
+    from pyspark.sql import Window
+
+    daily = ohlcv_bars(
+        trades_view(spark, sf_dir),
+        window_duration="1 day",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    ).select("symbol", F.col("timestamp").alias("day"), "close")
+    epoch_day = (F.unix_timestamp("day") / F.lit(86400)).cast("long")
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(epoch_day)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "symbol",
+        "day",
+        "close",
+        F.stddev_samp("close").over(w).alias("vol_7d"),
+        F.count(F.lit(1)).over(w).alias("n_days"),
+    )

@@ -1,0 +1,100 @@
+"""Multimodal queries over the derived asset table (north-star).
+
+The asset table derives deterministically from ``documents``
+(multimodal/assets.py), so every byte-level feature the Pandas UDFs
+compute is restatable in SQL over the original text — which is what
+makes these mapInPandas paths oracle-checkable: DuckDB's md5(varchar)
+hashes the same UTF-8 bytes Spark's md5(binary) sees.
+
+``mean_byte`` (no tractable SQL restatement) is covered by
+tests/test_multimodal.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparktrends_spark.multimodal.assets import documents_to_assets
+from sparktrends_spark.multimodal.featurize import extract_features, sample_frames
+from sparktrends_spark.plans.registry import query
+from sparktrends_spark.sources.tables import load_table
+
+_MODALITY_SQL = """
+CASE WHEN doc_id % 3 = 0 THEN 'image'
+     WHEN doc_id % 3 = 1 THEN 'audio'
+     ELSE 'video' END
+"""
+
+_MIME_SQL = """
+CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+     WHEN doc_id % 3 = 1 THEN 'audio/wav'
+     ELSE 'video/mp4' END
+"""
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return documents_to_assets(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "asset_features",
+    oracle=f"""
+SELECT doc_id AS asset_id,
+       {_MODALITY_SQL.strip()} AS modality,
+       {_MIME_SQL.strip()} AS mime_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       'stubbed_no_codec' AS decode_status
+FROM documents
+""",
+)
+def q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through Arrow-batched
+    mapInPandas (decode stubbed -> byte-level features)."""
+    feats = extract_features(_assets(spark, sf_dir))
+    return feats.select(
+        "asset_id", "modality", "mime_type", "n_bytes", "payload_md5", "decode_status"
+    )
+
+
+@query(
+    "asset_frame_sample",
+    oracle="""
+SELECT asset_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * 400 AS BIGINT) AS frame_ts_ms,
+       md5(text || '#' || CAST(i AS VARCHAR)) AS frame_md5
+FROM (
+  SELECT doc_id AS asset_id, text,
+         unnest(range(0, greatest(1, (1000 * (1 + doc_id % 10)) // 400))) AS i
+  FROM documents WHERE doc_id % 3 = 2
+)
+""",
+)
+def q_asset_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame fan-out: 1 asset row -> N frame rows inside the
+    Pandas batch (UDTF shape). Frame count = duration_ms // 400."""
+    return sample_frames(_assets(spark, sf_dir), every_ms=400)
+
+
+@query(
+    "modality_stats",
+    oracle=f"""
+SELECT {_MODALITY_SQL.strip()} AS modality,
+       count(*) AS n_assets,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       round(avg(octet_length(encode(text))), 4) AS avg_bytes
+FROM documents
+GROUP BY 1
+""",
+)
+def q_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage accounting per modality straight off the binary column —
+    no UDF: length(binary) is JVM-side."""
+    a = _assets(spark, sf_dir)
+    return a.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+        F.round(F.avg(F.length("payload")), 4).alias("avg_bytes"),
+    )

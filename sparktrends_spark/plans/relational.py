@@ -559,3 +559,66 @@ def q_event_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_per_group(
         ev, ["user_id", "event_type"], [F.asc("ts"), F.asc("event_id")], k=1
     ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
+@query(
+    "returnflag_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       round(quantile_cont(l_discount, 0.25), 4) AS p25_discount,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_returnflag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile/median aggregation (SURVEY §2.5 absent list).
+
+    ``percentile`` is exact with linear interpolation — same definition
+    as DuckDB's quantile_cont. At 100 TB exact percentiles shuffle every
+    value to its group; the scale substitute is approx_percentile
+    (t-digest, bounded error) — exposed separately because its results
+    are engine-specific by design.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_discount, 0.25)"), 4).alias("p25_discount"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "segment_priority_arrays",
+    oracle="""
+SELECT c_mktsegment,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_segment_priority_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + countDistinct aggregation (SURVEY §2.5 absent list).
+
+    The distinct-set is serialized sorted-CSV so both engines hash the
+    same value. Join side: customer is the small dimension -> broadcast,
+    orders never shuffles.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias(
+                "priorities"
+            ),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

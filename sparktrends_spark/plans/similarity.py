@@ -15,6 +15,7 @@ from sparktrends_spark.similarity.cosine import (
     brute_force_topk,
     hyperplanes,
     lsh_topk,
+    neardup_pairs,
 )
 from sparktrends_spark.sources.tables import load_table
 
@@ -120,3 +121,64 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_topk(queries, emb, num_planes=_N_PLANES, dim=_DIM, k=3)
+
+
+_ND_THRESHOLD = 0.35
+_ND_PLANES = 4
+_ND_TABLES = 2
+
+
+def _neardup_oracle() -> str:
+    all_planes = hyperplanes(_ND_TABLES * _ND_PLANES, _DIM)
+    tables = [
+        all_planes[t * _ND_PLANES : (t + 1) * _ND_PLANES]
+        for t in range(_ND_TABLES)
+    ]
+    bucket_exprs = []
+    for t, planes in enumerate(tables):
+        bits = " || ".join(
+            "CASE WHEN list_dot_product(v, ["
+            + ", ".join(f"{x:.1f}" for x in plane)
+            + "]) >= 0 THEN '1' ELSE '0' END"
+            for plane in planes
+        )
+        bucket_exprs.append(f"SELECT vec_id, v, {t} AS tbl, {bits} AS bucket FROM e")
+    buckets = " UNION ALL ".join(bucket_exprs)
+    cos = (
+        "round(list_dot_product(va, vb) / "
+        "(sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+scored AS (
+  SELECT id_a, id_b, {cos} AS cosine
+  FROM cand
+  JOIN e ea ON ea.vec_id = id_a
+  JOIN e eb ON eb.vec_id = id_b,
+  LATERAL (SELECT ea.v AS va, eb.v AS vb) t
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_ND_THRESHOLD}
+"""
+
+
+@query("embedding_neardup", oracle=_neardup_oracle())
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (north-star dedup family).
+
+    LSH-bucketed candidate generation (OR over 2 sign-bit tables) +
+    exact-cosine verification >= 0.35 — the embedding analogue of the
+    MinHash-LSH text pipeline; same shape as a 100 TB dedup pass where
+    the self-join is keyed on (table, bucket), never all-pairs.
+    """
+    return neardup_pairs(
+        _emb(spark, sf_dir),
+        threshold=_ND_THRESHOLD,
+        num_planes=_ND_PLANES,
+        num_tables=_ND_TABLES,
+        dim=_DIM,
+    )

@@ -107,6 +107,63 @@ def brute_force_topk(
     )
 
 
+def neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    num_planes: int = 4,
+    num_tables: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    Candidate generation is LSH-bucketed (OR over ``num_tables`` sign-bit
+    tables), then candidates are verified with the exact cosine — the
+    embedding analogue of MinHash-LSH text dedup (text/dedup.py). Recall
+    is 1-(1-p^planes)^tables for per-plane collision p = 1 - theta/pi;
+    the oracle builds identical buckets so results match exactly.
+
+    Scale: the self-join is keyed on (table, bucket) — a shuffle on
+    bucket id instead of an O(n^2) cross join; skewed buckets are split
+    by AQE. Verification cost is proportional to candidate pairs only.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity w/ siblings)
+
+    all_planes = hyperplanes(num_tables * num_planes, dim)
+    tables = [
+        all_planes[t * num_planes : (t + 1) * num_planes]
+        for t in range(num_tables)
+    ]
+    buckets = F.array(*[lsh_bucket(F.col(vec_col), planes) for planes in tables])
+    b = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(buckets).alias("table", "bucket"),
+    )
+    left = b.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    # Dedup on the id pair only — never shuffle the vectors through a
+    # distinct; re-attach them afterwards by key.
+    cand_ids = (
+        left.join(right, on=["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cands = cand_ids.join(va, "id_a").join(vb, "id_b")
+    return (
+        cands.withColumn(
+            "cosine", F.round(cosine(F.col("_va"), F.col("_vb")), round_digits)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
