@@ -1,0 +1,130 @@
+"""CLI entry point (replaces the reference's edge_runner.py).
+
+Modes (reference edge_runner.py:26): ``batch`` (bounded ingest ->
+bars), ``stream`` (file-source micro-batches -> bars/metrics/alerts),
+``meta`` (company CSV -> parquet overwrite), plus engine-native
+``query`` (run any registered query) and ``bench``.
+
+The reference's batch/stream modes read Kafka; without a broker the
+CLI's transport is the file-frame format (one JSON envelope per line),
+which exercises the identical parse->aggregate->sink plan.
+
+Usage:
+  python -m sparktrends_spark.cli query --name vwap_metrics --sf-dir /root/testdata/sf0.001
+  python -m sparktrends_spark.cli batch --frames /path/frames --out /tmp/bars
+  python -m sparktrends_spark.cli stream --frames /path/frames --out /tmp/out
+  python -m sparktrends_spark.cli meta --csv company.csv --out /tmp/company
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from sparktrends_spark.session import get_spark
+
+
+def _cmd_query(args: argparse.Namespace) -> int:
+    from sparktrends_spark.plans import QUERIES
+
+    spark = get_spark("sparktrends-query")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    df.show(args.rows, truncate=False)
+    return 0
+
+
+def _cmd_batch(args: argparse.Namespace) -> int:
+    from sparktrends_spark.operators.bars import ohlcv_bars
+    from sparktrends_spark.operators.parse import parse_trade_envelope
+
+    spark = get_spark("sparktrends-batch")
+    trades = parse_trade_envelope(spark.read.text(args.frames))
+    bars = ohlcv_bars(trades)
+    bars.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {spark.read.parquet(args.out).count()} bars -> {args.out}")
+    return 0
+
+
+def _cmd_stream(args: argparse.Namespace) -> int:
+    from sparktrends_spark.alerts import format_anomaly_message
+    from sparktrends_spark.streaming import (
+        run_bar_pipeline,
+        streaming_minute_bars,
+        trade_stream_from_files,
+    )
+
+    spark = get_spark("sparktrends-stream")
+    trades = trade_stream_from_files(spark, args.frames)
+    bars = streaming_minute_bars(trades, watermark=args.watermark)
+    query = run_bar_pipeline(
+        bars,
+        bars_path=f"{args.out}/bars",
+        metrics_path=f"{args.out}/metrics",
+        checkpoint_dir=f"{args.out}/checkpoint",
+        alert_fn=lambda rows: print(format_anomaly_message(rows)),
+        available_now=args.available_now,
+        processing_time=None if args.available_now else args.trigger,
+    )
+    query.awaitTermination(args.timeout if args.available_now else None)
+    return 0
+
+
+def _cmd_meta(args: argparse.Namespace) -> int:
+    from sparktrends_spark.schemas import COMPANY_SCHEMA
+    from sparktrends_spark.sources.files import read_csv
+
+    spark = get_spark("sparktrends-meta")
+    df = read_csv(spark, args.csv, COMPANY_SCHEMA)
+    # K2: full dimension refresh is an overwrite (stock_batch.py:68)
+    df.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {spark.read.parquet(args.out).count()} companies -> {args.out}")
+    return 0
+
+
+def _cmd_bench(args: argparse.Namespace) -> int:
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(args.bench_path, run_name="__main__")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="sparktrends_spark")
+    sub = parser.add_subparsers(dest="mode", required=True)
+
+    q = sub.add_parser("query", help="run a registered query")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--rows", type=int, default=20)
+    q.set_defaults(fn=_cmd_query)
+
+    b = sub.add_parser("batch", help="bounded frames -> OHLCV bars")
+    b.add_argument("--frames", required=True)
+    b.add_argument("--out", required=True)
+    b.set_defaults(fn=_cmd_batch)
+
+    s = sub.add_parser("stream", help="streaming frames -> bars/metrics/alerts")
+    s.add_argument("--frames", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--watermark", default="2 minutes")
+    s.add_argument("--trigger", default="1 minute")
+    s.add_argument("--available-now", action="store_true")
+    s.add_argument("--timeout", type=int, default=300)
+    s.set_defaults(fn=_cmd_stream)
+
+    m = sub.add_parser("meta", help="company CSV -> parquet dimension")
+    m.add_argument("--csv", required=True)
+    m.add_argument("--out", required=True)
+    m.set_defaults(fn=_cmd_meta)
+
+    be = sub.add_parser("bench", help="run the bench harness")
+    be.add_argument("--bench-path", default="bench.py")
+    be.set_defaults(fn=_cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

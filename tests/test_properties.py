@@ -1,0 +1,84 @@
+"""Property-based tests (SURVEY §5.4): OHLCV aggregation invariants.
+
+For arbitrary trade sets:
+- low <= min(open, close) <= max(open, close) <= high
+- volume = sum of trade volumes in the bar
+- one bar per distinct (symbol, minute)
+- open/close are the prices of the earliest/latest trade (by ts,
+  tiebreak) — determinism under any physical row order.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sparktrends_spark.operators.bars import ohlcv_bars
+
+BASE_MS = 1_700_000_000_000 - (1_700_000_000_000 % 60_000)
+
+trade_st = st.tuples(
+    st.sampled_from(["A", "B", "C"]),                      # symbol
+    st.floats(0.01, 1e6, allow_nan=False),                 # price
+    st.floats(0.0, 1e4, allow_nan=False),                  # volume
+    st.integers(0, 10 * 60_000 - 1),                       # offset ms
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    # the spark fixture is session-scoped state handed through a
+    # function-scoped shim; examples can't mutate it
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(st.lists(trade_st, min_size=1, max_size=80))
+def test_ohlcv_invariants(spark_session_holder, trades):
+    spark = spark_session_holder
+    rows = [
+        (sym, float(p), float(v), i, BASE_MS + off)
+        for i, (sym, p, v, off) in enumerate(trades)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, price double, volume double, trade_id long, t long"
+    ).selectExpr(
+        "symbol", "price", "volume", "trade_id", "timestamp_millis(t) AS timestamp"
+    )
+    bars = {
+        (r.symbol, r.timestamp): r
+        for r in ohlcv_bars(df, tiebreak_col="trade_id").collect()
+    }
+
+    grouped = defaultdict(list)
+    for sym, p, v, i, ms in rows:
+        grouped[(sym, ms // 60_000)].append((ms, i, p, v))
+
+    assert len(bars) == len(grouped)
+    for (sym, minute), trs in grouped.items():
+        key = next(k for k in bars if k[0] == sym and
+                   int(k[1].timestamp() * 1000) // 60_000 == minute)
+        bar = bars[key]
+        prices = [p for _, _, p, _ in trs]
+        assert bar.low == min(prices) and bar.high == max(prices)
+        assert bar.low <= min(bar.open, bar.close)
+        assert max(bar.open, bar.close) <= bar.high
+        assert abs(bar.volume - sum(v for _, _, _, v in trs)) < 1e-6
+        trs_sorted = sorted(trs)  # by (ms, trade_id)
+        assert bar.open == trs_sorted[0][2]
+        assert bar.close == trs_sorted[-1][2]
+        assert bar.n_trades == len(trs)
+
+
+# hypothesis can't take a pytest fixture directly as an argument each
+# example; bind the session once at module scope via a tiny indirection
+import pytest  # noqa: E402
+
+
+@pytest.fixture(name="spark_session_holder")
+def _spark_session_holder(spark):
+    return spark

@@ -1,0 +1,147 @@
+"""File sources, parse operators, sink registry, alerts, CLI modes."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparktrends_spark.alerts import collecting_sink, format_anomaly_message
+from sparktrends_spark.operators.parse import (
+    parse_crypto_quotes,
+    parse_json_records,
+    parse_trade_envelope,
+)
+from sparktrends_spark.schemas import COMPANY_SCHEMA, OHLCV_SCHEMA
+from sparktrends_spark.sources.files import read_csv, read_json_lines
+from sparktrends_spark.sources.sinks import register_sink, registered_sinks, write
+
+
+def test_read_csv_with_schema(spark, tmp_path):
+    p = tmp_path / "companies.csv"
+    p.write_text(
+        "symbol,name,sector,industry\n"
+        "AAPL,Apple,Tech,Hardware\n"
+        "XOM,Exxon,Energy,Oil\n"
+    )
+    df = read_csv(spark, str(p), COMPANY_SCHEMA)
+    # file sources surface every column nullable; names/types must hold
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in COMPANY_SCHEMA.fields
+    ]
+    assert {r.symbol for r in df.collect()} == {"AAPL", "XOM"}
+
+
+def test_read_json_lines_permissive_nulls(spark, tmp_path):
+    p = tmp_path / "bars.jsonl"
+    rows = [
+        {"symbol": "A", "open": 1.0, "high": 2.0, "low": 0.5, "close": 1.5,
+         "volume": 10.0, "timestamp": "2024-01-01T00:00:00Z"},
+        {"symbol": "B"},  # partial record -> nulls, not a failure
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    df = read_json_lines(spark, str(p), OHLCV_SCHEMA)
+    got = {r.symbol: r for r in df.collect()}
+    assert got["A"].close == 1.5
+    assert got["B"].close is None
+
+
+def test_parse_trade_envelope_malformed_frames(spark):
+    frames = [
+        ('{"data": [{"s": "A", "p": 1.0, "v": 2.0, "t": 1700000000000}]}',),
+        ("not json at all",),
+        ('{"data": null}',),
+        ('{"data": []}',),
+    ]
+    df = spark.createDataFrame(frames, "value string")
+    out = parse_trade_envelope(df).collect()
+    assert len(out) == 1
+    assert out[0].symbol == "A" and out[0].volume == 2.0
+
+
+def test_parse_crypto_nested_struct(spark):
+    msg = {
+        "symbol": "BTC", "name": "Bitcoin", "sector": "crypto",
+        "market_date": "2024-03-01",
+        "crypto_info": {"open": 1.0, "high": 2.0, "low": 0.5, "close": 1.5,
+                        "volume": 0.25},
+    }
+    df = spark.createDataFrame([(json.dumps(msg),)], "value string")
+    row = parse_crypto_quotes(df).collect()[0]
+    assert row.symbol == "BTC" and row.volume == 0.25  # fractional (Q5)
+    assert str(row.market_date) == "2024-03-01"
+
+
+def test_parse_json_records_flatten(spark):
+    rec = {"symbol": "A", "open": 1.0, "high": 2.0, "low": 0.5, "close": 1.5,
+           "volume": 3.0, "timestamp": "2024-01-01T00:00:00Z"}
+    df = spark.createDataFrame([(json.dumps(rec),)], "value string")
+    out = parse_json_records(df, OHLCV_SCHEMA)
+    assert out.columns == [f.name for f in OHLCV_SCHEMA.fields]
+    assert out.collect()[0].high == 2.0
+
+
+def test_sink_registry_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "sunk")
+    register_sink("bars_test", lambda df: df.write.mode("overwrite").parquet(out))
+    assert "bars_test" in registered_sinks()
+    write("bars_test", spark.range(5))
+    assert spark.read.parquet(out).count() == 5
+    with pytest.raises(KeyError):
+        write("nope", spark.range(1))
+
+
+def test_alert_formatting_and_collecting_sink():
+    store: list = []
+    sink = collecting_sink(store)
+    rows = [{"symbol": "A", "timestamp": "t", "close": 1.0, "vwap_5": 2.0,
+             "vol_5": 0.1}]
+    sink(rows)
+    assert store == [rows]
+    msg = format_anomaly_message(rows)
+    assert "A" in msg and "vwap_5=2.0" in msg
+
+
+def test_cli_batch_and_meta(spark, tmp_path, capsys):
+    from sparktrends_spark.cli import main
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    (frames / "f.json").write_text(
+        json.dumps(
+            {"data": [{"s": "A", "p": 1.0, "v": 2.0, "t": 1700000000000}]}
+        )
+        + "\n"
+    )
+    out = tmp_path / "bars_out"
+    assert main(["batch", "--frames", str(frames), "--out", str(out)]) == 0
+    assert spark.read.parquet(str(out)).count() == 1
+
+    csv = tmp_path / "c.csv"
+    csv.write_text("symbol,name,sector,industry\nAAPL,Apple,Tech,HW\n")
+    meta_out = tmp_path / "meta_out"
+    assert main(["meta", "--csv", str(csv), "--out", str(meta_out)]) == 0
+    assert spark.read.parquet(str(meta_out)).collect()[0].symbol == "AAPL"
+
+
+def test_cli_stream_available_now(spark, tmp_path):
+    from sparktrends_spark.cli import main
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    base = 1_700_000_000_000 - (1_700_000_000_000 % 60_000)
+    (frames / "f.json").write_text(
+        json.dumps({"data": [
+            {"s": "A", "p": 1.0, "v": 2.0, "t": base},
+            {"s": "A", "p": 2.0, "v": 1.0, "t": base + 30_000},
+        ]}) + "\n"
+    )
+    out = tmp_path / "stream_out"
+    rc = main([
+        "stream", "--frames", str(frames), "--out", str(out), "--available-now",
+    ])
+    assert rc == 0
+    bars = spark.read.parquet(str(out / "bars")).collect()
+    assert len(bars) == 1 and bars[0].volume == 3.0
+    assert spark.read.parquet(str(out / "metrics")).count() == 1
