@@ -45,8 +45,14 @@ def main() -> None:
     spark = get_spark("sparktrends-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/IO paths outside the timed region.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM/IO paths outside the timed region: touch each input
+    # table and run the flagship once at smoke scale so codegen/JIT of
+    # the window+agg+json pipeline isn't billed to the first query.
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    QUERIES["vwap_metrics"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

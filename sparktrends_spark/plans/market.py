@@ -19,7 +19,7 @@ from sparktrends_spark.operators.bars import ohlcv_bars
 from sparktrends_spark.operators.metrics import vwap_metrics, vwap_metrics_time_range
 from sparktrends_spark.operators.topk import latest_per_group, top_k_per_group
 from sparktrends_spark.plans.registry import query
-from sparktrends_spark.sources.tables import load_table
+from sparktrends_spark.sources.tables import load_table, scan_parallel
 
 # ---------------------------------------------------------------------------
 # Shared building blocks
@@ -73,7 +73,14 @@ _METRIC_COLS = ["symbol", "timestamp", "close", "vwap_5", "vol_5", "is_anomaly"]
 
 def trades_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical trades DataFrame derived from ``events``."""
-    ev = load_table(spark, sf_dir, "events")
+    # Per-row JSON extraction is CPU-bound: fan the scan out, but prune
+    # to the needed raw columns FIRST so the round-robin exchange never
+    # carries bytes the projection will drop (column pruning does not
+    # reach through a user Repartition).
+    raw = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value", "props", "ts", "event_id"
+    )
+    ev = scan_parallel(raw)
     return ev.select(
         F.concat(
             F.col("event_type"), F.lit("_"), (F.col("user_id") % 10).cast("string")

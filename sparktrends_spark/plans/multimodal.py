@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from sparktrends_spark.multimodal.assets import documents_to_assets
 from sparktrends_spark.multimodal.featurize import extract_features, sample_frames
 from sparktrends_spark.plans.registry import query
-from sparktrends_spark.sources.tables import load_table
+from sparktrends_spark.sources.tables import load_table, scan_parallel
 
 _MODALITY_SQL = """
 CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -34,7 +34,8 @@ CASE WHEN doc_id % 3 = 0 THEN 'image/png'
 
 
 def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return documents_to_assets(load_table(spark, sf_dir, "documents"))
+    # hashing/frame fan-out is CPU-bound: make sure the scan fans out
+    return documents_to_assets(scan_parallel(load_table(spark, sf_dir, "documents")))
 
 
 @query(

@@ -17,7 +17,7 @@ from sparktrends_spark.similarity.cosine import (
     lsh_topk,
     neardup_pairs,
 )
-from sparktrends_spark.sources.tables import load_table
+from sparktrends_spark.sources.tables import load_table, scan_parallel
 
 _N_QUERIES = 10
 _DIM = 64
@@ -30,7 +30,8 @@ _COS = (
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    # 64-dim dot products are CPU-bound: make sure the scan fans out
+    return scan_parallel(load_table(spark, sf_dir, "embeddings"))
 
 
 @query(

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparktrends_spark.plans.registry import query
-from sparktrends_spark.sources.tables import load_table
+from sparktrends_spark.sources.tables import load_table, scan_parallel
 from sparktrends_spark.text.analysis import (
     LANG_MARKERS,
     bag_fingerprint,
@@ -50,7 +50,8 @@ sh2 AS (SELECT * FROM sh WHERE len(sh) > 0)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # shingling/tokenizing is CPU-bound: make sure the scan fans out
+    return scan_parallel(load_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -80,13 +81,14 @@ FROM toks GROUP BY lang
 )
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    t = tokens(F.col("text"))
+    # materialize the split once, derive every stat from the array
+    tok = d.select("lang", "n_chars", tokens(F.col("text")).alias("_toks"))
     return (
-        d.select(
+        tok.select(
             "lang",
             "n_chars",
-            F.size(t).alias("_n"),
-            F.size(F.array_distinct(t)).alias("_nd"),
+            F.size("_toks").alias("_n"),
+            F.size(F.array_distinct("_toks")).alias("_nd"),
         )
         .groupBy("lang")
         .agg(
@@ -113,13 +115,14 @@ FROM toks
 )
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    t = tokens(F.col("text"))
-    return d.select(
+    tok = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    t = F.col("_toks")
+    return tok.select(
         "doc_id",
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_distinct"),
         mean_token_length(t).alias("mean_tok_len"),
-        quality_score(F.col("text")).alias("quality"),
+        quality_score(t).alias("quality"),
     )
 
 
@@ -153,11 +156,12 @@ FROM hits
 @query("doc_lang_id", oracle=_lang_oracle())
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    t = tokens(F.col("text"))
+    tok = d.select("doc_id", "lang", tokens(F.col("text")).alias("_toks"))
+    t = F.col("_toks")
     cols = [
         marker_hits(t, m).alias(f"{lang}_hits") for lang, m in LANG_MARKERS.items()
     ]
-    return d.select("doc_id", "lang", *cols, lang_guess(t).alias("lang_guess"))
+    return tok.select("doc_id", "lang", *cols, lang_guess(t).alias("lang_guess"))
 
 
 @query(
@@ -172,10 +176,11 @@ FROM toks
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    t = tokens(F.col("text"))
-    return d.select(
+    tok = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    t = F.col("_toks")
+    return tok.select(
         "doc_id",
-        bag_fingerprint(F.col("text")).alias("fingerprint"),
+        bag_fingerprint(t).alias("fingerprint"),
         F.size(F.array_distinct(t)).alias("n_distinct"),
     )
 

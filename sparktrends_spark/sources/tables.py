@@ -61,3 +61,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for spark.sql use)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scan_parallel(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure a scan has enough partitions to use every core.
+
+    Small single-file parquet inputs (and single row-group files, which
+    ``spark.sql.files.maxPartitionBytes`` cannot split) arrive as one
+    partition, serializing any CPU-heavy projection downstream. At real
+    scale a table is thousands of splits and this is a no-op; it only
+    repartitions when the scan is narrower than the target parallelism,
+    so the round-robin shuffle costs only show up where they buy CPU.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -69,22 +69,22 @@ def lang_guess(toks: Column) -> Column:
     return out
 
 
-def quality_score(text: Column) -> Column:
-    """Deterministic [0,1] quality heuristic.
+def quality_score(toks: Column) -> Column:
+    """Deterministic [0,1] quality heuristic over a token array.
 
     0.5 * length score (saturates at 100 tokens) +
     0.5 * lexical diversity (distinct/total tokens).
+
+    Takes tokens (not raw text) so callers materialize the split once
+    and share it across every derived metric in the projection.
     """
-    toks = tokens(text)
     n = F.size(toks).cast("double")
     len_score = F.least(F.lit(1.0), n / F.lit(100.0))
     diversity = F.size(F.array_distinct(toks)).cast("double") / n
     return len_score * 0.5 + diversity * 0.5
 
 
-def bag_fingerprint(text: Column) -> Column:
+def bag_fingerprint(toks: Column) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted
     distinct token set. Equal fingerprints == equal vocabulary."""
-    return F.md5(
-        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
-    )
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))

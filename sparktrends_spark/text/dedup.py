@@ -55,9 +55,15 @@ def exact_dedup_groups(
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (empty array when < n tokens)."""
-    toks = tokens(text)
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array (empty when
+    < n tokens).
+
+    ``toks`` must be a *materialized column reference*, not a nested
+    expression: it is evaluated once per shingle index inside the
+    lambda, so passing ``tokens(text)`` directly would re-run the regex
+    split O(tokens) times per row (measured 10x slowdown).
+    """
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
@@ -70,9 +76,18 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    # Two projections on purpose: CollapseProject keeps `_toks`
+    # materialized because it is referenced many times and non-cheap.
+    # The non-empty filter is phrased on token count (equivalent to
+    # size(shingles) > 0, since distinct-of-nonempty is nonempty):
+    # filtering on `shingles` itself would make predicate pushdown
+    # inline the whole shingle expression below the repartition.
+    tokenized = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size(F.col("_toks")) >= n)
+    return tokenized.select(
+        F.col(id_col), word_shingles(F.col("_toks"), n).alias("shingles")
+    )
 
 
 def jaccard_pairs(
@@ -150,15 +165,24 @@ def minhash_signatures(
     permutations are integer arithmetic folded into the same projection.
     """
     coeffs = minhash_coeffs(num_perm)
-    hashes = F.transform(F.col("shingles"), lambda s: _base_hash(s) % MINHASH_PRIME)
 
     def perm(a: int, b: int):
         return lambda h: (h * a + b) % MINHASH_PRIME
 
-    sig = F.array(
-        *[F.array_min(F.transform(hashes, perm(a, b))) for a, b in coeffs]
+    # Materialize the base-hash array in its own projection: referencing
+    # it num_perm times from `sig` must not re-run the md5 pass per
+    # permutation (higher-order exprs sit outside codegen CSE).
+    hashed = shingled.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.transform(
+            F.col("shingles"), lambda s: _base_hash(s) % MINHASH_PRIME
+        ).alias("_hs"),
     )
-    return shingled.select(F.col(id_col), F.col("shingles"), sig.alias("sig"))
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("_hs"), perm(a, b))) for a, b in coeffs]
+    )
+    return hashed.select(F.col(id_col), F.col("shingles"), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -282,10 +306,12 @@ def simhash_pairs(
     distances are found probabilistically), then verify exact Hamming
     distance <= max_hamming."""
     n_bands = 64 // band_bits
-    shingled = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), 2).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    tokenized = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size(F.col("_toks")) >= 2)
+    shingled = tokenized.select(
+        "doc", word_shingles(F.col("_toks"), 2).alias("shingles")
+    )
     sh = with_simhash64(shingled, "h").select("doc", "h")
     mask = (1 << band_bits) - 1
     band_arr = F.array(
