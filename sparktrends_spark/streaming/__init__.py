@@ -26,6 +26,7 @@ from sparktrends_spark.streaming.pipeline import (
     run_bar_pipeline,
     start_to_completion,
 )
+from sparktrends_spark.streaming.stateful import running_symbol_stats
 
 __all__ = [
     "kafka_stream",
@@ -39,4 +40,5 @@ __all__ = [
     "write_batch_partitioned",
     "run_bar_pipeline",
     "start_to_completion",
+    "running_symbol_stats",
 ]

@@ -41,8 +41,13 @@ def _frame(trades: list[tuple[str, float, float, int]]) -> str:
 
 
 def _write_frames(path: str, name: str, frames: list[str]) -> None:
-    with open(os.path.join(path, name), "w") as fh:
+    p = os.path.join(path, name)
+    with open(p, "w") as fh:
         fh.write("\n".join(frames) + "\n")
+    # the file source orders micro-batches by mtime; pin it so batch
+    # order is deterministic even when files are written back-to-back
+    seq = int("".join(c for c in name if c.isdigit()) or 0)
+    os.utime(p, (1_700_000_000 + seq, 1_700_000_000 + seq))
 
 
 @pytest.fixture()
