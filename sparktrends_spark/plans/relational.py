@@ -622,3 +622,107 @@ def q_segment_priority_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@query(
+    "event_window_range_join",
+    oracle="""
+WITH w AS (
+  SELECT CAST(d AS TIMESTAMP) - INTERVAL 1 DAY AS w_start,
+         CAST(d AS TIMESTAMP) + INTERVAL 2 DAY AS w_end,
+         CAST(d AS TIMESTAMP) AS w_day
+  FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) AS t(d)
+)
+SELECT w_day, count(*) AS n_events, round(avg(value), 4) AS avg_value
+FROM events JOIN w ON ts >= w_start AND ts < w_end
+GROUP BY w_day
+""",
+)
+def q_event_window_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events into *overlapping* 3-day windows —
+    a true non-equi join, not expressible as date truncation (each event
+    lands in up to 3 windows).
+
+    Plan shape: the window table is 30 rows -> broadcast nested-loop
+    with the range predicate; the events side streams through without a
+    shuffle. At 100 TB the windows side stays tiny, so this remains the
+    right plan; for large-x-large range joins, bin both sides to buckets
+    and equi-join on bucket (events_to_orders_asof shows the pattern).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = spark.sql(
+        """
+        SELECT w_start, w_start + INTERVAL 3 DAY AS w_end,
+               cast(w_start + INTERVAL 1 DAY AS timestamp_ntz) AS w_day
+        FROM (
+          SELECT explode(sequence(
+            timestamp'2023-12-31 00:00:00', timestamp'2024-01-29 00:00:00',
+            INTERVAL 1 DAY)) AS w_start
+        )
+        """
+    )
+    return (
+        ev.join(
+            F.broadcast(w),
+            (ev.ts >= w.w_start) & (ev.ts < w.w_end),
+        )
+        .groupBy("w_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "customer_reconciliation_outer",
+    oracle="""
+WITH rich AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000
+),
+active AS (
+  SELECT o_custkey, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+)
+SELECT coalesce(c_custkey, o_custkey) AS custkey,
+       c_acctbal, n_orders,
+       (c_custkey IS NOT NULL) AS is_rich,
+       (o_custkey IS NOT NULL) AS is_active
+FROM rich FULL OUTER JOIN active ON c_custkey = o_custkey
+""",
+)
+def q_customer_reconciliation_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (SURVEY §2.4 absent list): reconcile two customer
+    subsets with mismatches on both sides. Shuffle join on custkey —
+    outer joins can't broadcast either side without losing rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_acctbal")
+    active = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+    j = rich.join(active, rich.c_custkey == active.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_acctbal",
+        "n_orders",
+        F.col("c_custkey").isNotNull().alias("is_rich"),
+        F.col("o_custkey").isNotNull().alias("is_active"),
+    )
+
+
+@query("priority_approx_distinct", oracle=None)
+def q_priority_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, SURVEY §2.5 absent list) next to the
+    exact count. rows-only check: sketch estimates are engine-specific
+    by design (DuckDB's approx_distinct uses a different HLL), so a
+    value-hash against another engine cannot match. The test suite
+    bounds the relative error against the exact count instead."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
