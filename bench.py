@@ -34,6 +34,8 @@ HEADLINE = [
     "doc_quality",
     "doc_minhash_pairs",
     "embedding_topk",
+    "embedding_neardup",
+    "asset_features",
 ]
 
 

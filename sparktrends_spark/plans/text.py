@@ -270,3 +270,62 @@ def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("doc_simhash_pairs")  # rows-only: xxhash64 has no DuckDB equivalent
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir))
+
+
+@query(
+    "doc_bpe_tokens",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{{BPE_RE}}')) AS n_bpe_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+')) AS n_word_tokens,
+       len(regexp_extract_all(lower(text), '[^a-z0-9\\s]+')) AS n_punct_runs
+FROM documents
+""".replace("{BPE_RE}", "[a-z]+|[0-9]+|[^a-z0-9\\s]+"),
+)
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (north-star): GPT-2-style pre-token runs
+    next to plain word/punctuation counts — all regexp_extract_all,
+    JVM-side, no UDF."""
+    from sparktrends_spark.text.analysis import BPE_PRETOKEN_RE
+
+    d = _docs(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(BPE_PRETOKEN_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.regexp_extract_all(low, F.lit("[a-z]+"), 0)).alias(
+            "n_word_tokens"
+        ),
+        F.size(F.regexp_extract_all(low, F.lit("[^a-z0-9\\s]+"), 0)).alias(
+            "n_punct_runs"
+        ),
+    )
+
+
+@query(
+    "doc_rolling_fingerprint",
+    oracle="""
+SELECT doc_id,
+       array_to_string(
+         list_sort([md5(substr(text, i, 8))
+                    for i in range(1, greatest(len(text) - 7, 1) + 1)])[1:4],
+         '|') AS fingerprint,
+       greatest(len(text) - 7, 1) AS n_windows
+FROM documents
+""",
+)
+def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (north-star): bottom-4 sketch
+    of md5 over all 8-char windows (winnowing-style). Pure projection —
+    no shuffle; fingerprint equality/overlap is the near-dup signal."""
+    from sparktrends_spark.text.analysis import rolling_hash_fingerprint
+
+    d = _docs(spark, sf_dir)
+    win = F.greatest(F.length("text") - 7, F.lit(1))
+    return d.select(
+        "doc_id",
+        rolling_hash_fingerprint(F.col("text"), k=8, keep=4).alias("fingerprint"),
+        win.cast("bigint").alias("n_windows"),
+    )

@@ -88,3 +88,28 @@ def bag_fingerprint(toks: Column) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted
     distinct token set. Equal fingerprints == equal vocabulary."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
+# GPT-2-style pre-tokenizer approximation: word runs, digit runs,
+# punctuation runs. Portable: same regex semantics in Spark and DuckDB.
+BPE_PRETOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """Subword-ish pre-tokens of lowercased text (BPE front half)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def rolling_hash_fingerprint(text: Column, k: int = 8, keep: int = 4) -> Column:
+    """Bottom-``keep`` sketch of md5 over all ``k``-char windows.
+
+    A winnowing-style content fingerprint: robust to word reordering at
+    the edges, cheap to compare (string equality / overlap), and
+    engine-portable (md5 + substring only). Texts shorter than ``k``
+    hash whole.
+    """
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+        lambda i: F.md5(F.substring(text, i, k)),
+    )
+    return F.concat_ws("|", F.slice(F.array_sort(win_hashes), 1, keep))

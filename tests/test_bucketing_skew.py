@@ -1,0 +1,84 @@
+"""Bucketed co-located joins (no Exchange) and skew-salting helpers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparktrends_spark.operators.skew import replicated_join, salted_agg
+from sparktrends_spark.sources.bucketing import read_table, write_bucketed
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(
+        orders, "orders_b", ["o_custkey"], num_buckets=8,
+        path=str(tmp_path / "orders_b"),
+    )
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_b",
+        ["o_custkey"],
+        num_buckets=8,
+        path=str(tmp_path / "customer_b"),
+    )
+    # disable broadcast so the join strategy question is real
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_table(spark, "orders_b").join(
+            read_table(spark, "customer_b"), "o_custkey"
+        )
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        # sanity: same result as the plain join
+        expected = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_salted_agg_matches_plain_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.n, r.total)
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "total": (F.sum("l_extendedprice"), F.sum("total")),
+            },
+            salt_buckets=8,
+        ).collect()
+    }
+    want = {
+        r.l_returnflag: (r.n, r.total)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("total")
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6 * abs(want[k][1])
+
+
+def test_replicated_join_matches_plain_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    got = replicated_join(orders, customer, ["o_custkey"], salt_buckets=4)
+    plain = orders.join(customer, "o_custkey")
+    assert got.count() == plain.count()
+    assert sorted(got.columns) == sorted(plain.columns)
