@@ -52,9 +52,12 @@ def main() -> None:
     # the window+agg+json pipeline isn't billed to the first query.
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
-    QUERIES["vwap_metrics"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    for warm_q in ("vwap_metrics", "asset_features"):
+        # vwap warms the window/agg/json codegen; asset_features warms
+        # the Arrow python-worker pool (first pandas UDF pays spawn)
+        QUERIES[warm_q](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

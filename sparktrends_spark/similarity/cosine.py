@@ -154,7 +154,12 @@ def neardup_pairs(
     )
     va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    cands = cand_ids.join(va, "id_a").join(vb, "id_b")
+    # The corpus after bucketing/repartitioning loses its file-size
+    # stats, so Catalyst won't auto-broadcast it — hint explicitly:
+    # candidate pairs stream, vectors build the hash table. At corpus
+    # sizes past broadcast limits, drop the hints and these become
+    # shuffle joins keyed on id — still never all-pairs.
+    cands = cand_ids.join(F.broadcast(va), "id_a").join(F.broadcast(vb), "id_b")
     return (
         cands.withColumn(
             "cosine", F.round(cosine(F.col("_va"), F.col("_vb")), round_digits)
