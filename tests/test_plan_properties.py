@@ -1,0 +1,80 @@
+"""Plan-shape regression tests: lock in the physical-plan properties
+the 100 TB design depends on. A refactor that silently turns a
+broadcast join into a shuffle, or widens a pruned scan back to
+SELECT *, fails here — not in a profiler three rounds later.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from sparktrends_spark.plans import QUERIES
+
+
+def _plan(spark, name: str, sf_dir: str) -> str:
+    return (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q5_broadcasts_dims_and_prunes_lineitem(spark, sf_dir):
+    plan = _plan(spark, "q5_region_revenue", sf_dir)
+    # every dimension joins via broadcast; the fact table never shuffles
+    # before aggregation
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    # column pruning reaches the fact scan: only the 4 needed columns
+    m = re.search(r"lineitem\.parquet.*?ReadSchema: struct<([^>]*)>", plan, re.S)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"}
+    # constant filter pushed into the region scan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_top_customers_plans_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "top_customers", sf_dir)
+    # global top-k must be TakeOrderedAndProject (per-partition heap +
+    # merge), never a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_enrich_orders_broadcasts_dimension(spark, sf_dir):
+    plan = _plan(spark, "enrich_orders", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_doc_queries_are_pure_projections(spark, sf_dir):
+    # fingerprint/BPE/quality are scan -> project: any Exchange beyond
+    # the scan-fan-out repartition means someone added a shuffle
+    for name in ("doc_rolling_fingerprint", "doc_bpe_tokens"):
+        plan = _plan(spark, name, sf_dir)
+        assert plan.count("Exchange") <= 1, f"{name}: {plan}"
+        assert "REPARTITION_BY_NUM" in plan  # the deliberate fan-out
+
+
+def test_vwap_single_symbol_shuffle(spark, sf_dir):
+    # bars agg + window metrics must reuse one partitioning lineage:
+    # scan fan-out + one agg exchange + one window exchange, no more
+    plan = _plan(spark, "vwap_metrics", sf_dir)
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_minhash_join_is_bucket_keyed(spark, sf_dir):
+    plan = _plan(spark, "doc_minhash_pairs", sf_dir)
+    # candidate generation must join on band buckets, never cross join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_broadcasts_window_side(spark, sf_dir):
+    plan = _plan(spark, "event_window_range_join", sf_dir)
+    # the 30-row window table must be the broadcast side of the
+    # non-equi join; the events scan must not shuffle before it
+    assert "BroadcastNestedLoopJoin" in plan
