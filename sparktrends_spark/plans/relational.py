@@ -726,3 +726,74 @@ def q_priority_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("exact_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "order_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, sum(o_totalprice) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY §2.5 absent list) — the general
+    form cube/rollup specialize: three aggregation granularities in one
+    pass (Expand + single shuffle, not three scans)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders, sum(o_totalprice) AS total_price
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "event_window_binned_join",
+    oracle="""
+WITH w AS (
+  SELECT CAST(d AS TIMESTAMP) - INTERVAL 1 DAY AS w_start,
+         CAST(d AS TIMESTAMP) + INTERVAL 2 DAY AS w_end,
+         CAST(d AS TIMESTAMP) AS w_day
+  FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) AS t(d)
+)
+SELECT w_day, count(*) AS n_events, round(avg(value), 4) AS avg_value
+FROM events JOIN w ON ts >= w_start AND ts < w_end
+GROUP BY w_day
+""",
+)
+def q_event_window_binned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same interval join as event_window_range_join, via the binned
+    equi-join strategy (operators/joins.interval_join): explode each
+    interval to the hour-buckets it overlaps, equi-join on bucket, then
+    exact-filter. This is the large-x-large plan — no nested loop, one
+    bucket-keyed shuffle — verified equal to the broadcast-NLJ variant
+    by sharing its oracle."""
+    from sparktrends_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    w = spark.sql(
+        """
+        SELECT w_start,
+               w_start + INTERVAL 3 DAY - INTERVAL 1 MICROSECOND AS w_end,
+               cast(w_start + INTERVAL 1 DAY AS timestamp_ntz) AS w_day
+        FROM (
+          SELECT explode(sequence(
+            timestamp'2023-12-31 00:00:00', timestamp'2024-01-29 00:00:00',
+            INTERVAL 1 DAY)) AS w_start
+        )
+        """
+    )
+    joined = interval_join(
+        ev, w, point_ts="ts", interval_lo="w_start", interval_hi="w_end",
+        bucket_seconds=86400,
+    )
+    return joined.groupBy("w_day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
