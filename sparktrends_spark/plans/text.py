@@ -329,3 +329,85 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling_hash_fingerprint(F.col("text"), k=8, keep=4).alias("fingerprint"),
         win.cast("bigint").alias("n_windows"),
     )
+
+
+@query(
+    "doc_train_test_split",
+    oracle="""
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS n_docs
+FROM assigned GROUP BY lang, split
+""",
+)
+def q_doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train-test split by content-free hash of the
+    id (north-star): stable under re-runs, re-partitioning, and engine
+    choice — never ``rand()``, which breaks lineage reproducibility.
+    Pure projection + one agg shuffle."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = F.when(bucket < 90, F.lit("train")).otherwise(F.lit("test"))
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "corpus_selection",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, text,
+         least(1.0, len(tk) / 100.0) * 0.5
+           + (len(list_distinct(tk)) * 1.0 / len(tk)) * 0.5 AS quality,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM toks
+),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+  FROM scored WHERE quality >= 0.6 AND lang IN ('en', 'es')
+)
+SELECT lang, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality
+FROM kept WHERE rn = 1
+GROUP BY lang
+""",
+)
+def q_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus selection composite (north-star):
+    quality-score filter -> language allowlist -> exact dedup keeping
+    the lowest doc_id per content hash -> per-language stats. The shape
+    of a real 100 TB pretraining filter pass: projection-only scoring,
+    one dedup shuffle on content hash, one agg."""
+    from sparktrends_spark.operators.topk import top_k_per_group
+    from sparktrends_spark.text.dedup import exact_hash
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", "lang", "text", tokens(F.col("text")).alias("_toks")
+    )
+    scored = tok.select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("_toks")).alias("quality"),
+        exact_hash(F.col("text")).alias("content_hash"),
+    ).filter((F.col("quality") >= 0.6) & F.col("lang").isin("en", "es"))
+    kept = top_k_per_group(scored, ["content_hash"], [F.asc("doc_id")], k=1)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
