@@ -36,6 +36,7 @@ HEADLINE = [
     "embedding_topk",
     "embedding_neardup",
     "asset_features",
+    "corpus_selection",
 ]
 
 

@@ -152,8 +152,19 @@ def neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # Precompute each vector's norm once (O(corpus)) instead of twice
+    # per candidate pair (O(pairs)); dot/norm/divide evaluation order is
+    # unchanged, so results stay bitwise-identical to cosine(a, b).
+    va = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+    )
     # The corpus after bucketing/repartitioning loses its file-size
     # stats, so Catalyst won't auto-broadcast it — hint explicitly:
     # candidate pairs stream, vectors build the hash table. At corpus
@@ -162,7 +173,11 @@ def neardup_pairs(
     cands = cand_ids.join(F.broadcast(va), "id_a").join(F.broadcast(vb), "id_b")
     return (
         cands.withColumn(
-            "cosine", F.round(cosine(F.col("_va"), F.col("_vb")), round_digits)
+            "cosine",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                round_digits,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
