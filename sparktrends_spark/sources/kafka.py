@@ -51,3 +51,21 @@ def write_topic(
         .option("topic", topic)
         .save()
     )
+
+
+def serialize_for_kafka(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Encode rows as Kafka-ready (key, value) JSON strings.
+
+    Replaces the reference's driver-side ``json.dumps`` serializer
+    (apache_kafka/utilities.py:30) with a distributed projection:
+    value = to_json(struct(*cols)). Round-trips through
+    ``operators.parse.parse_json_records`` with the matching schema.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [c for c in df.columns if c != key_col]
+    out = df.select(
+        *([F.col(key_col).cast("string").alias("key")] if key_col else []),
+        F.to_json(F.struct(*cols)).alias("value"),
+    )
+    return out

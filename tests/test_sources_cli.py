@@ -145,3 +145,36 @@ def test_cli_stream_available_now(spark, tmp_path):
     bars = spark.read.parquet(str(out / "bars")).collect()
     assert len(bars) == 1 and bars[0].volume == 3.0
     assert spark.read.parquet(str(out / "metrics")).count() == 1
+
+
+def test_kafka_wire_roundtrip(spark):
+    """K7 serialization contract: to_json -> (parse chain) recovers the
+    rows byte-exactly without a broker."""
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.sources.kafka import serialize_for_kafka
+
+    bars = spark.createDataFrame(
+        [("A", 1.0, 2.0, 0.5, 1.5, 10.0, "2024-01-01T00:00:00Z")],
+        "symbol string, open double, high double, low double, close double, "
+        "volume double, timestamp string",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    wire = serialize_for_kafka(bars, key_col="symbol")
+    assert wire.columns == ["key", "value"]
+    parsed = parse_json_records(wire, OHLCV_SCHEMA)
+    row = parsed.collect()[0]
+    src = bars.collect()[0]
+    assert row.close == src.close and row.timestamp == src.timestamp
+
+
+def test_entry_contract_integrity(spark):
+    import __spark_entry__ as E
+
+    queries = E.queries()
+    oracles = E.oracle_sql()
+    assert set(oracles) <= set(queries)
+    # every query key is a valid python identifier-ish name (driver
+    # uses them as JSON keys / file fragments)
+    assert all(n.replace("_", "").isalnum() for n in queries)
+    out = E.entry(spark)
+    assert out.count() > 0
