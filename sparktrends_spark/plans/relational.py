@@ -797,3 +797,69 @@ def q_event_window_binned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+  SELECT avg(o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+""",
+)
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (SURVEY §4 'subquery decorrelation'):
+    Catalyst rewrites the per-row subquery into one aggregate + join —
+    verify with .explain: a single Aggregate on o_custkey, no
+    re-evaluation per outer row."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_corr")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM _orders_corr o
+        WHERE o_totalprice > 1.5 * (
+          SELECT avg(o_totalprice) FROM _orders_corr o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@query(
+    "user_first_last_event",
+    oracle="""
+SELECT DISTINCT user_id,
+       first_value(value) OVER w AS first_value_of_day,
+       last_value(value) OVER w AS last_value_of_day,
+       nth_value(value, 2) OVER w AS second_value,
+       count(*) OVER (PARTITION BY user_id) AS n_events
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+""",
+)
+def q_user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value window functions (SURVEY
+    §2.6 absent list) with a deterministic (ts, event_id) order and an
+    unbounded frame."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wc = Window.partitionBy("user_id")
+    return ev.select(
+        "user_id",
+        F.first("value").over(w).alias("first_value_of_day"),
+        F.last("value").over(w).alias("last_value_of_day"),
+        F.nth_value("value", 2).over(w).alias("second_value"),
+        F.count(F.lit(1)).over(wc).alias("n_events"),
+    ).distinct()
