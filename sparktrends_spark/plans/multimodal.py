@@ -99,3 +99,20 @@ def q_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
         F.round(F.avg(F.length("payload")), 4).alias("avg_bytes"),
     )
+
+
+@query(
+    "asset_extra_map",
+    oracle=f"""
+SELECT source, {_MODALITY_SQL.strip()} AS modality, count(*) AS n
+FROM documents
+GROUP BY source, 2
+""",
+)
+def q_asset_extra_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType metadata access (SURVEY §1.2 'not used anywhere — engine
+    should still expose'): group by a key pulled from the extra map."""
+    a = _assets(spark, sf_dir)
+    return a.groupBy(
+        F.col("extra")["source"].alias("source"), "modality"
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -863,3 +863,33 @@ def q_user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("value", 2).over(w).alias("second_value"),
         F.count(F.lit(1)).over(wc).alias("n_events"),
     ).distinct()
+
+
+@query(
+    "pricing_decimal_summary",
+    oracle="""
+SELECT l_returnflag,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18, 4)) AS DECIMAL(38, 4)))
+         AS exact_revenue,
+       sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))
+           AS DECIMAL(38, 4))) AS exact_discounted,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_pricing_decimal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation (SURVEY §1.2: decimal unused by the
+    reference, exposed by the engine). Unlike double sums, decimal sums
+    are order-independent — the value-hash matches bit-for-bit with no
+    rounding tolerance, exactly what a money pipeline needs."""
+    li = _t(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price_dec).cast("decimal(38,4)").alias("exact_revenue"),
+        F.sum(disc_dec).cast("decimal(38,4)").alias("exact_discounted"),
+        F.count(F.lit(1)).alias("n"),
+    )
