@@ -14,6 +14,17 @@ Null semantics preserved from the reference: with < 2 rows of history
 ``vol_5`` is null, so ``is_anomaly`` is null (not false) and a plain
 ``filter(is_anomaly)`` drops the row (SURVEY §2.12).
 
+Structural finding (proved while building the golden test): with the
+current bar INSIDE the frame — the reference's formulation — the
+anomaly can never fire at threshold 3.0. For an n-row frame,
+max |close - vwap| / stddev(close) is (n-1)/sqrt(n·(n-1)) scaled by the
+worst volume weighting, ≤ sqrt(n) ≈ 2.24 at n=5 (and smaller for
+n < 5). So ``is_anomaly`` is always false-or-null: the reference's
+Slack alert (stock_stream.py:103-114) was dead code in effect. We keep
+the formulation for parity; ``anomaly_vs_history`` computes the
+deviation against the PRIOR frame (rowsBetween(-n, -1)) — the variant
+that can actually alert.
+
 Scale notes: one window spec, partitioned by symbol — a single shuffle
 by symbol then sorted within partitions. Symbol cardinality is large in
 real deployments (thousands), so partitions stay balanced; for very few
@@ -83,6 +94,35 @@ def vwap_metrics_time_range(
     return out.withColumn(
         "is_anomaly",
         F.abs(close - F.col("vwap_t")) > anomaly_threshold * F.col("vol_t"),
+    )
+
+
+def anomaly_vs_history(
+    bars: DataFrame,
+    frame_rows: int = 5,
+    anomaly_threshold: float = ANOMALY_THRESHOLD,
+    symbol_col: str = "symbol",
+    ts_col: str = "timestamp",
+    close_col: str = "close",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """Anomaly flag of the current close vs the PRIOR ``frame_rows``
+    bars (frame excludes the current row) — the formulation whose 3σ
+    threshold can actually trip, unlike the reference's (see module
+    docstring). Null when history has < 2 bars.
+    """
+    w = (
+        Window.partitionBy(symbol_col)
+        .orderBy(ts_col)
+        .rowsBetween(-frame_rows, -1)
+    )
+    close = F.col(close_col)
+    vwap = F.sum(close * F.col(volume_col)).over(w) / F.sum(volume_col).over(w)
+    vol = F.stddev_samp(close).over(w)
+    out = bars.withColumn("hist_vwap", vwap).withColumn("hist_vol", vol)
+    return out.withColumn(
+        "is_anomaly",
+        F.abs(close - F.col("hist_vwap")) > anomaly_threshold * F.col("hist_vol"),
     )
 
 

@@ -274,3 +274,32 @@ def q_weekly_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("close").over(w).alias("vol_7d"),
         F.count(F.lit(1)).over(w).alias("n_days"),
     )
+
+
+@query(
+    "anomaly_vs_history",
+    oracle=f"""
+WITH {_TRADES_CTE.strip()}, {_BARS_CTE.strip()}
+SELECT symbol, timestamp, close, hist_vwap, hist_vol,
+       abs(close - hist_vwap) > 3.0 * hist_vol AS is_anomaly
+FROM (
+  SELECT symbol, timestamp, close,
+         sum(close * volume) OVER w / sum(volume) OVER w AS hist_vwap,
+         stddev_samp(close) OVER w AS hist_vol
+  FROM bars
+  WINDOW w AS (
+    PARTITION BY symbol ORDER BY timestamp
+    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING
+  )
+)
+""",
+)
+def q_anomaly_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current close vs prior-5-bars VWAP/σ — the alert formulation
+    that can actually fire (the reference's in-frame variant provably
+    cannot at threshold 3.0; see operators/metrics.py docstring)."""
+    from sparktrends_spark.operators.metrics import anomaly_vs_history
+
+    return anomaly_vs_history(bars_df(spark, sf_dir)).select(
+        "symbol", "timestamp", "close", "hist_vwap", "hist_vol", "is_anomaly"
+    )
