@@ -411,3 +411,46 @@ def q_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
+
+
+def _simhash32_oracle() -> str:
+    bit_sums = (
+        "[list_sum([CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END for h in hs])"
+        " for i in range(0, 32)]"
+    )
+    return f"""
+WITH {_TOKS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+hashes AS (
+  SELECT doc_id,
+         [CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) for s in sh] AS hs
+  FROM sh2
+),
+sums AS (SELECT doc_id, {bit_sums} AS bs FROM hashes),
+sh32 AS (
+  SELECT doc_id,
+         list_sum([CASE WHEN bs[i + 1] > 0 THEN 1 << i ELSE 0 END
+                   for i in range(0, 32)]) AS h
+  FROM sums
+),
+banded AS (
+  SELECT doc_id, h, b, (h >> (b * 8)) & 255 AS block
+  FROM sh32, unnest([0, 1, 2, 3]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.h AS h_a, c.h AS h_b
+  FROM banded a JOIN banded c
+    ON a.b = c.b AND a.block = c.block AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(h_a, h_b)) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= 6
+"""
+
+
+@query("doc_simhash32_pairs", oracle=_simhash32_oracle())
+def q_doc_simhash32_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 32-bit md5 SimHash near-dup pairs — the value-checked
+    member of the SimHash family (doc_simhash_pairs keeps the faster
+    xxhash64 sketch under the rows-only check)."""
+    from sparktrends_spark.text.dedup import simhash32_pairs
+
+    return simhash32_pairs(_docs(spark, sf_dir))

@@ -340,3 +340,89 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# Portable 32-bit SimHash over the md5 base hash (first 8 hex digits).
+# Identical in any engine with md5 + integer bit ops, so unlike the
+# xxhash64 variant it is DuckDB-oracle-checkable. 32 bits trade some
+# collision resistance for 2x less bit-sum work; band layout 4 x 8 bits.
+_SIMHASH32_BIT_SUMS_SQL = """
+aggregate(
+  transform(shingles, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)),
+  array_repeat(0, 32),
+  (acc, h) -> zip_with(
+      acc,
+      transform(sequence(0, 31),
+                i -> CASE WHEN (shiftright(h, cast(i as int)) & 1) = 1
+                          THEN 1 ELSE -1 END),
+      (a, b) -> a + b)
+)
+"""
+
+_SIMHASH32_SQL = """
+aggregate(
+  sequence(0, 31),
+  cast(0 as bigint),
+  (acc, i) -> acc + CASE
+      WHEN element_at(_bit_sums, i + 1) > 0
+      THEN shiftleft(cast(1 as bigint), cast(i as int))
+      ELSE cast(0 as bigint) END
+)
+"""
+
+
+def simhash32_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by the portable 32-bit md5 SimHash.
+
+    Same banding/verify shape as ``simhash_pairs`` (pigeonhole over
+    4 x 8-bit blocks, exact Hamming verify); every step restatable in
+    the DuckDB oracle, so this variant carries the value-level
+    correctness check for the SimHash family.
+    """
+    n_bands = 32 // band_bits
+    # 3-gram shingles, same as the MinHash family (the xxhash variant
+    # uses bigrams; 3-grams here keep the oracle CTE shared)
+    tokenized = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size(F.col("_toks")) >= 3)
+    shingled = tokenized.select(
+        "doc", word_shingles(F.col("_toks"), 3).alias("shingles")
+    )
+    sh = (
+        shingled.withColumn("_bit_sums", F.expr(_SIMHASH32_BIT_SUMS_SQL))
+        .withColumn("h", F.expr(_SIMHASH32_SQL))
+        .select("doc", "h")
+    )
+    mask = (1 << band_bits) - 1
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("h"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+    banded = sh.select("doc", "h", F.posexplode(band_arr).alias("band", "block"))
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "block"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
