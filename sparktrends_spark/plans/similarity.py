@@ -124,6 +124,69 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(queries, emb, num_planes=_N_PLANES, dim=_DIM, k=3)
 
 
+_IVF_NPROBE = 2
+
+
+def _ivf_oracle() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+),
+cent_long AS (
+  SELECT label AS cell, i AS pos, avg(v[i]) AS m
+  FROM e, generate_series(1, {_DIM}) AS t(i)
+  GROUP BY cell, i
+),
+cent AS (SELECT cell, list(m ORDER BY pos) AS cvec FROM cent_long GROUP BY cell),
+asg AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos.format(a="e.v", b="c.cvec")} DESC, c.cell) AS rn
+    FROM e CROSS JOIN cent c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {cos.format(a="q.qv", b="c.cvec")} DESC, c.cell) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, {cos.format(a="q.qv", b="a.v")} AS cosine
+  FROM asg a JOIN probes p USING (cell) JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, vec_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+@query("embedding_ivf_topk", oracle=_ivf_oracle())
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via an IVF index (per-label centroid cells, nprobe=2)
+    — the cell-probing scale path next to hyperplane LSH. Corpus never
+    shuffles: centroids and probe lists broadcast. Reference has no ANN
+    surface; this is the north-star similarity-search family."""
+    from sparktrends_spark.similarity.cosine import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=3, nprobe=_IVF_NPROBE)
+
+
 _ND_THRESHOLD = 0.35
 _ND_PLANES = 4
 _ND_TABLES = 2

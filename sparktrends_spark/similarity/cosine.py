@@ -184,6 +184,111 @@ def neardup_pairs(
     )
 
 
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-quantizer centroids: per-label mean vector, as an array.
+
+    Long-form transpose (posexplode -> per-dim avg -> re-assemble
+    sorted by position) keeps the whole computation in built-in
+    aggregates; output is one small row per cell, broadcastable.
+    """
+    return (
+        vectors.select(
+            F.col(label_col).alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
+        )
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    label_col: str = "label",
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) index — the cell-probing
+    scale path, complementing the hyperplane-LSH variant (``lsh_topk``).
+
+    Coarse quantizer = per-label centroids (``label_centroids``); every
+    vector is (re)assigned to its nearest centroid by rounded cosine
+    (ties break by cell ascending), each query probes its ``nprobe``
+    nearest cells, and only vectors in probed cells are scored exactly.
+
+    Scale: centroids are tiny -> broadcast; assignment is a map-side
+    pass over the corpus (no shuffle); the probe list (queries x
+    nprobe) is tiny -> broadcast again, so the corpus never shuffles
+    at all. Expected scored fraction is ~nprobe/n_cells of the corpus
+    per query. Recall < 1 by construction (measured against
+    ``brute_force_topk`` in tests).
+    """
+    from pyspark.sql import Window
+
+    cent = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
+
+    def nearest_cells(df: DataFrame, id_alias: str, n: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_alias), F.col(vec_col).alias("_v"))
+            .crossJoin(F.broadcast(cent))
+            .withColumn(
+                "sim", F.round(cosine(F.col("_v"), F.col("cvec")), round_digits)
+            )
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.desc("sim"), F.asc("cell"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select(id_alias, "_v", "cell")
+        )
+
+    assigned = nearest_cells(vectors, cand_id, 1).select(
+        cand_id,
+        F.col("_v").alias("_cv"),
+        norm(F.col("_v")).alias("_nc"),
+        "cell",
+    )
+    probes = nearest_cells(queries, query_id, nprobe).select(query_id, "cell")
+    qv = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_nq"),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .filter(F.col(cand_id) != F.col(query_id))
+        .join(F.broadcast(qv), on=query_id)
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("_cv"), F.col("_qv")) / (F.col("_nc") * F.col("_nq")),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, cand_id, "cosine", "rnk")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from sparktrends_spark.similarity.cosine import (
     brute_force_topk,
     hyperplanes,
+    ivf_topk,
+    label_centroids,
     lsh_topk,
 )
 from sparktrends_spark.sources.tables import load_table
@@ -71,3 +73,41 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     # bucket reasonably often. This guards against broken bucketing
     # (recall ~1/16 if buckets were random).
     assert recall >= 0.4, f"LSH@1 recall {recall}"
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pdf = emb.toPandas()
+    got = {
+        r["cell"]: r["cvec"]
+        for r in label_centroids(emb).collect()
+    }
+    for label, grp in pdf.groupby("label"):
+        want = np.array(grp["embedding"].tolist(), dtype="float64").mean(axis=0)
+        assert np.allclose(got[label], want, rtol=1e-9), f"label {label}"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(queries, emb, k=1).collect()
+    exact_best = {r.query_id: r.vec_id for r in exact}
+    n_cells = emb.select("label").distinct().count()
+
+    # Probing every cell degenerates to brute force: results must be
+    # identical, not just close.
+    full = ivf_topk(emb, queries, k=1, nprobe=n_cells).collect()
+    assert {r.query_id: r.vec_id for r in full} == exact_best
+
+    # At nprobe=2 recall is bounded by how tight the label clusters
+    # are; the guard is only that cell probing beats picking 2 random
+    # cells (= nprobe/n_cells).
+    approx = ivf_topk(emb, queries, k=1, nprobe=2).collect()
+    approx_best = {r.query_id: r.vec_id for r in approx}
+    hits = sum(1 for q, v in exact_best.items() if approx_best.get(q) == v)
+    recall = hits / len(exact_best)
+    assert recall > 2.0 / n_cells, f"IVF@1 recall {recall}"
