@@ -20,6 +20,46 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def rollup_bars(
+    bars: DataFrame,
+    window_duration: str = "1 hour",
+    symbol_col: str = "symbol",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Re-aggregate fine OHLCV bars into coarser bars (hypertable
+    continuous-aggregate rollup: 1 min -> 1 h -> 1 d).
+
+    OHLCV composes associatively over ordered buckets — open of the
+    earliest sub-bar, close of the latest, max/min/sum for the rest —
+    so each coarser resolution reads only the next-finer aggregate
+    (orders of magnitude smaller than ticks), never the raw trades.
+    Same partial+final hash-agg shape as ``ohlcv_bars``; input rows per
+    group are bounded (60 minutes/hour, 24 hours/day) so no skew.
+    """
+    bucket = F.window(F.col(ts_col), window_duration)
+    return (
+        bars.groupBy(F.col(symbol_col).alias("symbol"), bucket.alias("w"))
+        .agg(
+            F.min_by("open", F.col(ts_col)).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col(ts_col)).alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("n_trades").alias("n_trades"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("timestamp"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_trades",
+        )
+    )
+
+
 def ohlcv_bars(
     trades: DataFrame,
     window_duration: str = "1 minute",

@@ -114,6 +114,34 @@ def q_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ohlcv_rollup_hourly",
+    oracle=f"""
+WITH {_TRADES_CTE.strip()}, {_BARS_CTE.strip()}
+SELECT symbol, hr AS timestamp, open, high, low, close, volume, n_trades
+FROM (
+  SELECT symbol,
+         date_trunc('hour', timestamp) AS hr,
+         arg_min(open, timestamp) AS open,
+         max(high) AS high,
+         min(low) AS low,
+         arg_max(close, timestamp) AS close,
+         sum(volume) AS volume,
+         CAST(sum(n_trades) AS BIGINT) AS n_trades
+  FROM bars
+  GROUP BY symbol, hr
+)
+""",
+)
+def q_ohlcv_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: hourly bars re-aggregated from 1-min bars
+    (continuous-aggregate pattern — coarser resolutions read the finer
+    aggregate, never the ticks)."""
+    from sparktrends_spark.operators.bars import rollup_bars
+
+    return rollup_bars(bars_df(spark, sf_dir), "1 hour")
+
+
+@query(
     "vwap_metrics",
     oracle=f"""
 WITH {_TRADES_CTE.strip()}, {_BARS_CTE.strip()}, {_METRICS_CTE.strip()}

@@ -52,6 +52,27 @@ def test_ohlcv_invariants(spark):
     assert bad.count() == 0
 
 
+def test_rollup_bars_associative(spark):
+    """1min -> daily must equal 1min -> hourly -> daily (the property
+    that makes the hypertable rollup safe to compute incrementally)."""
+    from sparktrends_spark.operators.bars import rollup_bars
+
+    minute = ohlcv_bars(
+        _trades_fixture(spark), ts_col="ts", tiebreak_col="trade_id"
+    )
+    direct = rollup_bars(minute, "1 day")
+    via_hourly = rollup_bars(rollup_bars(minute, "1 hour"), "1 day")
+    key = ["symbol", "timestamp"]
+    a = {tuple(r[k] for k in key): r.asDict() for r in direct.collect()}
+    b = {tuple(r[k] for k in key): r.asDict() for r in via_hourly.collect()}
+    assert a == b
+    aaa = a[("AAA", dt.datetime(2024, 1, 1))]
+    assert (aaa["open"], aaa["close"], aaa["high"], aaa["low"]) == (
+        10.0, 20.0, 20.0, 10.0,
+    )
+    assert aaa["volume"] == 9.0 and aaa["n_trades"] == 4
+
+
 def test_vwap_metrics_null_history_semantics(spark):
     # vol_5 is null with <2 bars of history => is_anomaly null => dropped
     # by anomalies() — reference §2.12 quirk preserved.
