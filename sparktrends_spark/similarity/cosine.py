@@ -231,39 +231,80 @@ def ivf_topk(
     (ties break by cell ascending), each query probes its ``nprobe``
     nearest cells, and only vectors in probed cells are scored exactly.
 
-    Scale: centroids are tiny -> broadcast; assignment is a map-side
-    pass over the corpus (no shuffle); the probe list (queries x
-    nprobe) is tiny -> broadcast again, so the corpus never shuffles
-    at all. Expected scored fraction is ~nprobe/n_cells of the corpus
-    per query. Recall < 1 by construction (measured against
-    ``brute_force_topk`` in tests).
+    Scale: the centroid table collapses to ONE broadcast row (array of
+    k cells), so assignment is a genuinely map-side argmax over that
+    array — the corpus never shuffles until the final per-query top-k
+    ranking (which only sees scored candidates). The probe list
+    (queries x nprobe) is tiny -> broadcast too. Expected scored
+    fraction is ~nprobe/n_cells of the corpus per query. Recall < 1 by
+    construction (measured against ``brute_force_topk`` in tests).
     """
     from pyspark.sql import Window
 
     cent = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
+    # One row: [{cell, cvec, cn}, ...] — centroid norms precomputed so
+    # the per-vector argmax does k dots, not 2k.
+    cent_row = cent.select(
+        "cell", "cvec", norm(F.col("cvec")).alias("cn")
+    ).agg(F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents"))
 
-    def nearest_cells(df: DataFrame, id_alias: str, n: int) -> DataFrame:
-        scored = (
+    def with_cell_sims(df: DataFrame, id_alias: str) -> DataFrame:
+        """(id, _v, _nv, _sims) — rounded cosine to every centroid,
+        computed without any fan-out or shuffle."""
+        return (
             df.select(F.col(id_alias), F.col(vec_col).alias("_v"))
-            .crossJoin(F.broadcast(cent))
+            .withColumn("_nv", norm(F.col("_v")))
+            .crossJoin(F.broadcast(cent_row))
             .withColumn(
-                "sim", F.round(cosine(F.col("_v"), F.col("cvec")), round_digits)
+                "_sims",
+                F.transform(
+                    "_cents",
+                    lambda c: F.struct(
+                        F.round(
+                            dot(F.col("_v"), c["cvec"])
+                            / (F.col("_nv") * c["cn"]),
+                            round_digits,
+                        ).alias("sim"),
+                        c["cell"].alias("cell"),
+                    ),
+                ),
             )
         )
-        w = Window.partitionBy(id_alias).orderBy(F.desc("sim"), F.asc("cell"))
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= n)
-            .select(id_alias, "_v", "cell")
-        )
 
-    assigned = nearest_cells(vectors, cand_id, 1).select(
+    # argmax by (sim desc, cell asc): max of (sim, -cell) structs.
+    best = F.array_max(
+        F.transform(
+            "_sims",
+            lambda s: F.struct(
+                s["sim"].alias("sim"),
+                (-s["cell"]).alias("negcell"),
+                s["cell"].alias("cell"),
+            ),
+        )
+    )
+    assigned = with_cell_sims(vectors, cand_id).select(
         cand_id,
         F.col("_v").alias("_cv"),
-        norm(F.col("_v")).alias("_nc"),
-        "cell",
+        F.col("_nv").alias("_nc"),
+        best["cell"].alias("cell"),
     )
-    probes = nearest_cells(queries, query_id, nprobe).select(query_id, "cell")
+    # top-nprobe cells: sort by (-sim, cell) asc, slice, explode.
+    probe_order = F.array_sort(
+        F.transform(
+            "_sims",
+            lambda s: F.struct(
+                (-s["sim"]).alias("negsim"), s["cell"].alias("cell")
+            ),
+        )
+    )
+    probes = (
+        with_cell_sims(queries, query_id)
+        .select(
+            query_id,
+            F.explode(F.slice(probe_order, 1, nprobe)).alias("_p"),
+        )
+        .select(query_id, F.col("_p.cell").alias("cell"))
+    )
     qv = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qv"),

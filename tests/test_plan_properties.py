@@ -73,6 +73,17 @@ def test_minhash_join_is_bucket_keyed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_topk_never_sort_merge_joins(spark, sf_dir):
+    plan = _plan(spark, "embedding_ivf_topk", sf_dir)
+    # centroids and probe lists broadcast; cell-restricted candidates
+    # join hash-side. A SortMergeJoin here means the corpus shuffled.
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # assignment is a map-side argmax over the broadcast centroid row:
+    # no row_number window over the corpus
+    assert plan.count("RunningWindowFunction") <= 1
+
+
 def test_range_join_broadcasts_window_side(spark, sf_dir):
     plan = _plan(spark, "event_window_range_join", sf_dir)
     # the 30-row window table must be the broadcast side of the
