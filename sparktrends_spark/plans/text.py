@@ -413,6 +413,35 @@ def q_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK = 32
+
+_CHUNKS_ORACLE = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+x AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {_CHUNK}.0) AS BIGINT))) AS chunk_id
+  FROM s
+)
+SELECT doc_id, chunk_id,
+       CAST(len(list_slice(toks, chunk_id * {_CHUNK} + 1,
+                           chunk_id * {_CHUNK} + {_CHUNK})) AS INT) AS n_words,
+       array_to_string(list_slice(toks, chunk_id * {_CHUNK} + 1,
+                                  chunk_id * {_CHUNK} + {_CHUNK}), ' ') AS chunk
+FROM x
+"""
+
+
+@query("doc_word_chunks", oracle=_CHUNKS_ORACLE)
+def q_doc_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size word chunking via a Python UDTF + lateral join — the
+    §2.11 table-function surface (reference has none). The builtin
+    equivalent (`chunk_documents_builtin`) is the hot path; unit tests
+    pin both to identical output."""
+    from sparktrends_spark.text.chunking import chunk_documents_udtf
+
+    return chunk_documents_udtf(_docs(spark, sf_dir), _CHUNK)
+
+
 def _simhash32_oracle() -> str:
     bit_sums = (
         "[list_sum([CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END for h in hs])"

@@ -72,3 +72,42 @@ def test_simhash_pairs_on_testdata(spark, sf_dir):
     assert exact, "testdata should contain planted near-dups"
     recall = len(exact & sim) / len(exact)
     assert recall >= 0.6, f"simhash recall too low: {recall} ({len(sim)} pairs)"
+
+
+def test_chunking_udtf_matches_builtin(spark, sf_dir):
+    from sparktrends_spark.text.chunking import (
+        chunk_documents_builtin,
+        chunk_documents_udtf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = set(map(tuple, chunk_documents_udtf(docs, 16).collect()))
+    b = set(map(tuple, chunk_documents_builtin(docs, 16).collect()))
+    assert a == b and a
+
+
+def test_chunking_reconstructs_text(spark, sf_dir):
+    """Joining a doc's chunks in order must reproduce the original
+    text exactly — chunking loses nothing."""
+    from sparktrends_spark.text.chunking import chunk_documents_builtin
+
+    docs = load_table(spark, sf_dir, "documents")
+    rebuilt = (
+        chunk_documents_builtin(docs, 7)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    bad = (
+        docs.join(rebuilt, "doc_id")
+        .filter(F.col("text") != F.col("rebuilt"))
+        .count()
+    )
+    assert bad == 0
