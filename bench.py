@@ -33,10 +33,13 @@ HEADLINE = [
     "event_dedup_first",
     "doc_quality",
     "doc_minhash_pairs",
+    "doc_word_chunks",
     "embedding_topk",
+    "embedding_ivf_topk",
     "embedding_neardup",
     "asset_features",
     "corpus_selection",
+    "ohlcv_rollup_hourly",
 ]
 
 
