@@ -246,10 +246,15 @@ def ivf_topk(
 
     cent = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
     # One row: [{cell, cvec, cn}, ...] — centroid norms precomputed so
-    # the per-vector argmax does k dots, not 2k.
-    cent_row = cent.select(
-        "cell", "cvec", norm(F.col("cvec")).alias("cn")
-    ).agg(F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents"))
+    # the per-vector argmax does k dots, not 2k. Persisted: both the
+    # corpus-assignment branch and the query-probe branch broadcast it,
+    # and without pinning, the full centroid aggregation (a dim-wide
+    # posexplode over the whole corpus) would execute once per branch.
+    cent_row = (
+        cent.select("cell", "cvec", norm(F.col("cvec")).alias("cn"))
+        .agg(F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents"))
+        .persist()
+    )
 
     def with_cell_sims(df: DataFrame, id_alias: str) -> DataFrame:
         """(id, _v, _nv, _sims) — rounded cosine to every centroid,
