@@ -100,7 +100,13 @@ def jaccard_pairs(
 
     ``max_bucket_size`` drops degenerate shingles shared by more docs
     than that (boilerplate), bounding the join fan-out at scale.
+
+    ``shingled`` and the bounded exploded frame are persisted: each is
+    referenced by several branches below (explode + two size joins;
+    self-join sides + bucket counts), and Spark re-executes the whole
+    shingling pipeline once per branch without pinning.
     """
+    shingled = shingled.persist()
     exploded = shingled.select(
         F.col(id_col).alias("doc"), F.explode("shingles").alias("s")
     )
@@ -110,6 +116,7 @@ def jaccard_pairs(
         bounded = exploded.join(
             counts.filter(F.col("bucket_n") <= max_bucket_size).select("s"), "s"
         )
+    bounded = bounded.persist()
     inter = (
         bounded.alias("a")
         .join(bounded.alias("b"), on="s")
@@ -320,7 +327,11 @@ def simhash_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sh.select("doc", "h", F.posexplode(band_arr).alias("band", "block"))
+    # Persisted: both self-join sides reference it; unpinned, the full
+    # shingle+sketch pipeline would run once per side.
+    banded = sh.select(
+        "doc", "h", F.posexplode(band_arr).alias("band", "block")
+    ).persist()
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "block"])
@@ -406,7 +417,10 @@ def simhash32_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sh.select("doc", "h", F.posexplode(band_arr).alias("band", "block"))
+    # Persisted for the same two-sided self-join reason as above.
+    banded = sh.select(
+        "doc", "h", F.posexplode(band_arr).alias("band", "block")
+    ).persist()
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "block"])
