@@ -59,10 +59,13 @@ def main() -> None:
     # of data size; steady-state is what a resident engine delivers.
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    from sparktrends_spark.caching import release_persisted
+
     for warm_q in HEADLINE:
         QUERIES[warm_q](spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
+        release_persisted()
 
     # Two timed passes, per-query min: the box shares CPU with other
     # tenants (measured ±25% run-to-run drift on identical code), and
@@ -75,6 +78,11 @@ def main() -> None:
                 "overwrite"
             ).save()
             elapsed = round(time.perf_counter() - start, 3)
+            # Drop the query's pinned sub-frames before the next one so
+            # cached blocks don't accumulate across the loop (each run
+            # re-persists what it needs inside the timed region — the
+            # cost is real per-invocation work, so it stays billed).
+            release_persisted()
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 

@@ -869,10 +869,11 @@ def q_user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_decimal_summary",
     oracle="""
 SELECT l_returnflag,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18, 4)) AS DECIMAL(38, 4)))
-         AS exact_revenue,
-       sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))
-           AS DECIMAL(38, 4))) AS exact_discounted,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 4)))
+            AS DECIMAL(38, 4)) AS VARCHAR) AS exact_revenue,
+       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18, 4)))
+            AS DECIMAL(38, 4)) AS VARCHAR) AS exact_discounted,
        count(*) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -881,15 +882,24 @@ GROUP BY l_returnflag
 def q_pricing_decimal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DECIMAL aggregation (SURVEY §1.2: decimal unused by the
     reference, exposed by the engine). Unlike double sums, decimal sums
-    are order-independent — the value-hash matches bit-for-bit with no
-    rounding tolerance, exactly what a money pipeline needs."""
+    are order-independent — no rounding tolerance needed. Both engines
+    emit the DECIMAL(38,4) total as its canonical string because
+    DuckDB's pandas bridge renders every DECIMAL as float64, which can
+    never hash-match a true decimal; the string form keeps the
+    comparison bit-for-bit exact."""
     li = _t(spark, sf_dir, "lineitem")
     price_dec = F.col("l_extendedprice").cast("decimal(18,4)")
     disc_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
     return li.groupBy("l_returnflag").agg(
-        F.sum(price_dec).cast("decimal(38,4)").alias("exact_revenue"),
-        F.sum(disc_dec).cast("decimal(38,4)").alias("exact_discounted"),
+        F.sum(price_dec)
+        .cast("decimal(38,4)")
+        .cast("string")
+        .alias("exact_revenue"),
+        F.sum(disc_dec)
+        .cast("decimal(38,4)")
+        .cast("string")
+        .alias("exact_discounted"),
         F.count(F.lit(1)).alias("n"),
     )

@@ -83,9 +83,9 @@ WITH seq AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
-  SELECT *, sum(is_new) OVER (
+  SELECT *, CAST(sum(is_new) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM seq
 )
 SELECT user_id, session_idx,

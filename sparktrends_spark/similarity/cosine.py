@@ -23,6 +23,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sparktrends_spark.caching import persist_tracked
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -141,10 +143,12 @@ def neardup_pairs(
     # self-join reference it, and without pinning, the 8-hyperplane
     # bucketing scan runs twice (Spark has no common-subplan reuse
     # across self-join branches outside identical exchanges).
-    b = vectors.select(
-        F.col(id_col),
-        F.posexplode(buckets).alias("table", "bucket"),
-    ).persist()
+    b = persist_tracked(
+        vectors.select(
+            F.col(id_col),
+            F.posexplode(buckets).alias("table", "bucket"),
+        )
+    )
     left = b.select(F.col(id_col).alias("id_a"), "table", "bucket")
     right = b.select(F.col(id_col).alias("id_b"), "table", "bucket")
     # Dedup on the id pair only — never shuffle the vectors through a
@@ -250,10 +254,9 @@ def ivf_topk(
     # corpus-assignment branch and the query-probe branch broadcast it,
     # and without pinning, the full centroid aggregation (a dim-wide
     # posexplode over the whole corpus) would execute once per branch.
-    cent_row = (
+    cent_row = persist_tracked(
         cent.select("cell", "cvec", norm(F.col("cvec")).alias("cn"))
         .agg(F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents"))
-        .persist()
     )
 
     def with_cell_sims(df: DataFrame, id_alias: str) -> DataFrame:

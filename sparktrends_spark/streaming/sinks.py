@@ -61,11 +61,19 @@ def upsert_parquet(
         .drop("_rn")
     )
     # Parquet can't transactionally overwrite a path it is reading, so
-    # stage the merged table then swap directories. Cluster path: this
-    # whole read-merge-rewrite is a single MERGE INTO on Delta/Iceberg.
+    # stage the merged table then swap directories. The old table is
+    # renamed aside before the staging rename so a crash mid-swap
+    # leaves a recoverable copy (never an empty path). Cluster path:
+    # this read-merge-rewrite is a single MERGE INTO on Delta/Iceberg.
     staging = path.rstrip("/") + ".staging"
     latest.write.mode("overwrite").parquet(staging)
     final = path.rstrip("/")
-    if os.path.isdir(final):
-        shutil.rmtree(final)
+    backup = final + ".old"
+    if os.path.isdir(backup):
+        shutil.rmtree(backup)
+    had_existing = os.path.isdir(final)
+    if had_existing:
+        os.rename(final, backup)
     os.rename(staging, final)
+    if had_existing:
+        shutil.rmtree(backup)

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sparktrends_spark.caching import persist_tracked
 from sparktrends_spark.text.analysis import tokens
 
 
@@ -106,7 +107,7 @@ def jaccard_pairs(
     self-join sides + bucket counts), and Spark re-executes the whole
     shingling pipeline once per branch without pinning.
     """
-    shingled = shingled.persist()
+    shingled = persist_tracked(shingled)
     exploded = shingled.select(
         F.col(id_col).alias("doc"), F.explode("shingles").alias("s")
     )
@@ -116,7 +117,7 @@ def jaccard_pairs(
         bounded = exploded.join(
             counts.filter(F.col("bucket_n") <= max_bucket_size).select("s"), "s"
         )
-    bounded = bounded.persist()
+    bounded = persist_tracked(bounded)
     inter = (
         bounded.alias("a")
         .join(bounded.alias("b"), on="s")
@@ -236,8 +237,8 @@ def minhash_dedup_pairs(
     without pinning them Spark recomputes the full hash pipeline once
     per branch.
     """
-    shingled = shingle_sets(df, text_col, id_col, shingle_n).persist()
-    sigs = minhash_signatures(shingled, num_perm, id_col).persist()
+    shingled = persist_tracked(shingle_sets(df, text_col, id_col, shingle_n))
+    sigs = persist_tracked(minhash_signatures(shingled, num_perm, id_col))
     cands = lsh_candidate_pairs(sigs, bands, num_perm // bands, id_col)
     sets_a = shingled.select(
         F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
@@ -329,9 +330,9 @@ def simhash_pairs(
     )
     # Persisted: both self-join sides reference it; unpinned, the full
     # shingle+sketch pipeline would run once per side.
-    banded = sh.select(
-        "doc", "h", F.posexplode(band_arr).alias("band", "block")
-    ).persist()
+    banded = persist_tracked(
+        sh.select("doc", "h", F.posexplode(band_arr).alias("band", "block"))
+    )
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "block"])
@@ -418,9 +419,9 @@ def simhash32_pairs(
         ]
     )
     # Persisted for the same two-sided self-join reason as above.
-    banded = sh.select(
-        "doc", "h", F.posexplode(band_arr).alias("band", "block")
-    ).persist()
+    banded = persist_tracked(
+        sh.select("doc", "h", F.posexplode(band_arr).alias("band", "block"))
+    )
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "block"])

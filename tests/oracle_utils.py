@@ -75,13 +75,22 @@ def assert_query_matches_oracle(spark, sf_dir: str, name: str) -> None:
     )
     s = _normalize(spark_pdf)
     d = _normalize(duck_pdf)
+    # The driver hashes stringified values exactly — a float64 oracle column
+    # against an int64/decimal Spark column fails there even when values are
+    # numerically equal. Mirror that by requiring aligned dtypes.
+    for col in s.columns:
+        assert str(s[col].dtype) == str(d[col].dtype), (
+            f"{name}: dtype mismatch on {col!r}: spark {s[col].dtype} "
+            f"!= oracle {d[col].dtype} (driver hash would differ)"
+        )
     mismatches = []
     for col in s.columns:
+        exact = not pd.api.types.is_float_dtype(s[col])
         sv, dv = s[col].tolist(), d[col].tolist()
         for i, (a, b) in enumerate(zip(sv, dv)):
             a = None if (a is pd.NaT or (isinstance(a, float) and math.isnan(a))) else a
             b = None if (b is pd.NaT or (isinstance(b, float) and math.isnan(b))) else b
-            if not _values_close(a, b):
+            if not (a == b if exact and not (a is None or b is None) else _values_close(a, b)):
                 mismatches.append((col, i, a, b))
                 if len(mismatches) > 5:
                     break
