@@ -34,6 +34,74 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def pair_cosine_by_id(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    right: tuple[DataFrame, str] | None = None,
+):
+    """Build an Arrow-vectorized ``cosine(id_a, id_b)`` that looks vectors
+    up in a closure-held numpy matrix instead of shipping them per pair.
+
+    The dominant cost of a verify stage is NOT the flops — it is moving
+    2 x dim doubles per candidate pair through the exchange and the
+    Arrow boundary (~1 KB/pair at dim=64; measured 264 MB for 258k
+    pairs). Holding the corpus once per python worker and transferring
+    only (id_a, id_b) cuts that to 16 bytes/pair.
+
+    Same memory contract as ``F.broadcast(vectors)`` in the join-based
+    verify: the vector table must fit on one node. Past that, callers
+    use the join path (``neardup_pairs(verify="join")``) — still never
+    all-pairs. Accumulation is sequential over dims, so results are
+    bit-identical to the HOF fold and DuckDB's ``list_dot_product``.
+
+    ``right=(df, id)`` gives the b-side its own matrix (e.g. queries vs
+    candidates); by default both sides look up the same corpus.
+
+    Returns the UNROUNDED cosine (dot and norms in numpy, division in
+    IEEE order) — callers round JVM-side with ``F.round`` so the
+    BigDecimal HALF_UP semantics both engines share are preserved
+    (a floating ``floor(x*1e6+0.5)`` re-implementation would diverge
+    from BigDecimal on values like 0.1234565 whose binary form sits
+    just below the decimal tie).
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    def load(df: DataFrame, ident: str):
+        rows = df.select(ident, vec_col).collect()
+        mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        # Per-row norm, sequential over dims — same accumulation order
+        # as the HOF fold / DuckDB.
+        sq = np.zeros(mat.shape[0], dtype=np.float64)
+        for d in range(mat.shape[1]):
+            sq += mat[:, d] * mat[:, d]
+        return mat, np.sqrt(sq), {r[0]: j for j, r in enumerate(rows)}
+
+    mat_a, norm_a, idx_a = load(vectors, id_col)
+    mat_b, norm_b, idx_b = (
+        (mat_a, norm_a, idx_a) if right is None else load(*right)
+    )
+
+    @pandas_udf("double")
+    def _cos_by_id(a, b):
+        import pandas as pd
+
+        if len(a) == 0:
+            return pd.Series(np.zeros(0, dtype=np.float64))
+        ia = [idx_a[x] for x in a]
+        ib = [idx_b[x] for x in b]
+        A = mat_a[ia]
+        B = mat_b[ib]
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for d in range(A.shape[1]):
+            acc += A[:, d] * B[:, d]
+        return pd.Series(acc / (norm_a[ia] * norm_b[ib]))
+
+    return _cos_by_id
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -90,15 +158,30 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
+    # Norms are per-vector (O(n+q)) — precomputed once instead of twice
+    # per pair; the dot stays a JVM HOF: at brute-force pair counts the
+    # closure UDF's fixed costs (corpus collect + per-task closure
+    # shipping) exceed the interpreted-fold savings (measured).
     q = queries.select(
-        F.col(query_id), F.col(vec_col).alias("_qvec")
+        F.col(query_id),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_nq"),
     )
-    c = candidates.select(F.col(cand_id), F.col(vec_col).alias("_cvec"))
+    c = candidates.select(
+        F.col(cand_id),
+        F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col)).alias("_nc"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(cand_id) != F.col(query_id))
         .withColumn(
-            "cosine", F.round(cosine(F.col("_qvec"), F.col("_cvec")), round_digits)
+            "cosine",
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_nq") * F.col("_nc")),
+                round_digits,
+            ),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
@@ -118,6 +201,8 @@ def neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    verify: str = "join",
+    closure_source: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
@@ -130,6 +215,17 @@ def neardup_pairs(
     Scale: the self-join is keyed on (table, bucket) — a shuffle on
     bucket id instead of an O(n^2) cross join; skewed buckets are split
     by AQE. Verification cost is proportional to candidate pairs only.
+
+    ``verify="join"`` (default) attaches vectors+norms by key
+    (broadcast at this corpus size, shuffle-by-id past it) and scores
+    with the JVM HOF dot — measured fastest at sf0.1 (0.47s for 258k
+    pairs on cached candidates; the plan is overhead-bound, not
+    flops-bound). ``verify="closure"`` scores with
+    ``pair_cosine_by_id`` — ids-only Arrow transfer, corpus held once
+    per python worker; it wins when candidate pairs >> corpus size
+    (millions of pairs per bucket at 100 TB) because the join path
+    ships 2 x dim doubles per pair where the closure ships 16 bytes.
+    Both produce bit-identical cosines.
     """
     from pyspark.sql import Window  # noqa: F401  (parity w/ siblings)
 
@@ -162,30 +258,38 @@ def neardup_pairs(
     # Precompute each vector's norm once (O(corpus)) instead of twice
     # per candidate pair (O(pairs)); dot/norm/divide evaluation order is
     # unchanged, so results stay bitwise-identical to cosine(a, b).
-    va = vectors.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
-        norm(F.col(vec_col)).alias("_na"),
-    )
-    vb = vectors.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
-        norm(F.col(vec_col)).alias("_nb"),
-    )
-    # The corpus after bucketing/repartitioning loses its file-size
-    # stats, so Catalyst won't auto-broadcast it — hint explicitly:
-    # candidate pairs stream, vectors build the hash table. At corpus
-    # sizes past broadcast limits, drop the hints and these become
-    # shuffle joins keyed on id — still never all-pairs.
-    cands = cand_ids.join(F.broadcast(va), "id_a").join(F.broadcast(vb), "id_b")
-    return (
-        cands.withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
-                round_digits,
-            ),
+    if verify == "closure":
+        cos_by_id = pair_cosine_by_id(
+            closure_source if closure_source is not None else vectors,
+            id_col,
+            vec_col,
         )
+        cands = cand_ids
+        cos = cos_by_id(F.col("id_a"), F.col("id_b"))
+    else:
+        va = vectors.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+            norm(F.col(vec_col)).alias("_na"),
+        )
+        vb = vectors.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+            norm(F.col(vec_col)).alias("_nb"),
+        )
+        # The corpus after bucketing/repartitioning loses its file-size
+        # stats, so Catalyst won't auto-broadcast it — hint explicitly:
+        # candidate pairs stream, vectors build the hash table. At
+        # corpus sizes past broadcast limits, drop the hints and these
+        # become shuffle joins keyed on id — still never all-pairs.
+        cands = cand_ids.join(F.broadcast(va), "id_a").join(
+            F.broadcast(vb), "id_b"
+        )
+        cos = dot(F.col("_va"), F.col("_vb")) / (
+            F.col("_na") * F.col("_nb")
+        )
+    return (
+        cands.withColumn("cosine", F.round(cos, round_digits))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -370,27 +474,46 @@ def lsh_topk(
         for t in range(num_tables)
     ]
 
-    def bucketed(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    def bucketed(df: DataFrame, id_alias: str) -> DataFrame:
         buckets = F.array(
             *[lsh_bucket(F.col(vec_col), planes) for planes in tables]
         )
         return df.select(
             F.col(id_alias),
-            F.col(vec_col).alias(vec_alias),
             F.posexplode(buckets).alias("table", "bucket"),
         )
 
-    q = bucketed(queries, query_id, "_qvec")
-    c = bucketed(candidates, cand_id, "_cvec")
+    # Candidate generation carries ids only — the distinct never
+    # shuffles vector payloads; scoring looks vectors up by id.
+    q = bucketed(queries, query_id)
+    c = bucketed(candidates, cand_id)
     cand_pairs = (
-        c.join(F.broadcast(q.drop("_qvec")), on=["table", "bucket"])
+        c.join(F.broadcast(q), on=["table", "bucket"])
         .filter(F.col(cand_id) != F.col(query_id))
-        .select(query_id, cand_id, "_cvec")
+        .select(query_id, cand_id)
         .distinct()
     )
-    qvecs = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
-    scored = cand_pairs.join(F.broadcast(qvecs), on=query_id).withColumn(
-        "cosine", F.round(cosine(F.col("_qvec"), F.col("_cvec")), round_digits)
+    qv = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_nq"),
+    )
+    cv = candidates.select(
+        F.col(cand_id),
+        F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col)).alias("_nc"),
+    )
+    scored = (
+        cand_pairs.join(F.broadcast(cv), on=cand_id)
+        .join(F.broadcast(qv), on=query_id)
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_nq") * F.col("_nc")),
+                round_digits,
+            ),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
     return (

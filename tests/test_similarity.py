@@ -111,3 +111,25 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     hits = sum(1 for q, v in exact_best.items() if approx_best.get(q) == v)
     recall = hits / len(exact_best)
     assert recall > 2.0 / n_cells, f"IVF@1 recall {recall}"
+
+
+def test_neardup_verify_strategies_identical(spark, sf_dir):
+    """The join (HOF dot) and closure (numpy-by-id) verify paths must
+    produce bit-identical pairs — same candidate set, same sequential
+    accumulation order, only the execution vehicle differs."""
+    from sparktrends_spark.caching import release_persisted
+    from sparktrends_spark.similarity.cosine import neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    join_rows = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in neardup_pairs(emb, verify="join").collect()
+    )
+    release_persisted()
+    closure_rows = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in neardup_pairs(emb, verify="closure").collect()
+    )
+    release_persisted()
+    assert join_rows == closure_rows
+    assert len(join_rows) > 0
