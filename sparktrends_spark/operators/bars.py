@@ -60,6 +60,68 @@ def rollup_bars(
     )
 
 
+def gapfill_bars(
+    bars: DataFrame,
+    start: str,
+    end: str,
+    step: str = "1 minute",
+    symbol_col: str = "symbol",
+    ts_col: str = "timestamp",
+    fill_col: str = "close",
+) -> DataFrame:
+    """Dense per-symbol time grid with forward-filled values
+    (TimescaleDB ``time_bucket_gapfill`` + ``locf`` analogue).
+
+    Grid = distinct symbols x ``sequence(start, end, step)`` — the
+    explode happens on the tiny symbol dimension, so grid size is
+    symbols x slots regardless of input row count. A left join marks
+    gaps; ``last(value, ignorenulls=True)`` over an unbounded-preceding
+    row frame carries the previous observation forward.
+
+    Scale: the join and the window share the (symbol) partitioning, so
+    the fill adds one shuffle of the grid only; slots-per-symbol is
+    bounded by the requested range, never by data volume.
+    """
+    from pyspark.sql import Window
+
+    scope = bars.filter(
+        (F.col(ts_col) >= F.lit(start).cast("timestamp_ntz"))
+        & (F.col(ts_col) <= F.lit(end).cast("timestamp_ntz"))
+    ).select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("timestamp"),
+        F.col(fill_col).alias("_v"),
+    )
+    grid = (
+        scope.select("symbol")
+        .distinct()
+        .select(
+            "symbol",
+            F.explode(
+                F.sequence(
+                    F.lit(start).cast("timestamp_ntz"),
+                    F.lit(end).cast("timestamp_ntz"),
+                    F.expr(f"interval {step}"),
+                )
+            ).alias("timestamp"),
+        )
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("timestamp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(scope, ["symbol", "timestamp"], "left")
+        .select(
+            "symbol",
+            "timestamp",
+            F.last("_v", ignorenulls=True).over(w).alias(f"{fill_col}_ff"),
+            F.col("_v").isNull().alias("is_gap"),
+        )
+    )
+
+
 def ohlcv_bars(
     trades: DataFrame,
     window_duration: str = "1 minute",

@@ -331,3 +331,44 @@ def q_anomaly_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly_vs_history(bars_df(spark, sf_dir)).select(
         "symbol", "timestamp", "close", "hist_vwap", "hist_vol", "is_anomaly"
     )
+
+
+_GF_START = "2024-01-05 00:00:00"
+_GF_END = "2024-01-05 05:59:00"
+
+
+@query(
+    "ohlcv_gapfill",
+    oracle=f"""
+WITH {_TRADES_CTE.strip()}, {_BARS_CTE.strip()},
+scope AS (
+  SELECT symbol, timestamp, close AS _v FROM bars
+  WHERE timestamp >= TIMESTAMP '{_GF_START}'
+    AND timestamp <= TIMESTAMP '{_GF_END}'
+),
+grid AS (
+  SELECT symbol,
+         unnest(generate_series(TIMESTAMP '{_GF_START}',
+                                TIMESTAMP '{_GF_END}',
+                                INTERVAL 1 MINUTE)) AS timestamp
+  FROM (SELECT DISTINCT symbol FROM scope)
+)
+SELECT g.symbol, g.timestamp,
+       last_value(s._v IGNORE NULLS) OVER (
+         PARTITION BY g.symbol ORDER BY g.timestamp
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff,
+       s._v IS NULL AS is_gap
+FROM grid g LEFT JOIN scope s
+  ON s.symbol = g.symbol AND s.timestamp = g.timestamp
+""",
+)
+def q_ohlcv_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill: dense 1-minute grid per symbol over a fixed
+    6-hour range with the close forward-filled (locf) and gap slots
+    flagged — the TimescaleDB time_bucket_gapfill pattern the reference's
+    bar store would need for chart rendering and indicator warmup."""
+    from sparktrends_spark.operators.bars import gapfill_bars
+
+    return gapfill_bars(
+        bars_df(spark, sf_dir), start=_GF_START, end=_GF_END
+    )

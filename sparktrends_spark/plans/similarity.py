@@ -246,3 +246,30 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_tables=_ND_TABLES,
         dim=_DIM,
     )
+
+
+@query(
+    "embedding_dedup_keep",
+    oracle=_neardup_oracle().replace(
+        "SELECT id_a, id_b, cosine FROM scored WHERE cosine >= "
+        + str(_ND_THRESHOLD),
+        f"""SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (
+  SELECT id_b FROM scored WHERE cosine >= {_ND_THRESHOLD})""",
+    ),
+)
+def q_embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style corpus output: drop every vector whose verified
+    cosine against a smaller-id vector clears the near-dup threshold;
+    the smaller id survives as cluster representative. Anti join over
+    the LSH-verified pairs — no all-pairs pass, no iteration."""
+    emb = _emb(spark, sf_dir)
+    pairs = neardup_pairs(
+        emb,
+        threshold=_ND_THRESHOLD,
+        num_planes=_ND_PLANES,
+        num_tables=_ND_TABLES,
+        dim=_DIM,
+    )
+    drop = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return emb.join(drop, "vec_id", "left_anti").select("vec_id", "label")

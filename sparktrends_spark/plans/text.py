@@ -231,9 +231,10 @@ sigs AS (
 )"""
 
 
-@query(
-    "doc_minhash_pairs",
-    oracle=f"""
+def _minhash_with() -> str:
+    """Shared WITH-chain for MinHash-LSH oracles: tokenize -> shingle
+    -> sign -> band -> candidate pairs -> exact-Jaccard verify."""
+    return f"""
 WITH {_TOKS_CTE.strip()}, {_SHINGLES_CTE.strip()},
 {_minhash_sig_sql().strip()},
 bands AS (
@@ -254,7 +255,12 @@ verified AS (
   FROM cand
   JOIN sh2 sa ON doc_a = sa.doc_id
   JOIN sh2 sb ON doc_b = sb.doc_id
-)
+)"""
+
+
+@query(
+    "doc_minhash_pairs",
+    oracle=_minhash_with() + """
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
 """,
 )
@@ -483,3 +489,49 @@ def q_doc_simhash32_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparktrends_spark.text.dedup import simhash32_pairs
 
     return simhash32_pairs(_docs(spark, sf_dir))
+
+
+@query(
+    "doc_minhash_dedup_keep",
+    oracle=_minhash_with()
+    + """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_b FROM verified WHERE jaccard >= 0.5)
+""",
+)
+def q_doc_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus a training pipeline actually keeps: greedy near-dup
+    removal — any doc whose MinHash-verified Jaccard >= 0.5 against a
+    smaller-id doc is dropped (the smaller id survives as the cluster
+    representative). One anti join over the pairs frame; no iterative
+    connected components needed for the keep-lowest-id policy on
+    pairwise-ordered pairs."""
+    d = _docs(spark, sf_dir)
+    pairs = minhash_dedup_pairs(d)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return d.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "doc_pattern_stats",
+    oracle="""
+SELECT doc_id,
+       regexp_extract(text, '([A-Za-z]+)ing', 1)          AS first_ing,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+       CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)  AS n_sentences
+FROM documents
+""",
+)
+def q_doc_pattern_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp-function surface (SURVEY §2.9 absent): group extraction
+    and pattern counting per document, ASCII-only patterns so the Java
+    and RE2 dialects agree."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)ing", 1).alias("first_ing"),
+        F.regexp_count("text", F.lit(r"[0-9]+")).cast("long").alias("n_numbers"),
+        F.regexp_count("text", F.lit(r"[.!?]")).cast("long").alias("n_sentences"),
+    )

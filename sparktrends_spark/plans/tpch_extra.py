@@ -1,0 +1,420 @@
+"""TPC-H-shaped queries beyond round 1's coverage (SURVEY §2.4/§2.5
+"absent" surface): correlated scalar subqueries, disjunctive predicate
+pushdown, outer-join histograms, NOT-IN anti joins, group-having
+semi-joins, and boolean aggregates — adapted to the driver schema
+(no partsupp; no shipmode/comment columns).
+
+Float determinism notes baked into each oracle:
+- ``sum``/``avg`` over integer-valued doubles (quantities) are EXACT in
+  float64 (< 2^53), so thresholds derived from them are identical in
+  both engines regardless of summation order.
+- revenue sums (continuous doubles) rely on the driver's round-before-
+  hash; argmax over them (q15) is stable unless two groups collide
+  within one ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparktrends_spark.plans.registry import query
+from sparktrends_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q6_revenue_delta",
+    oracle="""
+SELECT sum(l_extendedprice * l_discount) AS revenue, count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure filter-then-sum probe. Every predicate is
+    sargable and reaches the parquet scan as PushedFilters — the plan
+    must be scan -> one-stage partial/final agg, no shuffle of rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: outer join with a join-side predicate (kept in the ON
+    clause — moving it to WHERE would turn the outer join inner), then
+    a two-level aggregation producing the orders-per-customer histogram."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: aggregate view + uncorrelated scalar subquery (global
+    max) selecting the top revenue supplier. The max is broadcast as a
+    one-row frame — no second shuffle of the revenue view."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    from sparktrends_spark.caching import persist_tracked
+
+    revenue = persist_tracked(revenue)
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_cnt",
+    oracle="""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN anti join (suppliers in bad standing
+    excluded) + distinct-count per part attribute triple. The anti
+    side and the part dim both broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    keep_parts = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    return (
+        li.join(
+            F.broadcast(bad),
+            li["l_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(keep_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity",
+    oracle="""
+SELECT sum(l_extendedprice) / 7.0 AS avg_yearly, count(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey
+  )
+""",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar subquery (per-part average) decor-
+    related into a grouped aggregate + broadcast join — Spark-side the
+    decorrelation is explicit, so the lineitem fact scans exactly
+    twice. Quantity averages are exact in float64, so the threshold is
+    engine-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    thresh = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("_thresh")
+    )
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_brand") == "Brand#3")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(thresh), F.col("_pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("_thresh"))
+        .agg(
+            (F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum(l_quantity) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: group-having IN subquery as a semi join on the
+    grouped fact. Quantity sums are exact, so the >250 cut is
+    engine-independent."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(
+            F.broadcast(big.withColumnRenamed("l_orderkey", "_bk")),
+            F.col("_bk") == F.col("l_orderkey"),
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue, count(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs across both join sides. Catalyst derives
+    the common disjunct bounds (brand IN ..., quantity <= 30) and
+    pushes them below the join so neither scan reads unmatched rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return j.filter(
+        arm("Brand#12", 5, 1, 11)
+        | arm("Brand#23", 10, 10, 20)
+        | arm("Brand#34", 15, 20, 30)
+    ).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q22_idle_balance",
+    oracle="""
+SELECT c_nationkey, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey
+""",
+)
+def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar average + NOT EXISTS anti
+    join (no urgent orders), grouped by nation. The scalar threshold
+    broadcasts as a one-row frame."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "heavy_suppliers",
+    oracle="""
+WITH pq AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+pt AS (
+  SELECT l_partkey, sum(l_quantity) AS tq FROM lineitem GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, count(*) AS n_parts
+FROM pq JOIN pt USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE sq > 0.2 * tq
+GROUP BY s_suppkey, s_name
+""",
+)
+def heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adaptation (no partsupp): suppliers shipping more than
+    20% of a part's total quantity. Both aggregates reuse the same
+    (l_partkey) shuffle partitioning; quantity sums are exact so the
+    20% cut cannot flip between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    pt = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("tq"))
+    return (
+        pq.join(pt, "l_partkey")
+        .filter(F.col("sq") > 0.2 * F.col("tq"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@query(
+    "customer_order_flags",
+    oracle="""
+SELECT c_custkey,
+       bool_or(o_orderpriority = '1-URGENT')  AS has_urgent,
+       bool_and(o_totalprice > 1000.0)        AS all_above_1k,
+       count(*)                               AS n_orders
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""",
+)
+def customer_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_or/bool_and — SURVEY §2.5 absent
+    surface) over the customer-order join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias(
+                "has_urgent"
+            ),
+            F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_above_1k"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "order_seasonality",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT)      AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT)   AS qtr,
+       CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+       count(*)                               AS n_orders,
+       sum(o_totalprice)                      AS total,
+       avg(o_totalprice)                      AS avg_price
+FROM orders
+GROUP BY 1, 2, 3
+""",
+)
+def order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function surface (SURVEY §2.9 absent): year / quarter /
+    day-of-week extraction feeding a seasonality rollup. DuckDB's
+    dayofweek is 0=Sunday..6; Spark's dayofweek is 1=Sunday..7 — the
+    Spark side subtracts 1 to pin the shared convention."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total"),
+            F.avg("o_totalprice").alias("avg_price"),
+        )
+    )
