@@ -418,3 +418,63 @@ def order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("o_totalprice").alias("avg_price"),
         )
     )
+
+
+@query(
+    "part_metric_unpivot",
+    oracle="""
+SELECT p_partkey, metric, v FROM (
+  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS v FROM part
+  UNION ALL
+  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS v FROM part
+)
+""",
+)
+def part_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot/melt (SURVEY §2 absent — the inverse of the
+    pivot already covered by user_event_pivot). Spark's ``unpivot``
+    plans an Expand node: one scan, rows x metrics output, no shuffle."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot("p_partkey", ["retailprice", "size"], "metric", "v")
+
+
+@query(
+    "event_props_keys",
+    oracle="""
+SELECT event_type,
+       CAST(json_keys(props) AS VARCHAR[]) AS prop_keys,
+       count(*) AS n
+FROM events
+GROUP BY event_type, prop_keys
+""",
+)
+def event_props_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface (SURVEY §1.2: map unused by the reference,
+    exposed by the engine): parse the JSON props into map<string,long>,
+    inventory key sets per event type. ``from_json`` to MapType handles
+    schema-on-read payloads whose keys vary row to row."""
+    ev = _t(spark, sf_dir, "events")
+    keys = F.map_keys(F.from_json("props", "map<string,bigint>"))
+    return ev.groupBy(
+        "event_type", keys.alias("prop_keys")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("order_price_sketch")
+def order_price_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (``percentile_approx`` — Greenwald-
+    Khanna sketch, mergeable across partitions; the scale path where
+    exact percentiles would need a full sort). Spark-specific sketch =>
+    rows-only driver check, like approx_count_distinct; the exact
+    twin (returnflag_percentiles) is fully oracled."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias(
+            "price_q"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
