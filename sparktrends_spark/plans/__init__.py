@@ -11,6 +11,7 @@ from sparktrends_spark.plans.registry import ORACLES, QUERIES, query
 from sparktrends_spark.plans import market  # noqa: E402,F401
 from sparktrends_spark.plans import relational  # noqa: E402,F401
 from sparktrends_spark.plans import tpch_extra  # noqa: E402,F401
+from sparktrends_spark.plans import tpch_extra2  # noqa: E402,F401
 from sparktrends_spark.plans import windows  # noqa: E402,F401
 from sparktrends_spark.plans import text  # noqa: E402,F401
 from sparktrends_spark.plans import similarity  # noqa: E402,F401
