@@ -1,0 +1,118 @@
+"""Connected components over a pair list — dedup-cluster resolution.
+
+Near-dup detection (MinHash-LSH, SimHash, embedding cosine — SURVEY
+north-star ops) emits PAIRS; turning pairs into delete lists needs the
+transitive closure: if A~B and B~C, then {A, B, C} is one cluster and
+one canonical survivor is kept. The reference has nothing like this
+(its dedup intent is a TODO, ``stock_stream.py:118-119``); this is the
+piece a 100 TB training-data pipeline needs on top.
+
+Algorithm: iterative minimum-label propagation. Every node starts
+labeled with its own id; each round a node takes the min of its label
+and its neighbors' labels; converges in O(graph diameter) rounds.
+Dedup-similarity graphs have tiny diameters (clusters are near-cliques
+because similarity is near-transitive at high thresholds), so the
+round count is small and each round is two shuffles (join on dst,
+groupBy src) — the same plan at 60k rows or 100 TB. For adversarial
+long-chain graphs the large-star/small-star variant (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) halves the
+diameter per round; ``max_iter`` guards the loop either way.
+
+Driver involvement is one ``count()`` per round on a two-column frame
+(the convergence check) — no row data ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparktrends_spark.caching import persist_tracked
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve undirected ``pairs`` into components.
+
+    Returns one row per node: ``(node, component_id)`` where
+    ``component_id`` is the minimum node id in the component — a
+    deterministic canonical representative, independent of partitioning
+    and iteration order (min is commutative/associative).
+    """
+    both = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    # Undirected: keep each edge in both directions.
+    edges = persist_tracked(
+        both.union(
+            both.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+    )
+    # localCheckpoint (eager) per round: persist alone is NOT enough for
+    # an iterative loop — each round's plan embeds the previous round's
+    # plan, and the logical tree grows until the planner itself OOMs
+    # (observed at ~11 rounds on a 12-node path graph). Checkpointing
+    # truncates lineage so every round plans against a flat scan. On a
+    # real cluster with executor loss, prefer reliable checkpoints
+    # (spark.sparkContext.setCheckpointDir + .checkpoint()); local is
+    # used here so the operator works in any vanilla session.
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # Min label among neighbors, then min with own label.
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, F.col("node") == F.col("node2"), "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component_id"))
+
+
+def dedup_clusters(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Components + cluster size + canonical flag, ready to drive a
+    keep/delete decision: keep rows where ``is_canonical``."""
+    comp = persist_tracked(connected_components(pairs, src=src, dst=dst))
+    sizes = comp.groupBy(F.col("component_id").alias("_cid")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(F.broadcast(sizes), F.col("_cid") == F.col("component_id"))
+        .select(
+            F.col("node").alias("doc_id"),
+            "component_id",
+            "cluster_size",
+            (F.col("node") == F.col("component_id")).alias("is_canonical"),
+        )
+    )

@@ -8,7 +8,7 @@ SimHash is the one rows-only entry (xxhash64 is Spark-specific).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparktrends_spark.plans.registry import query
@@ -534,4 +534,129 @@ def q_doc_pattern_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("text", r"([A-Za-z]+)ing", 1).alias("first_ing"),
         F.regexp_count("text", F.lit(r"[0-9]+")).cast("long").alias("n_numbers"),
         F.regexp_count("text", F.lit(r"[.!?]")).cast("long").alias("n_sentences"),
+    )
+
+
+_JACCARD_EDGES_CTES = """
+e AS (SELECT doc_id, unnest(sh) AS s FROM sh2),
+counts AS (SELECT s, count(*) AS bn FROM e GROUP BY s),
+eb AS (SELECT e.doc_id, e.s FROM e JOIN counts ON e.s = counts.s WHERE bn <= 1000),
+jp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM eb a JOIN eb b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sh) AS n FROM sh2),
+good AS (
+  SELECT doc_a, doc_b FROM jp
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
+)
+"""
+
+
+@query(
+    "doc_dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_TOKS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+{_JACCARD_EDGES_CTES.strip()},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM good
+  UNION
+  SELECT doc_b, doc_a FROM good
+),
+reach(node, label) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT ed.u, r.label FROM edges ed JOIN reach r ON r.node = ed.v
+),
+comp AS (SELECT node, min(label) AS component_id FROM reach GROUP BY node),
+csz AS (SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY component_id)
+SELECT comp.node AS doc_id, comp.component_id, csz.cluster_size,
+       comp.node = comp.component_id AS is_canonical
+FROM comp JOIN csz USING (component_id)
+""",
+)
+def q_doc_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the 3-gram Jaccard near-dup pairs
+    (threshold 0.2) into dedup clusters: component id = min doc_id,
+    plus cluster size and the keep/delete flag. Spark side is the
+    iterative min-label propagation in ``operators/components.py``
+    (O(diameter) rounds, all-distributed); the oracle states the same
+    fixpoint declaratively as a recursive CTE — two very different
+    evaluation strategies that must agree bit-for-bit."""
+    from sparktrends_spark.operators.components import dedup_clusters
+
+    shingled = shingle_sets(_docs(spark, sf_dir))
+    pairs = jaccard_pairs(shingled, threshold=0.2)
+    return dedup_clusters(pairs)
+
+
+@query(
+    "doc_tfidf_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rnk FROM ranked WHERE rnk <= 3
+""",
+)
+def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (north-star text analysis).
+    Smoothed idf = ln((N+1)/(df+1)) + 1 (sklearn's smooth_idf). The
+    document count N is a one-row frame cross-broadcast onto the term
+    stats — never a driver-side collect. Scores round to 6 digits
+    BEFORE ranking so the top-3 boundary cannot flip between engines
+    on a sub-ulp difference; ties break on the term itself."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    terms = toks.select("doc_id", F.explode("_toks").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    from sparktrends_spark.caching import persist_tracked
+
+    tf = persist_tracked(tf)  # reused by dfreq + the scored join
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
     )

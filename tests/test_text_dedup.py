@@ -111,3 +111,49 @@ def test_chunking_reconstructs_text(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_connected_components_chain(spark):
+    """A 4-node chain (1-2, 2-3, 3-4) needs transitive closure —
+    pairwise grouping alone cannot merge 1 and 4. Plus a separate
+    2-cluster and an isolated pair direction check."""
+    from sparktrends_spark.operators.components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r["node"]: r["component_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    clusters = dedup_clusters(pairs).collect()
+    by_id = {r["doc_id"]: r for r in clusters}
+    assert by_id[4]["cluster_size"] == 4 and not by_id[4]["is_canonical"]
+    assert by_id[1]["is_canonical"]
+    keep = sorted(r["doc_id"] for r in clusters if r["is_canonical"])
+    assert keep == [1, 10, 20]
+    from sparktrends_spark.caching import release_persisted
+
+    release_persisted()
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path exercises multi-round propagation (diameter 11,
+    min-label needs ~11 rounds) — the max_iter guard must not clip it."""
+    from sparktrends_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )
+    out = connected_components(pairs).collect()
+    assert {r["component_id"] for r in out} == {1}
+    assert len(out) == 12
+    from sparktrends_spark.caching import release_persisted
+
+    release_persisted()
