@@ -616,3 +616,135 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+WITH supply AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18, 4))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey,
+       CAST(CAST(value_dec AS DECIMAL(38, 4)) AS VARCHAR) AS part_value
+FROM supply
+WHERE CAST(value_dec AS DOUBLE) > 0.001 * (
+  SELECT CAST(sum(value_dec) AS DOUBLE) FROM supply
+)
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose supply value from
+    one nation's suppliers exceeds a fraction of that nation's total
+    supply value. No partsupp table, so "value" is the summed extended
+    price observed in lineitem. The HAVING-against-global-scalar is the
+    uncorrelated scalar subquery surface (SURVEY §2.4 absent).
+
+    Scale shape: supplier⋈nation dims broadcast into the lineitem scan;
+    ONE shuffle for the per-part agg; the global total derives from the
+    already-aggregated frame (persisted — Spark has no cross-branch
+    subplan reuse) and rejoins as a broadcast one-row frame, so the
+    threshold filter is map-side. Sums are DECIMAL so both engines are
+    order-independent-exact; the threshold compares doubles derived
+    from identical decimals (deterministic), and the output value is
+    the canonical decimal string (DuckDB's pandas bridge renders
+    DECIMAL as float64, which can never hash-match).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+
+    from sparktrends_spark.caching import persist_tracked
+
+    nat_supp = s.join(
+        F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+        F.col("n_nationkey") == F.col("s_nationkey"),
+    ).select("s_suppkey")
+    supply = persist_tracked(
+        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
+                "value_dec"
+            )
+        )
+    )
+    total = supply.agg(
+        F.sum("value_dec").cast("double").alias("_total")
+    )
+    return (
+        supply.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > 0.001 * F.col("_total"))
+        .select(
+            "l_partkey",
+            F.col("value_dec")
+            .cast("decimal(38,4)")
+            .cast("string")
+            .alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q20_dominant_supplier",
+    oracle="""
+WITH promo AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty_ps
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%gear%' AND EXTRACT(year FROM l_shipdate) = 1996
+  GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey, sum(qty_ps) AS qty_part FROM promo GROUP BY l_partkey
+)
+SELECT DISTINCT s_name, n_name
+FROM promo
+JOIN per_part USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE qty_ps > 0.5 * qty_part
+""",
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who
+    dominated supply of 'gear' parts shipped in 1996. The original's
+    availqty-vs-half-of-shipped correlated subquery has no partsupp
+    here, so the threshold becomes "this supplier shipped more than
+    half the part's 1996 total" — the same nested
+    semi-join-on-correlated-aggregate shape, decorrelated.
+
+    Scale shape: the part filter broadcasts into the lineitem scan
+    (predicate + year pushed to the scan); ONE shuffle produces the
+    (part, supplier) sums; the per-part total is a window over
+    l_partkey on the already-tiny aggregate (no second fact scan, no
+    self-join); dims broadcast at the end. Quantities are small-int
+    doubles, so sums are exact in both engines and the 0.5 threshold is
+    deterministic.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    gear = p.filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    ps = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .join(F.broadcast(gear), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty_ps"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.withColumn("qty_part", F.sum("qty_ps").over(w))
+        .filter(F.col("qty_ps") > 0.5 * F.col("qty_part"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .distinct()
+    )
