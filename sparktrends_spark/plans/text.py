@@ -27,6 +27,7 @@ from sparktrends_spark.text.dedup import (
     jaccard_pairs,
     minhash_dedup_pairs,
     shingle_sets,
+    word_shingles,
     simhash_pairs,
 )
 
@@ -659,4 +660,140 @@ def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "doc_pack_sequences",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()},
+sized AS (
+  SELECT t.doc_id, d.source, len(t.toks) AS n_tokens
+  FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+),
+placed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM sized
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(start_offset / 2048.0) AS BIGINT) AS pack_id,
+       start_offset % 2048 AS pack_offset
+FROM placed
+""",
+)
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (north-star training-pipeline op): concatenate
+    documents in deterministic (source, doc_id) order and cut the token
+    stream into 2048-token training sequences; each doc reports the
+    pack it starts in and its offset there. This is the cumulative-sum
+    formulation of next-fit packing — the layout a dataloader needs to
+    assemble fixed-length batches without padding waste.
+
+    Scale shape: packing is PER SOURCE SHARD (the window partitions by
+    `source`), so state never spans executors arbitrarily — at 100 TB
+    you shard further (e.g. by (source, date)) and each shard packs
+    independently; there is exactly one shuffle (the window exchange).
+    All outputs are integers, so oracle comparison is exact; the
+    running sum casts to BIGINT because DuckDB's windowed sum yields
+    HUGEINT (pandas float64) otherwise.
+    """
+    d = _docs(spark, sf_dir)
+    sized = d.select(
+        "doc_id", "source", tokens(F.col("text")).alias("_toks")
+    ).select("doc_id", "source", F.size("_toks").cast("long").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return sized.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / 2048.0).cast("long").alias("pack_id"),
+        (start % 2048).alias("pack_offset"),
+    )
+
+
+@query(
+    "doc_decontaminate",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+split AS (
+  SELECT doc_id,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+),
+e AS (
+  SELECT s2.doc_id, sp.split, unnest(s2.sh) AS s
+  FROM sh2 s2 JOIN split sp ON sp.doc_id = s2.doc_id
+),
+counts AS (SELECT s, count(*) AS bn FROM e GROUP BY s),
+eb AS (SELECT e.doc_id, e.split, e.s FROM e JOIN counts ON e.s = counts.s WHERE bn <= 1000)
+SELECT tr.doc_id,
+       count(DISTINCT tr.s) AS n_shared_shingles,
+       count(DISTINCT te.doc_id) AS n_test_docs
+FROM eb tr
+JOIN eb te ON te.s = tr.s AND te.split = 'test'
+WHERE tr.split = 'train'
+GROUP BY tr.doc_id
+""",
+)
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (north-star training-pipeline op):
+    find training documents that share any word 3-gram with a held-out
+    test document — the n-gram-overlap contamination check used before
+    training on a corpus that may contain benchmark text. Split
+    assignment is the same content-free md5 bucket as
+    ``doc_train_test_split``, so the check is reproducible end-to-end.
+
+    Scale shape: one shingle explode (distinct per doc), super-common
+    shingles dropped by a frequency bound (>1000 carriers is stopword
+    n-grams, not contamination — and the bound caps join fan-out /
+    skew); the exploded frame is persisted because train and test
+    branches both read it (Spark has no cross-branch subplan reuse).
+    In a real deployment the test side is a small benchmark suite →
+    broadcast; here it is the 10%% split, so the join shuffles on the
+    shingle hash, which is the right plan when both sides are large.
+    Counts are exact integers in both engines.
+    """
+    from sparktrends_spark.caching import persist_tracked
+
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = F.when(bucket < 90, F.lit("train")).otherwise(F.lit("test"))
+    tokenized = d.select(
+        "doc_id", split.alias("split"), tokens(F.col("text")).alias("_toks")
+    ).filter(F.size("_toks") >= 3)
+    shingled = tokenized.select(
+        "doc_id", "split", word_shingles(F.col("_toks"), 3).alias("shingles")
+    )
+    exploded = shingled.select(
+        "doc_id", "split", F.explode("shingles").alias("s")
+    )
+    counts = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("bn"))
+    bounded = persist_tracked(
+        exploded.join(counts.filter(F.col("bn") <= 1000), "s")
+    )
+    train = bounded.filter(F.col("split") == "train").select("doc_id", "s")
+    test = bounded.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("_test_doc"), F.col("s")
+    )
+    return (
+        train.join(test, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("s").alias("n_shared_shingles"),
+            F.count_distinct("_test_doc").alias("n_test_docs"),
+        )
     )
