@@ -273,3 +273,57 @@ def q_embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drop = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return emb.join(drop, "vec_id", "left_anti").select("vec_id", "label")
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+), scaled AS (
+  SELECT vec_id, dv,
+         greatest(list_max(list_transform(dv, x -> abs(x))), 1e-30) AS mx
+  FROM v
+)
+SELECT vec_id,
+       round(mx / 127.0, 6) AS scale,
+       array_to_string(
+         list_transform(dv, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)),
+         ',') AS q8
+FROM scaled
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absmax int8 quantization of the embedding column (north-star
+    similarity-search storage path): q[i] = floor(x[i] * 127 / max|x| +
+    0.5), plus the per-vector dequantization scale — the 4x compression
+    every billion-vector ANN index applies before sharding.
+
+    Scale shape: pure map-side projection (no shuffle); all math is
+    JVM-side higher-order functions over the array column. Both engines
+    evaluate the identical double expression, and floor(+0.5) rounding
+    avoids round()'s engine-specific half-way tie rules, so the
+    quantized vector string is bit-deterministic. The absmax clamps at
+    1e-30 so a zero vector quantizes to zeros instead of NaN.
+    """
+    emb = _emb(spark, sf_dir)
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # Materialize the doubled array once; the three consumers below
+    # (absmax + every quantized element) would otherwise re-cast per
+    # element inside the lambdas.
+    based = emb.select("vec_id", dv.alias("_dv")).select(
+        "vec_id",
+        "_dv",
+        F.greatest(
+            F.array_max(F.transform(F.col("_dv"), F.abs)), F.lit(1e-30)
+        ).alias("_mx"),
+    )
+    q8 = F.transform(
+        F.col("_dv"),
+        lambda x: F.floor(x * 127.0 / F.col("_mx") + 0.5).cast("long"),
+    )
+    return based.select(
+        "vec_id",
+        F.round(F.col("_mx") / 127.0, 6).alias("scale"),
+        F.concat_ws(",", q8).alias("q8"),
+    )

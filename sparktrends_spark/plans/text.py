@@ -797,3 +797,49 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("_test_doc").alias("n_test_docs"),
         )
     )
+
+
+@query(
+    "doc_stratified_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(concat('sample|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang FROM keyed
+WHERE bucket < CASE lang WHEN 'en' THEN 300 ELSE 1000 END
+""",
+)
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling (north-star training-pipeline op):
+    rebalance an English-heavy corpus by down-sampling 'en' to 30%
+    while keeping low-resource languages whole — the per-stratum rate
+    sampling every data-mixture pipeline runs before training.
+
+    Deterministic Bernoulli via a salted md5 bucket of the doc id
+    (salt 'sample|' keeps this draw independent of the
+    ``doc_train_test_split`` draw): reproducible across engines, runs,
+    and partitionings, unlike ``sample()``/``rand()``. Scale shape:
+    pure map-side filter — no shuffle at any corpus size, and the rate
+    table extends per stratum without plan changes.
+    """
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(300)).otherwise(F.lit(1000))
+    return (
+        d.select("doc_id", "lang", bucket.alias("_b"), rate.alias("_r"))
+        .filter(F.col("_b") < F.col("_r"))
+        .select("doc_id", "lang")
+    )

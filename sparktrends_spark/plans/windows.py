@@ -101,3 +101,87 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], "ts", gap_seconds=1800, tiebreak_col="event_id"
     )
     return session_summary(s, ["user_id"], "ts", value_col="value")
+
+
+@query(
+    "event_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events
+), s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM s1
+), s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2
+), per_user AS (
+  SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+         max(t_purchase) AS t_purchase
+  FROM s3 GROUP BY user_id
+)
+SELECT count(t_view) AS n_view,
+       count(t_click) AS n_view_click,
+       count(t_purchase) AS n_full_funnel
+FROM per_user
+""",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view -> click -> purchase, in
+    strict timestamp order): per user, the first view, the first click
+    AFTER that view, and the first purchase AFTER that click; the
+    output counts users surviving each step. The classic funnel/
+    sequential-pattern operator (absent from the reference and from
+    plain SQL GROUP BY — it needs ordered, stage-dependent minima).
+
+    Scale shape: the three stage columns are windows over the SAME
+    partitioning (user_id), so Spark plans ONE exchange + three Window
+    operators back-to-back — no join, no second shuffle; the per-user
+    collapse reuses the same partitioning and the final global count is
+    a single-row partial+final agg. Timestamp comparisons and counts
+    are exact in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_full_funnel"),
+    )
