@@ -625,15 +625,18 @@ def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     document count N is a one-row frame cross-broadcast onto the term
     stats — never a driver-side collect. Scores round to 6 digits
     BEFORE ranking so the top-3 boundary cannot flip between engines
-    on a sub-ulp difference; ties break on the term itself."""
+    on a sub-ulp difference; ties break on the term itself.
+
+    The tf frame feeds both dfreq and the scored join but is NOT
+    persisted: it sits directly on a groupBy shuffle, and caching it
+    pins that shuffle's partition layout (AQE cannot re-coalesce under
+    an InMemoryRelation) — measured 2x slower in a default-partition
+    session than recomputing the branch; recompute is also the only
+    option at 100 TB, where a per-(doc, term) frame cannot be cached."""
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
     terms = toks.select("doc_id", F.explode("_toks").alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-
-    from sparktrends_spark.caching import persist_tracked
-
-    tf = persist_tracked(tf)  # reused by dfreq + the scored join
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -756,15 +759,17 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shingle explode (distinct per doc), super-common
     shingles dropped by a frequency bound (>1000 carriers is stopword
     n-grams, not contamination — and the bound caps join fan-out /
-    skew); the exploded frame is persisted because train and test
-    branches both read it (Spark has no cross-branch subplan reuse).
-    In a real deployment the test side is a small benchmark suite →
-    broadcast; here it is the 10%% split, so the join shuffles on the
-    shingle hash, which is the right plan when both sides are large.
-    Counts are exact integers in both engines.
+    skew). The bounded frame feeds both the train and the test branch
+    but is deliberately NOT persisted: a shuffled exploded corpus is
+    exactly the intermediate you cannot cache at 100 TB, and caching it
+    here pins the un-coalesced shuffle layout (AQE cannot re-coalesce
+    under an InMemoryRelation — measured 3x slower in a
+    default-partition session than recomputing the branch). In a real
+    deployment the test side is a small benchmark suite → broadcast;
+    here it is the 10%% split, so the join shuffles on the shingle
+    hash, which is the right plan when both sides are large. Counts
+    are exact integers in both engines.
     """
-    from sparktrends_spark.caching import persist_tracked
-
     d = _docs(spark, sf_dir)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -782,9 +787,7 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "split", F.explode("shingles").alias("s")
     )
     counts = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("bn"))
-    bounded = persist_tracked(
-        exploded.join(counts.filter(F.col("bn") <= 1000), "s")
-    )
+    bounded = exploded.join(counts.filter(F.col("bn") <= 1000), "s")
     train = bounded.filter(F.col("split") == "train").select("doc_id", "s")
     test = bounded.filter(F.col("split") == "test").select(
         F.col("doc_id").alias("_test_doc"), F.col("s")

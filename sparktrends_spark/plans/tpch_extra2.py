@@ -593,14 +593,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 60 DAYS"
     )
-    from sparktrends_spark.caching import persist_tracked
-
-    # Referenced by both the stats branch and the final filter ->
-    # persist, or the lineitem join+agg executes twice.
-    per_order = persist_tracked(
-        lines.groupBy("l_orderkey", "l_suppkey").agg(
-            F.max(late).alias("supp_late")
-        )
+    # Referenced by both the stats branch and the final filter. NOT
+    # persisted: the frame sits on a groupBy shuffle, and caching it
+    # pins the shuffle layout (AQE cannot re-coalesce under an
+    # InMemoryRelation — measured 4x slower in a default-partition
+    # session than recomputing the branch, and a per-(order, supplier)
+    # frame is uncacheable at 100 TB anyway).
+    per_order = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late).alias("supp_late")
     )
     order_stats = per_order.groupBy(
         F.col("l_orderkey").alias("_ok")
