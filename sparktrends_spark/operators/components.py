@@ -46,11 +46,19 @@ def connected_components(
     both = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    # Undirected: keep each edge in both directions.
+    # Undirected: keep each edge in both directions. Repartition to the
+    # session's core count BEFORE persisting: a cached frame pins its
+    # partition layout (AQE cannot re-coalesce under an
+    # InMemoryRelation), and without this every round's join re-scans
+    # the distinct's raw shuffle layout (e.g. 200 near-empty partitions
+    # in a default-conf session) — the dominant cost of the loop.
+    par = max(pairs.sparkSession.sparkContext.defaultParallelism, 1)
     edges = persist_tracked(
         both.union(
             both.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        )
+        .distinct()
+        .repartition(par, "v")
     )
     # localCheckpoint (eager) per round: persist alone is NOT enough for
     # an iterative loop — each round's plan embeds the previous round's
@@ -60,12 +68,13 @@ def connected_components(
     # real cluster with executor loss, prefer reliable checkpoints
     # (spark.sparkContext.setCheckpointDir + .checkpoint()); local is
     # used here so the operator works in any vanilla session.
-    labels = (
+    labels_ckpt = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    labels = labels_ckpt
     for _ in range(max_iter):
         # Min label among neighbors, then min with own label.
         neighbor_min = (
@@ -73,6 +82,9 @@ def connected_components(
             .groupBy(F.col("u").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # The convergence flag rides along in the same frame, so the
+        # changed-count is a cheap filter over the checkpointed result
+        # instead of a second join against the old labels.
         new_labels = (
             labels.join(
                 neighbor_min, F.col("node") == F.col("node2"), "left"
@@ -82,17 +94,18 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
+                (
+                    F.coalesce("nbr_label", "label") < F.col("label")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        # Release the PREVIOUS checkpoint via its original handle — a
+        # .drop() projection would not unpersist the underlying RDD.
+        labels_ckpt.unpersist()
+        labels_ckpt = new_labels
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component_id"))
