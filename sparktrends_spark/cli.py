@@ -11,6 +11,7 @@ which exercises the identical parse->aggregate->sink plan.
 
 Usage:
   python -m sparktrends_spark.cli query --name vwap_metrics --sf-dir /root/testdata/sf0.001
+  python -m sparktrends_spark.cli sql --query "SELECT count(*) FROM lineitem"
   python -m sparktrends_spark.cli batch --frames /path/frames --out /tmp/bars
   python -m sparktrends_spark.cli stream --frames /path/frames --out /tmp/out
   python -m sparktrends_spark.cli meta --csv company.csv --out /tmp/company
@@ -81,6 +82,30 @@ def _cmd_meta(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_sql(args: argparse.Namespace) -> int:
+    """Raw ANSI-SQL entry point: the testdata tables are registered as
+    temp views (``region nation customer supplier part orders lineitem
+    events documents embeddings``) and the statement runs through
+    Spark SQL — same Catalyst plans as the DataFrame API, so every
+    optimization (pushdown, pruning, broadcast, AQE) applies."""
+    from sparktrends_spark.sources.tables import register_views
+
+    spark = get_spark("sparktrends-sql")
+    register_views(spark, args.sf_dir)
+    if args.file:
+        with open(args.file) as fh:
+            statement = fh.read()
+    else:
+        statement = args.query
+    df = spark.sql(statement)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {spark.read.parquet(args.out).count()} rows -> {args.out}")
+    else:
+        df.show(args.rows, truncate=False)
+    return 0
+
+
 def _cmd_bench(args: argparse.Namespace) -> int:
     import runpy
 
@@ -117,6 +142,15 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--csv", required=True)
     m.add_argument("--out", required=True)
     m.set_defaults(fn=_cmd_meta)
+
+    sq = sub.add_parser("sql", help="run ANSI SQL over the testdata views")
+    g = sq.add_mutually_exclusive_group(required=True)
+    g.add_argument("--query", help="SQL statement")
+    g.add_argument("--file", help="path to a .sql file")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sq.add_argument("--out", help="write result parquet here instead of showing")
+    sq.add_argument("--rows", type=int, default=20)
+    sq.set_defaults(fn=_cmd_sql)
 
     be = sub.add_parser("bench", help="run the bench harness")
     be.add_argument("--bench-path", default="bench.py")

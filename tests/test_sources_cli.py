@@ -178,3 +178,32 @@ def test_entry_contract_integrity(spark):
     assert all(n.replace("_", "").isalnum() for n in queries)
     out = E.entry(spark)
     assert out.count() > 0
+
+
+def test_cli_sql(spark, tmp_path, capsys):
+    from sparktrends_spark.cli import main
+
+    out = str(tmp_path / "sql_out")
+    rc = main(
+        [
+            "sql",
+            "--query",
+            "SELECT o_orderpriority, count(*) AS n FROM orders "
+            "GROUP BY o_orderpriority",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            out,
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"o_orderpriority", "n"}
+    assert got.count() > 0
+    # The SQL path and the DataFrame path agree on the same session.
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    assert got.count() == df.count()
