@@ -89,3 +89,39 @@ def test_range_join_broadcasts_window_side(spark, sf_dir):
     # the 30-row window table must be the broadcast side of the
     # non-equi join; the events scan must not shuffle before it
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_event_funnel_single_user_shuffle(spark, sf_dir):
+    # three stage-dependent windows over the same partitioning must
+    # share ONE exchange — a second hashpartitioning means a window
+    # got keyed differently
+    plan = _plan(spark, "event_funnel", sf_dir)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert plan.count("Window") >= 3
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, "doc_pack_sequences", sf_dir)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_q20_broadcasts_all_dims_no_second_fact_scan(spark, sf_dir):
+    plan = _plan(spark, "q20_dominant_supplier", sf_dir)
+    # part/supplier/nation all broadcast; the per-part total is a
+    # window over the aggregate, never a lineitem self-join
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q11_single_fact_agg_broadcast_threshold(spark, sf_dir):
+    plan = _plan(spark, "q11_important_stock", sf_dir)
+    # supplier-nation dim broadcasts into the scan; the global total
+    # re-joins as a broadcast one-row frame (threshold filter map-side)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+    # the per-part aggregate is persisted and BOTH branches (threshold
+    # filter + global total) read the cache — the fact scans once.
+    # plan.toString() reprints the cached child plan at each use site,
+    # so count InMemoryTableScan, not file-scan strings.
+    assert plan.count("InMemoryTableScan") == 2, plan
