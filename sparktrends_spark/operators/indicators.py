@@ -1,0 +1,149 @@
+"""Technical-indicator operators over per-key ordered series.
+
+The reference computes exactly two indicators — trailing VWAP and
+rolling stddev (`/root/reference/spark/jobs/stock_stream.py:61-77`) —
+but reserves config for a model layer (`spark/init_config.py:30-35`).
+These are the standard next indicators a market pipeline adds, each
+expressed the Spark-idiomatic way:
+
+- Bollinger bands / RSI: pure window functions (JVM whole-stage
+  codegen; one shuffle on the partition key, no Python).
+- EMA: a genuinely *recursive* series (y_i depends on y_{i-1}), which
+  no SQL window frame expresses. The scale-correct Spark shape is
+  ``applyInPandas`` per key: each symbol's series is small even when
+  the table is 100 TB, groups process in parallel across executors,
+  and Arrow moves columns in batches.
+
+Float parity: the EMA recurrence multiplies by the *literal* doubles
+``alpha`` and ``1 - alpha`` pre-computed once, so an oracle that folds
+with the same literals reproduces the identical FP operation sequence.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def ema(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_cols: Iterable[str],
+    alpha: float = 0.3,
+    out_col: str = "ema",
+) -> DataFrame:
+    """Exponential moving average per key: y_0 = x_0,
+    y_i = y_{i-1} * (1 - alpha) + x_i * alpha.
+
+    Recursive ⇒ not window-expressible; runs as one Arrow-batched
+    pandas group per key (keys are independent ⇒ embarrassingly
+    parallel; series length per key is bounded by the key's history,
+    not the table size).
+    """
+    partition_cols = list(partition_cols)
+    one_minus = 1.0 - alpha
+
+    # df.schema is cached on the DataFrame and StructType.add mutates in
+    # place — build a fresh StructType instead of add()ing to the original.
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def _compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        out = [0.0] * len(vals)
+        acc = 0.0
+        for i, v in enumerate(vals):
+            acc = v if i == 0 else acc * one_minus + v * alpha
+            out[i] = acc
+        pdf = pdf.copy()
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(*partition_cols).applyInPandas(_compute, schema=schema)
+
+
+def bollinger_bands(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_cols: Iterable[str],
+    n: int = 20,
+    k: float = 2.0,
+) -> DataFrame:
+    """Trailing-n SMA ± k·σ bands and %B position within the band.
+
+    Single window pass (one shuffle on the key); %B reuses the band
+    expressions so the FP tree matches the SQL restatement exactly.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    sma = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    upper = sma + F.lit(k) * sd
+    lower = sma - F.lit(k) * sd
+    v = F.col(value_col)
+    pct_b = F.when(sd > 0, (v - lower) / (upper - lower))
+    return df.select(
+        *partition_cols,
+        order_col,
+        value_col,
+        F.round(sma, 6).alias(f"sma{n}"),
+        F.round(sd, 6).alias(f"sd{n}"),
+        F.round(upper, 6).alias("upper_band"),
+        F.round(lower, 6).alias("lower_band"),
+        F.round(pct_b, 6).alias("pct_b"),
+    )
+
+
+def rsi(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_cols: Iterable[str],
+    n: int = 14,
+) -> DataFrame:
+    """Cutler's RSI (simple-average gains/losses over a trailing n-row
+    frame). Null until a full n deltas of history; 100 when the frame
+    has no losses. Two window passes over one shuffle partitioning."""
+    partition_cols = list(partition_cols)
+    wlag = Window.partitionBy(*partition_cols).orderBy(order_col)
+    wavg = wlag.rowsBetween(-(n - 1), Window.currentRow)
+
+    prev = F.lag(value_col).over(wlag)
+    v = F.col(value_col)
+    gain = F.when(prev.isNull(), F.lit(None)).otherwise(
+        F.greatest(v - prev, F.lit(0.0))
+    )
+    loss = F.when(prev.isNull(), F.lit(None)).otherwise(
+        F.greatest(prev - v, F.lit(0.0))
+    )
+    g = df.select(
+        *partition_cols,
+        order_col,
+        value_col,
+        gain.alias("_gain"),
+        loss.alias("_loss"),
+    )
+    avg_gain = F.avg("_gain").over(wavg)
+    avg_loss = F.avg("_loss").over(wavg)
+    n_obs = F.count("_gain").over(wavg)
+    rsi_col = F.when(
+        n_obs >= n,
+        F.when(avg_loss == 0, F.lit(100.0)).otherwise(
+            F.round(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss), 6)
+        ),
+    )
+    return g.select(
+        *partition_cols, order_col, value_col, rsi_col.alias(f"rsi_{n}")
+    )

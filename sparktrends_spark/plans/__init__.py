@@ -8,6 +8,7 @@ exposes the registry to the driver.
 from sparktrends_spark.plans.registry import ORACLES, QUERIES, query
 
 # Imports for registration side effects.
+from sparktrends_spark.plans import indicators  # noqa: E402,F401
 from sparktrends_spark.plans import market  # noqa: E402,F401
 from sparktrends_spark.plans import relational  # noqa: E402,F401
 from sparktrends_spark.plans import tpch_extra  # noqa: E402,F401

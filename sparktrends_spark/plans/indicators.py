@@ -1,0 +1,161 @@
+"""Technical-indicator queries over daily bars (market north-star).
+
+Extends the reference's two indicators (trailing VWAP + rolling σ,
+`/root/reference/spark/jobs/stock_stream.py:61-77`) with the standard
+chart set — EMA, Bollinger bands, RSI — over the same deterministic
+daily-close series `plans/market.py` derives from ``events``.
+
+EMA is the interesting one architecturally: the recurrence
+y_i = 0.7·y_{i-1} + 0.3·x_i is not window-expressible, so Spark runs
+it as ``applyInPandas`` per symbol (Arrow batches, parallel across
+keys) while the DuckDB oracle folds the same literal doubles with
+``list_reduce`` over per-symbol packed arrays — the identical FP
+operation sequence, so values match bit-for-bit before the 6-digit
+round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparktrends_spark.operators.bars import ohlcv_bars
+from sparktrends_spark.operators.indicators import bollinger_bands, ema, rsi
+from sparktrends_spark.plans.market import (
+    _DAILY_BARS_CTE,
+    _TRADES_CTE,
+    trades_view,
+)
+from sparktrends_spark.plans.registry import query
+
+_EMA_ALPHA = 0.3
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlcv_bars(
+        trades_view(spark, sf_dir),
+        window_duration="1 day",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    ).select("symbol", F.col("timestamp").alias("day"), "close")
+
+
+@query(
+    "ema_daily",
+    oracle=f"""
+WITH {_TRADES_CTE.strip()}, {_DAILY_BARS_CTE.strip()},
+packed AS (
+  SELECT symbol,
+         list(day ORDER BY day) AS days,
+         list(close ORDER BY day) AS closes
+  FROM daily GROUP BY symbol
+)
+SELECT symbol,
+       unnest(days) AS day,
+       unnest(closes) AS close,
+       unnest(list_transform(
+         closes,
+         (x, i) -> round(list_reduce(closes[1:i],
+                                     (acc, v) -> acc * 0.7 + v * 0.3), 6)
+       )) AS ema
+FROM packed
+""",
+)
+def q_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive EMA(α=0.3) of daily closes per symbol via
+    applyInPandas (SURVEY §2.11 — grouped-map pandas surface)."""
+    out = ema(
+        _daily(spark, sf_dir),
+        value_col="close",
+        order_col="day",
+        partition_cols=["symbol"],
+        alpha=_EMA_ALPHA,
+    )
+    return out.select("symbol", "day", "close", F.round("ema", 6).alias("ema"))
+
+
+@query(
+    "bollinger_daily",
+    oracle=f"""
+WITH {_TRADES_CTE.strip()}, {_DAILY_BARS_CTE.strip()},
+b AS (
+  SELECT symbol, day, close,
+         avg(close) OVER w AS sma,
+         stddev_samp(close) OVER w AS sd
+  FROM daily
+  WINDOW w AS (
+    PARTITION BY symbol ORDER BY day
+    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+  )
+)
+SELECT symbol, day, close,
+       round(sma, 6) AS sma20,
+       round(sd, 6) AS sd20,
+       round(sma + 2.0 * sd, 6) AS upper_band,
+       round(sma - 2.0 * sd, 6) AS lower_band,
+       CASE WHEN sd > 0 THEN
+         round((close - (sma - 2.0 * sd))
+               / ((sma + 2.0 * sd) - (sma - 2.0 * sd)), 6)
+       END AS pct_b
+FROM b
+""",
+)
+def q_bollinger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-day Bollinger bands + %B per symbol — single window pass,
+    one shuffle on symbol, pure JVM codegen."""
+    return bollinger_bands(
+        _daily(spark, sf_dir),
+        value_col="close",
+        order_col="day",
+        partition_cols=["symbol"],
+        n=20,
+        k=2.0,
+    )
+
+
+@query(
+    "rsi_daily",
+    oracle=f"""
+WITH {_TRADES_CTE.strip()}, {_DAILY_BARS_CTE.strip()},
+d AS (
+  SELECT symbol, day, close,
+         lag(close) OVER (PARTITION BY symbol ORDER BY day) AS prev
+  FROM daily
+),
+g AS (
+  SELECT symbol, day, close,
+         CASE WHEN prev IS NULL THEN NULL
+              ELSE greatest(close - prev, 0.0) END AS gain,
+         CASE WHEN prev IS NULL THEN NULL
+              ELSE greatest(prev - close, 0.0) END AS loss
+  FROM d
+),
+a AS (
+  SELECT symbol, day, close,
+         avg(gain) OVER w AS avg_gain,
+         avg(loss) OVER w AS avg_loss,
+         count(gain) OVER w AS n_obs
+  FROM g
+  WINDOW w AS (
+    PARTITION BY symbol ORDER BY day
+    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW
+  )
+)
+SELECT symbol, day, close,
+       CASE WHEN n_obs >= 14 THEN
+         CASE WHEN avg_loss = 0 THEN 100.0
+              ELSE round(100.0 - 100.0 / (1.0 + avg_gain / avg_loss), 6) END
+       END AS rsi_14
+FROM a
+""",
+)
+def q_rsi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's 14-day RSI per symbol (lag + two trailing averages over
+    one shuffle partitioning)."""
+    return rsi(
+        _daily(spark, sf_dir),
+        value_col="close",
+        order_col="day",
+        partition_cols=["symbol"],
+        n=14,
+    )

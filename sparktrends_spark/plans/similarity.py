@@ -327,3 +327,51 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_mx") / 127.0, 6).alias("scale"),
         F.concat_ws(",", q8).alias("q8"),
     )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+WITH n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS norm
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+       round(avg(norm), 6) AS avg_norm,
+       round(stddev_samp(norm), 6) AS sd_norm,
+       round(min(norm), 6) AS min_norm,
+       round(max(norm), 6) AS max_norm
+FROM n GROUP BY label
+""",
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution — the sanity profile run before
+    any cosine/ANN stage (un-normalized or degenerate embedding batches
+    show up here first).
+
+    Norms fold in-order per row in double precision in both engines
+    (identical FP sequence); only the cross-row avg/stddev need the
+    6-digit round. Single aggregation, map-side partials, no shuffle of
+    the vectors themselves.
+    """
+    emb = _emb(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        emb.select("label", norm.alias("_norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("_norm"), 6).alias("avg_norm"),
+            F.round(F.stddev_samp("_norm"), 6).alias("sd_norm"),
+            F.round(F.min("_norm"), 6).alias("min_norm"),
+            F.round(F.max("_norm"), 6).alias("max_norm"),
+        )
+    )

@@ -846,3 +846,111 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_b") < F.col("_r"))
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()},
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         len(list_distinct(toks)) AS n_distinct,
+         list_transform(toks[1:len(toks) - 1],
+                        (x, i) -> x || ' ' || toks[i + 1]) AS bigrams
+  FROM toks WHERE len(toks) >= 2
+),
+c AS (
+  SELECT doc_id, n_words, n_distinct, unnest(bigrams) AS bigram FROM s
+),
+f AS (
+  SELECT doc_id, n_words, n_distinct, bigram, count(*) AS c
+  FROM c GROUP BY doc_id, n_words, n_distinct, bigram
+)
+SELECT doc_id, n_words, n_distinct,
+       round(1.0 - n_distinct / n_words, 6) AS dup_word_frac,
+       round(max(c) / sum(c), 6) AS top_bigram_frac
+FROM f GROUP BY doc_id, n_words, n_distinct
+""",
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per doc: duplicate-word
+    fraction and most-frequent-bigram mass — the filters that catch
+    boilerplate/spam before training.
+
+    Scale shape: tokens materialize once, bigrams derive positionally
+    from the array (no self-join), and both stats ride a two-level
+    aggregation on (doc_id, bigram) → doc_id; the doc-constant counts
+    travel inside the grouping key, so there is no doc-level re-join.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    s = tok.select(
+        "doc_id",
+        F.size("_toks").alias("n_words"),
+        F.size(F.array_distinct("_toks")).alias("n_distinct"),
+        F.expr(
+            "transform(slice(_toks, 1, size(_toks) - 1),"
+            " (x, i) -> concat(x, ' ', _toks[i + 1]))"
+        ).alias("_bigrams"),
+    ).filter(F.col("n_words") >= 2)
+    ex = s.select(
+        "doc_id", "n_words", "n_distinct", F.explode("_bigrams").alias("bigram")
+    )
+    cnt = ex.groupBy("doc_id", "n_words", "n_distinct", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        cnt.groupBy("doc_id", "n_words", "n_distinct")
+        .agg(F.max("c").alias("_mx"), F.sum("c").alias("_tot"))
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6
+            ).alias("dup_word_frac"),
+            F.round(F.col("_mx") / F.col("_tot"), 6).alias("top_bigram_frac"),
+        )
+    )
+
+
+@query(
+    "lang_mixture_budget",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()},
+a AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS lang_tokens
+  FROM toks GROUP BY lang
+)
+SELECT lang, n_docs, lang_tokens,
+       round(least(1.0, sum(lang_tokens) OVER () / count(*) OVER ()
+                        / lang_tokens), 6) AS sample_frac
+FROM a
+""",
+)
+def q_lang_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform data-mixture allocation: per-language token counts and
+    the sampling fraction that equalizes each language's share of the
+    training budget (capped at 1.0 — low-resource languages keep
+    everything).
+
+    Scale shape: one token-count aggregation (map-side partials), then
+    the global total rides an unpartitioned window over the already
+    tiny per-language aggregate — never over the corpus.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select("lang", F.size(tokens(F.col("text"))).alias("_n"))
+    agg = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("_n").alias("lang_tokens")
+    )
+    w = Window.partitionBy()
+    target = F.sum("lang_tokens").over(w) / F.count(F.lit(1)).over(w)
+    frac = F.least(F.lit(1.0), target / F.col("lang_tokens"))
+    return agg.select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        F.round(frac, 6).alias("sample_frac"),
+    )
