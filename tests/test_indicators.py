@@ -1,0 +1,92 @@
+"""Indicator operator semantics + plan shape (EMA/Bollinger/RSI)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sparktrends_spark.operators.indicators import bollinger_bands, ema, rsi
+
+
+def _series(spark, closes, symbol="A"):
+    return spark.createDataFrame(
+        [Row(symbol=symbol, day=float(i), close=float(c)) for i, c in enumerate(closes)]
+    )
+
+
+def test_ema_recurrence_exact(spark):
+    df = _series(spark, [10.0, 20.0, 30.0])
+    out = {
+        r.day: r.ema
+        for r in ema(df, "close", "day", ["symbol"], alpha=0.3).collect()
+    }
+    assert out[0.0] == 10.0
+    assert out[1.0] == 10.0 * 0.7 + 20.0 * 0.3
+    assert out[2.0] == (10.0 * 0.7 + 20.0 * 0.3) * 0.7 + 30.0 * 0.3
+
+
+def test_ema_alpha_one_is_identity(spark):
+    closes = [5.0, 9.0, 2.0, 7.5]
+    df = _series(spark, closes)
+    rows = ema(df, "close", "day", ["symbol"], alpha=1.0).collect()
+    assert all(r.ema == r.close for r in rows)
+
+
+def test_ema_constant_series_stays_constant(spark):
+    df = _series(spark, [42.0] * 10)
+    rows = ema(df, "close", "day", ["symbol"], alpha=0.3).collect()
+    assert all(r.ema == 42.0 for r in rows)
+
+
+def test_ema_keys_are_independent(spark):
+    a = _series(spark, [1.0, 2.0], symbol="A")
+    b = _series(spark, [100.0, 200.0], symbol="B")
+    rows = ema(a.union(b), "close", "day", ["symbol"], alpha=0.5).collect()
+    got = {(r.symbol, r.day): r.ema for r in rows}
+    assert got[("A", 1.0)] == 1.5
+    assert got[("B", 1.0)] == 150.0
+
+
+def test_bollinger_constant_series_zero_band(spark):
+    df = _series(spark, [10.0] * 25)
+    rows = bollinger_bands(df, "close", "day", ["symbol"], n=20).collect()
+    late = [r for r in rows if r.day >= 1]
+    assert all(r.sd20 == 0.0 for r in late)
+    assert all(r.upper_band == 10.0 and r.lower_band == 10.0 for r in late)
+    # sd == 0 -> %B undefined
+    assert all(r.pct_b is None for r in rows)
+
+
+def test_rsi_monotone_up_is_100(spark):
+    df = _series(spark, [float(i) for i in range(20)])
+    rows = rsi(df, "close", "day", ["symbol"], n=14).collect()
+    by_day = {r.day: r.rsi_14 for r in rows}
+    # needs 14 deltas -> first non-null at day 14
+    assert by_day[13.0] is None
+    assert by_day[14.0] == 100.0
+    assert by_day[19.0] == 100.0
+
+
+def test_rsi_alternating_is_50(spark):
+    # equal gains and losses -> RSI = 50
+    closes = [10.0, 12.0] * 10
+    df = _series(spark, closes)
+    rows = rsi(df, "close", "day", ["symbol"], n=14).collect()
+    vals = [r.rsi_14 for r in rows if r.rsi_14 is not None]
+    assert vals and all(math.isclose(v, 50.0) for v in vals)
+
+
+def test_bollinger_plan_single_shuffle(spark, sf_dir):
+    from sparktrends_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["bollinger_daily"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one shuffle for the bar aggregation, one for the symbol window —
+    # no extra exchanges from the band/%B projections
+    assert plan.count("Exchange hashpartitioning") <= 2
