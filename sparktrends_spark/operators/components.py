@@ -101,13 +101,32 @@ def connected_components(
             .localCheckpoint()
         )
         changed = new_labels.filter(F.col("_changed")).count()
-        # Release the PREVIOUS checkpoint via its original handle — a
-        # .drop() projection would not unpersist the underlying RDD.
+        # Best-effort release of the previous round. For a
+        # localCheckpoint() frame this unpersist is routed through the
+        # CacheManager, which has no entry for the checkpoint's
+        # LogicalRDD — the blocks are actually freed when the RDD is
+        # GC'd by the ContextCleaner. Dropping our only reference here
+        # is what makes that GC possible; with reliable .checkpoint()
+        # (setCheckpointDir) the release would be explicit instead.
         labels_ckpt.unpersist()
         labels_ckpt = new_labels
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        # Loop exhausted max_iter without the changed-count reaching 0:
+        # the labels are NOT a fixed point and component ids would be
+        # silently wrong (callers like dedup_clusters would emit bogus
+        # canonical ids). Fail loudly — similarity graphs are
+        # near-cliques and converge in a handful of rounds, so hitting
+        # this means the graph (or max_iter) is not what the caller
+        # assumed.
+        if changed > 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"rounds ({changed} labels still changing); raise "
+                "max_iter or check the pair graph for long chains"
+            )
     return labels.select("node", F.col("label").alias("component_id"))
 
 

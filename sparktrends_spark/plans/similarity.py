@@ -192,7 +192,12 @@ _ND_PLANES = 4
 _ND_TABLES = 2
 
 
-def _neardup_oracle() -> str:
+def _neardup_with() -> str:
+    """Shared WITH-chain (buckets -> candidates -> scored pairs) for the
+    near-dup oracle family; each query appends its own tail SELECT.
+    Mirrors the ``_minhash_with()`` pattern in plans/text.py — string
+    surgery on a finished query would silently no-op if the template
+    drifted."""
     all_planes = hyperplanes(_ND_TABLES * _ND_PLANES, _DIM)
     tables = [
         all_planes[t * _ND_PLANES : (t + 1) * _ND_PLANES]
@@ -226,11 +231,14 @@ scored AS (
   JOIN e eb ON eb.vec_id = id_b,
   LATERAL (SELECT ea.v AS va, eb.v AS vb) t
 )
-SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_ND_THRESHOLD}
 """
 
 
-@query("embedding_neardup", oracle=_neardup_oracle())
+@query(
+    "embedding_neardup",
+    oracle=_neardup_with()
+    + f"SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_ND_THRESHOLD}",
+)
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (north-star dedup family).
 
@@ -250,13 +258,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_dedup_keep",
-    oracle=_neardup_oracle().replace(
-        "SELECT id_a, id_b, cosine FROM scored WHERE cosine >= "
-        + str(_ND_THRESHOLD),
-        f"""SELECT vec_id, label FROM embeddings
+    oracle=_neardup_with()
+    + f"""SELECT vec_id, label FROM embeddings
 WHERE vec_id NOT IN (
   SELECT id_b FROM scored WHERE cosine >= {_ND_THRESHOLD})""",
-    ),
 )
 def q_embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup-style corpus output: drop every vector whose verified

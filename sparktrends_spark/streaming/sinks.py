@@ -49,6 +49,15 @@ def upsert_parquet(
     """
     spark = df.sparkSession
     incoming = df.withColumn(version_col, F.lit(int(version)))
+    # Recover from a crash that happened between the two renames of a
+    # previous call (final moved aside, staging not yet promoted): the
+    # backup is then the only copy of the table, so restore it BEFORE
+    # reading/merging — otherwise this call would treat the table as
+    # absent and the backup cleanup below would delete the last copy.
+    final = path.rstrip("/")
+    backup = final + ".old"
+    if not os.path.isdir(final) and os.path.isdir(backup):
+        os.rename(backup, final)
     if os.path.isdir(path):
         existing = spark.read.parquet(path)
         merged = existing.unionByName(incoming)
@@ -65,10 +74,8 @@ def upsert_parquet(
     # renamed aside before the staging rename so a crash mid-swap
     # leaves a recoverable copy (never an empty path). Cluster path:
     # this read-merge-rewrite is a single MERGE INTO on Delta/Iceberg.
-    staging = path.rstrip("/") + ".staging"
+    staging = final + ".staging"
     latest.write.mode("overwrite").parquet(staging)
-    final = path.rstrip("/")
-    backup = final + ".old"
     if os.path.isdir(backup):
         shutil.rmtree(backup)
     had_existing = os.path.isdir(final)

@@ -256,3 +256,22 @@ def test_upsert_parquet_last_writer_wins(spark, tmp_path):
     upsert_parquet(df2, path, keys=("k", "ts"), version=1)
     rows = {(r.k, r.ts): r.v for r in spark.read.parquet(path).collect()}
     assert rows == {("A", 1): 99.0, ("B", 2): 5.0}
+
+
+def test_upsert_parquet_recovers_mid_swap_crash(spark, tmp_path):
+    """A crash between os.rename(final, backup) and os.rename(staging,
+    final) leaves only the backup; the next call must restore it before
+    merging instead of treating the table as absent (which would both
+    lose history and delete the backup — the sole surviving copy)."""
+    import os
+
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([("A", 1, 10.0)], "k string, ts int, v double")
+    upsert_parquet(df1, path, keys=("k", "ts"), version=0)
+    # Simulate the torn swap: final moved aside, staging never promoted.
+    os.rename(path, path + ".old")
+    df2 = spark.createDataFrame([("B", 2, 5.0)], "k string, ts int, v double")
+    upsert_parquet(df2, path, keys=("k", "ts"), version=1)
+    rows = {(r.k, r.ts): r.v for r in spark.read.parquet(path).collect()}
+    assert rows == {("A", 1): 10.0, ("B", 2): 5.0}
+    assert not os.path.isdir(path + ".old")
