@@ -16,6 +16,7 @@ from sparktrends_spark.plans import tpch_extra2  # noqa: E402,F401
 from sparktrends_spark.plans import windows  # noqa: E402,F401
 from sparktrends_spark.plans import text  # noqa: E402,F401
 from sparktrends_spark.plans import similarity  # noqa: E402,F401
+from sparktrends_spark.plans import streaming_queries  # noqa: E402,F401
 from sparktrends_spark.plans import multimodal  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -71,16 +71,8 @@ metrics AS (
 _METRIC_COLS = ["symbol", "timestamp", "close", "vwap_5", "vol_5", "is_anomaly"]
 
 
-def trades_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The canonical trades DataFrame derived from ``events``."""
-    # Per-row JSON extraction is CPU-bound: fan the scan out, but prune
-    # to the needed raw columns FIRST so the round-robin exchange never
-    # carries bytes the projection will drop (column pruning does not
-    # reach through a user Repartition).
-    raw = load_table(spark, sf_dir, "events").select(
-        "event_type", "user_id", "value", "props", "ts", "event_id"
-    )
-    ev = scan_parallel(raw)
+def trades_projection(ev: DataFrame) -> DataFrame:
+    """Project raw events (batch or streaming) to the trades shape."""
     return ev.select(
         F.concat(
             F.col("event_type"), F.lit("_"), (F.col("user_id") % 10).cast("string")
@@ -92,6 +84,18 @@ def trades_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts"),
         F.col("event_id"),
     )
+
+
+def trades_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical trades DataFrame derived from ``events``."""
+    # Per-row JSON extraction is CPU-bound: fan the scan out, but prune
+    # to the needed raw columns FIRST so the round-robin exchange never
+    # carries bytes the projection will drop (column pruning does not
+    # reach through a user Repartition).
+    raw = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value", "props", "ts", "event_id"
+    )
+    return trades_projection(scan_parallel(raw))
 
 
 def bars_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,205 @@
+"""Graded Structured Streaming queries (SURVEY §2.10 T1-T5 + the
+declared-intent gaps: watermarks, session windows, update mode).
+
+Each query here runs a REAL streaming query — ``readStream`` file
+source -> ``withWatermark`` -> stateful aggregation -> ``foreachBatch``
+idempotent upsert sink -> ``availableNow`` trigger — over the driver's
+parquet testdata, waits for termination, and returns the sink table.
+This is the reference's stream job shape end-to-end
+(stock_stream.py:122-193) with the §7.4 scale fixes (idempotent
+natural-key sink instead of at-least-once JDBC append).
+
+Determinism / oracle story: the whole table arrives as ONE micro-batch
+(single parquet file, no maxFilesPerTrigger), so the watermark drops
+nothing and update-mode emissions happen exactly once per final group —
+streaming output equals batch semantics, and each query carries a full
+DuckDB oracle. What the grade then certifies is that the *streaming*
+plan (state store, watermark bookkeeping, sink idempotence) computes
+the same answer as the declarative batch plan.
+
+At 100 TB the same topology runs with a real trigger: the file source
+becomes Kafka (sources/kafka.py), the upsert becomes MERGE INTO on a
+keyed table, and watermark+update-mode bound state exactly as here.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparktrends_spark.operators.bars import ohlcv_bars
+from sparktrends_spark.plans.market import (
+    _BARS_CTE,
+    _TRADES_CTE,
+    trades_projection,
+)
+from sparktrends_spark.plans.registry import query
+from sparktrends_spark.sources.tables import _ensure_read_confs
+from sparktrends_spark.streaming.sinks import upsert_parquet
+
+_EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (file source standing in for
+    the reference's Kafka source S2 — identical downstream plan).
+
+    The parquet stores TIMESTAMP(NANOS); the schema reads it as a
+    ns-long (``nanosAsLong``) and converts with the same integer-μs
+    truncation as the batch loader, so batch and stream agree to the
+    microsecond. One divergence from the batch loader: watermarks
+    reject TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so
+    event time stays TIMESTAMP here — the session is pinned to UTC, so
+    wall-clock values are identical and outputs are cast back to ntz
+    after aggregation for oracle parity.
+    """
+    _ensure_read_confs(spark)
+    # Glob, not the bare file: FileStreamSource requires its basePath
+    # to be a directory, and the glob keeps it from picking up the
+    # other tables in the sf dir.
+    raw = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .parquet(f"{sf_dir.rstrip('/')}/events*.parquet")
+    )
+    return raw.withColumn(
+        "ts",
+        F.expr("timestamp_micros(cast(ts div 1000 as bigint))"),
+    )
+
+
+def run_upsert_stream(
+    result: DataFrame,
+    keys: tuple[str, ...],
+    output_mode: str = "update",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drive a streaming aggregate to completion through the idempotent
+    upsert sink; return the final table (minus sink bookkeeping)."""
+    out_dir = tempfile.mkdtemp(prefix="stream_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_ckpt_")
+    table = os.path.join(out_dir, "t")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(batch_df, table, keys=keys, version=batch_id)
+
+    spark = result.sparkSession
+    # A stateful query materializes one state-store instance per shuffle
+    # partition; a default-conf session (200) spends more time opening
+    # 400 empty HDFS-state dirs than aggregating. The partition count is
+    # baked into the query at start, so scope the override to this run
+    # and restore afterwards (values are partition-count-independent).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(int(prev), spark.sparkContext.defaultParallelism)),
+    )
+    try:
+        q = (
+            result.writeStream.outputMode(output_mode)
+            .foreachBatch(process)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(table).drop("_batch_id")
+
+
+@query(
+    "stream_ohlcv_bars",
+    oracle=f"WITH {_TRADES_CTE.strip()}, {_BARS_CTE.strip()} SELECT * FROM bars",
+)
+def q_stream_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's streaming core (S2+P1-P4+T1+A2+K4+K5), graded:
+    streamed trades -> watermark -> 1-minute tumbling OHLCV (state-store
+    windowed agg, deterministic min_by/max_by open/close) -> update-mode
+    micro-batches -> natural-key upsert. Oracle = the batch bars query:
+    the streaming state machine must land on the identical table."""
+    trades = trades_projection(stream_events(spark, sf_dir)).withWatermark(
+        "ts", "10 minutes"
+    )
+    bars = ohlcv_bars(trades, ts_col="ts", tiebreak_col="event_id").withColumn(
+        "timestamp", F.col("timestamp").cast("timestamp_ntz")
+    )
+    return run_upsert_stream(bars, keys=("symbol", "timestamp"))
+
+
+@query(
+    "stream_user_sessions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM seq
+),
+agg AS (
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events, sum(value) AS total_value
+  FROM sess GROUP BY user_id, session_idx
+),
+wm AS (SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS wm_us FROM events)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.total_value
+FROM agg a, wm WHERE epoch_us(a.session_end) < wm.wm_us
+""",
+)
+def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on a live stream (``F.session_window`` — the
+    state-store-merged operator the reference's TODO asks for, SURVEY
+    §2.10 'declared intent'): 30-minute-gap sessions per user, APPEND
+    mode (the only mode session aggregation supports), so a session
+    only emits once the watermark passes its end — real late-data
+    eviction semantics, graded.
+
+    The oracle restates both halves relationally: gap sessionization
+    (lag + running sum; Spark's session end is last event + gap), then
+    the watermark filter — the final watermark is max(event time in
+    whole ms) - 10 min, and only sessions with end < watermark are
+    finalized. Sessions still open at end-of-stream (the last ~40 min
+    of each user's activity) are withheld in BOTH engines.
+
+    Note the contrast with the batch twin ``event_sessions``: same
+    semantics, but sessions here are merged incrementally by the state
+    store rather than by a sort-based window over the full table."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    sessions = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_upsert_stream(
+        sessions, keys=("user_id", "session_start"), output_mode="append"
+    )
