@@ -1,0 +1,76 @@
+"""Candidate-pair generation for LSH families (MinHash bands, SimHash
+blocks, hyperplane tables) without a global DISTINCT.
+
+OR-amplified LSH emits a candidate pair once per band/table the two
+items collide in; naive generation explodes (id, band, key) and
+DISTINCTs the joined pairs. At 100 TB the candidate-pair set is the
+largest frame in the whole dedup query, and that DISTINCT is a full
+exchange of it.
+
+``first_collision_pairs`` removes it: band t emits a pair iff the two
+ids collide in t and in NO earlier band (equi-join keyed on band t's
+hash with earlier-bands-differ join filters, unioned over bands). The
+emitted pair set is identical to DISTINCT-over-all-bands — each pair
+appears exactly once, attributed to its first colliding band — but
+dedup happens inside each bucket-keyed hash join, so candidate pairs
+are never shuffled again after generation. It also lets the join carry
+small per-item payloads (sketches, vectors, norms) straight into the
+verify stage, skipping the attach-by-id joins the DISTINCT path forces
+(payloads must never ride through a distinct).
+
+Cost model: the base frame is one row per item carrying all L band
+keys (never exploded), so the extra predicate work is O(L) column
+compares per joined pair — tiny next to a pair-set exchange. Keys must
+be non-null (a null key would silently drop its row from every
+band's predicate); LSH hashes are by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Column-name prefix the base frame must use for its band keys.
+KEY_PREFIX = "_k"
+
+
+def first_collision_pairs(
+    base: DataFrame,
+    n_bands: int,
+    id_col: str,
+    out_ids: tuple[str, str] = ("doc_a", "doc_b"),
+    carry: Sequence[tuple[str, str, str]] = (),
+) -> DataFrame:
+    """Emit each colliding (smaller id, larger id) pair exactly once.
+
+    ``base``: one row per item with band-key columns ``_k0.._k{L-1}``
+    plus ``id_col`` and any payload columns. ``carry`` lists
+    ``(payload_col, a_alias, b_alias)`` to project both sides' payloads
+    into the output. Catalyst extracts the band-key equality as the
+    hash-join key and evaluates the id/earlier-band predicates as join
+    filters — each branch stays a hash join, never a loop join.
+    """
+    parts = []
+    for t in range(n_bands):
+        a, c = base.alias("_fca"), base.alias("_fcc")
+        cond = (
+            F.col(f"_fca.{KEY_PREFIX}{t}") == F.col(f"_fcc.{KEY_PREFIX}{t}")
+        ) & (F.col(f"_fca.{id_col}") < F.col(f"_fcc.{id_col}"))
+        for s in range(t):
+            cond &= F.col(f"_fca.{KEY_PREFIX}{s}") != F.col(
+                f"_fcc.{KEY_PREFIX}{s}"
+            )
+        sel = [
+            F.col(f"_fca.{id_col}").alias(out_ids[0]),
+            F.col(f"_fcc.{id_col}").alias(out_ids[1]),
+        ]
+        for payload, alias_a, alias_b in carry:
+            sel += [
+                F.col(f"_fca.{payload}").alias(alias_a),
+                F.col(f"_fcc.{payload}").alias(alias_b),
+            ]
+        parts.append(a.join(c, cond).select(*sel))
+    return reduce(DataFrame.unionByName, parts)

@@ -216,75 +216,71 @@ def neardup_pairs(
     bucket id instead of an O(n^2) cross join; skewed buckets are split
     by AQE. Verification cost is proportional to candidate pairs only.
 
-    ``verify="join"`` (default) attaches vectors+norms by key
-    (broadcast at this corpus size, shuffle-by-id past it) and scores
-    with the JVM HOF dot — measured fastest at sf0.1 (0.47s for 258k
-    pairs on cached candidates; the plan is overhead-bound, not
-    flops-bound). ``verify="closure"`` scores with
-    ``pair_cosine_by_id`` — ids-only Arrow transfer, corpus held once
-    per python worker; it wins when candidate pairs >> corpus size
-    (millions of pairs per bucket at 100 TB) because the join path
-    ships 2 x dim doubles per pair where the closure ships 16 bytes.
-    Both produce bit-identical cosines.
+    OR-amplification dedup uses first-collision-wins instead of a
+    global DISTINCT: table t emits a pair iff the two ids collide in t
+    and in NO earlier table (equi-join on bucket_t with
+    earlier-buckets-differ post-filters, unioned over tables). The
+    emitted pair set is identical to DISTINCT-over-all-tables, but
+    dedup happens inside each bucket-keyed join — no exchange of the
+    candidate-pair set, which at 100 TB is the largest frame in the
+    query. It also lets the join carry vectors+norms directly (hash-
+    table lookup), skipping the two attach-by-id joins the DISTINCT
+    path needs because payloads must never shuffle through a distinct.
+
+    ``verify="join"`` (default) scores that joined frame with the JVM
+    HOF dot — measured fastest at sf0.1 (the plan is overhead-bound,
+    not flops-bound). ``verify="closure"`` scores ids-only candidates
+    with ``pair_cosine_by_id`` — Arrow transfer of 16 bytes/pair,
+    corpus held once per python worker; it wins when candidate pairs >>
+    corpus size (millions of pairs per bucket at 100 TB). Both produce
+    bit-identical cosines.
     """
-    from pyspark.sql import Window  # noqa: F401  (parity w/ siblings)
+    from sparktrends_spark.operators.pairs import (
+        KEY_PREFIX,
+        first_collision_pairs,
+    )
 
     all_planes = hyperplanes(num_tables * num_planes, dim)
     tables = [
         all_planes[t * num_planes : (t + 1) * num_planes]
         for t in range(num_tables)
     ]
-    buckets = F.array(*[lsh_bucket(F.col(vec_col), planes) for planes in tables])
-    # Persist the tiny (id, table, bucket) frame: both sides of the
-    # self-join reference it, and without pinning, the 8-hyperplane
-    # bucketing scan runs twice (Spark has no common-subplan reuse
-    # across self-join branches outside identical exchanges).
-    b = persist_tracked(
-        vectors.select(
-            F.col(id_col),
-            F.posexplode(buckets).alias("table", "bucket"),
-        )
+    carry_vectors = verify != "closure"
+    base_cols = [
+        F.col(id_col),
+        *[
+            lsh_bucket(F.col(vec_col), planes).alias(f"{KEY_PREFIX}{t}")
+            for t, planes in enumerate(tables)
+        ],
+    ]
+    if carry_vectors:
+        # Norms precomputed once per vector (O(corpus)) instead of
+        # twice per pair; evaluation order of dot/norm/divide is
+        # unchanged, so cosines stay bitwise-identical.
+        base_cols += [
+            F.col(vec_col).alias("_v"),
+            norm(F.col(vec_col)).alias("_n"),
+        ]
+    # Persist the bucketed corpus: every per-table self-join references
+    # it twice, and without pinning the hyperplane bucketing scan would
+    # re-execute per branch (no common-subplan reuse across self-join
+    # branches outside identical exchanges). One row per vector — never
+    # exploded per table.
+    base = persist_tracked(vectors.select(*base_cols))
+    carry = (
+        [("_v", "_va", "_vb"), ("_n", "_na", "_nb")] if carry_vectors else []
     )
-    left = b.select(F.col(id_col).alias("id_a"), "table", "bucket")
-    right = b.select(F.col(id_col).alias("id_b"), "table", "bucket")
-    # Dedup on the id pair only — never shuffle the vectors through a
-    # distinct; re-attach them afterwards by key.
-    cand_ids = (
-        left.join(right, on=["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    cands = first_collision_pairs(
+        base, num_tables, id_col=id_col, out_ids=("id_a", "id_b"), carry=carry
     )
-    # Precompute each vector's norm once (O(corpus)) instead of twice
-    # per candidate pair (O(pairs)); dot/norm/divide evaluation order is
-    # unchanged, so results stay bitwise-identical to cosine(a, b).
     if verify == "closure":
         cos_by_id = pair_cosine_by_id(
             closure_source if closure_source is not None else vectors,
             id_col,
             vec_col,
         )
-        cands = cand_ids
         cos = cos_by_id(F.col("id_a"), F.col("id_b"))
     else:
-        va = vectors.select(
-            F.col(id_col).alias("id_a"),
-            F.col(vec_col).alias("_va"),
-            norm(F.col(vec_col)).alias("_na"),
-        )
-        vb = vectors.select(
-            F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("_vb"),
-            norm(F.col(vec_col)).alias("_nb"),
-        )
-        # The corpus after bucketing/repartitioning loses its file-size
-        # stats, so Catalyst won't auto-broadcast it — hint explicitly:
-        # candidate pairs stream, vectors build the hash table. At
-        # corpus sizes past broadcast limits, drop the hints and these
-        # become shuffle joins keyed on id — still never all-pairs.
-        cands = cand_ids.join(F.broadcast(va), "id_a").join(
-            F.broadcast(vb), "id_b"
-        )
         cos = dot(F.col("_va"), F.col("_vb")) / (
             F.col("_na") * F.col("_nb")
         )

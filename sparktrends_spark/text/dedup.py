@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sparktrends_spark.caching import persist_tracked
+from sparktrends_spark.operators.pairs import KEY_PREFIX, first_collision_pairs
 from sparktrends_spark.text.analysis import tokens
 
 
@@ -199,25 +200,28 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs from shared buckets."""
+    """Band the signatures and emit candidate pairs from shared buckets.
+
+    Pair dedup across bands is first-collision-wins
+    (``operators/pairs.py``) — same pair set as a DISTINCT over the
+    exploded band join, without ever exchanging the pair set. The
+    banded frame (one row per doc, ``bands`` md5 key columns) is
+    persisted: every per-band self-join references it twice and the
+    signature pipeline above it is the expensive part.
+    """
     sig_strs = F.transform(F.col("sig"), lambda x: x.cast("string"))
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(
-            F.concat_ws("|", F.slice(sig_strs, b * rows_per_band + 1, rows_per_band))
-        ),
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", F.slice(sig_strs, b * rows_per_band + 1, rows_per_band)
+            )
+        ).alias(f"{KEY_PREFIX}{b}")
+        for b in range(bands)
+    ]
+    banded = persist_tracked(
+        signatures.select(F.col(id_col).alias("doc"), *band_cols)
     )
-    banded = signatures.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(band_hashes).alias("band", "bh"),
-    )
-    return (
-        banded.alias("a")
-        .join(banded.alias("b"), on=["band", "bh"])
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
+    return first_collision_pairs(banded, bands, id_col="doc")
 
 
 def minhash_dedup_pairs(
@@ -232,13 +236,13 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
     candidates -> exact-Jaccard verify >= threshold.
 
-    Shingle sets and signatures are persisted: both feed two downstream
-    branches (the banded self-join and the verification join), and
-    without pinning them Spark recomputes the full hash pipeline once
-    per branch.
+    Shingle sets are persisted (they feed both the signature pipeline
+    and the verification join); the banded signature frame is persisted
+    inside ``lsh_candidate_pairs``, which covers the per-band self-join
+    branches — the signatures themselves are consumed exactly once.
     """
     shingled = persist_tracked(shingle_sets(df, text_col, id_col, shingle_n))
-    sigs = persist_tracked(minhash_signatures(shingled, num_perm, id_col))
+    sigs = minhash_signatures(shingled, num_perm, id_col)
     cands = lsh_candidate_pairs(sigs, bands, num_perm // bands, id_col)
     sets_a = shingled.select(
         F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
@@ -322,28 +326,24 @@ def simhash_pairs(
     )
     sh = with_simhash64(shingled, "h").select("doc", "h")
     mask = (1 << band_bits) - 1
-    band_arr = F.array(
-        *[
-            F.shiftright(F.col("h"), b * band_bits).bitwiseAND(F.lit(mask))
-            for b in range(n_bands)
-        ]
-    )
-    # Persisted: both self-join sides reference it; unpinned, the full
-    # shingle+sketch pipeline would run once per side.
+    # Persisted: every per-band self-join references it twice; unpinned,
+    # the full shingle+sketch pipeline would run once per branch. One
+    # row per doc, block keys as wide columns (first-collision-wins
+    # dedup — no exploded frame, no pair DISTINCT).
     banded = persist_tracked(
-        sh.select("doc", "h", F.posexplode(band_arr).alias("band", "block"))
-    )
-    cands = (
-        banded.alias("a")
-        .join(banded.alias("b"), on=["band", "block"])
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.h").alias("h_a"),
-            F.col("b.h").alias("h_b"),
+        sh.select(
+            "doc",
+            "h",
+            *[
+                F.shiftright(F.col("h"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias(f"{KEY_PREFIX}{b}")
+                for b in range(n_bands)
+            ],
         )
-        .distinct()
+    )
+    cands = first_collision_pairs(
+        banded, n_bands, id_col="doc", carry=[("h", "h_a", "h_b")]
     )
     return (
         cands.withColumn(
@@ -412,27 +412,21 @@ def simhash32_pairs(
         .select("doc", "h")
     )
     mask = (1 << band_bits) - 1
-    band_arr = F.array(
-        *[
-            F.shiftright(F.col("h"), b * band_bits).bitwiseAND(F.lit(mask))
-            for b in range(n_bands)
-        ]
-    )
-    # Persisted for the same two-sided self-join reason as above.
+    # Persisted for the same per-band self-join reason as above.
     banded = persist_tracked(
-        sh.select("doc", "h", F.posexplode(band_arr).alias("band", "block"))
-    )
-    cands = (
-        banded.alias("a")
-        .join(banded.alias("b"), on=["band", "block"])
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.h").alias("h_a"),
-            F.col("b.h").alias("h_b"),
+        sh.select(
+            "doc",
+            "h",
+            *[
+                F.shiftright(F.col("h"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias(f"{KEY_PREFIX}{b}")
+                for b in range(n_bands)
+            ],
         )
-        .distinct()
+    )
+    cands = first_collision_pairs(
+        banded, n_bands, id_col="doc", carry=[("h", "h_a", "h_b")]
     )
     return (
         cands.withColumn(
