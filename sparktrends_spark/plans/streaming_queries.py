@@ -9,13 +9,16 @@ This is the reference's stream job shape end-to-end
 (stock_stream.py:122-193) with the §7.4 scale fixes (idempotent
 natural-key sink instead of at-least-once JDBC append).
 
-Determinism / oracle story: the whole table arrives as ONE micro-batch
-(single parquet file, no maxFilesPerTrigger), so the watermark drops
-nothing and update-mode emissions happen exactly once per final group —
-streaming output equals batch semantics, and each query carries a full
-DuckDB oracle. What the grade then certifies is that the *streaming*
-plan (state store, watermark bookkeeping, sink idempotence) computes
-the same answer as the declarative batch plan.
+Determinism / oracle story: in the graded runs the whole table arrives
+as ONE micro-batch (single parquet file, no maxFilesPerTrigger), so the
+watermark drops nothing and update-mode emissions happen exactly once
+per final group — streaming output equals batch semantics, and each
+query carries a full DuckDB oracle. What the grade then certifies is
+that the *streaming* plan (state store, watermark bookkeeping, sink
+idempotence) computes the same answer as the declarative batch plan.
+The multi-batch path (``maxFilesPerTrigger`` + time-ordered files) is
+covered by tests/test_streaming_multibatch.py, which proves the same
+convergence when watermarks advance and state evicts across batches.
 
 At 100 TB the same topology runs with a real trigger: the file source
 becomes Kafka (sources/kafka.py), the upsert becomes MERGE INTO on a
@@ -29,6 +32,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from sparktrends_spark.operators.bars import ohlcv_bars
 from sparktrends_spark.plans.market import (
@@ -41,36 +45,58 @@ from sparktrends_spark.sources.tables import _ensure_read_confs
 from sparktrends_spark.streaming.sinks import upsert_parquet
 
 _EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+_EVENTS_STREAM_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, "
     "event_type string, value double, props string"
 )
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming scan of the events table (file source standing in for
     the reference's Kafka source S2 — identical downstream plan).
 
-    The parquet stores TIMESTAMP(NANOS); the schema reads it as a
-    ns-long (``nanosAsLong``) and converts with the same integer-μs
-    truncation as the batch loader, so batch and stream agree to the
-    microsecond. One divergence from the batch loader: watermarks
-    reject TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so
-    event time stays TIMESTAMP here — the session is pinned to UTC, so
-    wall-clock values are identical and outputs are cast back to ntz
+    The testdata stores ``ts`` as parquet timestamp[us]; the stream
+    schema reads it directly as TIMESTAMP (watermarks reject
+    TIMESTAMP_NTZ — EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session
+    is pinned to UTC, so the wall-clock values equal the batch loader's
+    TIMESTAMP_NTZ values exactly, and outputs are cast back to ntz
     after aggregation for oracle parity.
+
+    Defensive branch (mirrors sources/tables.py): if a regenerated
+    testdata file stores TIMESTAMP(NANOS) instead — which Spark only
+    reads as a ns-long under ``nanosAsLong`` — fall back to the long
+    schema and convert with integer-µs truncation.
     """
     _ensure_read_confs(spark)
+    base = sf_dir.rstrip("/")
+    # Probe the materialized batch type before forcing a stream schema;
+    # a stale schema silently mis-scales every timestamp (the r3 bug).
+    ts_type = spark.read.parquet(f"{base}/events.parquet").schema["ts"].dataType
     # Glob, not the bare file: FileStreamSource requires its basePath
     # to be a directory, and the glob keeps it from picking up the
-    # other tables in the sf dir.
-    raw = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
-        .parquet(f"{sf_dir.rstrip('/')}/events*.parquet")
+    # other tables in the sf dir. maxFilesPerTrigger splits the table
+    # into real multi-batch micro-batches (files arrive mtime-ordered)
+    # so tests can exercise cross-batch watermark eviction.
+    nanos = isinstance(ts_type, LongType)
+    reader = spark.readStream.schema(
+        _EVENTS_STREAM_SCHEMA_NANOS if nanos else _EVENTS_STREAM_SCHEMA
     )
-    return raw.withColumn(
-        "ts",
-        F.expr("timestamp_micros(cast(ts div 1000 as bigint))"),
-    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(f"{base}/events*.parquet")
+    if nanos:
+        return raw.withColumn(
+            "ts",
+            F.expr("timestamp_micros(cast(ts div 1000 as bigint))"),
+        )
+    return raw
 
 
 def run_upsert_stream(
@@ -78,11 +104,15 @@ def run_upsert_stream(
     keys: tuple[str, ...],
     output_mode: str = "update",
     timeout_s: int = 300,
+    ckpt_dir: str | None = None,
 ) -> DataFrame:
     """Drive a streaming aggregate to completion through the idempotent
-    upsert sink; return the final table (minus sink bookkeeping)."""
+    upsert sink; return the final table (minus sink bookkeeping).
+
+    ``ckpt_dir`` is exposed so tests can inspect the offset log (e.g.
+    to prove a run really split into multiple micro-batches)."""
     out_dir = tempfile.mkdtemp(prefix="stream_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="stream_ckpt_")
+    ckpt_dir = ckpt_dir or tempfile.mkdtemp(prefix="stream_ckpt_")
     table = os.path.join(out_dir, "t")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -127,13 +157,24 @@ def q_stream_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed agg, deterministic min_by/max_by open/close) -> update-mode
     micro-batches -> natural-key upsert. Oracle = the batch bars query:
     the streaming state machine must land on the identical table."""
-    trades = trades_projection(stream_events(spark, sf_dir)).withWatermark(
-        "ts", "10 minutes"
-    )
+    return build_stream_ohlcv_bars(spark, sf_dir)
+
+
+def build_stream_ohlcv_bars(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+) -> DataFrame:
+    trades = trades_projection(
+        stream_events(spark, sf_dir, max_files_per_trigger)
+    ).withWatermark("ts", "10 minutes")
     bars = ohlcv_bars(trades, ts_col="ts", tiebreak_col="event_id").withColumn(
         "timestamp", F.col("timestamp").cast("timestamp_ntz")
     )
-    return run_upsert_stream(bars, keys=("symbol", "timestamp"))
+    return run_upsert_stream(
+        bars, keys=("symbol", "timestamp"), ckpt_dir=ckpt_dir
+    )
 
 
 @query(
@@ -183,7 +224,18 @@ def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Note the contrast with the batch twin ``event_sessions``: same
     semantics, but sessions here are merged incrementally by the state
     store rather than by a sort-based window over the full table."""
-    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return build_stream_user_sessions(spark, sf_dir)
+
+
+def build_stream_user_sessions(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+) -> DataFrame:
+    ev = stream_events(spark, sf_dir, max_files_per_trigger).withWatermark(
+        "ts", "10 minutes"
+    )
     sessions = (
         ev.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), "user_id"
@@ -201,5 +253,8 @@ def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_upsert_stream(
-        sessions, keys=("user_id", "session_start"), output_mode="append"
+        sessions,
+        keys=("user_id", "session_start"),
+        output_mode="append",
+        ckpt_dir=ckpt_dir,
     )

@@ -9,8 +9,10 @@ factory is code-first and encodes the settings that matter at scale:
 - ``spark.sql.shuffle.partitions`` sized explicitly (the reference left
   the old default of 200 on a 1-core worker).
 - UTC session timezone so epoch conversions are deployment-independent.
-- ``nanosAsLong`` so parquet TIMESTAMP(NANOS) files (pyarrow default)
-  are readable; sources/tables.py converts them back to timestamps.
+- ``nanosAsLong`` kept on defensively: the current testdata stores
+  timestamps as parquet timestamp[us] (read natively), but a
+  TIMESTAMP(NANOS) file would otherwise fail the scan outright;
+  sources/tables.py detects the resulting ns-long and converts it.
 - Arrow enabled for the Pandas-UDF paths (text/similarity/multimodal).
 """
 

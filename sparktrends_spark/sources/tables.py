@@ -3,11 +3,13 @@
 Tables: region nation customer supplier part orders lineitem events
 documents embeddings, one parquet file per table under an sf dir.
 
-The `events` table is written with parquet TIMESTAMP(NANOS), which
-Spark's vectorized reader rejects outright. We read nanos as longs
-(``spark.sql.legacy.parquet.nanosAsLong``) and convert to
-``timestamp_ntz`` with integer microsecond truncation — exactly what
-DuckDB does when it reads the same file, so oracle comparisons agree.
+The `events` table stores ``ts`` as parquet **timestamp[us]**, which
+Spark reads natively as ``timestamp_ntz`` — no conversion needed.
+Defensively, if a regenerated file ever stores TIMESTAMP(NANOS)
+(which Spark's vectorized reader rejects unless
+``spark.sql.legacy.parquet.nanosAsLong`` surfaces it as a ns-long),
+``load_table`` detects the LongType and converts with integer-µs
+truncation — the same value DuckDB produces for the same file.
 
 All timestamps stay timezone-naive (``timestamp_ntz``) end-to-end to
 match the DuckDB oracle's TIMESTAMP type.
@@ -32,13 +34,16 @@ TABLES = (
     "embeddings",
 )
 
-# Columns stored as TIMESTAMP(NANOS) in parquet, surfaced as ns-longs.
+# Timestamp columns to normalize: stored as timestamp[us] today (read
+# natively); if ever regenerated as TIMESTAMP(NANOS) they surface as
+# ns-longs under nanosAsLong and load_table converts them.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def _ensure_read_confs(spark: SparkSession) -> None:
     # Defensive: the driver may hand us a session without our factory
-    # defaults. Both confs are runtime-settable SQL confs.
+    # defaults. Both confs are runtime-settable SQL confs. nanosAsLong
+    # is a no-op for the current µs testdata; see module docstring.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 

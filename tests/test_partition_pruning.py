@@ -15,10 +15,12 @@ from sparktrends_spark.sources.files import write_partitioned_parquet
 
 
 def test_partition_pruning_on_date_layout(spark, sf_dir, tmp_path):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = ev.withColumn(
-        "event_date", F.to_date(F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    # load_table normalizes ts to timestamp_ntz regardless of the
+    # parquet physical type (µs today; defensive against ns-long).
+    from sparktrends_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("event_date", F.to_date(F.col("ts")))
     path = str(tmp_path / "events_by_date")
     write_partitioned_parquet(ev, path, partition_cols=["event_date"], mode="overwrite")
 

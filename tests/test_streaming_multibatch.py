@@ -1,0 +1,102 @@
+"""Cross-batch watermark eviction for the graded streaming queries.
+
+The graded ``stream_ohlcv_bars`` / ``stream_user_sessions`` parity runs
+deliver the whole table as one micro-batch (deterministic oracle). The
+reference's real deployment is a continuous Kafka feed
+(stock_stream.py:118-119's watermark TODO), where state must survive
+*across* micro-batches: watermarks advance batch-by-batch, sessions
+merge incrementally in the state store, finalized groups are evicted,
+and the upsert sink must still converge to the batch answer.
+
+These tests feed the same events table as several time-ordered files
+with ``maxFilesPerTrigger=1`` — real multi-batch execution — and
+assert the sink still lands exactly on the single-batch DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pandas as pd
+import pytest
+
+from sparktrends_spark.plans import ORACLES
+from sparktrends_spark.plans.streaming_queries import (
+    build_stream_ohlcv_bars,
+    build_stream_user_sessions,
+)
+from tests.oracle_utils import _normalize, duckdb_connection
+
+N_SPLITS = 3
+
+
+@pytest.fixture(scope="module")
+def split_dir(sf_dir, tmp_path_factory) -> str:
+    """events.parquet split into N time-ordered files, mtime-ascending
+    so FileStreamSource picks them up oldest-first (no late drops —
+    what a healthy Kafka feed looks like; late-data drops are covered
+    by test_streaming.test_dedup_within_watermark)."""
+    out = tmp_path_factory.mktemp("events_split")
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("ts", "ascending")]))
+    n = len(tbl)
+    step = (n + N_SPLITS - 1) // N_SPLITS
+    base_mtime = 1_700_000_000
+    for i in range(N_SPLITS):
+        name = "events.parquet" if i == 0 else f"events_{i}.parquet"
+        path = str(out / name)
+        pq.write_table(tbl.slice(i * step, step), path)
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    return str(out)
+
+
+def _oracle(sf_dir: str, name: str) -> pd.DataFrame:
+    con = duckdb_connection(sf_dir)
+    try:
+        return con.execute(ORACLES[name]).fetchdf()
+    finally:
+        con.close()
+
+
+def _n_batches(ckpt_dir: str) -> int:
+    return len(
+        [f for f in os.listdir(os.path.join(ckpt_dir, "offsets")) if f.isdigit()]
+    )
+
+
+def _assert_frames_equal(result_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
+    assert sorted(result_pdf.columns) == sorted(oracle_pdf.columns)
+    assert len(result_pdf) == len(oracle_pdf)
+    s, d = _normalize(result_pdf), _normalize(oracle_pdf)
+    for col in s.columns:
+        sv, dv = s[col], d[col]
+        if pd.api.types.is_float_dtype(sv):
+            pd.testing.assert_series_equal(sv, dv.astype(sv.dtype), rtol=1e-6)
+        else:
+            assert sv.tolist() == dv.tolist(), f"mismatch in {col}"
+
+
+def test_multibatch_ohlcv_upsert_lands_on_oracle(spark, sf_dir, split_dir, tmp_path):
+    ckpt = str(tmp_path / "ckpt_bars")
+    result = build_stream_ohlcv_bars(
+        spark, split_dir, max_files_per_trigger=1, ckpt_dir=ckpt
+    ).toPandas()
+    # the run really was multi-batch (>= one batch per file)
+    assert _n_batches(ckpt) >= N_SPLITS
+    # update-mode re-emissions across batches + keyed upsert converge
+    # to the exact batch answer on the ORIGINAL single-file table
+    _assert_frames_equal(result, _oracle(sf_dir, "stream_ohlcv_bars"))
+
+
+def test_multibatch_sessions_evict_across_batches(spark, sf_dir, split_dir, tmp_path):
+    ckpt = str(tmp_path / "ckpt_sessions")
+    result = build_stream_user_sessions(
+        spark, split_dir, max_files_per_trigger=1, ckpt_dir=ckpt
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    # append mode: sessions merged incrementally in the state store,
+    # emitted only once the advancing watermark passes their end —
+    # identical final set to the single-batch run
+    _assert_frames_equal(result, _oracle(sf_dir, "stream_user_sessions"))
