@@ -274,8 +274,13 @@ def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(_docs(spark, sf_dir))
 
 
-@query("doc_simhash_pairs")  # rows-only: xxhash64 has no DuckDB equivalent
-def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Not a registered query: xxhash64 has no DuckDB equivalent, so the
+# 64-bit sketch could only carry a rows-only check. The graded SimHash
+# surface is doc_simhash32_pairs (identical banding/verify shape, full
+# value-level oracle); the faster 64-bit sketch stays a library
+# operator covered by test_text_dedup.test_simhash_pairs_on_testdata's
+# recall floor against exact Jaccard ground truth.
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir))
 
 
@@ -484,9 +489,10 @@ FROM cand WHERE bit_count(xor(h_a, h_b)) <= 6
 
 @query("doc_simhash32_pairs", oracle=_simhash32_oracle())
 def q_doc_simhash32_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable 32-bit md5 SimHash near-dup pairs — the value-checked
-    member of the SimHash family (doc_simhash_pairs keeps the faster
-    xxhash64 sketch under the rows-only check)."""
+    """Portable 32-bit md5 SimHash near-dup pairs — the graded SimHash
+    surface (the faster xxhash64 64-bit sketch is the library operator
+    ``simhash_pairs``, recall-tested locally; it has no DuckDB-portable
+    hash so it cannot carry a value-level oracle)."""
     from sparktrends_spark.text.dedup import simhash32_pairs
 
     return simhash32_pairs(_docs(spark, sf_dir))
