@@ -258,3 +258,89 @@ def build_stream_user_sessions(
         output_mode="append",
         ckpt_dir=ckpt_dir,
     )
+
+
+@query(
+    "stream_purchase_attribution",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+)
+def q_stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, graded: clicks joined to purchases
+    by the same user within 30 minutes, both sides watermarked.
+
+    This is the Structured Streaming operator family the reference
+    never reached (its one join is stream-to-static,
+    stock_stream.py:99-110): BOTH sides are unbounded, so the join is
+    stateful — each side buffers rows in the state store until the
+    other side's watermark passes the interval bound, and the time
+    condition is what lets Spark evict (without it, state grows
+    forever). Inner-join matches emit as soon as both rows arrive;
+    with availableNow over one file the emitted set equals the batch
+    join, which the oracle restates relationally.
+
+    At scale: state is keyed by user_id, bounded to 30 min + watermark
+    delay per side; pair fan-out is per-user clicks x purchases inside
+    the interval — the same cost the batch range join pays, paid
+    incrementally."""
+    return build_stream_purchase_attribution(spark, sf_dir)
+
+
+def build_stream_purchase_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+) -> DataFrame:
+    ev = stream_events(spark, sf_dir, max_files_per_trigger)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        on=[
+            F.col("c_user_id") == F.col("p_user_id"),
+            F.col("purchase_ts") >= F.col("click_ts"),
+            F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"),
+        ],
+        how="inner",
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )
+    return run_upsert_stream(
+        joined,
+        keys=("click_id", "purchase_id"),
+        output_mode="append",
+        ckpt_dir=ckpt_dir,
+    )
