@@ -296,11 +296,67 @@ def q_stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     return build_stream_purchase_attribution(spark, sf_dir)
 
 
+@query(
+    "stream_purchase_attribution_outer",
+    oracle="""
+WITH wm AS (
+  SELECT least(
+    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+    (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+  ) - INTERVAL 10 MINUTE AS w
+)
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+UNION ALL
+SELECT c.user_id,
+       c.event_id AS click_id,
+       CAST(NULL AS BIGINT) AS purchase_id,
+       c.ts AS click_ts,
+       CAST(NULL AS TIMESTAMP) AS purchase_ts,
+       CAST(NULL AS DOUBLE) AS purchase_value
+FROM events c, wm
+WHERE c.event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+  AND c.ts + INTERVAL 30 MINUTE < wm.w
+""",
+)
+def q_stream_purchase_attribution_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream join, graded — the semantics layer the
+    inner variant doesn't touch: an unmatched left row may only emit
+    its null-joined result once the watermark proves no future right
+    row can match (state eviction), so "no match yet" and "no match
+    ever" are distinguished by time, not by end-of-input.
+
+    The oracle restates that machinery relationally: matched pairs are
+    the plain interval join; null-joined rows are exactly the clicks
+    with no purchase in-window whose join window closed before the
+    global watermark — least(max click ts, max purchase ts) - 10 min,
+    because Spark takes the min over both inputs' watermarks. Clicks
+    still inside the watermark horizon at end-of-stream are withheld
+    by BOTH engines (verified: 2 matched + 207 evicted + 1 withheld at
+    sf0.001)."""
+    return build_stream_purchase_attribution(spark, sf_dir, how="leftOuter")
+
+
 def build_stream_purchase_attribution(
     spark: SparkSession,
     sf_dir: str,
     max_files_per_trigger: int | None = None,
     ckpt_dir: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     ev = stream_events(spark, sf_dir, max_files_per_trigger)
     clicks = (
@@ -329,7 +385,7 @@ def build_stream_purchase_attribution(
             F.col("purchase_ts") >= F.col("click_ts"),
             F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"),
         ],
-        how="inner",
+        how=how,
     ).select(
         F.col("c_user_id").alias("user_id"),
         "click_id",
