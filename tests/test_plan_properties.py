@@ -125,3 +125,43 @@ def test_q11_single_fact_agg_broadcast_threshold(spark, sf_dir):
     # plan.toString() reprints the cached child plan at each use site,
     # so count InMemoryTableScan, not file-scan strings.
     assert plan.count("InMemoryTableScan") == 2, plan
+
+
+def test_ohlcv_bars_hash_aggregates_no_sorts(spark, sf_dir):
+    # min_by/max_by with a struct ordering buffer silently degrades the
+    # whole agg to SortAggregate (full sort of every trade on both
+    # sides of the shuffle). The packed-bigint ordering keeps every
+    # buffer field primitive: partial+final HashAggregate, zero sorts.
+    plan = _plan(spark, "ohlcv_bars", sf_dir)
+    assert plan.count("HashAggregate") == 2, plan
+    assert "SortAggregate" not in plan
+    assert "Sort " not in plan
+
+
+def test_ohlcv_bars_struct_fallback_matches_packed(spark, sf_dir):
+    # Exotic durations fall back to the struct ordering; both paths
+    # must select identical open/close rows.
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.operators.bars import ohlcv_bars
+    from sparktrends_spark.plans.market import trades_view
+
+    t = trades_view(spark, sf_dir)
+    fast = ohlcv_bars(t, ts_col="ts", tiebreak_col="event_id")
+    slow = ohlcv_bars(
+        t, window_duration="60 seconds", ts_col="ts", tiebreak_col="event_id"
+    )
+    # "60 seconds" parses too (still fast path); force the struct path
+    # with a duration the packer rejects but window() accepts
+    slower = ohlcv_bars(
+        t,
+        window_duration="1 minute 0 seconds",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    assert "SortAggregate" in (
+        slower._jdf.queryExecution().executedPlan().toString()
+    )
+    for other in (slow, slower):
+        assert fast.exceptAll(other).count() == 0
+        assert other.exceptAll(fast).count() == 0
