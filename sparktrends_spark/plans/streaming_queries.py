@@ -42,7 +42,10 @@ from sparktrends_spark.plans.market import (
 )
 from sparktrends_spark.plans.registry import query
 from sparktrends_spark.sources.tables import _ensure_read_confs
-from sparktrends_spark.streaming.sinks import upsert_parquet
+from sparktrends_spark.streaming.sinks import (
+    read_upserted,
+    upsert_parquet_bucketed,
+)
 
 _EVENTS_STREAM_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, "
@@ -116,7 +119,9 @@ def run_upsert_stream(
     table = os.path.join(out_dir, "t")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        upsert_parquet(batch_df, table, keys=keys, version=batch_id)
+        # Bucketed: each micro-batch rewrites only the key-hash buckets
+        # it touches — O(batch), not O(table), as the sink grows.
+        upsert_parquet_bucketed(batch_df, table, keys=keys, version=batch_id)
 
     spark = result.sparkSession
     # A stateful query materializes one state-store instance per shuffle
@@ -144,7 +149,7 @@ def run_upsert_stream(
                 q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(table).drop("_batch_id")
+    return read_upserted(spark, table)
 
 
 @query(

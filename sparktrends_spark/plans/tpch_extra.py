@@ -465,6 +465,44 @@ def event_props_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_props_variant",
+    oracle="""
+SELECT event_type,
+       avg(CAST(json_extract(props, '$.k') AS BIGINT)) AS avg_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(sum(CASE WHEN json_extract(props, '$.absent') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns via the VARIANT type (Spark 4): parse
+    the JSON payload once into the binary variant encoding, then do
+    typed path extraction (``try_variant_get``) downstream.
+
+    Versus per-path ``get_json_object`` (reference F2 restated in the
+    market queries), variant parses each payload ONCE and every
+    extraction walks the decoded tree — the right shape when many
+    queries touch many paths of the same payload at 100 TB (and the
+    storage story: variant columns shred to parquet). Missing paths
+    yield NULL (counted here), never errors."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    return v.groupBy("event_type").agg(
+        F.avg(F.try_variant_get("v", "$.k", "bigint")).alias("avg_k"),
+        F.max(F.try_variant_get("v", "$.k", "bigint")).alias("max_k"),
+        F.sum(
+            F.when(
+                F.try_variant_get("v", "$.absent", "string").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_missing"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "order_price_sketch",
     oracle="""
 SELECT o_orderpriority,

@@ -275,3 +275,65 @@ def test_upsert_parquet_recovers_mid_swap_crash(spark, tmp_path):
     rows = {(r.k, r.ts): r.v for r in spark.read.parquet(path).collect()}
     assert rows == {("A", 1): 10.0, ("B", 2): 5.0}
     assert not os.path.isdir(path + ".old")
+
+
+def test_upsert_parquet_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.streaming.sinks import (
+        read_upserted,
+        upsert_parquet_bucketed,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    upsert_parquet_bucketed(base, path, keys=("k",), n_buckets=8, version=0)
+    buckets = sorted(d for d in os.listdir(path) if d.startswith("_bucket="))
+    assert len(buckets) == 8
+    mtimes = {d: os.path.getmtime(os.path.join(path, d)) for d in buckets}
+
+    # single-key update: exactly one bucket directory may change
+    one = spark.createDataFrame([(7, 777)], "k long, v long")
+    upsert_parquet_bucketed(one, path, keys=("k",), n_buckets=8, version=1)
+    changed = [
+        d
+        for d in buckets
+        if os.path.getmtime(os.path.join(path, d)) != mtimes[d]
+    ]
+    assert len(changed) == 1, changed
+
+    out = read_upserted(spark, path)
+    assert out.count() == 200
+    assert out.filter(F.col("k") == 7).head().v == 777
+    # replay the same batch: converges, still no duplicates
+    upsert_parquet_bucketed(one, path, keys=("k",), n_buckets=8, version=1)
+    assert read_upserted(spark, path).count() == 200
+
+
+def test_upsert_parquet_bucketed_last_writer_wins_like_flat(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.streaming.sinks import (
+        read_upserted,
+        upsert_parquet_bucketed,
+    )
+
+    path = str(tmp_path / "t2")
+    b0 = spark.createDataFrame(
+        [("A", 1, 1.0), ("A", 2, 2.0), ("B", 1, 3.0)], "s string, t int, v double"
+    )
+    b1 = spark.createDataFrame(
+        [("A", 2, 20.0), ("C", 1, 9.0)], "s string, t int, v double"
+    )
+    upsert_parquet_bucketed(b0, path, keys=("s", "t"), version=0)
+    upsert_parquet_bucketed(b1, path, keys=("s", "t"), version=1)
+    # out-of-order replay of the older batch must not resurrect old rows
+    upsert_parquet_bucketed(b0, path, keys=("s", "t"), version=0)
+    rows = {
+        (r.s, r.t): r.v for r in read_upserted(spark, path).collect()
+    }
+    assert rows == {("A", 1): 1.0, ("A", 2): 20.0, ("B", 1): 3.0, ("C", 1): 9.0}
