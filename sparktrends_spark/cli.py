@@ -25,10 +25,20 @@ import sys
 from sparktrends_spark.session import get_spark
 
 
+def _session(args: argparse.Namespace, app_name: str):
+    """Session from --config (reference: every job loads config.yml,
+    spark/utilities.py:17-26) or from the code-first factory."""
+    if getattr(args, "config", None):
+        from sparktrends_spark.config import spark_from_config
+
+        return spark_from_config(args.config)
+    return get_spark(app_name)
+
+
 def _cmd_query(args: argparse.Namespace) -> int:
     from sparktrends_spark.plans import QUERIES
 
-    spark = get_spark("sparktrends-query")
+    spark = _session(args, "sparktrends-query")
     df = QUERIES[args.name](spark, args.sf_dir)
     df.show(args.rows, truncate=False)
     return 0
@@ -38,7 +48,7 @@ def _cmd_batch(args: argparse.Namespace) -> int:
     from sparktrends_spark.operators.bars import ohlcv_bars
     from sparktrends_spark.operators.parse import parse_trade_envelope
 
-    spark = get_spark("sparktrends-batch")
+    spark = _session(args, "sparktrends-batch")
     trades = parse_trade_envelope(spark.read.text(args.frames))
     bars = ohlcv_bars(trades)
     bars.write.mode("overwrite").parquet(args.out)
@@ -54,7 +64,7 @@ def _cmd_stream(args: argparse.Namespace) -> int:
         trade_stream_from_files,
     )
 
-    spark = get_spark("sparktrends-stream")
+    spark = _session(args, "sparktrends-stream")
     trades = trade_stream_from_files(spark, args.frames)
     bars = streaming_minute_bars(trades, watermark=args.watermark)
     query = run_bar_pipeline(
@@ -74,7 +84,7 @@ def _cmd_meta(args: argparse.Namespace) -> int:
     from sparktrends_spark.schemas import COMPANY_SCHEMA
     from sparktrends_spark.sources.files import read_csv
 
-    spark = get_spark("sparktrends-meta")
+    spark = _session(args, "sparktrends-meta")
     df = read_csv(spark, args.csv, COMPANY_SCHEMA)
     # K2: full dimension refresh is an overwrite (stock_batch.py:68)
     df.write.mode("overwrite").parquet(args.out)
@@ -90,7 +100,7 @@ def _cmd_sql(args: argparse.Namespace) -> int:
     optimization (pushdown, pruning, broadcast, AQE) applies."""
     from sparktrends_spark.sources.tables import register_views
 
-    spark = get_spark("sparktrends-sql")
+    spark = _session(args, "sparktrends-sql")
     register_views(spark, args.sf_dir)
     if args.file:
         with open(args.file) as fh:
@@ -116,20 +126,26 @@ def _cmd_bench(args: argparse.Namespace) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="sparktrends_spark")
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "--config",
+        help="engine config file (YAML/JSON, see config.py); "
+        "builds the session via spark_from_config",
+    )
     sub = parser.add_subparsers(dest="mode", required=True)
 
-    q = sub.add_parser("query", help="run a registered query")
+    q = sub.add_parser("query", help="run a registered query", parents=[common])
     q.add_argument("--name", required=True)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--rows", type=int, default=20)
     q.set_defaults(fn=_cmd_query)
 
-    b = sub.add_parser("batch", help="bounded frames -> OHLCV bars")
+    b = sub.add_parser("batch", help="bounded frames -> OHLCV bars", parents=[common])
     b.add_argument("--frames", required=True)
     b.add_argument("--out", required=True)
     b.set_defaults(fn=_cmd_batch)
 
-    s = sub.add_parser("stream", help="streaming frames -> bars/metrics/alerts")
+    s = sub.add_parser("stream", help="streaming frames -> bars/metrics/alerts", parents=[common])
     s.add_argument("--frames", required=True)
     s.add_argument("--out", required=True)
     s.add_argument("--watermark", default="2 minutes")
@@ -138,12 +154,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--timeout", type=int, default=300)
     s.set_defaults(fn=_cmd_stream)
 
-    m = sub.add_parser("meta", help="company CSV -> parquet dimension")
+    m = sub.add_parser("meta", help="company CSV -> parquet dimension", parents=[common])
     m.add_argument("--csv", required=True)
     m.add_argument("--out", required=True)
     m.set_defaults(fn=_cmd_meta)
 
-    sq = sub.add_parser("sql", help="run ANSI SQL over the testdata views")
+    sq = sub.add_parser("sql", help="run ANSI SQL over the testdata views", parents=[common])
     g = sq.add_mutually_exclusive_group(required=True)
     g.add_argument("--query", help="SQL statement")
     g.add_argument("--file", help="path to a .sql file")
@@ -152,7 +168,7 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--rows", type=int, default=20)
     sq.set_defaults(fn=_cmd_sql)
 
-    be = sub.add_parser("bench", help="run the bench harness")
+    be = sub.add_parser("bench", help="run the bench harness", parents=[common])
     be.add_argument("--bench-path", default="bench.py")
     be.set_defaults(fn=_cmd_bench)
 

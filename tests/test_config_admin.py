@@ -135,3 +135,15 @@ def test_ensure_topics_propagates_real_errors():
     with pytest.raises(RuntimeError, match="NotController"):
         ensure_topics([TopicSpec("t")], admin_factory=lambda _: admin)
     assert admin.closed
+
+
+def test_cli_accepts_config_file(spark, tmp_path, capsys):
+    from sparktrends_spark.cli import main
+
+    cfg = render_config(jdbc_url="jdbc:x", kafka_bootstrap="b:9092")
+    path = write_config(str(tmp_path / "config.yml"), cfg)
+    rc = main(
+        ["query", "--name", "nation_setops", "--rows", "2", "--config", path]
+    )
+    assert rc == 0
+    assert "union" in capsys.readouterr().out
