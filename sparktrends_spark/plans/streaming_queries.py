@@ -41,7 +41,7 @@ from sparktrends_spark.plans.market import (
     trades_projection,
 )
 from sparktrends_spark.plans.registry import query
-from sparktrends_spark.sources.tables import _ensure_read_confs
+from sparktrends_spark.sources.tables import _ensure_read_confs, load_table
 from sparktrends_spark.streaming.sinks import (
     read_upserted,
     upsert_parquet_bucketed,
@@ -299,6 +299,49 @@ def q_stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     the interval — the same cost the batch range join pays, paid
     incrementally."""
     return build_stream_purchase_attribution(spark, sf_dir)
+
+
+@query(
+    "stream_segment_activity",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_events,
+       sum(e.value) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_stream_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join, graded: the unbounded event stream joined to
+    the static customer dimension, then aggregated per market segment.
+
+    This is what the reference's foreachBatch re-read of Postgres
+    history (T3, stock_stream.py:99-110) should be when the static
+    side is a dimension: declare the join and Spark re-plans it per
+    micro-batch — the dimension broadcasts, no state store involvement
+    for the join itself, and the downstream agg holds one row per
+    segment. The static side is re-resolved each batch, so a slowly-
+    changing dimension picks up updates without restarting the query.
+
+    One stateful aggregation only: chaining a second agg behind it
+    trips Spark's global-watermark correctness check (late partial
+    results would be dropped downstream) — per-segment-distinct-user
+    style metrics belong in a batch query (segment_stats) or a
+    two-query pipeline, not one streaming plan. Update mode + keyed
+    upsert as usual."""
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), on="user_id")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    return run_upsert_stream(agg, keys=("segment",))
 
 
 @query(
