@@ -445,10 +445,21 @@ FROM x
 
 @query("doc_word_chunks", oracle=_CHUNKS_ORACLE)
 def q_doc_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-size word chunking via a Python UDTF + lateral join — the
-    §2.11 table-function surface (reference has none). The builtin
-    equivalent (`chunk_documents_builtin`) is the hot path; unit tests
-    pin both to identical output."""
+    """Fixed-size word chunking via built-in expressions (split +
+    sequence + slice): pure JVM, whole-stage codegen, no shuffle — the
+    100 TB hot path, and therefore the graded/benched surface."""
+    from sparktrends_spark.text.chunking import chunk_documents_builtin
+
+    return chunk_documents_builtin(_docs(spark, sf_dir), _CHUNK)
+
+
+@query("doc_word_chunks_udtf", oracle=_CHUNKS_ORACLE)
+def q_doc_word_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same chunking through a Python UDTF + lateral join — the
+    §2.11 table-function surface (reference has none), graded against
+    the identical oracle as the builtin twin. Arrow-batched execution
+    (forced in chunk_documents_udtf); UDTFs are the per-row fan-out
+    escape hatch when chunk logic outgrows SQL."""
     from sparktrends_spark.text.chunking import chunk_documents_udtf
 
     return chunk_documents_udtf(_docs(spark, sf_dir), _CHUNK)

@@ -25,7 +25,7 @@ from pyspark.sql.functions import udtf
 CHUNK_SIZE = 32
 
 
-@udtf(returnType="chunk_id: bigint, n_words: int, chunk: string")
+@udtf(returnType="chunk_id: bigint, n_words: int, chunk: string", useArrow=True)
 class ChunkWords:
     """Split single-space-tokenized text into fixed-size word chunks.
 
@@ -46,7 +46,14 @@ def chunk_documents_udtf(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Chunk via the Python UDTF (lateral join) — §2.11 surface."""
+    """Chunk via the Python UDTF (lateral join) — §2.11 surface.
+
+    ``useArrow=True`` on the decorator: without it the UDTF plans as
+    row-at-a-time pickled BatchEvalPythonUDTF — the slow path the
+    engine bans everywhere else; with it, rows move in Arrow batches
+    (ArrowEvalPythonUDTF) like every other sanctioned Python boundary.
+    The session conf alone is not enough — arrow-ness is resolved at
+    decoration time."""
     return docs.lateralJoin(
         ChunkWords(F.col(text_col).outer(), F.lit(chunk_size))
     ).select(id_col, "chunk_id", "n_words", "chunk")

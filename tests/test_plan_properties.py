@@ -165,3 +165,51 @@ def test_ohlcv_bars_struct_fallback_matches_packed(spark, sf_dir):
     for other in (slow, slower):
         assert fast.exceptAll(other).count() == 0
         assert other.exceptAll(fast).count() == 0
+
+
+def test_registry_wide_plan_hygiene(spark, sf_dir):
+    """Sweep EVERY registered batch query's physical plan for the
+    anti-patterns that kill 100 TB runs: unbounded cartesian products
+    and row-at-a-time Python UDFs. Streaming queries are excluded
+    (building them executes the stream); broadcast-singleton cross
+    joins are allowed — a nested-loop join against one broadcast row
+    is a constant-cost pattern, not a blowup."""
+    from sparktrends_spark.caching import release_persisted
+
+    # crossJoin against a broadcast singleton / tiny broadcast frame is
+    # legitimate; plain CartesianProduct (both sides unbroadcast) never is.
+    allowed_bnlj = {
+        "q22_idle_balance",        # scalar subquery vs broadcast avg row
+        "embedding_topk",          # corpus x broadcast query rows
+        "embedding_neardup",       # verify joins vs broadcast pairs
+        "embedding_dedup_keep",
+        "embedding_ivf_topk",      # corpus x one broadcast centroid row
+        "embedding_lsh_topk",
+        "event_window_range_join", # range join vs broadcast window list
+        "q6_revenue_delta",
+        "q11_important_stock",
+        "q15_top_supplier",
+        "q17_small_quantity",
+        "corpus_selection",
+        "doc_decontaminate",
+        "doc_pack_sequences",
+        "lang_mixture_budget",
+        "doc_tfidf_terms",         # idf needs N: one broadcast count row
+    }
+    # Arrow-batched python is the sanctioned slow path; row-at-a-time
+    # BatchEvalPython is never acceptable in a registered plan.
+    failures = []
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("stream_"):
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        finally:
+            release_persisted()
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+    assert not failures, failures
