@@ -132,6 +132,8 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
 )
 def q_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id (SURVEY §2.5
+    absent aggs): all 2^2 grouping-set combinations in one pass."""
     return (
         _t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
@@ -242,6 +244,8 @@ LIMIT 10
 """,
 )
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by revenue (§2.7): agg then orderBy+limit — plans
+    as TakeOrderedAndProject, never a full sort."""
     agg = (
         _t(spark, sf_dir, "orders")
         .join(
@@ -298,6 +302,8 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
 )
 def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (§2.4 absent): existence probe, no row fan-out,
+    customer payload never duplicated."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey")
@@ -313,6 +319,8 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
 )
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (§2.4 absent): the complement probe — customers
+    with no orders at all."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey")
@@ -395,6 +403,8 @@ SELECT 'except' AS op, nationkey FROM (
 """,
 )
 def q_nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.8): UNION / INTERSECT / EXCEPT over derived
+    nation key sets, tagged by operator."""
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
@@ -424,6 +434,8 @@ SELECT * FROM (
 """,
 )
 def q_order_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank per customer by order price (§2.6): classic
+    ranking window, ties exercised by shared prices."""
     orders = _t(spark, sf_dir, "orders")
     w_rn = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
@@ -456,6 +468,8 @@ WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
 """,
 )
 def q_event_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with defaults per user ordered by time (§2.6): gap
+    deltas between consecutive events."""
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     ev = _t(spark, sf_dir, "events")
     return ev.select(
@@ -481,6 +495,8 @@ WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 """,
 )
 def q_customer_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) wealth quartiles per market segment (§2.6): equal-depth
+    bucketing inside each partition."""
     w = Window.orderBy("c_acctbal", "c_custkey")
     return _t(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -511,6 +527,8 @@ FROM events GROUP BY user_id
 """,
 )
 def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type to columns per user (§2.5 absent): explicit
+    value list so the plan is a single agg, no distinct-scan pass."""
     out = (
         _t(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -531,6 +549,8 @@ FROM events GROUP BY event_type
 """,
 )
 def q_event_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions over props per event type (F2 restated):
+    get_json_object extraction + numeric aggregation."""
     k = F.get_json_object("props", "$.k").cast("double")
     return (
         _t(spark, sf_dir, "events")

@@ -66,6 +66,8 @@ SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_docs FROM (
 """,
 )
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by text hash (north-star): one md5 projection + one
+    hash agg keeping the smallest doc_id per group."""
     return exact_dedup_groups(_docs(spark, sf_dir))
 
 
@@ -81,6 +83,8 @@ FROM toks GROUP BY lang
 """,
 )
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts/lengths per doc (north-star text
+    analysis): pure JVM split/size/aggregate projections."""
     d = _docs(spark, sf_dir)
     # materialize the split once, derive every stat from the array
     tok = d.select("lang", "n_chars", tokens(F.col("text")).alias("_toks"))
@@ -115,6 +119,8 @@ FROM toks
 """,
 )
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scores (length, distinct-token ratio, mean
+    word length) — C4/Gopher-style filters, all built-ins."""
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
     t = F.col("_toks")
@@ -156,6 +162,8 @@ FROM hits
 
 @query("doc_lang_id", oracle=_lang_oracle())
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID vs the labeled lang column:
+    stopword-marker hit scoring per language, argmax per doc."""
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", "lang", tokens(F.col("text")).alias("_toks"))
     t = F.col("_toks")
@@ -176,6 +184,8 @@ FROM toks
 """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (md5 over the sorted distinct
+    token bag) — the join key for cross-corpus exact matching."""
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
     t = F.col("_toks")

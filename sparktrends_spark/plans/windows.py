@@ -21,6 +21,8 @@ FROM events GROUP BY event_type, date_trunc('day', ts)
 """,
 )
 def q_daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing (§2.9): per-day per-type counts/sums via
+    date_trunc — the coarse rollup feeding the window queries."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
