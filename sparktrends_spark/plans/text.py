@@ -133,6 +133,54 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_unigram_perplexity",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()},
+t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+n AS (SELECT count(*) AS n_total FROM t),
+scored AS (
+  SELECT doc_id, -ln(c * 1.0 / n_total) AS lp
+  FROM t JOIN tf USING (term) CROSS JOIN n
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(lp), 6) AS avg_neg_logprob,
+       round(exp(avg(lp)), 4) AS perplexity
+FROM scored GROUP BY doc_id
+""",
+)
+def q_doc_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity per document (CCNet-style quality signal,
+    north-star): train token frequencies on the corpus itself, score
+    each doc by the mean negative log-probability of its tokens —
+    boilerplate/repetitive docs score low, rare-token soup scores high.
+
+    Plan: one explode, one term-count agg, a shuffle join of tokens to
+    term frequencies (vocabulary-keyed — the vocabulary grows slowly
+    with corpus size, no skew beyond natural Zipf, which AQE handles),
+    one per-doc agg. The corpus-total count is a broadcast single row.
+    At 100 TB the trained table is exactly what a real KenLM step
+    would snapshot; here train+score fuse into one plan. Rounded
+    before comparison so engines agree to fixed precision."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    terms = toks.select("doc_id", F.explode("_toks").alias("term"))
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n = terms.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        terms.join(tf, "term")
+        .join(F.broadcast(n))
+        .withColumn("lp", -F.log(F.col("c") / F.col("n_total")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_neg_logprob"),
+        F.round(F.exp(F.avg("lp")), 4).alias("perplexity"),
+    )
+
+
 def _lang_oracle() -> str:
     hit_exprs = []
     for lang, markers in LANG_MARKERS.items():

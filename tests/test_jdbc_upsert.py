@@ -131,3 +131,87 @@ def test_upsert_table_idempotent_across_replayed_batches(spark, tmp_path):
     # ensure_table on an existing table is a no-op, not an error
     upsert_table(batch2, ensure_table=True, **kwargs)
     assert _snapshot(db) == after_replay
+
+
+def test_stream_foreachbatch_upserts_into_db(spark, tmp_path):
+    """The reference's deployment shape end-to-end: a streaming agg
+    foreachBatch-upserted into a SQL database (stock_stream.py:169-180
+    did at-least-once appends; this is the exactly-once-observable
+    replacement), restart included."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    db = str(tmp_path / "metrics.db")
+    connect = _connect_factory(db)
+
+    import os
+
+    os.makedirs(src)
+
+    def write_batch(name: str, rows: list[dict]):
+        with open(os.path.join(src, name), "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    write_batch(
+        "a.json",
+        [
+            {"symbol": "AAPL", "price": 10.0},
+            {"symbol": "AAPL", "price": 20.0},
+            {"symbol": "MSFT", "price": 5.0},
+        ],
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema("symbol string, price double")
+            .json(src)
+        )
+        agg = stream.groupBy("symbol").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("price").alias("total")
+        )
+
+        def process(batch_df, batch_id):
+            upsert_table(
+                batch_df,
+                connect=connect,
+                table="metrics",
+                keys=("symbol",),
+                dialect="sqlite",
+                ensure_table=True,
+            )
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    with sqlite3.connect(db) as conn:
+        rows = dict(
+            (s, (n, t))
+            for s, n, t in conn.execute(
+                "SELECT symbol, n, total FROM metrics"
+            )
+        )
+    assert rows == {"AAPL": (2, 30.0), "MSFT": (1, 5.0)}
+
+    # restart with more data: update-mode re-emission refines the same
+    # natural keys in place — no duplicate rows, totals move forward
+    write_batch("b.json", [{"symbol": "AAPL", "price": 5.0}])
+    run()
+    with sqlite3.connect(db) as conn:
+        rows = dict(
+            (s, (n, t))
+            for s, n, t in conn.execute(
+                "SELECT symbol, n, total FROM metrics"
+            )
+        )
+    assert rows == {"AAPL": (3, 35.0), "MSFT": (1, 5.0)}
