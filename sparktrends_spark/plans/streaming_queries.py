@@ -326,7 +326,18 @@ def q_stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     holds ~2x the groups of the tumbling case and update-mode re-emits
     both windows an event lands in; the keyed upsert dedups the
     re-emissions into final rows."""
-    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return build_stream_sliding_event_counts(spark, sf_dir)
+
+
+def build_stream_sliding_event_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+) -> DataFrame:
+    ev = stream_events(spark, sf_dir, max_files_per_trigger).withWatermark(
+        "ts", "10 minutes"
+    )
     agg = (
         ev.groupBy(
             "event_type", F.window("ts", "10 minutes", "5 minutes").alias("w")
@@ -343,7 +354,9 @@ def q_stream_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame
             "total_value",
         )
     )
-    return run_upsert_stream(agg, keys=("event_type", "window_start"))
+    return run_upsert_stream(
+        agg, keys=("event_type", "window_start"), ckpt_dir=ckpt_dir
+    )
 
 
 @query(

@@ -100,3 +100,34 @@ def test_multibatch_sessions_evict_across_batches(spark, sf_dir, split_dir, tmp_
     # emitted only once the advancing watermark passes their end —
     # identical final set to the single-batch run
     _assert_frames_equal(result, _oracle(sf_dir, "stream_user_sessions"))
+
+
+def test_multibatch_sliding_windows_land_on_oracle(spark, sf_dir, split_dir, tmp_path):
+    from sparktrends_spark.plans.streaming_queries import (
+        build_stream_sliding_event_counts,
+    )
+
+    ckpt = str(tmp_path / "ckpt_sliding")
+    result = build_stream_sliding_event_counts(
+        spark, split_dir, max_files_per_trigger=1, ckpt_dir=ckpt
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    _assert_frames_equal(result, _oracle(sf_dir, "stream_sliding_event_counts"))
+
+
+def test_multibatch_streamstream_joins_land_on_oracle(spark, sf_dir, split_dir, tmp_path):
+    # Inner: matches emit as both sides arrive across batches. Outer:
+    # null rows additionally emit as the advancing watermark evicts;
+    # with time-ordered input both converge to the single-batch oracle.
+    from sparktrends_spark.plans.streaming_queries import (
+        build_stream_purchase_attribution,
+    )
+
+    for how, name in (("inner", "stream_purchase_attribution"),
+                      ("leftOuter", "stream_purchase_attribution_outer")):
+        ckpt = str(tmp_path / f"ckpt_join_{how}")
+        result = build_stream_purchase_attribution(
+            spark, split_dir, max_files_per_trigger=1, ckpt_dir=ckpt, how=how
+        ).toPandas()
+        assert _n_batches(ckpt) >= N_SPLITS
+        _assert_frames_equal(result, _oracle(sf_dir, name))
