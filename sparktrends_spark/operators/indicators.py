@@ -70,6 +70,65 @@ def ema(
     return df.groupBy(*partition_cols).applyInPandas(_compute, schema=schema)
 
 
+def macd(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_cols: Iterable[str],
+    fast: int = 12,
+    slow: int = 26,
+    signal_n: int = 9,
+) -> DataFrame:
+    """MACD: EMA(fast) − EMA(slow) of the value, plus the signal line
+    (EMA(signal_n) of the MACD itself) and the histogram.
+
+    Three chained recurrences — the signal line is an EMA *of a
+    derived series*, so even a recursive-window engine couldn't fuse
+    it; here all three fold in one Arrow-batched pass per key (same
+    per-key parallelism argument as ``ema``). Alphas are the standard
+    2/(n+1), seeded y_0 = x_0, matching the oracle's fold literals.
+    """
+    partition_cols = list(partition_cols)
+    a_fast, a_slow, a_sig = (
+        2.0 / (fast + 1),
+        2.0 / (slow + 1),
+        2.0 / (signal_n + 1),
+    )
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("macd", T.DoubleType()),
+            T.StructField("signal", T.DoubleType()),
+            T.StructField("histogram", T.DoubleType()),
+        ]
+    )
+
+    def _fold(vals, alpha):
+        one_minus = 1.0 - alpha
+        out = [0.0] * len(vals)
+        acc = 0.0
+        for i, v in enumerate(vals):
+            acc = v if i == 0 else acc * one_minus + v * alpha
+            out[i] = acc
+        return out
+
+    def _compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        ema_fast = _fold(vals, a_fast)
+        ema_slow = _fold(vals, a_slow)
+        macd_l = [f - s for f, s in zip(ema_fast, ema_slow)]
+        signal_l = _fold(macd_l, a_sig)
+        pdf = pdf.copy()
+        pdf["macd"] = macd_l
+        pdf["signal"] = signal_l
+        pdf["histogram"] = [m - s for m, s in zip(macd_l, signal_l)]
+        return pdf
+
+    return df.groupBy(*partition_cols).applyInPandas(_compute, schema=schema)
+
+
 def bollinger_bands(
     df: DataFrame,
     value_col: str,

@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparktrends_spark.operators.bars import ohlcv_bars
-from sparktrends_spark.operators.indicators import bollinger_bands, ema, rsi
+from sparktrends_spark.operators.indicators import (
+    bollinger_bands,
+    ema,
+    macd,
+    rsi,
+)
 from sparktrends_spark.plans.market import (
     _DAILY_BARS_CTE,
     _TRADES_CTE,
@@ -72,6 +77,73 @@ def q_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=_EMA_ALPHA,
     )
     return out.select("symbol", "day", "close", F.round("ema", 6).alias("ema"))
+
+
+def _macd_oracle() -> str:
+    # repr() of the Python doubles: shortest form round-trips to the
+    # identical IEEE double in DuckDB, so both engines fold the same
+    # constants and values match bit-for-bit before the 6-digit round.
+    a12, a26, a9 = repr(2.0 / 13), repr(2.0 / 27), repr(2.0 / 10)
+
+    def fold(src: str, alpha: str) -> str:
+        return (
+            f"list_transform({src}, (x, i) -> "
+            f"list_reduce({src}[1:i], (acc, v) -> acc * (1.0 - {alpha}) + v * {alpha}))"
+        )
+
+    return f"""
+WITH {_TRADES_CTE.strip()}, {_DAILY_BARS_CTE.strip()},
+packed AS (
+  SELECT symbol,
+         list(day ORDER BY day) AS days,
+         list(close ORDER BY day) AS closes
+  FROM daily GROUP BY symbol
+),
+emas AS (
+  SELECT symbol, days, closes,
+         {fold('closes', a12)} AS e12,
+         {fold('closes', a26)} AS e26
+  FROM packed
+),
+m AS (
+  SELECT symbol, days, closes,
+         list_transform(e12, (x, i) -> x - e26[i]) AS macd_l
+  FROM emas
+),
+s AS (
+  SELECT symbol, days, closes, macd_l,
+         {fold('macd_l', a9)} AS signal_l
+  FROM m
+)
+SELECT symbol,
+       unnest(days) AS day,
+       unnest(closes) AS close,
+       unnest(list_transform(macd_l, x -> round(x, 6))) AS macd,
+       unnest(list_transform(signal_l, x -> round(x, 6))) AS signal,
+       unnest(list_transform(macd_l, (x, i) -> round(x - signal_l[i], 6))) AS histogram
+FROM s
+"""
+
+
+@query("macd_daily", oracle=_macd_oracle())
+def q_macd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9) of daily closes per symbol: three chained EMA
+    recurrences in one applyInPandas pass; the oracle folds the same
+    literal alphas with nested list_reduce."""
+    out = macd(
+        _daily(spark, sf_dir),
+        value_col="close",
+        order_col="day",
+        partition_cols=["symbol"],
+    )
+    return out.select(
+        "symbol",
+        "day",
+        "close",
+        F.round("macd", 6).alias("macd"),
+        F.round("signal", 6).alias("signal"),
+        F.round("histogram", 6).alias("histogram"),
+    )
 
 
 @query(
