@@ -195,6 +195,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "doc_pack_sequences",
         "lang_mixture_budget",
         "doc_tfidf_terms",         # idf needs N: one broadcast count row
+        "doc_unigram_perplexity",  # corpus-total N: one broadcast count row
     }
     # Arrow-batched python is the sanctioned slow path; row-at-a-time
     # BatchEvalPython is never acceptable in a registered plan.
