@@ -40,3 +40,25 @@ def decode_payload(payload: bytes, modality: str, mime_type: str) -> Any:
     import io
 
     return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+
+def fake_decode_image(payload: bytes, width: int, height: int):
+    """DETERMINISTIC FAKE decode: pseudo-pixels derived from the
+    payload, NOT a real codec.
+
+    The md5 digest of the payload is tiled across a (height, width, 3)
+    uint8 array — so the "image" is a pure function of the bytes, two
+    engines (or two runs) agree exactly, and everything downstream
+    (array shapes, resize math, Arrow batch memory ∝ H×W×3) behaves
+    like real decoded media. Swap in ``decode_payload`` + np.asarray
+    when codecs exist; the call sites don't change.
+    """
+    import hashlib
+
+    import numpy as np
+
+    digest = hashlib.md5(payload).digest()
+    n = width * height * 3
+    reps = -(-n // len(digest))  # ceil
+    flat = np.frombuffer((digest * reps)[:n], dtype=np.uint8)
+    return flat.reshape(height, width, 3)

@@ -88,6 +88,80 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(featurize, FEATURE_SCHEMA)
 
 
+PIXEL_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("grid", IntegerType(), False),
+        StructField("mean_brightness", DoubleType(), False),
+        StructField("pooled_md5", StringType(), False),
+        StructField("decode_status", StringType(), False),
+    ]
+)
+
+
+def image_pixel_features(assets: DataFrame, grid: int = 8) -> DataFrame:
+    """Decode images to pixel arrays and mean-pool to a ``grid``×``grid``
+    thumbnail — the real decode→resize→feature dataflow, end-to-end.
+
+    Decoding uses the real codec when available, else the DETERMINISTIC
+    FAKE (``fake_decode_image``: md5-tiled pseudo-pixels) so the array
+    math, batch memory shape (H×W×3 uint8 per row), and pooling all
+    execute for real; only the pixel values are synthetic. Output per
+    image: global mean brightness and an md5 over the pooled uint8
+    grid (position-sensitive — catches resize/layout bugs a plain mean
+    would miss).
+    """
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from sparktrends_spark.multimodal.decode import fake_decode_image
+
+        for pdf in batches:
+            imgs = pdf[pdf["modality"] == "image"]
+            out: dict[str, list] = {k.name: [] for k in PIXEL_SCHEMA.fields}
+            for asset_id, payload, w, h in zip(
+                imgs["asset_id"], imgs["payload"], imgs["width"], imgs["height"]
+            ):
+                w, h = int(w), int(h)
+                px = fake_decode_image(bytes(payload), w, h).astype(np.float64)
+                # mean-pool: split each axis into `grid` near-equal bins
+                ys = np.linspace(0, h, grid + 1, dtype=int)
+                xs = np.linspace(0, w, grid + 1, dtype=int)
+                pooled = np.zeros((grid, grid), dtype=np.float64)
+                for i in range(grid):
+                    for j in range(grid):
+                        cell = px[ys[i] : ys[i + 1], xs[j] : xs[j + 1], :]
+                        pooled[i, j] = cell.mean() if cell.size else 0.0
+                pooled_u8 = np.round(pooled).astype(np.uint8)
+                out["asset_id"].append(asset_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["grid"].append(grid)
+                out["mean_brightness"].append(float(px.mean()))
+                out["pooled_md5"].append(
+                    hashlib.md5(pooled_u8.tobytes()).hexdigest()
+                )
+                out["decode_status"].append(
+                    "decoded" if decoder_available("image") else "fake_decode"
+                )
+            yield pd.DataFrame(out).astype(
+                {
+                    "asset_id": "int64",
+                    "width": "int32",
+                    "height": "int32",
+                    "grid": "int32",
+                    "mean_brightness": "float64",
+                    "pooled_md5": "string",
+                    "decode_status": "string",
+                }
+            )
+
+    return assets.mapInPandas(pool, PIXEL_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, every_ms: int = 400) -> DataFrame:
     """Fan video assets out to one row per sampled frame.
 
