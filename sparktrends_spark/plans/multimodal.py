@@ -80,6 +80,42 @@ def q_asset_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asset_pixel_stats",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CAST(32 * (1 + doc_id % 8) AS INTEGER) AS width,
+       CAST(32 * (1 + doc_id % 5) AS INTEGER) AS height,
+       round(list_sum([CAST(concat('0x', substr(md5(text), i*2+1, 2)) AS BIGINT)
+                       for i in range(0, 16)]) / 16.0, 6) AS mean_brightness,
+       'fake_decode' AS decode_status
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+def q_asset_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-pixel statistics per image through the real decode ->
+    pool dataflow (multimodal/featurize.image_pixel_features), graded.
+
+    Oracle-able because the deterministic fake decoder tiles the
+    16-byte md5 digest across width*height*3 pixels and both
+    dimensions are multiples of 32 — the tiling has no remainder, so
+    the exact mean brightness collapses to digest_sum/16 (s/2^4 is
+    exactly representable, and numpy's float64 mean of exact integer
+    sums is the identical double). The SQL recomputes the digest bytes
+    from md5(text) hex. With a real codec the oracle would be replaced
+    by golden images; the Spark-side dataflow would not change."""
+    from sparktrends_spark.multimodal.featurize import image_pixel_features
+
+    feats = image_pixel_features(_assets(spark, sf_dir), grid=4)
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_brightness", 6).alias("mean_brightness"),
+        "decode_status",
+    )
+
+
+@query(
     "modality_stats",
     oracle=f"""
 SELECT {_MODALITY_SQL.strip()} AS modality,
