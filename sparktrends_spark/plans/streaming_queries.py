@@ -387,8 +387,18 @@ def q_stream_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     style metrics belong in a batch query (segment_stats) or a
     two-query pipeline, not one streaming plan. Update mode + keyed
     upsert as usual."""
-    ev = stream_events(spark, sf_dir)
-    cust = load_table(spark, sf_dir, "customer").select(
+    return build_stream_segment_activity(spark, sf_dir)
+
+
+def build_stream_segment_activity(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+    dim_sf_dir: str | None = None,
+) -> DataFrame:
+    ev = stream_events(spark, sf_dir, max_files_per_trigger)
+    cust = load_table(spark, dim_sf_dir or sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     agg = (
@@ -399,7 +409,7 @@ def q_stream_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").alias("total_value"),
         )
     )
-    return run_upsert_stream(agg, keys=("segment",))
+    return run_upsert_stream(agg, keys=("segment",), ckpt_dir=ckpt_dir)
 
 
 @query(

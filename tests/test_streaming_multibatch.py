@@ -131,3 +131,23 @@ def test_multibatch_streamstream_joins_land_on_oracle(spark, sf_dir, split_dir, 
         ).toPandas()
         assert _n_batches(ckpt) >= N_SPLITS
         _assert_frames_equal(result, _oracle(sf_dir, name))
+
+
+def test_multibatch_stream_static_join_lands_on_oracle(spark, sf_dir, split_dir, tmp_path):
+    # stream-static: the dimension is re-resolved every micro-batch;
+    # the running per-segment aggregate refines across batches and the
+    # keyed upsert keeps only the final refinement.
+    from sparktrends_spark.plans.streaming_queries import (
+        build_stream_segment_activity,
+    )
+
+    ckpt = str(tmp_path / "ckpt_segment")
+    result = build_stream_segment_activity(
+        spark,
+        split_dir,
+        max_files_per_trigger=1,
+        ckpt_dir=ckpt,
+        dim_sf_dir=sf_dir,  # split dir holds only events
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    _assert_frames_equal(result, _oracle(sf_dir, "stream_segment_activity"))
