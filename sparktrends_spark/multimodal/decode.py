@@ -62,3 +62,22 @@ def fake_decode_image(payload: bytes, width: int, height: int):
     reps = -(-n // len(digest))  # ceil
     flat = np.frombuffer((digest * reps)[:n], dtype=np.uint8)
     return flat.reshape(height, width, 3)
+
+
+def fake_decode_audio(payload: bytes, duration_ms: int, sample_rate: int = 8000):
+    """DETERMINISTIC FAKE audio decode: int16 PCM samples derived from
+    the payload (md5 digest tiled, little-endian pairs), NOT a codec.
+
+    Length = duration_ms * sample_rate / 1000 samples — real 1-D
+    sample-array shape and memory, synthetic values. Same seam rules
+    as ``fake_decode_image``.
+    """
+    import hashlib
+
+    import numpy as np
+
+    digest = hashlib.md5(payload).digest()
+    n = (duration_ms * sample_rate) // 1000
+    nbytes = n * 2
+    reps = -(-nbytes // len(digest))
+    return np.frombuffer((digest * reps)[:nbytes], dtype="<i2").copy()

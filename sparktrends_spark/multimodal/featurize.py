@@ -162,6 +162,56 @@ def image_pixel_features(assets: DataFrame, grid: int = 8) -> DataFrame:
     return assets.mapInPandas(pool, PIXEL_SCHEMA)
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("rms", DoubleType(), False),
+        StructField("peak", IntegerType(), False),
+        StructField("decode_status", StringType(), False),
+    ]
+)
+
+
+def audio_sample_features(assets: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Decode audio to int16 samples (fake decoder) and compute signal
+    stats — the 1-D counterpart of ``image_pixel_features``: real
+    sample-array shapes and Arrow batch memory, synthetic values."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from sparktrends_spark.multimodal.decode import fake_decode_audio
+
+        for pdf in batches:
+            auds = pdf[pdf["modality"] == "audio"]
+            out: dict[str, list] = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for asset_id, payload, duration in zip(
+                auds["asset_id"], auds["payload"], auds["duration_ms"]
+            ):
+                samples = fake_decode_audio(
+                    bytes(payload), int(duration), sample_rate
+                ).astype(np.float64)
+                out["asset_id"].append(asset_id)
+                out["n_samples"].append(len(samples))
+                out["rms"].append(float(np.sqrt(np.mean(samples**2))))
+                out["peak"].append(int(np.max(np.abs(samples))))
+                out["decode_status"].append(
+                    "decoded" if decoder_available("audio") else "fake_decode"
+                )
+            yield pd.DataFrame(out).astype(
+                {
+                    "asset_id": "int64",
+                    "n_samples": "int64",
+                    "rms": "float64",
+                    "peak": "int32",
+                    "decode_status": "string",
+                }
+            )
+
+    return assets.mapInPandas(stats, AUDIO_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, every_ms: int = 400) -> DataFrame:
     """Fan video assets out to one row per sampled frame.
 

@@ -116,6 +116,53 @@ def q_asset_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asset_audio_stats",
+    oracle="""
+WITH aud AS (
+  SELECT doc_id AS asset_id, md5(text) AS hx,
+         CAST(8000 * (1 + doc_id % 10) AS BIGINT) AS n_samples
+  FROM documents WHERE doc_id % 3 = 1
+),
+s AS (
+  SELECT asset_id, n_samples,
+         [CAST(concat('0x', substr(hx, i*4+1, 2)) AS BIGINT)
+          + 256 * CAST(concat('0x', substr(hx, i*4+3, 2)) AS BIGINT)
+          for i in range(0, 8)] AS raw
+  FROM aud
+),
+v AS (
+  SELECT asset_id, n_samples,
+         list_transform(raw, x -> CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS smp
+  FROM s
+)
+SELECT asset_id, n_samples,
+       round(sqrt(list_sum(list_transform(smp, x -> CAST(x*x AS DOUBLE))) / 8.0), 6) AS rms,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS INTEGER) AS peak,
+       'fake_decode' AS decode_status
+FROM v
+""",
+)
+def q_asset_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-sample statistics per audio asset through the 1-D
+    decode dataflow (multimodal/featurize.audio_sample_features),
+    graded. Oracle-able for the same reason as asset_pixel_stats:
+    sample counts are multiples of the 8 int16 values one md5 digest
+    tiles into, so RMS/peak collapse to exact statistics of those 8
+    values, recomputed in SQL from md5(text) hex (little-endian int16
+    pairs)."""
+    from sparktrends_spark.multimodal.featurize import audio_sample_features
+
+    feats = audio_sample_features(_assets(spark, sf_dir))
+    return feats.select(
+        "asset_id",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        "peak",
+        "decode_status",
+    )
+
+
+@query(
     "modality_stats",
     oracle=f"""
 SELECT {_MODALITY_SQL.strip()} AS modality,
