@@ -1,45 +1,222 @@
-"""Media decode boundary — STUBBED in this environment.
+"""Media codec boundary — real stdlib codecs for PNG and WAV.
 
-The image/audio/video codec libraries (PIL, soundfile, av/ffmpeg) are
-not installed in the build container. This module is the single,
-clearly-marked seam where they would plug in: every featurize path
-calls ``decode_payload`` and degrades to byte-level features when the
-decoder reports unavailable.
+Third-party codec libraries (PIL, soundfile, av/ffmpeg) are not
+installed in the build container, but two formats need only the
+standard library and are implemented for real here:
+
+- **PNG** (``image/png``): ``zlib`` inflate + per-scanline filter
+  reconstruction (filters 0-4, 8-bit gray/RGB/gray+alpha/RGBA,
+  non-interlaced), and a matching encoder (filter 0, 8-bit RGB).
+- **WAV** (``audio/wav``): PCM16 decode/encode via the ``wave``
+  module + ``numpy.frombuffer``.
+
+Everything else (JPEG, MP4, ...) still raises ``NotImplementedError``
+at this single, clearly-marked seam; callers check
+``decoder_available`` / sniff magic bytes and degrade to the
+deterministic fake decoders below (which remain as the no-codec twins
+and as the pseudo-pixel *generators* the synthetic media assets are
+encoded from — see multimodal/assets.encode_media_payloads).
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
+import zlib
 from typing import Any
 
-try:  # pragma: no cover - not installed in the build container
-    from PIL import Image  # noqa: F401
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+WAV_SIGNATURE = b"RIFF"
 
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
+# channel counts per PNG color type (type 3 = palette, unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def decoder_available(modality: str) -> bool:
-    """True if a real decoder exists for the modality in this env."""
-    return modality == "image" and _HAS_PIL
+def decoder_available(modality: str, mime_type: str | None = None) -> bool:
+    """True if a real (stdlib) decoder exists for the modality here.
+
+    PNG and WAV are always decodable (pure stdlib); other image/audio
+    containers and all video are not. When ``mime_type`` is omitted the
+    answer is for the modality's canonical container (png / wav).
+    """
+    if modality == "image":
+        return mime_type in (None, "image/png")
+    if modality == "audio":
+        return mime_type in (None, "audio/wav", "audio/x-wav")
+    return False
 
 
 def decode_payload(payload: bytes, modality: str, mime_type: str) -> Any:
-    """Decode raw media bytes into pixels/samples/frames.
+    """Decode raw media bytes into pixels/samples.
 
-    STUB: raises ``NotImplementedError`` unless the matching codec
-    library is importable. Callers must catch-or-check
-    ``decoder_available`` and fall back to byte-level features — which
-    keeps the distributed plumbing testable without codecs.
+    - image/png -> ``(H, W, 3) uint8`` ndarray (alpha dropped,
+      grayscale replicated to 3 channels)
+    - audio/wav -> ``(samples int16 ndarray, sample_rate)``
+    - anything else -> ``NotImplementedError`` (the plug-in seam for
+      PIL/soundfile/av); corrupt data for a supported format raises
+      ``ValueError``.
     """
-    if not decoder_available(modality):
+    if not decoder_available(modality, mime_type):
         raise NotImplementedError(
             f"no decoder for modality={modality!r} ({mime_type!r}) in this "
-            "environment; install PIL/soundfile/av to enable real decode"
+            "environment; only stdlib PNG/WAV are supported — install "
+            "PIL/soundfile/av for other containers"
         )
-    import io
+    if modality == "image":
+        return decode_png(payload)
+    return decode_wav(payload)
 
-    return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+def decode_png(data: bytes):
+    """Real PNG decode: chunk walk -> zlib inflate -> filter
+    reconstruction. Supports bit depth 8, color types 0/2/4/6,
+    non-interlaced. Returns ``(H, W, 3) uint8`` (alpha dropped,
+    grayscale replicated)."""
+    import numpy as np
+
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos, idat = 8, []
+    width = height = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("not a PNG: missing IHDR")
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG variant unsupported (bit_depth={bit_depth}, "
+            f"color_type={color_type}, interlace={interlace}); "
+            "only 8-bit non-interlaced gray/RGB/GA/RGBA"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at bit depth 8
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up (uint8 addition wraps mod 256 by itself)
+            cur = line + prev
+        elif ftype == 1:  # Sub — serial in x (rare here: our encoder emits 0)
+            cur = line
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(height, width, channels)
+    if color_type == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif color_type == 4:
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif color_type == 6:
+        px = px[:, :, :3]
+    return np.ascontiguousarray(px)
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels) -> bytes:
+    """Real PNG encode: 8-bit RGB, filter 0 on every scanline, one
+    IDAT. Lossless — ``decode_png(encode_png(a)) == a`` exactly."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_png expects (H, W, 3) uint8")
+    h, w, _ = arr.shape
+    filtered = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    filtered[:, 1:] = arr.reshape(h, w * 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(filtered.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(data: bytes):
+    """Real WAV decode (PCM16) via the stdlib ``wave`` module.
+    Returns ``(samples int16 ndarray, sample_rate)``; multi-channel
+    input yields channel 0 (the engine's mono convention)."""
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise NotImplementedError("only PCM16 WAV supported")
+            nch = w.getnchannels()
+            rate = w.getframerate()
+            frames = w.readframes(w.getnframes())
+    except wave.Error as exc:
+        raise ValueError(f"not a WAV: {exc}") from exc
+    samples = np.frombuffer(frames, dtype="<i2")
+    if nch > 1:
+        samples = np.ascontiguousarray(samples.reshape(-1, nch)[:, 0])
+    return samples, rate
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Real WAV encode: mono PCM16. Lossless round-trip with
+    ``decode_wav``."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
 
 
 def fake_decode_image(payload: bytes, width: int, height: int):
@@ -50,8 +227,10 @@ def fake_decode_image(payload: bytes, width: int, height: int):
     uint8 array — so the "image" is a pure function of the bytes, two
     engines (or two runs) agree exactly, and everything downstream
     (array shapes, resize math, Arrow batch memory ∝ H×W×3) behaves
-    like real decoded media. Swap in ``decode_payload`` + np.asarray
-    when codecs exist; the call sites don't change.
+    like real decoded media. It is also the pseudo-pixel *generator*
+    for the synthetic media assets: ``encode_png(fake_decode_image(t))``
+    produces a real PNG whose decoded pixels are this array — which is
+    what makes the real-codec queries oracle-checkable.
     """
     import hashlib
 
@@ -70,7 +249,7 @@ def fake_decode_audio(payload: bytes, duration_ms: int, sample_rate: int = 8000)
 
     Length = duration_ms * sample_rate / 1000 samples — real 1-D
     sample-array shape and memory, synthetic values. Same seam rules
-    as ``fake_decode_image``.
+    (and same generator role) as ``fake_decode_image``.
     """
     import hashlib
 

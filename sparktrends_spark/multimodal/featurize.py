@@ -7,10 +7,11 @@ Two canonical shapes:
   UDTF-style expansion a frame-level training pipeline needs.
 
 Both run per Arrow batch, never per row; payload bytes stay inside the
-batch (no driver collect). Feature values are deterministic byte-level
-stand-ins (md5, byte mean) because real codecs are stubbed
-(multimodal/decode.py) — swap ``decode_payload`` in and the plumbing
-is unchanged.
+batch (no driver collect). ``extract_features`` is byte-level by
+design (no decode); the pixel/audio paths decode PNG/WAV payloads with
+the REAL stdlib codecs (multimodal/decode.py) and fall back to the
+deterministic fake decoders for payloads that aren't a supported
+container — ``decode_status`` reports which path each row took.
 
 Scale notes: mapInPandas preserves the input partitioning — partition
 the asset table by storage locality (e.g. date) and the scan, decode
@@ -35,8 +36,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from sparktrends_spark.multimodal.decode import decoder_available
-
 FEATURE_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
@@ -60,7 +59,11 @@ FRAME_SCHEMA = StructType(
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
-    """Per-asset byte-level features via one pass of mapInPandas."""
+    """Per-asset byte-level features via one pass of mapInPandas.
+
+    Never decodes — these are container-agnostic byte statistics, so
+    ``decode_status`` is the constant ``byte_level`` (it describes what
+    this pass did, not what a codec could do)."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -77,11 +80,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     "mean_byte": payloads.map(
                         lambda b: float(sum(b)) / len(b) if len(b) else None
                     ),
-                    "decode_status": pdf["modality"].map(
-                        lambda m: "decoded"
-                        if decoder_available(m)
-                        else "stubbed_no_codec"
-                    ),
+                    "decode_status": "byte_level",
                 }
             )
 
@@ -101,23 +100,31 @@ PIXEL_SCHEMA = StructType(
 )
 
 
-def image_pixel_features(assets: DataFrame, grid: int = 8) -> DataFrame:
+def image_pixel_features(
+    assets: DataFrame, grid: int = 8, use_codec: bool = True
+) -> DataFrame:
     """Decode images to pixel arrays and mean-pool to a ``grid``×``grid``
     thumbnail — the real decode→resize→feature dataflow, end-to-end.
 
-    Decoding uses the real codec when available, else the DETERMINISTIC
-    FAKE (``fake_decode_image``: md5-tiled pseudo-pixels) so the array
-    math, batch memory shape (H×W×3 uint8 per row), and pooling all
-    execute for real; only the pixel values are synthetic. Output per
-    image: global mean brightness and an md5 over the pooled uint8
-    grid (position-sensitive — catches resize/layout bugs a plain mean
-    would miss).
+    PNG payloads (sniffed by signature) go through the REAL stdlib
+    decoder (``decode_png``) and report ``decode_status='decoded'``;
+    width/height then come from the decoded array, not the metadata
+    columns. Non-PNG payloads (or ``use_codec=False``, the no-codec
+    twin) fall back to the DETERMINISTIC FAKE
+    (``fake_decode_image``: md5-tiled pseudo-pixels) and report
+    ``fake_decode``. Output per image: global mean brightness and an
+    md5 over the pooled uint8 grid (position-sensitive — catches
+    resize/layout bugs a plain mean would miss).
     """
 
     def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from sparktrends_spark.multimodal.decode import fake_decode_image
+        from sparktrends_spark.multimodal.decode import (
+            PNG_SIGNATURE,
+            decode_png,
+            fake_decode_image,
+        )
 
         for pdf in batches:
             imgs = pdf[pdf["modality"] == "image"]
@@ -125,8 +132,16 @@ def image_pixel_features(assets: DataFrame, grid: int = 8) -> DataFrame:
             for asset_id, payload, w, h in zip(
                 imgs["asset_id"], imgs["payload"], imgs["width"], imgs["height"]
             ):
-                w, h = int(w), int(h)
-                px = fake_decode_image(bytes(payload), w, h).astype(np.float64)
+                raw = bytes(payload)
+                if use_codec and raw[:8] == PNG_SIGNATURE:
+                    px_u8 = decode_png(raw)
+                    h, w = px_u8.shape[0], px_u8.shape[1]
+                    status = "decoded"
+                else:
+                    w, h = int(w), int(h)
+                    px_u8 = fake_decode_image(raw, w, h)
+                    status = "fake_decode"
+                px = px_u8.astype(np.float64)
                 # mean-pool: split each axis into `grid` near-equal bins
                 ys = np.linspace(0, h, grid + 1, dtype=int)
                 xs = np.linspace(0, w, grid + 1, dtype=int)
@@ -137,16 +152,14 @@ def image_pixel_features(assets: DataFrame, grid: int = 8) -> DataFrame:
                         pooled[i, j] = cell.mean() if cell.size else 0.0
                 pooled_u8 = np.round(pooled).astype(np.uint8)
                 out["asset_id"].append(asset_id)
-                out["width"].append(w)
-                out["height"].append(h)
+                out["width"].append(int(w))
+                out["height"].append(int(h))
                 out["grid"].append(grid)
                 out["mean_brightness"].append(float(px.mean()))
                 out["pooled_md5"].append(
                     hashlib.md5(pooled_u8.tobytes()).hexdigest()
                 )
-                out["decode_status"].append(
-                    "decoded" if decoder_available("image") else "fake_decode"
-                )
+                out["decode_status"].append(status)
             yield pd.DataFrame(out).astype(
                 {
                     "asset_id": "int64",
@@ -173,15 +186,25 @@ AUDIO_SCHEMA = StructType(
 )
 
 
-def audio_sample_features(assets: DataFrame, sample_rate: int = 8000) -> DataFrame:
-    """Decode audio to int16 samples (fake decoder) and compute signal
-    stats — the 1-D counterpart of ``image_pixel_features``: real
-    sample-array shapes and Arrow batch memory, synthetic values."""
+def audio_sample_features(
+    assets: DataFrame, sample_rate: int = 8000, use_codec: bool = True
+) -> DataFrame:
+    """Decode audio to int16 samples and compute signal stats — the
+    1-D counterpart of ``image_pixel_features``.
+
+    WAV payloads (RIFF signature) decode through the REAL stdlib codec
+    (``decode_wav``, ``decode_status='decoded'``; sample count from the
+    actual decoded array); anything else (or ``use_codec=False``) falls
+    back to the deterministic fake (``fake_decode``)."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from sparktrends_spark.multimodal.decode import fake_decode_audio
+        from sparktrends_spark.multimodal.decode import (
+            WAV_SIGNATURE,
+            decode_wav,
+            fake_decode_audio,
+        )
 
         for pdf in batches:
             auds = pdf[pdf["modality"] == "audio"]
@@ -189,16 +212,19 @@ def audio_sample_features(assets: DataFrame, sample_rate: int = 8000) -> DataFra
             for asset_id, payload, duration in zip(
                 auds["asset_id"], auds["payload"], auds["duration_ms"]
             ):
-                samples = fake_decode_audio(
-                    bytes(payload), int(duration), sample_rate
-                ).astype(np.float64)
+                raw = bytes(payload)
+                if use_codec and raw[:4] == WAV_SIGNATURE:
+                    pcm, _rate = decode_wav(raw)
+                    status = "decoded"
+                else:
+                    pcm = fake_decode_audio(raw, int(duration), sample_rate)
+                    status = "fake_decode"
+                samples = pcm.astype(np.float64)
                 out["asset_id"].append(asset_id)
                 out["n_samples"].append(len(samples))
                 out["rms"].append(float(np.sqrt(np.mean(samples**2))))
                 out["peak"].append(int(np.max(np.abs(samples))))
-                out["decode_status"].append(
-                    "decoded" if decoder_available("audio") else "fake_decode"
-                )
+                out["decode_status"].append(status)
             yield pd.DataFrame(out).astype(
                 {
                     "asset_id": "int64",

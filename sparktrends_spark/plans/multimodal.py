@@ -6,6 +6,14 @@ compute is restatable in SQL over the original text — which is what
 makes these mapInPandas paths oracle-checkable: DuckDB's md5(varchar)
 hashes the same UTF-8 bytes Spark's md5(binary) sees.
 
+The pixel/audio queries go further: ``encode_media_payloads`` turns
+each image/audio payload into a REAL PNG/WAV container (pixels/samples
+= the md5-tiled deterministic arrays), and the featurize paths decode
+them with the real stdlib codecs — so the graded dataflow is
+parse-container → inflate → unfilter → pool on actual media, while the
+decoded values remain an exact SQL function of md5(text). The
+``*_digest`` twins keep the no-codec fallback path graded too.
+
 ``mean_byte`` (no tractable SQL restatement) is covered by
 tests/test_multimodal.py instead.
 """
@@ -15,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparktrends_spark.multimodal.assets import documents_to_assets
+from sparktrends_spark.multimodal.assets import (
+    documents_to_assets,
+    encode_media_payloads,
+)
 from sparktrends_spark.multimodal.featurize import extract_features, sample_frames
 from sparktrends_spark.plans.registry import query
 from sparktrends_spark.sources.tables import load_table, scan_parallel
@@ -38,6 +49,13 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return documents_to_assets(scan_parallel(load_table(spark, sf_dir, "documents")))
 
 
+def _media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset table with real PNG/WAV payloads (encode is CPU-bound and
+    chains into the decode pass — one fused mapInPandas stage, no
+    shuffle between encode and featurize)."""
+    return encode_media_payloads(_assets(spark, sf_dir))
+
+
 @query(
     "asset_features",
     oracle=f"""
@@ -46,7 +64,7 @@ SELECT doc_id AS asset_id,
        {_MIME_SQL.strip()} AS mime_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS payload_md5,
-       'stubbed_no_codec' AS decode_status
+       'byte_level' AS decode_status
 FROM documents
 """,
 )
@@ -79,33 +97,36 @@ def q_asset_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_assets(spark, sf_dir), every_ms=400)
 
 
-@query(
-    "asset_pixel_stats",
-    oracle="""
+_PIXEL_ORACLE_BODY = """
 SELECT doc_id AS asset_id,
        CAST(32 * (1 + doc_id % 8) AS INTEGER) AS width,
        CAST(32 * (1 + doc_id % 5) AS INTEGER) AS height,
        round(list_sum([CAST(concat('0x', substr(md5(text), i*2+1, 2)) AS BIGINT)
                        for i in range(0, 16)]) / 16.0, 6) AS mean_brightness,
-       'fake_decode' AS decode_status
+       '{status}' AS decode_status
 FROM documents WHERE doc_id % 3 = 0
-""",
-)
-def q_asset_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decoded-pixel statistics per image through the real decode ->
-    pool dataflow (multimodal/featurize.image_pixel_features), graded.
+"""
 
-    Oracle-able because the deterministic fake decoder tiles the
-    16-byte md5 digest across width*height*3 pixels and both
-    dimensions are multiples of 32 — the tiling has no remainder, so
-    the exact mean brightness collapses to digest_sum/16 (s/2^4 is
-    exactly representable, and numpy's float64 mean of exact integer
-    sums is the identical double). The SQL recomputes the digest bytes
-    from md5(text) hex. With a real codec the oracle would be replaced
-    by golden images; the Spark-side dataflow would not change."""
+
+@query("asset_pixel_stats", oracle=_PIXEL_ORACLE_BODY.format(status="decoded"))
+def q_asset_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel statistics per image through the REAL codec dataflow:
+    encode_media_payloads writes each image as an actual PNG, and
+    image_pixel_features decodes it back with the stdlib decoder
+    (zlib inflate + scanline unfilter), then pools — container parse,
+    decompression, filter reconstruction and array math all real,
+    ``decode_status='decoded'``. Width/height come from the PNG
+    header, not the metadata columns.
+
+    Still value-oracle-able because the encoded pixels are the
+    md5-tiled digest array (PNG is lossless, so decode returns it
+    exactly): both dims are multiples of 32 so the tiling has no
+    remainder and mean brightness collapses to digest_sum/16, which
+    the SQL recomputes from md5(text) hex. Reference intent: the
+    multimodal north star (BASELINE.json)."""
     from sparktrends_spark.multimodal.featurize import image_pixel_features
 
-    feats = image_pixel_features(_assets(spark, sf_dir), grid=4)
+    feats = image_pixel_features(_media_assets(spark, sf_dir), grid=4)
     return feats.select(
         "asset_id",
         "width",
@@ -116,8 +137,27 @@ def q_asset_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "asset_audio_stats",
-    oracle="""
+    "asset_pixel_stats_digest",
+    oracle=_PIXEL_ORACLE_BODY.format(status="fake_decode"),
+)
+def q_asset_pixel_stats_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-codec twin of asset_pixel_stats: same pooling dataflow over
+    the deterministic fake decoder (md5-tiled pseudo-pixels straight
+    from the text payload) — the degradation path an environment
+    without even stdlib codecs would take, kept graded."""
+    from sparktrends_spark.multimodal.featurize import image_pixel_features
+
+    feats = image_pixel_features(_assets(spark, sf_dir), grid=4, use_codec=False)
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_brightness", 6).alias("mean_brightness"),
+        "decode_status",
+    )
+
+
+_AUDIO_ORACLE_BODY = """
 WITH aud AS (
   SELECT doc_id AS asset_id, md5(text) AS hx,
          CAST(8000 * (1 + doc_id % 10) AS BIGINT) AS n_samples
@@ -138,21 +178,47 @@ v AS (
 SELECT asset_id, n_samples,
        round(sqrt(list_sum(list_transform(smp, x -> CAST(x*x AS DOUBLE))) / 8.0), 6) AS rms,
        CAST(list_max(list_transform(smp, x -> abs(x))) AS INTEGER) AS peak,
-       'fake_decode' AS decode_status
+       '{status}' AS decode_status
 FROM v
-""",
-)
+"""
+
+
+@query("asset_audio_stats", oracle=_AUDIO_ORACLE_BODY.format(status="decoded"))
 def q_asset_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decoded-sample statistics per audio asset through the 1-D
-    decode dataflow (multimodal/featurize.audio_sample_features),
-    graded. Oracle-able for the same reason as asset_pixel_stats:
-    sample counts are multiples of the 8 int16 values one md5 digest
-    tiles into, so RMS/peak collapse to exact statistics of those 8
-    values, recomputed in SQL from md5(text) hex (little-endian int16
-    pairs)."""
+    """Sample statistics per audio asset through the REAL codec
+    dataflow: encode_media_payloads writes each payload as an actual
+    PCM16 WAV, audio_sample_features decodes it back with the stdlib
+    ``wave`` reader (``decode_status='decoded'``; n_samples from the
+    decoded array, not metadata).
+
+    Oracle-able because WAV PCM is lossless and the encoded samples
+    are the md5-tiled int16 array: sample counts are multiples of the
+    8 int16 values one digest tiles into, so RMS/peak collapse to
+    exact statistics of those 8 values, recomputed in SQL from
+    md5(text) hex (little-endian int16 pairs)."""
     from sparktrends_spark.multimodal.featurize import audio_sample_features
 
-    feats = audio_sample_features(_assets(spark, sf_dir))
+    feats = audio_sample_features(_media_assets(spark, sf_dir))
+    return feats.select(
+        "asset_id",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        "peak",
+        "decode_status",
+    )
+
+
+@query(
+    "asset_audio_stats_digest",
+    oracle=_AUDIO_ORACLE_BODY.format(status="fake_decode"),
+)
+def q_asset_audio_stats_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-codec twin of asset_audio_stats: the same signal-stats
+    dataflow over the deterministic fake decoder, kept graded as the
+    fallback path."""
+    from sparktrends_spark.multimodal.featurize import audio_sample_features
+
+    feats = audio_sample_features(_assets(spark, sf_dir), use_codec=False)
     return feats.select(
         "asset_id",
         "n_samples",
