@@ -79,21 +79,29 @@ def decode_png(data: bytes):
         raise ValueError("not a PNG: bad signature")
     pos, idat = 8, []
     width = height = bit_depth = color_type = interlace = None
+    saw_iend = False
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
         chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) != length:
+            raise ValueError("PNG truncated mid-chunk")
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("PNG IHDR malformed")
             width, height, bit_depth, color_type, _c, _f, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
         elif ctype == b"IDAT":
             idat.append(chunk)
         elif ctype == b"IEND":
+            saw_iend = True
             break
     if width is None:
         raise ValueError("not a PNG: missing IHDR")
+    if not saw_iend:
+        raise ValueError("PNG truncated: missing IEND")
     if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"PNG variant unsupported (bit_depth={bit_depth}, "
@@ -101,7 +109,10 @@ def decode_png(data: bytes):
             "only 8-bit non-interlaced gray/RGB/GA/RGBA"
         )
     channels = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT corrupt: {exc}") from exc
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG data length mismatch")
@@ -196,7 +207,10 @@ def decode_wav(data: bytes):
             nch = w.getnchannels()
             rate = w.getframerate()
             frames = w.readframes(w.getnframes())
-    except wave.Error as exc:
+    except (wave.Error, EOFError, struct.error) as exc:
+        # wave.open raises EOFError (via chunk.py) on truncated input and
+        # struct.error on malformed headers — per the decode_payload
+        # contract, corrupt data for a supported format is ValueError.
         raise ValueError(f"not a WAV: {exc}") from exc
     samples = np.frombuffer(frames, dtype="<i2")
     if nch > 1:
