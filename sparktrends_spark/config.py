@@ -22,7 +22,6 @@ from __future__ import annotations
 import json
 import os
 import re
-from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -53,21 +52,64 @@ def _expand_env(value: Any) -> Any:
     return value
 
 
-@dataclass
 class EngineConfig:
-    """Typed view of the reference's config.yml sections."""
+    """Typed view of the reference's config.yml sections.
 
-    spark: dict[str, Any] = field(default_factory=dict)
-    jdbc: dict[str, Any] = field(default_factory=dict)
-    kafka: dict[str, Any] = field(default_factory=dict)
-    window: dict[str, Any] = field(default_factory=dict)
-    extra: dict[str, Any] = field(default_factory=dict)
+    ``${VAR}`` expansion is **lazy, per accessed section**: loading a
+    config never demands secrets that the sections you actually use
+    don't reference (e.g. a Kafka-only job loads fine with
+    ``${SPARKTRENDS_JDBC_URL}`` unset). A missing variable still fails
+    loudly — with the section name — the first time that section is
+    read, which is before any connection attempt.
+    """
+
+    _SECTIONS = ("spark", "jdbc", "kafka", "window", "extra")
+
+    def __init__(
+        self,
+        spark: dict[str, Any] | None = None,
+        jdbc: dict[str, Any] | None = None,
+        kafka: dict[str, Any] | None = None,
+        window: dict[str, Any] | None = None,
+        extra: dict[str, Any] | None = None,
+        expand_env: bool = False,
+    ):
+        self._raw: dict[str, dict[str, Any]] = {
+            "spark": dict(spark or {}),
+            "jdbc": dict(jdbc or {}),
+            "kafka": dict(kafka or {}),
+            "window": dict(window or {}),
+            "extra": dict(extra or {}),
+        }
+        self._expand_env = expand_env
+        self._expanded: dict[str, dict[str, Any]] = {}
+
+    def _section(self, name: str) -> dict[str, Any]:
+        if name not in self._expanded:
+            raw = self._raw[name]
+            if self._expand_env:
+                try:
+                    raw = _expand_env(raw)
+                except KeyError as exc:
+                    raise KeyError(
+                        f"config section {name!r}: {exc.args[0]}"
+                    ) from exc
+            self._expanded[name] = raw
+        return self._expanded[name]
+
+    spark = property(lambda self: self._section("spark"))
+    jdbc = property(lambda self: self._section("jdbc"))
+    kafka = property(lambda self: self._section("kafka"))
+    window = property(lambda self: self._section("window"))
+    extra = property(lambda self: self._section("extra"))
 
     @classmethod
-    def from_dict(cls, raw: dict[str, Any]) -> "EngineConfig":
+    def from_dict(
+        cls, raw: dict[str, Any], expand_env: bool = False
+    ) -> "EngineConfig":
         known = {k: dict(raw.get(k) or {}) for k in ("spark", "jdbc", "kafka", "window")}
         extra = {k: v for k, v in raw.items() if k not in known}
-        return cls(**known, extra=extra)
+        return cls(**known, extra=extra, expand_env=expand_env)
 
 
 def render_config(
@@ -124,9 +166,7 @@ def load_config(path: str, expand_env: bool = True) -> EngineConfig:
     else:
         with open(path) as fh:
             raw = json.load(fh)
-    if expand_env:
-        raw = _expand_env(raw)
-    return EngineConfig.from_dict(raw)
+    return EngineConfig.from_dict(raw, expand_env=expand_env)
 
 
 def spark_from_config(cfg: EngineConfig | str) -> SparkSession:

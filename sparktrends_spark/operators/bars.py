@@ -173,10 +173,12 @@ def ohlcv_bars(
     tumbling window duration parses and leaves >=30 tiebreak bits:
     ``pmod(unix_micros(ts), dur)`` is the offset inside the aligned
     window (identical alignment to ``F.window``'s default), shifted
-    left so (offset, tiebreak mod 2^bits) orders lexicographically.
-    Ties are then broken by the tiebreak's low bits — exact whenever
-    tiebreak < 2^bits (2^37 for 1-minute bars; any realistic id space),
-    and only same-microsecond trades consult the tiebreak at all.
+    left so (offset, biased tiebreak) orders lexicographically. The
+    tiebreak's low bits are biased by half the modulus so NEGATIVE ids
+    order below non-negative ones, exactly like the struct fallback —
+    exact whenever |tiebreak| < 2^(bits-1) (2^36 for 1-minute bars;
+    any realistic id space), and only same-microsecond trades consult
+    the tiebreak at all.
     """
     order: Column
     dur_us = _duration_us(window_duration) if tiebreak_col else None
@@ -185,9 +187,17 @@ def ohlcv_bars(
         offset = F.pmod(
             F.unix_micros(F.col(ts_col).cast("timestamp")), F.lit(dur_us)
         )
-        order = F.shiftleft(offset, tb_bits) + F.pmod(
-            F.col(tiebreak_col).cast("long"), F.lit(1 << tb_bits)
+        # pmod(pmod(tb, 2^b) + 2^(b-1), 2^b) == pmod(tb + 2^(b-1), 2^b)
+        # without the (ANSI-mode) overflow risk of adding to a raw long:
+        # maps [-2^(b-1), 2^(b-1)) monotonically onto [0, 2^b), so the
+        # packed path agrees with the (ts, tiebreak) struct ordering for
+        # negative tiebreaks too.
+        half, full = 1 << (tb_bits - 1), 1 << tb_bits
+        biased_tb = F.pmod(
+            F.pmod(F.col(tiebreak_col).cast("long"), F.lit(full)) + F.lit(half),
+            F.lit(full),
         )
+        order = F.shiftleft(offset, tb_bits) + biased_tb
     elif tiebreak_col:
         order = F.struct(F.col(ts_col), F.col(tiebreak_col))
     else:

@@ -37,10 +37,55 @@ class TopicsNotVisibleError(TimeoutError):
         self.missing = list(missing)
 
 
+class KafkaPythonAdminAdapter:
+    """Adapts kafka-python's ``KafkaAdminClient`` to the injected-admin
+    protocol: converts ``TopicSpec`` -> ``kafka.admin.NewTopic`` on
+    create (kafka-python accesses ``.name``/``.num_partitions``/
+    ``.replication_factor`` but also internal NewTopic attrs, so a bare
+    dataclass would AttributeError on first real use) and normalizes
+    ``list_topics`` to a plain ``list[str]``.
+
+    ``new_topic_cls`` is injectable so the conversion is unit-testable
+    in containers without kafka-python installed.
+    """
+
+    def __init__(self, client, new_topic_cls=None):
+        self._client = client
+        self._new_topic_cls = new_topic_cls
+
+    def _to_new_topic(self, spec):
+        if not isinstance(spec, TopicSpec):
+            return spec  # already a NewTopic (or caller-provided)
+        cls = self._new_topic_cls
+        if cls is None:
+            from kafka.admin import NewTopic  # import-try: not in container
+
+            cls = NewTopic
+        return cls(
+            name=spec.name,
+            num_partitions=spec.num_partitions,
+            replication_factor=spec.replication_factor,
+        )
+
+    def create_topics(self, new_topics, validate_only: bool = False):
+        return self._client.create_topics(
+            new_topics=[self._to_new_topic(t) for t in new_topics],
+            validate_only=validate_only,
+        )
+
+    def list_topics(self) -> list[str]:
+        return [str(t) for t in self._client.list_topics()]
+
+    def close(self) -> None:
+        self._client.close()
+
+
 def _default_admin_factory(bootstrap_servers: str):
     from kafka.admin import KafkaAdminClient  # import-try: not in container
 
-    return KafkaAdminClient(bootstrap_servers=bootstrap_servers)
+    return KafkaPythonAdminAdapter(
+        KafkaAdminClient(bootstrap_servers=bootstrap_servers)
+    )
 
 
 def ensure_topics(

@@ -143,8 +143,11 @@ class WsFramesStreamReader(DataSourceStreamReader):
         # Trigger.AvailableNow anyway).
         if not os.path.exists(self.path):
             return {"line": 0}
+        # Count only newline-TERMINATED lines: when tailing a live log, a
+        # partial trailing line (writer mid-append) must not be committed —
+        # it would be read torn now and skipped complete forever after.
         with open(self.path, "rb") as fh:
-            n = sum(1 for _ in fh)
+            n = sum(1 for line in fh if line.endswith(b"\n"))
         return {"line": n}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:

@@ -43,6 +43,42 @@ def test_ohlcv_bars_deterministic(spark):
     assert (c.open, c.close) == (1.0, 2.0)  # tiebreak on trade_id
 
 
+def test_ohlcv_bars_negative_tiebreaks_match_struct_fallback(spark):
+    """The packed-bigint fast path must order NEGATIVE tiebreak ids the
+    same way as the (ts, tiebreak) struct fallback: -3 < -1 < 0 < 2.
+    (ADVICE r5: raw pmod mapped negatives above non-negatives.)"""
+    base = dt.datetime(2024, 1, 1, 9, 30, 0)
+    rows = [
+        ("NEG", 5.0, 1.0, base, -1),
+        ("NEG", 7.0, 1.0, base, -3),  # earliest: most-negative id
+        ("NEG", 6.0, 1.0, base, 2),   # latest: largest id
+        ("NEG", 4.0, 1.0, base, 0),
+        ("MIX", 1.0, 1.0, base + dt.timedelta(seconds=5), -10),
+        ("MIX", 3.0, 1.0, base + dt.timedelta(seconds=5), 10),
+        ("MIX", 2.0, 1.0, base + dt.timedelta(seconds=1), 4),  # earlier ts wins
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, price double, volume double, ts timestamp, trade_id long"
+    )
+    # packed path: 1-minute tumbling window parses -> bigint ordering
+    packed = {
+        r.symbol: r
+        for r in ohlcv_bars(df, ts_col="ts", tiebreak_col="trade_id").collect()
+    }
+    # struct path: unparseable duration string of the same length falls
+    # back — instead, force it by using a duration leaving <30 tb bits
+    fallback = {
+        r.symbol: r
+        for r in ohlcv_bars(
+            df, window_duration="7 days", ts_col="ts", tiebreak_col="trade_id"
+        ).collect()
+    }
+    assert (packed["NEG"].open, packed["NEG"].close) == (7.0, 6.0)
+    assert (packed["MIX"].open, packed["MIX"].close) == (2.0, 3.0)
+    assert (fallback["NEG"].open, fallback["NEG"].close) == (7.0, 6.0)
+    assert (fallback["MIX"].open, fallback["MIX"].close) == (2.0, 3.0)
+
+
 def test_ohlcv_invariants(spark):
     bars = ohlcv_bars(_trades_fixture(spark), ts_col="ts", tiebreak_col="trade_id")
     bad = bars.filter(

@@ -35,15 +35,28 @@ def test_config_roundtrip_yaml_and_json(tmp_path, monkeypatch):
         assert cfg.window["weekly_volatility"] == 7
 
 
-def test_config_missing_env_var_fails_at_load(tmp_path, monkeypatch):
+def test_config_env_expansion_is_lazy_per_section(tmp_path, monkeypatch):
+    """ADVICE r5: loading must not demand secrets the used sections
+    don't reference — a Kafka-only job loads fine with the JDBC env
+    unset; the unset var fails (naming its section) only when the jdbc
+    section is actually read."""
     monkeypatch.delenv("SPARKTRENDS_JDBC_URL", raising=False)
     monkeypatch.setenv("SPARKTRENDS_KAFKA_BROKER", "b:9092")
     path = write_config(str(tmp_path / "config.json"))
-    with pytest.raises(KeyError, match="SPARKTRENDS_JDBC_URL"):
-        load_config(path)
+    cfg = load_config(path)  # load succeeds with JDBC secret unset
+    assert cfg.kafka["kafka_bootstrap_servers"] == "b:9092"
+    assert cfg.window["weekly_volatility"] == 7
+    with pytest.raises(KeyError, match="jdbc.*SPARKTRENDS_JDBC_URL"):
+        cfg.jdbc  # noqa: B018 - the access IS the assertion
     # but loading without expansion works (e.g. for templating tools)
     raw = load_config(path, expand_env=False)
     assert raw.jdbc["url"] == "${SPARKTRENDS_JDBC_URL}"
+    # expansion happens once per section and caches the result
+    monkeypatch.setenv("SPARKTRENDS_JDBC_URL", "jdbc:postgresql://h/db")
+    cfg2 = load_config(path)
+    assert cfg2.jdbc["url"] == "jdbc:postgresql://h/db"
+    monkeypatch.setenv("SPARKTRENDS_JDBC_URL", "changed")
+    assert cfg2.jdbc["url"] == "jdbc:postgresql://h/db"
 
 
 def test_spark_from_config_uses_factory_defaults(spark, tmp_path):
@@ -124,6 +137,58 @@ def test_ensure_topics_times_out_with_missing_names():
             clock=clock,
         )
     assert ei.value.missing == ["trades"] and admin.closed
+
+
+def test_kafka_python_adapter_converts_specs_and_normalizes_list():
+    """ADVICE r5: the default factory must hand kafka-python real
+    NewTopic objects (a bare TopicSpec AttributeErrors inside the
+    client) and normalize list_topics to list[str]."""
+    from sparktrends_spark.sources.kafka_admin import KafkaPythonAdminAdapter
+
+    class FakeNewTopic:
+        def __init__(self, name, num_partitions, replication_factor):
+            self.name = name
+            self.num_partitions = num_partitions
+            self.replication_factor = replication_factor
+
+    class FakeClient:
+        def __init__(self):
+            self.got: list = []
+            self.closed = False
+
+        def create_topics(self, new_topics, validate_only=False):
+            self.got.extend(new_topics)
+
+        def list_topics(self):
+            return {"b", "a"}  # kafka-python returns an unordered set
+
+        def close(self):
+            self.closed = True
+
+    client = FakeClient()
+    adapter = KafkaPythonAdminAdapter(client, new_topic_cls=FakeNewTopic)
+    prebuilt = FakeNewTopic("raw", 1, 1)
+    adapter.create_topics([TopicSpec("trades", 6, 2), prebuilt])
+    assert isinstance(client.got[0], FakeNewTopic)
+    assert (client.got[0].name, client.got[0].num_partitions,
+            client.got[0].replication_factor) == ("trades", 6, 2)
+    assert client.got[1] is prebuilt  # pass-through, no double-wrap
+    assert sorted(adapter.list_topics()) == ["a", "b"]
+    assert all(isinstance(t, str) for t in adapter.list_topics())
+    adapter.close()
+    assert client.closed
+    # and ensure_topics works end-to-end through the adapter protocol
+    class ListingClient(FakeClient):
+        def list_topics(self):
+            return {t.name for t in self.got}
+
+    out = ensure_topics(
+        [TopicSpec("t1"), TopicSpec("t2")],
+        admin_factory=lambda _: KafkaPythonAdminAdapter(
+            ListingClient(), new_topic_cls=FakeNewTopic
+        ),
+    )
+    assert out == ["t1", "t2"]
 
 
 def test_ensure_topics_propagates_real_errors():

@@ -128,6 +128,26 @@ def test_ws_frames_stream_replay_and_offset_recovery(spark, tmp_path):
     )
 
 
+def test_ws_frames_partial_trailing_line_not_committed(tmp_path):
+    """ADVICE r5: when tailing a live log, a partial trailing line (the
+    writer is mid-append, no newline yet) must NOT be counted by
+    latestOffset — committing it would emit a torn frame now and skip
+    the completed line forever after."""
+    from sparktrends_spark.sources.pysources import WsFramesStreamReader
+
+    log = tmp_path / "frames.ndjson"
+    log.write_bytes(b'{"a":1}\n{"b":2}\n{"partial');
+    reader = WsFramesStreamReader({"path": str(log)})
+    assert reader.latestOffset() == {"line": 2}
+    # writer finishes the line -> now committed
+    with open(log, "ab") as fh:
+        fh.write(b'...done"}\n')
+    assert reader.latestOffset() == {"line": 3}
+    parts = reader.partitions({"line": 2}, {"line": 3})
+    rows = list(reader.read(parts[0]))
+    assert rows == [('{"partial...done"}',)]
+
+
 def test_ws_frames_empty_log_yields_no_batches(spark, tmp_path):
     register_python_sources(spark)
     log = str(tmp_path / "missing.ndjson")  # not created yet
