@@ -25,6 +25,7 @@ so a retried micro-batch double-writes. Two idempotence strategies:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Sequence
@@ -96,6 +97,40 @@ def upsert_parquet(
 
 
 BUCKET_COL = "_bucket"
+VERSION_DIR_COL = "_v"
+MANIFEST_NAME = "_manifest.json"
+
+
+def _manifest_path(final: str) -> str:
+    return os.path.join(final, MANIFEST_NAME)
+
+
+def read_manifest(final: str) -> dict | None:
+    """The committed-state pointer of a bucketed upsert table, or None."""
+    p = _manifest_path(final)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _write_manifest_atomic(final: str, manifest: dict) -> None:
+    """Single atomic commit point: write-tmp + fsync + rename. A reader
+    holding the old manifest (or re-reading it) sees either the entire
+    previous table state or the entire new one, never a mix."""
+    tmp = _manifest_path(final) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=0, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _manifest_path(final))
+
+
+def _committed_leaves(final: str, buckets: dict[str, int]) -> list[str]:
+    return [
+        f"{final}/{BUCKET_COL}={b}/{VERSION_DIR_COL}={v}"
+        for b, v in sorted(buckets.items(), key=lambda kv: int(kv[0]))
+    ]
 
 
 def upsert_parquet_bucketed(
@@ -107,43 +142,70 @@ def upsert_parquet_bucketed(
     version: int = 0,
 ) -> None:
     """Merge ``df`` into a hash-bucket-partitioned parquet table,
-    rewriting only the buckets the incoming keys touch.
+    rewriting only the buckets the incoming keys touch, with an
+    **atomic manifest commit** so readers never observe a
+    half-committed multi-bucket batch.
 
-    Layout: ``path/_bucket=NN/*.parquet`` with NN = pmod(hash(keys),
-    n_buckets). A batch's work is: (1) collect its distinct bucket ids
-    (≤ n_buckets ints — bounded, not data-sized), (2) read ONLY those
-    partitions of the existing table (partition pruning on the bucket
-    directory), (3) last-writer-wins merge per key, (4) dynamic
-    partition overwrite, which replaces exactly the partitions present
-    in the merged frame. Untouched buckets are never read or written.
+    Layout: ``path/_bucket=NN/_v=K/*.parquet`` with NN = pmod(
+    hash(keys), n_buckets) and K the batch version that last rewrote
+    the bucket; ``path/_manifest.json`` maps bucket -> committed K and
+    is the single source of truth (``read_upserted`` reads only the
+    leaves it names). A batch's work is: (1) collect its distinct
+    bucket ids (≤ n_buckets ints — bounded, not data-sized), (2) read
+    ONLY the committed leaves of those buckets, (3) last-writer-wins
+    merge per key, (4) write the merged buckets to fresh ``_v=version``
+    leaves (dynamic partition overwrite — untouched buckets are never
+    read or written), (5) atomically swap the manifest, (6) GC
+    superseded leaf dirs. This is the hash-bucketed poor-man's
+    Delta/Iceberg snapshot commit: data files are immutable once
+    committed and visibility flips on one metadata rename.
 
-    Idempotence: replaying a batch re-merges the same keys at the same
-    version — per-key max-version keeps the outcome stable. Crash
-    mid-write: dynamic overwrite swaps per-partition, so a crash can
-    leave SOME buckets updated and others stale — rerunning the same
-    batch (what checkpoint recovery does) converges; cross-bucket
-    atomicity is what a Delta/Iceberg commit log adds on a cluster.
+    Crash safety: a crash before (5) leaves orphan ``_v=version``
+    leaves that no reader sees (all-old); replaying the batch (what
+    checkpoint recovery does) rewrites them and commits (all-new).
+    Replay of an already-committed batch id is a no-op per bucket.
+    GC after commit means a long-running reader on a shared filesystem
+    could lose a superseded leaf mid-scan — single-writer local
+    semantics here; snapshot-isolated readers are what the real
+    Delta/Iceberg log adds on a cluster.
     """
     spark = df.sparkSession
     incoming = df.withColumn(version_col, F.lit(int(version))).withColumn(
         BUCKET_COL, F.pmod(F.hash(*keys), F.lit(n_buckets))
     )
     final = path.rstrip("/")
-    # An upsert of zero rows is a no-op — and must not write: a
-    # partitioned overwrite of an empty frame creates a directory with
-    # no parquet files (unlike the flat writer's empty-but-schema'd
-    # file), which poisons every later read. Append-mode streams emit
-    # empty micro-batches routinely while the watermark catches up.
+    # An upsert of zero rows is a no-op — and must not write or commit:
+    # append-mode streams emit empty micro-batches routinely while the
+    # watermark catches up.
     if incoming.isEmpty():
         return
-    if os.path.isdir(final):
-        # Bounded driver collect: ≤ n_buckets small ints per batch.
-        affected = [
-            r[BUCKET_COL]
-            for r in incoming.select(BUCKET_COL).distinct().collect()
-        ]
-        existing = spark.read.parquet(final).filter(
-            F.col(BUCKET_COL).isin(affected)
+    manifest = read_manifest(final) or {
+        "n_buckets": int(n_buckets),
+        "keys": list(keys),
+        "version_col": version_col,
+        "buckets": {},
+    }
+    committed: dict[str, int] = manifest["buckets"]
+    # Bounded driver collect: ≤ n_buckets small ints per batch.
+    affected = sorted(
+        r[BUCKET_COL] for r in incoming.select(BUCKET_COL).distinct().collect()
+    )
+    # Exact replay of an already-committed batch: those buckets are
+    # done (same batch content at the same version merges to the same
+    # result) — skipping them also guarantees the input leaves we read
+    # are never the leaves we overwrite.
+    todo = [b for b in affected if committed.get(str(b)) != int(version)]
+    if not todo:
+        return
+    incoming = incoming.filter(F.col(BUCKET_COL).isin([int(b) for b in todo]))
+    existing_leaves = _committed_leaves(
+        final, {str(b): committed[str(b)] for b in todo if str(b) in committed}
+    )
+    if existing_leaves:
+        existing = (
+            spark.read.option("basePath", final)
+            .parquet(*existing_leaves)
+            .drop(VERSION_DIR_COL)
         )
         merged = existing.unionByName(incoming)
     else:
@@ -155,15 +217,51 @@ def upsert_parquet_bucketed(
         .drop("_rn")
     )
     (
-        latest.write.mode("overwrite")
+        latest.withColumn(VERSION_DIR_COL, F.lit(int(version)))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BUCKET_COL)
+        .partitionBy(BUCKET_COL, VERSION_DIR_COL)
         .parquet(final)
     )
+    # ---- the commit point ----
+    for b in todo:
+        committed[str(b)] = int(version)
+    _write_manifest_atomic(final, manifest)
+    # ---- GC superseded leaves (post-commit; crash here is harmless —
+    # orphans are re-collected by any later batch's GC) ----
+    for b in todo:
+        bucket_dir = os.path.join(final, f"{BUCKET_COL}={b}")
+        if not os.path.isdir(bucket_dir):
+            continue
+        keep = f"{VERSION_DIR_COL}={committed[str(b)]}"
+        for entry in os.listdir(bucket_dir):
+            if entry.startswith(f"{VERSION_DIR_COL}=") and entry != keep:
+                shutil.rmtree(os.path.join(bucket_dir, entry), ignore_errors=True)
 
 
 def read_upserted(spark, path: str, version_col: str = "_batch_id") -> DataFrame:
-    """Read a (bucketed or flat) upsert table minus sink bookkeeping."""
-    df = spark.read.parquet(path.rstrip("/"))
-    drop = [c for c in (version_col, BUCKET_COL) if c in df.columns]
+    """Read a (bucketed or flat) upsert table minus sink bookkeeping.
+
+    Bucketed tables are read through ``_manifest.json`` — ONLY the
+    committed leaf of each bucket is scanned, so a concurrent batch's
+    staged-but-uncommitted leaves are invisible (all-old-or-all-new).
+    """
+    final = path.rstrip("/")
+    manifest = read_manifest(final)
+    if manifest is not None:
+        leaves = _committed_leaves(final, manifest["buckets"])
+        df = spark.read.option("basePath", final).parquet(*leaves)
+    else:
+        if any(
+            e.startswith(f"{BUCKET_COL}=") for e in os.listdir(final)
+        ):
+            raise FileNotFoundError(
+                f"{final}: bucketed upsert table has no committed "
+                f"{MANIFEST_NAME} (crashed before first commit?) — "
+                "replay the stream from its checkpoint to commit it"
+            )
+        df = spark.read.parquet(final)
+    drop = [
+        c for c in (version_col, BUCKET_COL, VERSION_DIR_COL) if c in df.columns
+    ]
     return df.drop(*drop)

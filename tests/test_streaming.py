@@ -314,6 +314,96 @@ def test_upsert_parquet_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
     assert read_upserted(spark, path).count() == 200
 
 
+def test_upsert_parquet_bucketed_manifest_commit_is_atomic(spark, tmp_path):
+    """Crash injection at the commit point: a batch that wrote its data
+    leaves but died before the manifest swap must be INVISIBLE to
+    readers (all-old), and replaying the same batch converges to
+    exactly the committed new state (all-new). Never a mix."""
+    import os
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    import sparktrends_spark.streaming.sinks as sinks
+
+    path = str(tmp_path / "t")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    sinks.upsert_parquet_bucketed(base, path, keys=("k",), n_buckets=8, version=0)
+    before = {r.k: r.v for r in sinks.read_upserted(spark, path).collect()}
+    assert len(before) == 100
+
+    # batch 1 touches many buckets; crash BEFORE the manifest rename
+    update = spark.range(40).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    with mock.patch.object(
+        sinks, "_write_manifest_atomic", side_effect=OSError("injected crash")
+    ):
+        with pytest.raises(OSError, match="injected crash"):
+            sinks.upsert_parquet_bucketed(
+                update, path, keys=("k",), n_buckets=8, version=1
+            )
+    # staged-but-uncommitted _v=1 leaves exist on disk...
+    staged = [
+        b for b in os.listdir(path)
+        if b.startswith("_bucket=") and "_v=1" in os.listdir(os.path.join(path, b))
+    ]
+    assert staged, "crash test should have staged new leaves"
+    # ...but a reader sees the ENTIRE old state: no -1 values, no dupes
+    mid = {r.k: r.v for r in sinks.read_upserted(spark, path).collect()}
+    assert mid == before
+
+    # checkpoint replay of the same batch: now commits; reader sees the
+    # ENTIRE new state
+    sinks.upsert_parquet_bucketed(update, path, keys=("k",), n_buckets=8, version=1)
+    after = {r.k: r.v for r in sinks.read_upserted(spark, path).collect()}
+    expected = dict(before)
+    expected.update({k: -1 for k in range(40)})
+    assert after == expected
+    # superseded leaves were GC'd: each committed bucket has exactly one
+    # _v dir, matching the manifest
+    manifest = sinks.read_manifest(path)
+    for b, v in manifest["buckets"].items():
+        vdirs = [
+            e for e in os.listdir(os.path.join(path, f"_bucket={b}"))
+            if e.startswith("_v=")
+        ]
+        assert vdirs == [f"_v={v}"], (b, vdirs)
+
+    # replaying an already-committed batch is a no-op that still reads
+    # consistently (idempotent convergence)
+    sinks.upsert_parquet_bucketed(update, path, keys=("k",), n_buckets=8, version=1)
+    assert {r.k: r.v for r in sinks.read_upserted(spark, path).collect()} == expected
+
+
+def test_read_upserted_refuses_uncommitted_bucketed_table(spark, tmp_path):
+    """A bucketed table whose FIRST batch crashed pre-commit has data
+    dirs but no manifest: reading it must fail loudly, not silently
+    serve uncommitted rows."""
+    import os
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    import sparktrends_spark.streaming.sinks as sinks
+
+    path = str(tmp_path / "t0")
+    df = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    with mock.patch.object(
+        sinks, "_write_manifest_atomic", side_effect=OSError("injected crash")
+    ):
+        with pytest.raises(OSError):
+            sinks.upsert_parquet_bucketed(df, path, keys=("k",), version=0)
+    assert os.path.isdir(path)
+    with pytest.raises(FileNotFoundError, match="no committed"):
+        sinks.read_upserted(spark, path)
+    # replay commits; read works
+    sinks.upsert_parquet_bucketed(df, path, keys=("k",), version=0)
+    assert sinks.read_upserted(spark, path).count() == 10
+
+
 def test_upsert_parquet_bucketed_last_writer_wins_like_flat(spark, tmp_path):
     from pyspark.sql import functions as F
 
