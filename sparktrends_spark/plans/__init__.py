@@ -18,5 +18,6 @@ from sparktrends_spark.plans import text  # noqa: E402,F401
 from sparktrends_spark.plans import similarity  # noqa: E402,F401
 from sparktrends_spark.plans import streaming_queries  # noqa: E402,F401
 from sparktrends_spark.plans import multimodal  # noqa: E402,F401
+from sparktrends_spark.plans import skew  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

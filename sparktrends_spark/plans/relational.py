@@ -733,18 +733,44 @@ def q_customer_reconciliation_outer(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query("priority_approx_distinct", oracle=None)
+@query(
+    "priority_approx_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS exact_customers,
+       count(*)                  AS n_orders,
+       TRUE                      AS approx_in_bound
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
 def q_priority_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++, SURVEY §2.5 absent list) next to the
-    exact count. rows-only check: sketch estimates are engine-specific
-    by design (DuckDB's approx_distinct uses a different HLL), so a
-    value-hash against another engine cannot match. The test suite
-    bounds the relative error against the exact count instead."""
+    """approx_count_distinct (HLL++, SURVEY §2.5 absent list),
+    value-bounded against the exact count IN the query: sketch
+    estimates are engine-specific (DuckDB's approx HLL differs), so
+    the raw estimate can never value-hash across engines — instead the
+    query emits ``approx_in_bound`` = |approx - exact| / exact <=
+    5 * rsd, and the oracle states it as literal TRUE. The driver's
+    value-hash therefore FAILS if Spark's sketch ever drifts outside
+    the rsd-derived envelope (5 sigma at rsd=0.02 -> 10% relative
+    error; HLL++ is exact in sparse mode at these cardinalities, so
+    the observed error is ~0). The test suite additionally bounds the
+    raw estimate at 3 sigma and prints the observed error."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+    rsd = 0.02
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=rsd).alias("_approx"),
         F.countDistinct("o_custkey").alias("exact_customers"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    err = F.abs(F.col("_approx") - F.col("exact_customers")) / F.col(
+        "exact_customers"
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_customers",
+        "n_orders",
+        (err <= F.lit(5 * rsd)).alias("approx_in_bound"),
     )
 
 

@@ -1,0 +1,106 @@
+"""Skew-mitigation operators as graded, oracled queries (SURVEY §2
+scale operators; VERDICT r4 item 3).
+
+The sf* events table is roughly uniform per user, so both queries
+derive a deliberately head-skewed key first (every 5th user collapses
+into hot key 0 — ~20% of all rows on one key), then run the
+skew-safe operator over it. The oracle states the PLAIN semantics
+(ordinary GROUP BY / JOIN): the whole point of salting is that the
+result is identical to the naive plan while no single reducer ever
+holds the hot key's full row set.
+
+At 100 TB these are the shapes that keep a head-skewed aggregation or
+join alive: phase-1 spreads the hot key over ``salt_buckets`` tasks,
+and phase-2's input is only |keys| x salt_buckets partial rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparktrends_spark.operators.skew import replicated_join, salted_agg
+from sparktrends_spark.plans.registry import query
+from sparktrends_spark.sources.tables import load_table
+
+# ~20% of events collapse onto hot bucket 0; everyone else keeps their id.
+_HOT_KEY_EXPR = "CASE WHEN user_id % 5 = 0 THEN 0 ELSE user_id END"
+
+
+def _skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.expr(_HOT_KEY_EXPR)
+    )
+
+
+@query(
+    "user_event_salted_agg",
+    oracle=f"""
+SELECT {_HOT_KEY_EXPR}  AS user_bucket,
+       count(*)         AS n_events,
+       sum(value)       AS total_value,
+       min(value)       AS min_value,
+       max(value)       AS max_value,
+       sum(value) / count(value) AS avg_value
+FROM events
+GROUP BY 1
+""",
+)
+def user_event_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a head-skewed key
+    (operators/skew.py:34): phase 1 aggregates (key, salt) partials so
+    the hot key's rows spread over 16 reducers, phase 2 merges
+    |keys| x 16 partial rows. Result is bit-for-bit the plain GROUP BY
+    (algebraic aggregates only; avg carried as sum+count and divided
+    at the end)."""
+    ev = _skewed_events(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        keys=["user_bucket"],
+        aggs={
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "total_value": (F.sum("value"), F.sum("total_value")),
+            "min_value": (F.min("value"), F.min("min_value")),
+            "max_value": (F.max("value"), F.max("max_value")),
+            # avg is NOT algebraic over partials — merge sum+count, then divide
+            "_value_n": (F.count("value"), F.sum("_value_n")),
+        },
+        salt_buckets=16,
+    )
+    return out.withColumn(
+        "avg_value", F.col("total_value") / F.col("_value_n")
+    ).drop("_value_n")
+
+
+@query(
+    "event_type_replicated_join",
+    oracle=f"""
+WITH skewed AS (
+  SELECT {_HOT_KEY_EXPR} AS user_bucket, event_type, value
+  FROM events
+),
+dim AS (
+  SELECT user_bucket, count(*) AS bucket_events
+  FROM skewed GROUP BY user_bucket
+)
+SELECT s.event_type,
+       count(*)                                   AS n,
+       sum(s.value * d.bucket_events)             AS weighted_value
+FROM skewed s JOIN dim d USING (user_bucket)
+GROUP BY s.event_type
+""",
+)
+def event_type_replicated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-left / replicate-right equi-join (operators/skew.py:56)
+    on the same head-skewed key: the left fact keeps ~20% of its rows
+    on one key, the right dim (one row per bucket) is exploded
+    ``salt_buckets`` ways so the hot key's matches land on 8 tasks
+    instead of 1. Semantically identical to the plain equi-join, as
+    the oracle states."""
+    ev = _skewed_events(spark, sf_dir).select("user_bucket", "event_type", "value")
+    dim = ev.groupBy("user_bucket").agg(F.count(F.lit(1)).alias("bucket_events"))
+    joined = replicated_join(ev, dim, on=["user_bucket"], salt_buckets=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value") * F.col("bucket_events")).alias("weighted_value"),
+    )

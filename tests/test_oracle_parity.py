@@ -16,3 +16,26 @@ from tests.oracle_utils import assert_query_matches_oracle
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, sf_dir, name):
     assert_query_matches_oracle(spark, sf_dir, name)
+
+
+def test_approx_distinct_raw_estimate_within_3_sigma(spark, sf_dir):
+    """Tighter companion to the graded 5-sigma bound baked into
+    priority_approx_distinct: the RAW HLL++ estimate must sit within
+    3 * rsd of the exact per-group count (rsd=0.02 -> 6%)."""
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    rows = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    worst = max(abs(r.approx - r.exact) / r.exact for r in rows)
+    print(f"approx_count_distinct worst relative error: {worst:.4f}")
+    assert worst <= 3 * 0.02, worst

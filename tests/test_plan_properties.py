@@ -167,6 +167,30 @@ def test_ohlcv_bars_struct_fallback_matches_packed(spark, sf_dir):
         assert other.exceptAll(fast).count() == 0
 
 
+def test_salted_agg_two_phase_shape(spark, sf_dir):
+    """salted_agg must plan as TWO logical aggregations (each its own
+    partial+final HashAggregate pair) with the first exchange keyed on
+    (key, salt) — the hot key spread over salt_buckets reducers — and
+    the second on the key alone over partial rows only."""
+    plan = _plan(spark, "user_event_salted_agg", sf_dir)
+    assert plan.count("HashAggregate") == 4, plan
+    assert re.search(r"Exchange hashpartitioning\(user_bucket#\d+L?, _salt", plan), plan
+    assert re.search(
+        r"Exchange hashpartitioning\(user_bucket#\d+L?, \d+\)", plan
+    ), plan
+    assert "SortAggregate" not in plan
+
+
+def test_replicated_join_salts_the_join_key(spark, sf_dir):
+    """replicated_join must join on (key, _salt) so the hot key's rows
+    never converge on one task, and must not plan a cartesian."""
+    plan = _plan(spark, "event_type_replicated_join", sf_dir)
+    assert "_salt" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the replicated dim rides an explode of the salt sequence
+    assert "Generate explode" in plan, plan
+
+
 def test_registry_wide_plan_hygiene(spark, sf_dir):
     """Sweep EVERY registered batch query's physical plan for the
     anti-patterns that kill 100 TB runs: unbounded cartesian products
