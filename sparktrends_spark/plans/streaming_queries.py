@@ -108,20 +108,28 @@ def run_upsert_stream(
     output_mode: str = "update",
     timeout_s: int = 300,
     ckpt_dir: str | None = None,
+    table_dir: str | None = None,
 ) -> DataFrame:
     """Drive a streaming aggregate to completion through the idempotent
     upsert sink; return the final table (minus sink bookkeeping).
 
     ``ckpt_dir`` is exposed so tests can inspect the offset log (e.g.
-    to prove a run really split into multiple micro-batches)."""
-    out_dir = tempfile.mkdtemp(prefix="stream_out_")
+    to prove a run really split into multiple micro-batches);
+    ``table_dir`` pins the sink table so a KILLED run can be restarted
+    against the same checkpoint AND the same table — the
+    kill-and-restart recovery path (tests/test_streaming_restart.py)."""
+    out_dir = table_dir or tempfile.mkdtemp(prefix="stream_out_")
     ckpt_dir = ckpt_dir or tempfile.mkdtemp(prefix="stream_ckpt_")
     table = os.path.join(out_dir, "t")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # Bucketed: each micro-batch rewrites only the key-hash buckets
         # it touches — O(batch), not O(table), as the sink grows.
-        upsert_parquet_bucketed(batch_df, table, keys=keys, version=batch_id)
+        # NOTE: resolve the sink through the module so tests can inject
+        # crashes at exact points in the commit protocol.
+        import sparktrends_spark.plans.streaming_queries as _self
+
+        _self.upsert_parquet_bucketed(batch_df, table, keys=keys, version=batch_id)
 
     spark = result.sparkSession
     # A stateful query materializes one state-store instance per shuffle
@@ -170,6 +178,7 @@ def build_stream_ohlcv_bars(
     sf_dir: str,
     max_files_per_trigger: int | None = None,
     ckpt_dir: str | None = None,
+    table_dir: str | None = None,
 ) -> DataFrame:
     trades = trades_projection(
         stream_events(spark, sf_dir, max_files_per_trigger)
@@ -178,7 +187,7 @@ def build_stream_ohlcv_bars(
         "timestamp", F.col("timestamp").cast("timestamp_ntz")
     )
     return run_upsert_stream(
-        bars, keys=("symbol", "timestamp"), ckpt_dir=ckpt_dir
+        bars, keys=("symbol", "timestamp"), ckpt_dir=ckpt_dir, table_dir=table_dir
     )
 
 
@@ -237,6 +246,7 @@ def build_stream_user_sessions(
     sf_dir: str,
     max_files_per_trigger: int | None = None,
     ckpt_dir: str | None = None,
+    table_dir: str | None = None,
 ) -> DataFrame:
     ev = stream_events(spark, sf_dir, max_files_per_trigger).withWatermark(
         "ts", "10 minutes"
@@ -262,6 +272,7 @@ def build_stream_user_sessions(
         keys=("user_id", "session_start"),
         output_mode="append",
         ckpt_dir=ckpt_dir,
+        table_dir=table_dir,
     )
 
 
