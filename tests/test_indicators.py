@@ -7,7 +7,14 @@ import math
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from sparktrends_spark.operators.indicators import bollinger_bands, ema, rsi
+from sparktrends_spark.operators.indicators import (
+    bollinger_bands,
+    ema,
+    ema_jvm,
+    macd,
+    macd_jvm,
+    rsi,
+)
 
 
 def _series(spark, closes, symbol="A"):
@@ -47,6 +54,56 @@ def test_ema_keys_are_independent(spark):
     got = {(r.symbol, r.day): r.ema for r in rows}
     assert got[("A", 1.0)] == 1.5
     assert got[("B", 1.0)] == 150.0
+
+
+def test_ema_jvm_bit_identical_to_pandas_path(spark, sf_dir):
+    """The aggregate()-HOF fold must replay the exact IEEE754 op
+    sequence of the applyInPandas fold: bit-equality, not tolerance."""
+    from sparktrends_spark.plans.indicators import _daily
+
+    daily = _daily(spark, sf_dir)
+    a = {
+        (r.symbol, r.day): r.ema
+        for r in ema(daily, "close", "day", ["symbol"], alpha=0.3).collect()
+    }
+    b = {
+        (r.symbol, r.day): r.ema
+        for r in ema_jvm(daily, "close", "day", ["symbol"], alpha=0.3).collect()
+    }
+    assert a.keys() == b.keys() and len(a) > 0
+    assert all(a[k] == b[k] for k in a)  # == on floats: bitwise intent
+
+
+def test_macd_jvm_bit_identical_to_pandas_path(spark, sf_dir):
+    from sparktrends_spark.plans.indicators import _daily
+
+    daily = _daily(spark, sf_dir)
+    cols = ("macd", "signal", "histogram")
+    a = {
+        (r.symbol, r.day): tuple(getattr(r, c) for c in cols)
+        for r in macd(daily, "close", "day", ["symbol"]).collect()
+    }
+    b = {
+        (r.symbol, r.day): tuple(getattr(r, c) for c in cols)
+        for r in macd_jvm(daily, "close", "day", ["symbol"]).collect()
+    }
+    assert a.keys() == b.keys() and len(a) > 0
+    assert all(a[k] == b[k] for k in a)
+
+
+def test_jvm_indicator_plans_have_no_python(spark, sf_dir):
+    """The point of the JVM twins: zero Python workers in the physical
+    plan (no ArrowEvalPython / FlatMapGroupsInPandas / BatchEvalPython
+    nodes), one shuffle for the groupBy."""
+    from sparktrends_spark.plans.indicators import _daily
+
+    daily = _daily(spark, sf_dir)
+    for fn in (
+        lambda d: ema_jvm(d, "close", "day", ["symbol"]),
+        lambda d: macd_jvm(d, "close", "day", ["symbol"]),
+    ):
+        plan = fn(daily)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Pandas" not in plan, plan
 
 
 def test_bollinger_constant_series_zero_band(spark):
