@@ -39,6 +39,14 @@ def get_spark(
     """Build (or reuse) a SparkSession with the engine's defaults."""
     builder = SparkSession.builder.master(master or default_master()).appName(app_name)
     conf = {
+        # local[N] runs the driver AND all N executor threads in ONE
+        # JVM, so the 1g driver default is the whole engine's heap —
+        # fine on a cluster (each executor brings its own), fatal
+        # locally once broadcast builds + shuffle buffers for 32
+        # threads land in the same gigabyte. Only effective when this
+        # factory launches the JVM; an already-running session keeps
+        # its own setting.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
