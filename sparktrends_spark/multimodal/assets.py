@@ -61,29 +61,81 @@ def documents_to_assets(docs: DataFrame) -> DataFrame:
 AUDIO_SAMPLE_RATE = 8000
 
 
-def encode_media_payloads(assets: DataFrame) -> DataFrame:
+VIDEO_FRAME_MS = 400
+
+
+def encode_media_payloads(
+    assets: DataFrame,
+    image_codec: str = "png",
+    video_codec: str | None = None,
+) -> DataFrame:
     """Replace synthetic text payloads with REAL media containers.
 
-    - image rows: ``encode_png(fake_decode_image(text_bytes, w, h))``
-      — a real, decodable PNG whose pixels are the md5-tiled array.
+    - image rows, ``image_codec="png"`` (default):
+      ``encode_png(fake_decode_image(text_bytes, w, h))`` — a real,
+      decodable PNG whose pixels are the md5-tiled array (lossless).
+    - image rows, ``image_codec="jpeg"``: a real baseline JFIF whose
+      pixels are the CONSTANT color v = first md5(text) byte — the
+      constant-block DC path round-trips bit-exactly at quality 75
+      (multimodal/jpeg.py), which is what keeps the full
+      huffman→zigzag→quant→IDCT chain value-oracle-checkable.
     - audio rows: ``encode_wav(fake_decode_audio(text_bytes, dur))``
       — a real PCM16 WAV of duration_ms at AUDIO_SAMPLE_RATE.
-    - video rows: unchanged (no stdlib codec for mp4; still the
-      documented NotImplementedError seam).
+    - video rows, ``video_codec=None`` (default): unchanged raw text
+      bytes (the pre-round-6 behavior, kept for the metadata-math
+      twins).
+    - video rows, ``video_codec="mp4"``: a real ISO-BMFF container
+      (multimodal/mp4.py) whose samples are the 16-byte
+      ``md5(text + '#' + i)`` digests, one per VIDEO_FRAME_MS of
+      duration — so the demuxed sample bytes ARE the frame oracle.
 
     Runs as one Arrow-batched ``mapInPandas`` pass; payload bytes never
     leave the executors. Output schema identical to the input asset
     table, so every downstream featurize path works on either.
+    Constant-color JPEG encodes are memoized per (v, w, h) within the
+    executor — the synthetic corpus has heavy repetition and the cache
+    turns the CPU cost into a dict lookup at scale.
     """
     schema = assets.schema
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
         from sparktrends_spark.multimodal.decode import (
             encode_png,
             encode_wav,
             fake_decode_audio,
             fake_decode_image,
         )
+
+        jpeg_cache: dict[tuple[int, int, int], bytes] = {}
+
+        def image_payload(raw: bytes, w: int, h: int) -> bytes:
+            if image_codec == "jpeg":
+                from sparktrends_spark.multimodal.jpeg import encode_jpeg
+
+                v = hashlib.md5(raw).digest()[0]
+                key = (v, w, h)
+                enc = jpeg_cache.get(key)
+                if enc is None:
+                    enc = encode_jpeg(np.full((h, w, 3), v, dtype=np.uint8), 75)
+                    jpeg_cache[key] = enc
+                return enc
+            return encode_png(fake_decode_image(raw, w, h))
+
+        def video_payload(raw: bytes, dur: int) -> bytes:
+            if video_codec == "mp4":
+                from sparktrends_spark.multimodal.mp4 import encode_mp4
+
+                n_frames = max(1, dur // VIDEO_FRAME_MS)
+                frames = [
+                    hashlib.md5(raw + b"#" + str(i).encode()).digest()
+                    for i in range(n_frames)
+                ]
+                return encode_mp4(frames, VIDEO_FRAME_MS)
+            return raw
 
         for pdf in batches:
             out = []
@@ -93,9 +145,7 @@ def encode_media_payloads(assets: DataFrame) -> DataFrame:
             ):
                 raw = bytes(payload)
                 if modality == "image":
-                    out.append(
-                        encode_png(fake_decode_image(raw, int(w), int(h)))
-                    )
+                    out.append(image_payload(raw, int(w), int(h)))
                 elif modality == "audio":
                     out.append(
                         encode_wav(
@@ -104,7 +154,7 @@ def encode_media_payloads(assets: DataFrame) -> DataFrame:
                         )
                     )
                 else:
-                    out.append(raw)
+                    out.append(video_payload(raw, int(dur)))
             pdf = pdf.copy()
             pdf["payload"] = out
             yield pdf

@@ -9,8 +9,16 @@ standard library and are implemented for real here:
   non-interlaced), and a matching encoder (filter 0, 8-bit RGB).
 - **WAV** (``audio/wav``): PCM16 decode/encode via the ``wave``
   module + ``numpy.frombuffer``.
+- **JPEG** (``image/jpeg``): baseline sequential codec in pure
+  numpy — markers, Annex-K quant/Huffman tables, zigzag, DC/AC
+  entropy coding, matrix DCT/IDCT (multimodal/jpeg.py).
+- **MP4** (``video/mp4``): real ISO-BMFF container mux/demux —
+  ftyp/mdat/moov box tree with stts/stsc/stsz/stco sample tables
+  (multimodal/mp4.py). Samples are raw payloads (no H.264 codec in
+  this environment — the sample-entry FourCC says so honestly).
 
-Everything else (JPEG, MP4, ...) still raises ``NotImplementedError``
+Everything else (GIF, progressive JPEG, Matroska, ...) raises
+``NotImplementedError``
 at this single, clearly-marked seam; callers check
 ``decoder_available`` / sniff magic bytes and degrade to the
 deterministic fake decoders below (which remain as the no-codec twins
@@ -28,31 +36,36 @@ from typing import Any
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 WAV_SIGNATURE = b"RIFF"
+JPEG_SIGNATURE = b"\xff\xd8\xff"
 
 # channel counts per PNG color type (type 3 = palette, unsupported)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def decoder_available(modality: str, mime_type: str | None = None) -> bool:
-    """True if a real (stdlib) decoder exists for the modality here.
+    """True if a real (stdlib/numpy) decoder exists for the modality.
 
-    PNG and WAV are always decodable (pure stdlib); other image/audio
-    containers and all video are not. When ``mime_type`` is omitted the
-    answer is for the modality's canonical container (png / wav).
+    PNG, JPEG, WAV and the MP4 container are decodable in-engine;
+    other containers are not. When ``mime_type`` is omitted the answer
+    is for the modality's canonical container (png / wav / mp4).
     """
     if modality == "image":
-        return mime_type in (None, "image/png")
+        return mime_type in (None, "image/png", "image/jpeg", "image/jpg")
     if modality == "audio":
         return mime_type in (None, "audio/wav", "audio/x-wav")
+    if modality == "video":
+        return mime_type in (None, "video/mp4")
     return False
 
 
 def decode_payload(payload: bytes, modality: str, mime_type: str) -> Any:
-    """Decode raw media bytes into pixels/samples.
+    """Decode raw media bytes into pixels/samples/frames.
 
-    - image/png -> ``(H, W, 3) uint8`` ndarray (alpha dropped,
-      grayscale replicated to 3 channels)
+    - image/png, image/jpeg -> ``(H, W, 3) uint8`` ndarray (alpha
+      dropped, grayscale replicated to 3 channels)
     - audio/wav -> ``(samples int16 ndarray, sample_rate)``
+    - video/mp4 -> list of ``(ts_ms, frame_bytes)`` demuxed samples
+      (container-level; no bitstream codec in this environment)
     - anything else -> ``NotImplementedError`` (the plug-in seam for
       PIL/soundfile/av); corrupt data for a supported format raises
       ``ValueError``.
@@ -60,11 +73,21 @@ def decode_payload(payload: bytes, modality: str, mime_type: str) -> Any:
     if not decoder_available(modality, mime_type):
         raise NotImplementedError(
             f"no decoder for modality={modality!r} ({mime_type!r}) in this "
-            "environment; only stdlib PNG/WAV are supported — install "
+            "environment; only PNG/JPEG/WAV/MP4 are supported — install "
             "PIL/soundfile/av for other containers"
         )
     if modality == "image":
+        if mime_type in ("image/jpeg", "image/jpg") or (
+            mime_type is None and payload[:3] == JPEG_SIGNATURE
+        ):
+            from sparktrends_spark.multimodal.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
         return decode_png(payload)
+    if modality == "video":
+        from sparktrends_spark.multimodal.mp4 import decode_mp4
+
+        return decode_mp4(payload).samples
     return decode_wav(payload)
 
 

@@ -106,11 +106,12 @@ def image_pixel_features(
     """Decode images to pixel arrays and mean-pool to a ``grid``×``grid``
     thumbnail — the real decode→resize→feature dataflow, end-to-end.
 
-    PNG payloads (sniffed by signature) go through the REAL stdlib
-    decoder (``decode_png``) and report ``decode_status='decoded'``;
-    width/height then come from the decoded array, not the metadata
-    columns. Non-PNG payloads (or ``use_codec=False``, the no-codec
-    twin) fall back to the DETERMINISTIC FAKE
+    PNG and JPEG payloads (sniffed by signature) go through the REAL
+    decoders (``decode_png`` / ``decode_jpeg``) and report
+    ``decode_status='decoded'``; width/height then come from the
+    decoded array, not the metadata columns. Other payloads (or
+    ``use_codec=False``, the no-codec twin) fall back to the
+    DETERMINISTIC FAKE
     (``fake_decode_image``: md5-tiled pseudo-pixels) and report
     ``fake_decode``. Output per image: global mean brightness and an
     md5 over the pooled uint8 grid (position-sensitive — catches
@@ -121,10 +122,15 @@ def image_pixel_features(
         import numpy as np
 
         from sparktrends_spark.multimodal.decode import (
+            JPEG_SIGNATURE,
             PNG_SIGNATURE,
             decode_png,
             fake_decode_image,
         )
+        from sparktrends_spark.multimodal.jpeg import decode_jpeg
+
+        # constant-color JPEG corpora repeat heavily; memoize decodes
+        jpeg_cache: dict[bytes, object] = {}
 
         for pdf in batches:
             imgs = pdf[pdf["modality"] == "image"]
@@ -135,6 +141,13 @@ def image_pixel_features(
                 raw = bytes(payload)
                 if use_codec and raw[:8] == PNG_SIGNATURE:
                     px_u8 = decode_png(raw)
+                    h, w = px_u8.shape[0], px_u8.shape[1]
+                    status = "decoded"
+                elif use_codec and raw[:3] == JPEG_SIGNATURE:
+                    px_u8 = jpeg_cache.get(raw)
+                    if px_u8 is None:
+                        px_u8 = decode_jpeg(raw)
+                        jpeg_cache[raw] = px_u8
                     h, w = px_u8.shape[0], px_u8.shape[1]
                     status = "decoded"
                 else:
@@ -238,12 +251,57 @@ def audio_sample_features(
     return assets.mapInPandas(stats, AUDIO_SCHEMA)
 
 
+def demux_frames(assets: DataFrame) -> DataFrame:
+    """Fan video assets out to one row per frame by DEMUXING THE REAL
+    MP4 CONTAINER: box-tree walk, stts/stsc/stsz/stco sample tables,
+    per-sample byte slicing (multimodal/mp4.py). Frame count and
+    timestamps come from the container's sample tables, not metadata
+    math; ``frame_md5`` is the hex of the demuxed sample bytes.
+
+    Non-MP4 payloads are skipped (a real pipeline would route them to
+    a quarantine sink); same UDTF shape as ``sample_frames``, which
+    remains the metadata-math twin.
+    """
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparktrends_spark.multimodal.mp4 import decode_mp4
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [],
+                "frame_idx": [],
+                "frame_ts_ms": [],
+                "frame_md5": [],
+            }
+            vids = pdf[pdf["modality"] == "video"]
+            for asset_id, payload in zip(vids["asset_id"], vids["payload"]):
+                raw = bytes(payload)
+                if len(raw) < 12 or raw[4:8] != b"ftyp":
+                    continue
+                media = decode_mp4(raw)
+                for i, (ts_ms, sample) in enumerate(media.samples):
+                    out["asset_id"].append(asset_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(ts_ms)
+                    out["frame_md5"].append(sample.hex())
+            yield pd.DataFrame(out).astype(
+                {
+                    "asset_id": "int64",
+                    "frame_idx": "int32",
+                    "frame_ts_ms": "int64",
+                    "frame_md5": "string",
+                }
+            )
+
+    return assets.mapInPandas(explode, FRAME_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, every_ms: int = 400) -> DataFrame:
     """Fan video assets out to one row per sampled frame.
 
     Frame content is a deterministic fake (md5 of payload + '#' + idx);
-    a real pipeline swaps in ``decode_payload`` + a frame grab at
-    ``frame_ts_ms`` without touching the dataflow.
+    ``demux_frames`` is the real-container variant that grabs actual
+    sample bytes at the container's timestamps.
     """
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

