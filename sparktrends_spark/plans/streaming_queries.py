@@ -527,3 +527,55 @@ def build_stream_purchase_attribution(
         output_mode="append",
         ckpt_dir=ckpt_dir,
     )
+
+
+@query(
+    "stream_doc_dedup",
+    oracle="""
+SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_docs FROM (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM documents
+) GROUP BY content_hash
+""",
+)
+def q_stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup over the document corpus — the ingest-time
+    shape of the training-data dedup north star: as documents arrive,
+    keep one survivor (min doc_id) and a duplicate count per normalized
+    content hash, maintained incrementally in the state store and
+    upserted by hash key.
+
+    Batch twin: ``doc_exact_dedup`` (same oracle). Documents carry no
+    event time, so the state is keyed by content hash and bounded by
+    the number of DISTINCT contents — exactly the bound an exact-dedup
+    ingest pipeline must hold at 100 TB (the hash set IS the product).
+    For time-bounded near-dup streams see the watermarked queries and
+    tests/test_streaming_multibatch.py."""
+    return build_stream_doc_dedup(spark, sf_dir)
+
+
+def build_stream_doc_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+) -> DataFrame:
+    from sparktrends_spark.text.dedup import exact_hash
+
+    base = sf_dir.rstrip("/")
+    reader = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(f"{base}/documents*.parquet")
+    agg = (
+        docs.select("doc_id", exact_hash(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return run_upsert_stream(agg, keys=("content_hash",), ckpt_dir=ckpt_dir)

@@ -151,3 +151,32 @@ def test_multibatch_stream_static_join_lands_on_oracle(spark, sf_dir, split_dir,
     ).toPandas()
     assert _n_batches(ckpt) >= N_SPLITS
     _assert_frames_equal(result, _oracle(sf_dir, "stream_segment_activity"))
+
+
+@pytest.fixture(scope="module")
+def docs_split_dir(sf_dir, tmp_path_factory) -> str:
+    """documents.parquet split into N files with duplicates straddling
+    the split boundary (doc_id-interleaved slices), so cross-batch
+    state merging in stream_doc_dedup is actually exercised."""
+    out = tmp_path_factory.mktemp("docs_split")
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    base_mtime = 1_700_000_000
+    for i in range(N_SPLITS):
+        # round-robin by position: duplicate contents land in different files
+        idx = list(range(i, len(tbl), N_SPLITS))
+        name = "documents.parquet" if i == 0 else f"documents_{i}.parquet"
+        path = str(out / name)
+        pq.write_table(tbl.take(idx), path)
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    return str(out)
+
+
+def test_multibatch_doc_dedup_lands_on_oracle(spark, sf_dir, docs_split_dir, tmp_path):
+    from sparktrends_spark.plans.streaming_queries import build_stream_doc_dedup
+
+    ckpt = str(tmp_path / "ckpt_dedup")
+    got = build_stream_doc_dedup(
+        spark, docs_split_dir, max_files_per_trigger=1, ckpt_dir=ckpt
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS  # really ran multi-batch
+    _assert_frames_equal(got, _oracle(sf_dir, "stream_doc_dedup"))
