@@ -54,14 +54,21 @@ def test_frame_fanout_counts(assets):
 
 
 def test_decode_stub_raises():
-    # video has no stdlib codec: still the NotImplementedError seam
+    # containers with no in-engine codec: still the NotImplementedError seam
     with pytest.raises(NotImplementedError):
+        decode_payload(b"xx", "video", "video/webm")
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"xx", "image", "image/gif")
+    # png/jpeg/wav/mp4 all have real decoders; garbage is corrupt
+    # data -> ValueError
+    with pytest.raises(ValueError):
         decode_payload(b"xx", "video", "video/mp4")
-    # audio/wav has a real decoder now; garbage is corrupt data -> ValueError
     with pytest.raises(ValueError):
         decode_payload(b"xx", "audio", "audio/wav")
     with pytest.raises(ValueError):
         decode_payload(b"xx", "image", "image/png")
+    with pytest.raises(ValueError):
+        decode_payload(b"\xff\xd8\xffxx", "image", "image/jpeg")
 
 
 def test_decode_corrupt_truncated_containers():
