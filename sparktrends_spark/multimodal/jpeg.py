@@ -358,23 +358,65 @@ def _encode_component(
     return np.floor(coeffs / qt + 0.5).astype(np.int64)
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
+def _write_block(bw, zz, prev_dc, dc_codes, ac_codes):
+    """Entropy-code one zigzagged quantized block; returns new DC pred."""
+    diff = int(zz[0]) - prev_dc
+    size, extra = _magnitude(diff)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(extra, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, extra = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(extra, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 75, subsampling: str = "444"
+) -> bytes:
     """Baseline JFIF encode: 8-bit RGB (H, W, 3) or grayscale (H, W),
-    4:4:4, standard Huffman tables. Lossy in general; see module
-    docstring for the exact-round-trip special cases."""
+    standard Huffman tables. ``subsampling="444"`` keeps chroma at
+    full resolution (one block per component per MCU);
+    ``subsampling="420"`` mean-pools chroma 2x2 and interleaves
+    4 Y + 1 Cb + 1 Cr blocks per 16x16 MCU — the layout virtually
+    every camera JPEG uses. Lossy in general; see module docstring
+    for the exact-round-trip special cases (they hold under both
+    subsampling modes, since constant chroma pools to itself)."""
     arr = np.asarray(pixels)
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8 pixels")
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError("encode_jpeg expects (H, W, 3) RGB or (H, W) gray")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w = arr.shape[:2]
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError("image dimensions out of JPEG range")
     qt_l, qt_c = quality_tables(quality)
 
-    # pad to multiples of 8 by edge replication
-    ph, pw = -h % 8, -w % 8
+    sub420 = subsampling == "420" and not gray
+    # pad by edge replication to the MCU grid (16 for 4:2:0, else 8)
+    mcu = 16 if sub420 else 8
+    ph, pw = -h % mcu, -w % mcu
     if gray:
         ycc = arr.astype(np.float64)[:, :, None]
     else:
@@ -382,10 +424,19 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
     ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge") - 128.0
 
     ncomp = 1 if gray else 3
+    if sub420:
+        hh2, ww2 = ycc.shape[0] // 2, ycc.shape[1] // 2
+        chroma = [
+            ycc[:, :, c].reshape(hh2, 2, ww2, 2).mean(axis=(1, 3))
+            for c in (1, 2)
+        ]
+        comps = [ycc[:, :, 0], chroma[0], chroma[1]]
+        sampling = [(2, 2), (1, 1), (1, 1)]
+    else:
+        comps = [ycc[:, :, c] for c in range(ncomp)]
+        sampling = [(1, 1)] * ncomp
     qts = [qt_l] + [qt_c] * (ncomp - 1)
-    planes = [
-        _encode_component(ycc[:, :, c], qts[c]) for c in range(ncomp)
-    ]
+    planes = [_encode_component(comps[c], qts[c]) for c in range(ncomp)]
 
     dc_codes = [_build_codes(*STD_DC_LUMA)] + [_build_codes(*STD_DC_CHROMA)] * (
         ncomp - 1
@@ -396,41 +447,21 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
 
     bw = _BitWriter()
     prev_dc = [0] * ncomp
-    by, bx = planes[0].shape[:2]
-    for y in range(by):
-        for x in range(bx):
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcuy = planes[0].shape[0] // sampling[0][1]
+    mcux = planes[0].shape[1] // sampling[0][0]
+    for my in range(mcuy):
+        for mx in range(mcux):
             for c in range(ncomp):
-                block = planes[c][y, x]
-                zz = block.reshape(64)[ZIGZAG]
-                # DC
-                diff = int(zz[0]) - prev_dc[c]
-                prev_dc[c] = int(zz[0])
-                size, extra = _magnitude(diff)
-                code, length = dc_codes[c][size]
-                bw.write(code, length)
-                if size:
-                    bw.write(extra, size)
-                # AC with run-length + ZRL + EOB
-                run = 0
-                nz = np.nonzero(zz[1:])[0]
-                last_nz = nz[-1] + 1 if len(nz) else 0
-                for k in range(1, last_nz + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[c][0xF0]  # ZRL
-                        bw.write(code, length)
-                        run -= 16
-                    size, extra = _magnitude(v)
-                    code, length = ac_codes[c][(run << 4) | size]
-                    bw.write(code, length)
-                    bw.write(extra, size)
-                    run = 0
-                if last_nz < 63:
-                    code, length = ac_codes[c][0x00]  # EOB
-                    bw.write(code, length)
+                hs, vs = sampling[c]
+                for v in range(vs):
+                    for hb in range(hs):
+                        block = planes[c][my * vs + v, mx * hs + hb]
+                        zz = block.reshape(64)[ZIGZAG]
+                        prev_dc[c] = _write_block(
+                            bw, zz, prev_dc[c], dc_codes[c], ac_codes[c]
+                        )
     bw.flush()
 
     # --- marker stream -----------------------------------------------------
@@ -448,7 +479,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
         )
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])  # 4:4:4
+        hs, vs = sampling[c]
+        sof += bytes([c + 1, (hs << 4) | vs, 0 if c == 0 else 1])
     out += seg(0xC0, sof)
     for cls, tid, (bits, vals) in (
         (0, 0, STD_DC_LUMA),

@@ -166,6 +166,40 @@ class TestJpeg:
         dec = decode_jpeg(bytes(stream))
         assert np.array_equal(dec, np.full((8, 16, 3), v, dtype=np.uint8))
 
+    @pytest.mark.parametrize("v", [0, 77, 128, 255])
+    @pytest.mark.parametrize("shape", [(32, 64), (13, 21), (16, 16)])
+    def test_420_constant_color_roundtrips_exactly(self, v, shape):
+        # constant chroma mean-pools to itself, so the 4:2:0 exactness
+        # argument is the same as 4:4:4's
+        img = np.full((*shape, 3), v, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, 75, subsampling="420"))
+        assert dec.shape == img.shape
+        assert np.array_equal(dec, img)
+
+    def test_420_smaller_than_444(self):
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+        assert len(encode_jpeg(img, 85, subsampling="420")) < len(
+            encode_jpeg(img, 85, subsampling="444")
+        )
+
+    def test_420_gradient_close(self):
+        x = np.linspace(0, 255, 64)
+        grad = np.stack(
+            [
+                np.tile(x, (48, 1)),
+                np.tile(x[::-1], (48, 1)),
+                np.full((48, 64), 128.0),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(grad, 85, subsampling="420"))
+        assert np.abs(dec.astype(int) - grad.astype(int)).max() <= 8
+
+    def test_bad_subsampling_rejected(self):
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="422")
+
     def test_encode_input_validation(self):
         with pytest.raises(ValueError):
             encode_jpeg(np.zeros((4, 4, 3), dtype=np.float64))

@@ -57,6 +57,11 @@ HEAVY_QUERIES = (
     "doc_minhash_pairs",
     "embedding_neardup",
     "embedding_ivf_topk",
+    # codec dataflows (round 6): per-row mapInPandas encode/decode work
+    # — the slope certifies the fan-out stays linear and the plan stays
+    # a single Arrow-batched pass at 10x the corpus
+    "asset_jpeg_stats",
+    "asset_mp4_frames",
 )
 
 # Ops that define the plan's *strategy* — join algorithms, aggregate
