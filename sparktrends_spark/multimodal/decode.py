@@ -218,15 +218,19 @@ def encode_png(pixels) -> bytes:
 
 
 def decode_wav(data: bytes):
-    """Real WAV decode (PCM16) via the stdlib ``wave`` module.
-    Returns ``(samples int16 ndarray, sample_rate)``; multi-channel
-    input yields channel 0 (the engine's mono convention)."""
+    """Real WAV decode via the stdlib ``wave`` module, for every
+    integer PCM width the RIFF spec allows: 8-bit unsigned, 16/24/32
+    bit signed little-endian. Returns ``(samples int16 ndarray,
+    sample_rate)`` — wider widths keep their top 16 bits, 8-bit is
+    re-centered and left-shifted, so every width lands in the engine's
+    int16 mono convention. Multi-channel input yields channel 0."""
     import numpy as np
 
     try:
         with wave.open(io.BytesIO(data), "rb") as w:
-            if w.getsampwidth() != 2:
-                raise NotImplementedError("only PCM16 WAV supported")
+            width = w.getsampwidth()
+            if width not in (1, 2, 3, 4):
+                raise ValueError(f"WAV sample width {width} invalid")
             nch = w.getnchannels()
             rate = w.getframerate()
             frames = w.readframes(w.getnframes())
@@ -235,7 +239,20 @@ def decode_wav(data: bytes):
         # struct.error on malformed headers — per the decode_payload
         # contract, corrupt data for a supported format is ValueError.
         raise ValueError(f"not a WAV: {exc}") from exc
-    samples = np.frombuffer(frames, dtype="<i2")
+    if width == 1:
+        # RIFF 8-bit PCM is unsigned; recenter then scale to int16 range
+        raw = np.frombuffer(frames, dtype=np.uint8)
+        samples = ((raw.astype(np.int16) - 128) << 8).astype("<i2")
+    elif width == 2:
+        samples = np.frombuffer(frames, dtype="<i2")
+    elif width == 3:
+        # 24-bit LE: widen to int32 via a zero low byte, keep top 16
+        raw = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+        padded = np.zeros((raw.shape[0], 4), dtype=np.uint8)
+        padded[:, 1:] = raw
+        samples = (padded.view("<i4").ravel() >> 16).astype("<i2")
+    else:  # width == 4
+        samples = (np.frombuffer(frames, dtype="<i4") >> 16).astype("<i2")
     if nch > 1:
         samples = np.ascontiguousarray(samples.reshape(-1, nch)[:, 0])
     return samples, rate

@@ -211,6 +211,55 @@ class TestJpeg:
             encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8), quality=0)
 
 
+class TestWavWidths:
+    """decode_wav maps every RIFF integer PCM width to the engine's
+    int16 convention (graded 16-bit path is covered by the oracles)."""
+
+    @staticmethod
+    def _wav(width, data_bytes, rate=8000, nch=1):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(data_bytes)
+        return buf.getvalue()
+
+    def test_8bit_unsigned_recentered(self):
+        from sparktrends_spark.multimodal.decode import decode_wav
+
+        raw = np.array([0, 128, 255, 64], dtype=np.uint8)
+        dec, _ = decode_wav(self._wav(1, raw.tobytes()))
+        assert np.array_equal(dec, (raw.astype(np.int16) - 128) << 8)
+
+    def test_24bit_keeps_top_16(self):
+        from sparktrends_spark.multimodal.decode import decode_wav
+
+        vals = np.array([0, 1, -1, 8388607, -8388608, 123456], dtype=np.int32)
+        b = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+        dec, _ = decode_wav(self._wav(3, b))
+        assert np.array_equal(dec, (vals >> 8).astype(np.int16))
+
+    def test_32bit_keeps_top_16(self):
+        from sparktrends_spark.multimodal.decode import decode_wav
+
+        vals = np.array(
+            [0, 1 << 16, -(1 << 16), 2147483647, -2147483648], dtype="<i4"
+        )
+        dec, _ = decode_wav(self._wav(4, vals.tobytes()))
+        assert np.array_equal(dec, (vals >> 16).astype(np.int16))
+
+    def test_stereo_takes_channel_zero(self):
+        from sparktrends_spark.multimodal.decode import decode_wav
+
+        st = np.array([[100, -5], [200, -6], [300, -7]], dtype="<i2")
+        dec, _ = decode_wav(self._wav(2, st.tobytes(), nch=2))
+        assert np.array_equal(dec, st[:, 0])
+
+
 class TestMp4:
     def test_roundtrip_bytes_and_timestamps(self):
         frames = [bytes([i]) * (10 + i) for i in range(7)]
