@@ -579,3 +579,54 @@ def build_stream_doc_dedup(
         )
     )
     return run_upsert_stream(agg, keys=("content_hash",), ckpt_dir=ckpt_dir)
+
+
+@query(
+    "stream_asset_features",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+""",
+)
+def q_stream_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING multimodal featurization: documents arrive as a
+    stream, fan through the documents->assets projection and the
+    Arrow-batched mapInPandas byte-featurizer (the asset_features
+    dataflow), and land in the keyed upsert sink — the ingest shape of
+    a media-curation pipeline (decode/feature on arrival, one feature
+    row per asset, idempotent by asset_id).
+
+    Stateless per-row transforms (projection + mapInPandas) need no
+    state store or watermark: each micro-batch featurizes exactly its
+    own files, append semantics. Batch twin: ``asset_features``
+    (byte-level columns shared with its oracle)."""
+    return build_stream_asset_features(spark, sf_dir)
+
+
+def build_stream_asset_features(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+) -> DataFrame:
+    from sparktrends_spark.multimodal.assets import documents_to_assets
+    from sparktrends_spark.multimodal.featurize import extract_features
+
+    base = sf_dir.rstrip("/")
+    reader = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(f"{base}/documents*.parquet")
+    feats = extract_features(documents_to_assets(docs)).select(
+        "asset_id", "modality", "n_bytes", "payload_md5"
+    )
+    return run_upsert_stream(
+        feats, keys=("asset_id",), output_mode="append", ckpt_dir=ckpt_dir
+    )

@@ -180,3 +180,18 @@ def test_multibatch_doc_dedup_lands_on_oracle(spark, sf_dir, docs_split_dir, tmp
     ).toPandas()
     assert _n_batches(ckpt) >= N_SPLITS  # really ran multi-batch
     _assert_frames_equal(got, _oracle(sf_dir, "stream_doc_dedup"))
+
+
+def test_multibatch_asset_features_lands_on_oracle(
+    spark, sf_dir, docs_split_dir, tmp_path
+):
+    from sparktrends_spark.plans.streaming_queries import (
+        build_stream_asset_features,
+    )
+
+    ckpt = str(tmp_path / "ckpt_saf")
+    got = build_stream_asset_features(
+        spark, docs_split_dir, max_files_per_trigger=1, ckpt_dir=ckpt
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    _assert_frames_equal(got, _oracle(sf_dir, "stream_asset_features"))
