@@ -336,3 +336,97 @@ def q_asset_extra_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.groupBy(
         F.col("extra")["source"].alias("source"), "modality"
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "asset_quality_filter",
+    oracle="""
+WITH img AS (
+  SELECT doc_id AS asset_id, 'image' AS modality,
+         list_sum([CAST(concat('0x', substr(md5(text), i*2+1, 2)) AS BIGINT)
+                   for i in range(0, 16)]) / 16.0 AS brightness,
+         CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS INTEGER) AS peak
+  FROM documents WHERE doc_id % 3 = 0
+),
+aud0 AS (
+  SELECT doc_id AS asset_id, md5(text) AS hx FROM documents WHERE doc_id % 3 = 1
+),
+aud1 AS (
+  SELECT asset_id,
+         [CAST(concat('0x', substr(hx, i*4+1, 2)) AS BIGINT)
+          + 256 * CAST(concat('0x', substr(hx, i*4+3, 2)) AS BIGINT)
+          for i in range(0, 8)] AS raw
+  FROM aud0
+),
+aud AS (
+  SELECT asset_id, 'audio' AS modality, CAST(NULL AS DOUBLE) AS brightness,
+         sqrt(list_sum(list_transform(smp, x -> CAST(x*x AS DOUBLE))) / 8.0) AS rms,
+         CAST(list_max(list_transform(smp, x -> abs(x))) AS INTEGER) AS peak
+  FROM (SELECT asset_id,
+               list_transform(raw, x -> CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS smp
+        FROM aud1)
+)
+SELECT asset_id, modality,
+       CASE WHEN modality = 'image' THEN brightness >= 16.0 AND brightness <= 240.0
+            ELSE rms >= 1000.0 AND peak <= 32600 END AS keep,
+       CASE WHEN modality = 'image' AND (brightness < 16.0 OR brightness > 240.0)
+              THEN 'brightness_out_of_range'
+            WHEN modality = 'audio' AND rms < 1000.0 THEN 'too_quiet'
+            WHEN modality = 'audio' AND peak > 32600 THEN 'clipping'
+            ELSE 'ok' END AS reason
+FROM (SELECT * FROM img UNION ALL SELECT * FROM aud)
+""",
+)
+def q_asset_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media curation verdicts off the REAL codec outputs — the
+    decode→stats→filter composite a training-data pipeline runs before
+    admitting media: images dropped outside a brightness band (near-
+    black/near-white = likely junk), audio dropped for silence or
+    clipping. Thresholds are JVM expressions over the decoded-feature
+    frames (one mapInPandas pass each, union, no shuffle); the oracle
+    restates the decoded statistics from md5(text) exactly as the
+    asset_pixel_stats / asset_audio_stats oracles do."""
+    from sparktrends_spark.multimodal.featurize import (
+        audio_sample_features,
+        image_pixel_features,
+    )
+
+    media = _media_assets(spark, sf_dir)
+    img = image_pixel_features(media, grid=4).select(
+        "asset_id",
+        F.lit("image").alias("modality"),
+        F.col("mean_brightness").alias("brightness"),
+        F.lit(None).cast("double").alias("rms"),
+        F.lit(None).cast("int").alias("peak"),
+    )
+    aud = audio_sample_features(media).select(
+        "asset_id",
+        F.lit("audio").alias("modality"),
+        F.lit(None).cast("double").alias("brightness"),
+        "rms",
+        "peak",
+    )
+    u = img.unionByName(aud)
+    keep = F.when(
+        F.col("modality") == "image",
+        (F.col("brightness") >= 16.0) & (F.col("brightness") <= 240.0),
+    ).otherwise((F.col("rms") >= 1000.0) & (F.col("peak") <= 32600))
+    reason = (
+        F.when(
+            (F.col("modality") == "image")
+            & ((F.col("brightness") < 16.0) | (F.col("brightness") > 240.0)),
+            F.lit("brightness_out_of_range"),
+        )
+        .when(
+            (F.col("modality") == "audio") & (F.col("rms") < 1000.0),
+            F.lit("too_quiet"),
+        )
+        .when(
+            (F.col("modality") == "audio") & (F.col("peak") > 32600),
+            F.lit("clipping"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return u.select(
+        "asset_id", "modality", keep.alias("keep"), reason.alias("reason")
+    )
