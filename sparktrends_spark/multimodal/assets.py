@@ -88,6 +88,11 @@ def encode_media_payloads(
       (multimodal/mp4.py) whose samples are the 16-byte
       ``md5(text + '#' + i)`` digests, one per VIDEO_FRAME_MS of
       duration — so the demuxed sample bytes ARE the frame oracle.
+    - video rows, ``video_codec="mp4_png"``: the nested two-codec
+      form — every MP4 sample is itself a real 16x16 PNG whose pixels
+      are the md5-tiled array of ``text + '#' + i`` (demux then
+      per-frame image decode, the shape a video training pipeline
+      actually runs).
 
     Runs as one Arrow-batched ``mapInPandas`` pass; payload bytes never
     leave the executors. Output schema identical to the input asset
@@ -126,10 +131,23 @@ def encode_media_payloads(
             return encode_png(fake_decode_image(raw, w, h))
 
         def video_payload(raw: bytes, dur: int) -> bytes:
-            if video_codec == "mp4":
+            if video_codec in ("mp4", "mp4_png"):
                 from sparktrends_spark.multimodal.mp4 import encode_mp4
 
                 n_frames = max(1, dur // VIDEO_FRAME_MS)
+                if video_codec == "mp4_png":
+                    # each sample is itself a real PNG frame: pixels =
+                    # the md5-tiled array of (text#i), 16x16 RGB (768
+                    # bytes = 48 digests, no tiling remainder)
+                    frames = [
+                        encode_png(
+                            fake_decode_image(
+                                raw + b"#" + str(i).encode(), 16, 16
+                            )
+                        )
+                        for i in range(n_frames)
+                    ]
+                    return encode_mp4(frames, VIDEO_FRAME_MS, width=16, height=16)
                 frames = [
                     hashlib.md5(raw + b"#" + str(i).encode()).digest()
                     for i in range(n_frames)

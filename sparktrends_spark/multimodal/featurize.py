@@ -296,6 +296,63 @@ def demux_frames(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(explode, FRAME_SCHEMA)
 
 
+FRAME_PIXEL_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("mean_brightness", DoubleType(), False),
+    ]
+)
+
+
+def demux_frame_pixels(assets: DataFrame) -> DataFrame:
+    """The nested two-codec dataflow: demux the REAL MP4 container,
+    then decode each sample as a REAL PNG frame and pool its pixels —
+    container walk + per-frame image decode in one Arrow-batched pass,
+    which is what a video training pipeline runs per clip (sample →
+    decode → per-frame features). Width/height come from each frame's
+    PNG header."""
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from sparktrends_spark.multimodal.decode import decode_png
+        from sparktrends_spark.multimodal.mp4 import decode_mp4
+
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in FRAME_PIXEL_SCHEMA.fields}
+            vids = pdf[pdf["modality"] == "video"]
+            for asset_id, payload in zip(vids["asset_id"], vids["payload"]):
+                raw = bytes(payload)
+                if len(raw) < 12 or raw[4:8] != b"ftyp":
+                    continue
+                for i, (ts_ms, sample) in enumerate(decode_mp4(raw).samples):
+                    px = decode_png(sample)
+                    out["asset_id"].append(asset_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(ts_ms)
+                    out["height"].append(px.shape[0])
+                    out["width"].append(px.shape[1])
+                    out["mean_brightness"].append(
+                        float(px.astype(np.float64).mean())
+                    )
+            yield pd.DataFrame(out).astype(
+                {
+                    "asset_id": "int64",
+                    "frame_idx": "int32",
+                    "frame_ts_ms": "int64",
+                    "width": "int32",
+                    "height": "int32",
+                    "mean_brightness": "float64",
+                }
+            )
+
+    return assets.mapInPandas(explode, FRAME_PIXEL_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, every_ms: int = 400) -> DataFrame:
     """Fan video assets out to one row per sampled frame.
 

@@ -430,3 +430,46 @@ def q_asset_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select(
         "asset_id", "modality", keep.alias("keep"), reason.alias("reason")
     )
+
+
+@query(
+    "asset_mp4_pixel_frames",
+    oracle="""
+SELECT asset_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * 400 AS BIGINT) AS frame_ts_ms,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       round(list_sum([CAST(concat('0x', substr(md5(text || '#' || CAST(i AS VARCHAR)), j*2+1, 2)) AS BIGINT)
+                       for j in range(0, 16)]) / 16.0, 6) AS mean_brightness
+FROM (
+  SELECT doc_id AS asset_id, text,
+         unnest(range(0, greatest(1, (1000 * (1 + doc_id % 10)) // 400))) AS i
+  FROM documents WHERE doc_id % 3 = 2
+)
+""",
+)
+def q_asset_mp4_pixel_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NESTED two-codec dataflow graded end-to-end: each video is a
+    real MP4 whose samples are real 16x16 PNG frames
+    (video_codec='mp4_png'); demux_frame_pixels walks the box tree,
+    slices each sample out of mdat, PNG-decodes it (inflate +
+    unfilter) and pools pixels — exactly the clip → sample → decode →
+    per-frame-features chain a video training pipeline runs.
+
+    Oracle-able because frame i's pixels are the md5-tiled array of
+    ``text#i`` (16x16x3 = 768 bytes = 48 digests, no tiling
+    remainder), so per-frame mean brightness collapses to
+    digest_sum/16 of ``md5(text || '#' || i)``, and PNG is lossless."""
+    from sparktrends_spark.multimodal.featurize import demux_frame_pixels
+
+    media = encode_media_payloads(_assets(spark, sf_dir), video_codec="mp4_png")
+    feats = demux_frame_pixels(media)
+    return feats.select(
+        "asset_id",
+        "frame_idx",
+        "frame_ts_ms",
+        "width",
+        "height",
+        F.round("mean_brightness", 6).alias("mean_brightness"),
+    )
