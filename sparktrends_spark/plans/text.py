@@ -1029,3 +1029,62 @@ def q_lang_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_tokens",
         F.round(frac, 6).alias("sample_frac"),
     )
+
+
+@query(
+    "doc_chunk_dup_stats",
+    oracle=f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+x AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {_CHUNK}.0) AS BIGINT))) AS chunk_id
+  FROM s
+),
+h AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, chunk_id * {_CHUNK} + 1,
+                                        chunk_id * {_CHUNK} + {_CHUNK}), ' ')) AS ch
+  FROM x
+),
+ph AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM h GROUP BY ch)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+       round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE),
+             6) AS shared_frac
+FROM h JOIN ph USING (ch)
+GROUP BY doc_id
+""",
+)
+def q_doc_chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk-duplication profile — the RefinedWeb/Gopher
+    curation signal "how much of this document is boilerplate shared
+    with other documents": chunk every doc into fixed word windows,
+    hash chunks, count distinct docs per chunk hash, and report each
+    doc's shared-chunk fraction.
+
+    Scale shape: chunk fan-out is pure JVM (split+sequence+slice, no
+    Python), then ONE shuffle keys everything by chunk hash — the
+    distinct-doc count and the chunk->count join co-partition on that
+    same key, and the final per-doc agg is the only second exchange.
+    Chunk payloads never ride the join (only doc_id, hash)."""
+    from sparktrends_spark.text.chunking import chunk_documents_builtin
+
+    ch = chunk_documents_builtin(_docs(spark, sf_dir), _CHUNK).select(
+        "doc_id", F.md5("chunk").alias("ch")
+    )
+    per_hash = ch.groupBy("ch").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    shared = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        ch.join(per_hash, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(shared).cast("bigint").alias("n_shared_chunks"),
+            F.round(
+                F.sum(shared) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("shared_frac"),
+        )
+    )
