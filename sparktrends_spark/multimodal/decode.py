@@ -233,11 +233,23 @@ def decode_wav(data: bytes):
                 raise ValueError(f"WAV sample width {width} invalid")
             nch = w.getnchannels()
             rate = w.getframerate()
-            frames = w.readframes(w.getnframes())
-    except (wave.Error, EOFError, struct.error) as exc:
-        # wave.open raises EOFError (via chunk.py) on truncated input and
-        # struct.error on malformed headers — per the decode_payload
-        # contract, corrupt data for a supported format is ValueError.
+            nframes = w.getnframes()
+            frames = w.readframes(nframes)
+            if len(frames) != nframes * width * nch:
+                # stdlib wave silently returns short data when the file
+                # is torn mid-data-chunk; a truncated supported
+                # container must surface as corrupt, not as a shorter
+                # clip (quarantine contract)
+                raise wave.Error(
+                    f"WAV data truncated: header declares {nframes} frames, "
+                    f"payload holds {len(frames) // (width * nch)}"
+                )
+    except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
+        # wave.open raises EOFError (via chunk.py) on truncated input,
+        # struct.error on malformed headers, and chunk.py's seek raises
+        # a bare RuntimeError when a corrupted chunk size points outside
+        # the file (found by fuzzing) — per the decode_payload contract,
+        # corrupt data for a supported format is ValueError.
         raise ValueError(f"not a WAV: {exc}") from exc
     if width == 1:
         # RIFF 8-bit PCM is unsigned; recenter then scale to int16 range

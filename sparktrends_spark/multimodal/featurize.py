@@ -296,6 +296,73 @@ def demux_frames(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(explode, FRAME_SCHEMA)
 
 
+HEALTH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("decode_status", StringType(), False),
+    ]
+)
+
+
+def decode_health(assets: DataFrame) -> DataFrame:
+    """Try the real decoder for every asset and report per-asset health
+    — the quarantine pass a media lake runs before admitting objects.
+    ``decoded`` = full decode succeeded; ``corrupt`` = the payload is
+    signed as a supported container but the decoder raised ValueError
+    (torn object); ``no_codec`` = no in-engine decoder for the bytes.
+    Decoders must raise ONLY ValueError on bad data (contract enforced
+    by tests/test_multimodal_codecs.py) — anything else would fail the
+    whole Spark task instead of quarantining one object."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparktrends_spark.multimodal.decode import (
+            JPEG_SIGNATURE,
+            PNG_SIGNATURE,
+            WAV_SIGNATURE,
+            decode_png,
+            decode_wav,
+        )
+        from sparktrends_spark.multimodal.jpeg import decode_jpeg
+        from sparktrends_spark.multimodal.mp4 import decode_mp4
+
+        def try_decode(raw: bytes) -> str:
+            if raw[:8] == PNG_SIGNATURE:
+                dec = decode_png
+            elif raw[:3] == JPEG_SIGNATURE:
+                dec = decode_jpeg
+            elif raw[:4] == WAV_SIGNATURE:
+                dec = decode_wav
+            elif raw[4:8] == b"ftyp":
+                dec = decode_mp4
+            else:
+                return "no_codec"
+            try:
+                dec(raw)
+            except ValueError:
+                return "corrupt"
+            return "decoded"
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "decode_status": [
+                        try_decode(bytes(p)) for p in pdf["payload"]
+                    ],
+                }
+            ).astype(
+                {
+                    "asset_id": "int64",
+                    "modality": "string",
+                    "decode_status": "string",
+                }
+            )
+
+    return assets.mapInPandas(probe, HEALTH_SCHEMA)
+
+
 FRAME_PIXEL_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),

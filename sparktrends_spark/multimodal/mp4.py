@@ -180,7 +180,17 @@ def _find(data: bytes, start: int, end: int, btype: bytes):
 def decode_mp4(data: bytes) -> Mp4Media:
     """Demux a progressive single-video-track MP4: walk the box tree,
     read the stbl sample tables, and slice every sample's bytes out of
-    mdat with its presentation timestamp."""
+    mdat with its presentation timestamp. Corrupt structure raises
+    ValueError only (quarantine contract)."""
+    try:
+        return _decode_mp4(data)
+    except (struct.error, IndexError) as exc:
+        # short slices / out-of-range reads from fuzzed box sizes —
+        # map to the corrupt-data contract instead of leaking
+        raise ValueError(f"MP4 structure corrupt: {exc}") from exc
+
+
+def _decode_mp4(data: bytes) -> Mp4Media:
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an MP4: missing ftyp")
     top = {t: (s, e) for t, s, e in _iter_boxes(data, 0, len(data))}

@@ -473,3 +473,29 @@ def q_asset_mp4_pixel_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round("mean_brightness", 6).alias("mean_brightness"),
     )
+
+
+@query(
+    "asset_decode_health",
+    oracle=f"""
+SELECT doc_id AS asset_id,
+       {_MODALITY_SQL.strip()} AS modality,
+       CASE WHEN doc_id % 5 = 0 THEN 'corrupt' ELSE 'decoded' END AS decode_status
+FROM documents
+""",
+)
+def q_asset_decode_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode ERROR path graded end-to-end: every payload becomes a
+    real container (PNG/WAV/MP4), every 5th asset is then torn in half
+    (corrupt_payloads — a pure-JVM binary substr), and decode_health
+    probes each object with the real decoders, quarantining torn ones
+    as 'corrupt' instead of failing the task. A 100 TB media lake
+    always contains torn objects; this certifies the engine's
+    ValueError-only decoder contract under real corruption, per
+    container format. The oracle restates the injected corruption set
+    (and implicitly that every intact container fully decodes)."""
+    from sparktrends_spark.multimodal.assets import corrupt_payloads
+    from sparktrends_spark.multimodal.featurize import decode_health
+
+    media = encode_media_payloads(_assets(spark, sf_dir), video_codec="mp4")
+    return decode_health(corrupt_payloads(media, mod=5))

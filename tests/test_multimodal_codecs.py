@@ -259,6 +259,64 @@ class TestWavWidths:
         dec, _ = decode_wav(self._wav(2, st.tobytes(), nch=2))
         assert np.array_equal(dec, st[:, 0])
 
+    def test_torn_data_chunk_is_corrupt_not_short(self):
+        # stdlib wave silently returns short frames on a torn data
+        # chunk; the engine contract is ValueError (quarantine), never
+        # a silently shorter clip
+        from sparktrends_spark.multimodal.decode import decode_wav, encode_wav
+
+        wav = encode_wav(np.arange(1000, dtype="<i2"))
+        with pytest.raises(ValueError, match="truncated"):
+            decode_wav(wav[: len(wav) // 2])
+
+
+class TestCorruptionContract:
+    """Every decoder must raise ONLY ValueError (or succeed) on
+    arbitrarily corrupted input with an intact signature — anything
+    else would kill a Spark task instead of quarantining one object
+    (decode_health relies on this)."""
+
+    def _fuzz(self, blob: bytes, dec, keep: int, rng):
+        for _ in range(60):
+            b = bytearray(blob)
+            for _ in range(rng.integers(1, 4)):
+                b[rng.integers(keep, len(b))] = rng.integers(0, 256)
+            try:
+                dec(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass  # quarantine or unsupported-variant: both contract-legal
+        # truncations too
+        for frac in (0.25, 0.5, 0.9):
+            try:
+                dec(blob[: int(len(blob) * frac)])
+            except (ValueError, NotImplementedError):
+                pass
+
+    def test_png_fuzz(self):
+        from sparktrends_spark.multimodal.decode import decode_png, encode_png
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+        self._fuzz(encode_png(img), decode_png, keep=8, rng=rng)
+
+    def test_jpeg_fuzz(self):
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+        self._fuzz(encode_jpeg(img, 80), decode_jpeg, keep=3, rng=rng)
+
+    def test_wav_fuzz(self):
+        from sparktrends_spark.multimodal.decode import decode_wav, encode_wav
+
+        rng = np.random.default_rng(2)
+        wav = encode_wav(rng.integers(-30000, 30000, 500).astype("<i2"))
+        self._fuzz(wav, decode_wav, keep=4, rng=rng)
+
+    def test_mp4_fuzz(self):
+        rng = np.random.default_rng(3)
+        mp4 = encode_mp4([bytes(rng.integers(0, 256, 40, dtype=np.uint8))
+                          for _ in range(6)], 200)
+        self._fuzz(mp4, decode_mp4, keep=8, rng=rng)
+
 
 class TestMp4:
     def test_roundtrip_bytes_and_timestamps(self):
