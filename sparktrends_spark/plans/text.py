@@ -1088,3 +1088,98 @@ def q_doc_chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_frac"),
         )
     )
+
+
+_HASH_DIM = 32
+
+_HASH_EMBED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 2)) AS BIGINT) % {_HASH_DIM} AS idx,
+         1 - 2 * (CAST(concat('0x', substr(md5(tok), 3, 2)) AS BIGINT) % 2) AS sgn
+  FROM toks
+),
+s AS (SELECT doc_id, idx, CAST(sum(sgn) AS DOUBLE) AS v FROM h GROUP BY doc_id, idx),
+agg AS (SELECT doc_id, list(struct_pack(idx := idx, v := v)) AS es FROM s GROUP BY doc_id),
+vec AS (
+  SELECT doc_id,
+         [coalesce(list_sum([e.v for e in es if e.idx = i]), 0.0)
+          for i in range(0, {_HASH_DIM})] AS raw
+  FROM agg
+),
+n AS (
+  SELECT doc_id, raw,
+         sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+  FROM vec
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(CASE WHEN nrm = 0 THEN raw
+                             ELSE list_transform(raw, x -> x / nrm) END,
+                        x -> printf('%.6f', x)),
+         ',') AS embedding,
+       round(nrm, 6) AS l2_norm
+FROM n
+"""
+
+
+@query("doc_hash_embedding", oracle=_HASH_EMBED_ORACLE)
+def q_doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document embeddings computed IN-PLAN — the
+    model-free featurization that bridges the text family into the
+    similarity family (hash-kernel / signed feature hashing): each
+    token lands in md5-derived dimension with an md5-derived sign,
+    counts accumulate, and the vector is L2-normalized. Downstream
+    these flow straight into the cosine/LSH/IVF operators
+    (similarity/cosine.py) without any model service.
+
+    Scale shape: explode -> one hash agg keyed (doc_id, dim) -> one
+    per-doc agg assembling the dense array from a map — all JVM
+    expressions, no Python in the row path, payload never exceeds
+    O(docs x dim)."""
+    from sparktrends_spark.text.analysis import tokens
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    hx = tok.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("long")
+         % _HASH_DIM).alias("idx"),
+        (F.lit(1) - F.lit(2)
+         * (F.conv(F.substring(F.md5("tok"), 3, 2), 16, 10).cast("long") % 2)
+         ).alias("sgn"),
+    )
+    sums = hx.groupBy("doc_id", "idx").agg(
+        F.sum("sgn").cast("double").alias("v")
+    )
+    assembled = (
+        sums.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("idx", "v"))).alias("m"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(_HASH_DIM - 1).cast("long")),
+                lambda i: F.coalesce(F.col("m")[i], F.lit(0.0)),
+            ).alias("raw"),
+        )
+    )
+    nrm = F.sqrt(F.aggregate("raw", F.lit(0.0), lambda a, x: a + x * x))
+    # serialized fixed-format CSV, same convention as
+    # segment_priority_arrays: both engines hash the identical string
+    normalized = F.when(nrm == 0, F.col("raw")).otherwise(
+        F.transform("raw", lambda x: x / nrm)
+    )
+    return assembled.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.transform(normalized, lambda x: F.format_string("%.6f", x)),
+        ).alias("embedding"),
+        F.round(nrm, 6).alias("l2_norm"),
+    )
