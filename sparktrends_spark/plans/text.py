@@ -1092,8 +1092,8 @@ def q_doc_chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HASH_DIM = 32
 
-_HASH_EMBED_ORACLE = f"""
-WITH toks AS (
+_HASH_EMBED_CTES = f"""
+toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
   FROM documents
 ),
@@ -1116,6 +1116,10 @@ n AS (
          sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
   FROM vec
 )
+"""
+
+_HASH_EMBED_ORACLE = f"""
+WITH {_HASH_EMBED_CTES.strip()}
 SELECT doc_id,
        array_to_string(
          list_transform(CASE WHEN nrm = 0 THEN raw
@@ -1127,20 +1131,11 @@ FROM n
 """
 
 
-@query("doc_hash_embedding", oracle=_HASH_EMBED_ORACLE)
-def q_doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-hashed document embeddings computed IN-PLAN — the
-    model-free featurization that bridges the text family into the
-    similarity family (hash-kernel / signed feature hashing): each
-    token lands in md5-derived dimension with an md5-derived sign,
-    counts accumulate, and the vector is L2-normalized. Downstream
-    these flow straight into the cosine/LSH/IVF operators
-    (similarity/cosine.py) without any model service.
-
-    Scale shape: explode -> one hash agg keyed (doc_id, dim) -> one
-    per-doc agg assembling the dense array from a map — all JVM
-    expressions, no Python in the row path, payload never exceeds
-    O(docs x dim)."""
+def hash_embed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, raw array<double>, l2 norm) — signed feature-hash
+    document vectors, all JVM expressions: explode -> md5-derived
+    dim/sign -> one hash agg keyed (doc_id, dim) -> dense-array
+    assembly from a map. Payload never exceeds O(docs x dim)."""
     from sparktrends_spark.text.analysis import tokens
 
     d = _docs(spark, sf_dir)
@@ -1170,16 +1165,65 @@ def q_doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nrm = F.sqrt(F.aggregate("raw", F.lit(0.0), lambda a, x: a + x * x))
+    return assembled.select("doc_id", "raw", nrm.alias("nrm"))
+
+
+@query("doc_hash_embedding", oracle=_HASH_EMBED_ORACLE)
+def q_doc_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document embeddings computed IN-PLAN — the
+    model-free featurization that bridges the text family into the
+    similarity family (hash-kernel / signed feature hashing): each
+    token lands in an md5-derived dimension with an md5-derived sign,
+    counts accumulate, and the vector is L2-normalized. Downstream
+    these flow straight into the cosine/LSH/IVF operators
+    (similarity/cosine.py) without any model service."""
+    e = hash_embed_vectors(spark, sf_dir)
     # serialized fixed-format CSV, same convention as
     # segment_priority_arrays: both engines hash the identical string
-    normalized = F.when(nrm == 0, F.col("raw")).otherwise(
-        F.transform("raw", lambda x: x / nrm)
+    normalized = F.when(F.col("nrm") == 0, F.col("raw")).otherwise(
+        F.transform("raw", lambda x: x / F.col("nrm"))
     )
-    return assembled.select(
+    return e.select(
         "doc_id",
         F.concat_ws(
             ",",
             F.transform(normalized, lambda x: F.format_string("%.6f", x)),
         ).alias("embedding"),
-        F.round(nrm, 6).alias("l2_norm"),
+        F.round("nrm", 6).alias("l2_norm"),
+    )
+
+
+@query(
+    "doc_embedding_topk",
+    oracle=f"""
+WITH {_HASH_EMBED_CTES.strip()},
+e AS (SELECT doc_id, raw, nrm FROM n WHERE nrm > 0),
+q AS (SELECT doc_id AS query_id, raw AS qv, nrm AS qn FROM e WHERE doc_id < 10),
+scored AS (
+  SELECT query_id, e.doc_id,
+         round(list_dot_product(qv, raw) / (qn * nrm), 6) AS cosine
+  FROM e, q WHERE e.doc_id != query_id
+)
+SELECT query_id, doc_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+""",
+)
+def q_doc_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text -> embedding -> similarity, chained end-to-end in one plan:
+    hash-embed every document in-plan (no model service), then exact
+    cosine top-3 neighbors for the first 10 docs via the broadcast
+    brute-force ranker — the full semantic-search dataflow over raw
+    text. Zero-norm docs are excluded (cosine undefined); the corpus
+    side never shuffles."""
+    from sparktrends_spark.similarity.cosine import brute_force_topk
+
+    e = hash_embed_vectors(spark, sf_dir).filter(F.col("nrm") > 0)
+    queries = e.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), F.col("raw")
+    )
+    return brute_force_topk(
+        queries, e, k=3, query_id="query_id", cand_id="doc_id", vec_col="raw"
     )
