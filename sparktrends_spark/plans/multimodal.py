@@ -385,21 +385,28 @@ def q_asset_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     clipping. Thresholds are JVM expressions over the decoded-feature
     frames (one mapInPandas pass each, union, no shuffle); the oracle
     restates the decoded statistics from md5(text) exactly as the
-    asset_pixel_stats / asset_audio_stats oracles do."""
+    asset_pixel_stats / asset_audio_stats oracles do.
+
+    Each union branch filters its modality BEFORE the encode pass, so
+    no asset is ever encoded (or scanned) for a branch that would
+    discard it — at 100 TB that halves the codec CPU of the fused
+    encode->decode stage."""
     from sparktrends_spark.multimodal.featurize import (
         audio_sample_features,
         image_pixel_features,
     )
 
-    media = _media_assets(spark, sf_dir)
-    img = image_pixel_features(media, grid=4).select(
+    assets = _assets(spark, sf_dir)
+    img_media = encode_media_payloads(assets.filter(F.col("modality") == "image"))
+    aud_media = encode_media_payloads(assets.filter(F.col("modality") == "audio"))
+    img = image_pixel_features(img_media, grid=4).select(
         "asset_id",
         F.lit("image").alias("modality"),
         F.col("mean_brightness").alias("brightness"),
         F.lit(None).cast("double").alias("rms"),
         F.lit(None).cast("int").alias("peak"),
     )
-    aud = audio_sample_features(media).select(
+    aud = audio_sample_features(aud_media).select(
         "asset_id",
         F.lit("audio").alias("modality"),
         F.lit(None).cast("double").alias("brightness"),

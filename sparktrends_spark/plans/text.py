@@ -1218,9 +1218,15 @@ def q_doc_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force ranker — the full semantic-search dataflow over raw
     text. Zero-norm docs are excluded (cosine undefined); the corpus
     side never shuffles."""
+    from sparktrends_spark.caching import persist_tracked
     from sparktrends_spark.similarity.cosine import brute_force_topk
 
-    e = hash_embed_vectors(spark, sf_dir).filter(F.col("nrm") > 0)
+    # pinned: the query branch (broadcast side) and the candidate scan
+    # both read it — without persist the whole explode->agg->assemble
+    # pipeline executes twice
+    e = persist_tracked(
+        hash_embed_vectors(spark, sf_dir).filter(F.col("nrm") > 0)
+    )
     queries = e.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("query_id"), F.col("raw")
     )
