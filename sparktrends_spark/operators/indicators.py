@@ -305,3 +305,49 @@ def rsi(
     return g.select(
         *partition_cols, order_col, value_col, rsi_col.alias(f"rsi_{n}")
     )
+
+
+def stochastic(
+    df: DataFrame,
+    close_col: str,
+    high_col: str,
+    low_col: str,
+    order_col: str,
+    partition_cols: Iterable[str],
+    n: int = 14,
+    d: int = 3,
+) -> DataFrame:
+    """Stochastic oscillator: %K = 100·(close − lowest-low_n) /
+    (highest-high_n − lowest-low_n), %D = d-period SMA of %K.
+
+    Two window passes over the SAME (partition, order) key — Spark
+    plans them with a single exchange and sort; pure JVM codegen. %K is
+    NULL when the trailing range is flat (hh == ll), and %D averages
+    only the non-NULL %K values (avg skips NULLs in both engines).
+    Reference intent: the indicator family (spark/jobs/stock_batch.py
+    metric surface), extended like EMA/MACD/RSI/Bollinger."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    ll = F.min(low_col).over(w)
+    hh = F.max(high_col).over(w)
+    pct_k = F.when(
+        hh > ll, F.lit(100.0) * (F.col(close_col) - ll) / (hh - ll)
+    )
+    staged = df.select(
+        *partition_cols, order_col, close_col, pct_k.alias("_k")
+    )
+    wd = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(d - 1), Window.currentRow)
+    )
+    return staged.select(
+        *partition_cols,
+        order_col,
+        close_col,
+        F.round("_k", 6).alias("pct_k"),
+        F.round(F.avg("_k").over(wd), 6).alias("pct_d"),
+    )

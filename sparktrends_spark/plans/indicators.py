@@ -282,3 +282,67 @@ def q_rsi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=["symbol"],
         n=14,
     )
+
+
+@query(
+    "stochastic_daily",
+    oracle=f"""
+WITH {_TRADES_CTE.strip()}, {_DAILY_BARS_CTE.strip()},
+hl AS (
+  SELECT symbol, date_trunc('day', ts) AS day,
+         max(price) AS high, min(price) AS low
+  FROM trades GROUP BY 1, 2
+),
+dhl AS (
+  SELECT d.symbol, d.day, d.close, hl.high, hl.low
+  FROM daily d JOIN hl ON d.symbol = hl.symbol AND d.day = hl.day
+),
+k AS (
+  SELECT symbol, day, close,
+         min(low) OVER w AS ll,
+         max(high) OVER w AS hh
+  FROM dhl
+  WINDOW w AS (
+    PARTITION BY symbol ORDER BY day
+    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW
+  )
+),
+k2 AS (
+  SELECT symbol, day, close,
+         CASE WHEN hh > ll
+              THEN 100.0 * (close - ll) / (hh - ll) END AS pk
+  FROM k
+)
+SELECT symbol, day, close,
+       round(pk, 6) AS pct_k,
+       round(avg(pk) OVER (
+         PARTITION BY symbol ORDER BY day
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS pct_d
+FROM k2
+""",
+)
+def q_stochastic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day stochastic oscillator (%K / 3-day %D) per symbol off the
+    graded daily OHLCV bars — completes the indicator family
+    (EMA/MACD/Bollinger/RSI) with the range-position oscillator. Same
+    window key throughout: one exchange on symbol, pure JVM."""
+    from sparktrends_spark.operators.indicators import stochastic
+
+    daily = ohlcv_bars(
+        trades_view(spark, sf_dir),
+        window_duration="1 day",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    ).select(
+        "symbol", F.col("timestamp").alias("day"), "close", "high", "low"
+    )
+    return stochastic(
+        daily,
+        close_col="close",
+        high_col="high",
+        low_col="low",
+        order_col="day",
+        partition_cols=["symbol"],
+        n=14,
+        d=3,
+    )
