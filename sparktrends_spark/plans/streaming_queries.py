@@ -560,6 +560,7 @@ def build_stream_doc_dedup(
     sf_dir: str,
     max_files_per_trigger: int | None = None,
     ckpt_dir: str | None = None,
+    table_dir: str | None = None,
 ) -> DataFrame:
     from sparktrends_spark.text.dedup import exact_hash
 
@@ -578,7 +579,9 @@ def build_stream_doc_dedup(
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
-    return run_upsert_stream(agg, keys=("content_hash",), ckpt_dir=ckpt_dir)
+    return run_upsert_stream(
+        agg, keys=("content_hash",), ckpt_dir=ckpt_dir, table_dir=table_dir
+    )
 
 
 @query(
