@@ -92,6 +92,40 @@ def rollup_bars(
     )
 
 
+def daily_bars(
+    trades: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "timestamp",
+    price_col: str = "price",
+    volume_col: str = "volume",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Daily OHLCV bars via hierarchical aggregation: packed-bigint
+    minute bars first, then ``rollup_bars`` to 1 day.
+
+    A direct 1-day ``ohlcv_bars`` falls off the packed fast path — a
+    day is 2^36.3 µs, leaving only 26 tiebreak bits (< the 30-bit
+    safety floor), so Spark plans max_by over a struct ordering as a
+    SortAggregate: two full sorts of every trade on both shuffle
+    sides. Composing instead keeps every stage a partial+final
+    HashAggregate: minute bars pack (60e6 µs -> 37 tiebreak bits) and
+    the day rollup orders by the minute timestamp alone (atomic, no
+    struct). OHLCV composes associatively over ordered buckets, so the
+    result is identical to the direct computation — and the rollup
+    input is bounded at 1440 rows per symbol-day regardless of tick
+    volume, which is the 100 TB shape."""
+    minute = ohlcv_bars(
+        trades,
+        window_duration="1 minute",
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        price_col=price_col,
+        volume_col=volume_col,
+        tiebreak_col=tiebreak_col,
+    )
+    return rollup_bars(minute, window_duration="1 day")
+
+
 def gapfill_bars(
     bars: DataFrame,
     start: str,

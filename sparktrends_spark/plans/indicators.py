@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparktrends_spark.operators.bars import ohlcv_bars
+from sparktrends_spark.operators.bars import daily_bars, ohlcv_bars
 from sparktrends_spark.operators.indicators import (
     bollinger_bands,
     ema,
@@ -58,9 +58,10 @@ FROM packed
 
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ohlcv_bars(
+    # hierarchical minute->day composition: every stage HashAggregates
+    # (a direct 1-day ohlcv_bars would SortAggregate; see daily_bars)
+    return daily_bars(
         trades_view(spark, sf_dir),
-        window_duration="1 day",
         ts_col="ts",
         tiebreak_col="event_id",
     ).select("symbol", F.col("timestamp").alias("day"), "close")
@@ -328,9 +329,8 @@ def q_stochastic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     window key throughout: one exchange on symbol, pure JVM."""
     from sparktrends_spark.operators.indicators import stochastic
 
-    daily = ohlcv_bars(
+    daily = daily_bars(
         trades_view(spark, sf_dir),
-        window_duration="1 day",
         ts_col="ts",
         tiebreak_col="event_id",
     ).select(

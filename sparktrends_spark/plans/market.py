@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparktrends_spark.operators.bars import ohlcv_bars
+from sparktrends_spark.operators.bars import daily_bars, ohlcv_bars
 from sparktrends_spark.operators.metrics import vwap_metrics, vwap_metrics_time_range
 from sparktrends_spark.operators.topk import latest_per_group, top_k_per_group
 from sparktrends_spark.plans.registry import query
@@ -287,9 +287,9 @@ def q_weekly_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    daily = ohlcv_bars(
+    # hierarchical minute->day composition (see operators/bars.daily_bars)
+    daily = daily_bars(
         trades_view(spark, sf_dir),
-        window_duration="1 day",
         ts_col="ts",
         tiebreak_col="event_id",
     ).select("symbol", F.col("timestamp").alias("day"), "close")

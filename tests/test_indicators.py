@@ -144,6 +144,9 @@ def test_bollinger_plan_single_shuffle(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    # one shuffle for the bar aggregation, one for the symbol window —
-    # no extra exchanges from the band/%B projections
-    assert plan.count("Exchange hashpartitioning") <= 2
+    # hierarchical daily bars: one shuffle for the minute aggregation,
+    # one for the day rollup, one for the symbol window — no extra
+    # exchanges from the band/%B projections, and no SortAggregate
+    # (the win the composition buys; see operators/bars.daily_bars)
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "SortAggregate" not in plan

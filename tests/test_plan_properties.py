@@ -205,6 +205,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     allowed_bnlj = {
         "q22_idle_balance",        # scalar subquery vs broadcast avg row
         "embedding_topk",          # corpus x broadcast query rows
+        "doc_embedding_topk",      # same shape over hashed doc vectors
         "embedding_neardup",       # verify joins vs broadcast pairs
         "embedding_dedup_keep",
         "embedding_ivf_topk",      # corpus x one broadcast centroid row
@@ -238,3 +239,39 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         if "BatchEvalPython" in plan:
             failures.append(f"{name}: row-at-a-time Python UDF")
     assert not failures, failures
+
+
+def test_codec_queries_fuse_mapinpandas_without_shuffle(spark, sf_dir):
+    """The encode->decode codec dataflows must stay ONE fused pipeline:
+    two chained MapInPandas stages and exactly the single scan_parallel
+    repartition — any extra Exchange means payload bytes started riding
+    a shuffle."""
+    for name in ("asset_jpeg_stats", "asset_mp4_frames",
+                 "asset_mp4_pixel_frames", "asset_decode_health"):
+        plan = _plan(spark, name, sf_dir)
+        assert plan.count("MapInPandas") == 2, (name, plan)
+        assert plan.count("Exchange") <= 1, (name, plan)
+
+
+def test_stochastic_all_hash_aggregates(spark, sf_dir):
+    """Daily-bar indicators ride the hierarchical minute->day
+    composition: every aggregate must be a HashAggregate (the direct
+    1-day bars would SortAggregate — two full sorts of every trade),
+    and the two stochastic window passes share (symbol, day) so the %D
+    pass adds no exchange beyond minute-agg, day-rollup, window."""
+    plan = _plan(spark, "stochastic_daily", sf_dir)
+    assert plan.count("Window") >= 2
+    assert "SortAggregate" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(symbol") <= 3, plan
+
+
+def test_chunk_dup_payload_never_rides_join(spark, sf_dir):
+    """doc_chunk_dup_stats joins on the chunk hash carrying only
+    (doc_id, hash) — the chunk text must be projected away before the
+    exchange."""
+    plan = _plan(spark, "doc_chunk_dup_stats", sf_dir)
+    assert "CartesianProduct" not in plan
+    # the join inputs are hash+id only: no `chunk` column survives
+    # past the md5 projection into any exchange
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "chunk#" not in m.group(1), m.group(0)
