@@ -238,6 +238,12 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
             failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
         if "BatchEvalPython" in plan:
             failures.append(f"{name}: row-at-a-time Python UDF")
+        if "SortAggregate" in plan:
+            # every registered aggregation has a hash-able buffer
+            # (packed-bigint bars, hierarchical daily composition,
+            # ObjectHashAggregate for collect_list) — a SortAggregate
+            # regression means full sorts of the fact table returned
+            failures.append(f"{name}: SortAggregate")
     assert not failures, failures
 
 
