@@ -207,3 +207,39 @@ def test_cli_sql(spark, tmp_path, capsys):
         .count()
     )
     assert got.count() == df.count()
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    """compact_parquet_dir: 64 tiny files -> few sized files, content
+    identical, atomic swap leaves no temp/old dirs behind."""
+    from sparktrends_spark.sources.compaction import compact_parquet_dir, dir_stats
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = str(tmp_path / "events_small")
+    src.repartition(64).write.parquet(path)
+    n0, bytes0 = dir_stats(path)
+    assert n0 == 64
+
+    before = src.count()
+    stats = compact_parquet_dir(spark, path, target_file_bytes=bytes0 // 3)
+    assert stats["files_before"] == 64
+    assert 1 <= stats["files_after"] <= 6
+    # content survives byte-for-byte at the row level
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == before
+    assert after_df.exceptAll(src).count() == 0
+    assert src.exceptAll(after_df).count() == 0
+    # no leftover working dirs
+    import os
+
+    leftovers = [d for d in os.listdir(tmp_path) if "__compact_" in d or "__old_" in d]
+    assert leftovers == []
+
+
+def test_compaction_rejects_empty_dir(spark, tmp_path):
+    from sparktrends_spark.sources.compaction import compact_parquet_dir
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError):
+        compact_parquet_dir(spark, str(empty))
