@@ -20,6 +20,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 from sparktrends_spark.session import get_spark
@@ -116,6 +117,17 @@ def _cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_compact(args: argparse.Namespace) -> int:
+    from sparktrends_spark.sources.compaction import compact_parquet_dir
+
+    spark = _session(args, "sparktrends-compact")
+    stats = compact_parquet_dir(
+        spark, args.path, target_file_bytes=args.target_file_mb * 1024 * 1024
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def _cmd_bench(args: argparse.Namespace) -> int:
     import runpy
 
@@ -171,6 +183,13 @@ def main(argv: list[str] | None = None) -> int:
     be = sub.add_parser("bench", help="run the bench harness", parents=[common])
     be.add_argument("--bench-path", default="bench.py")
     be.set_defaults(fn=_cmd_bench)
+
+    co = sub.add_parser(
+        "compact", help="compact a parquet dir's small files", parents=[common]
+    )
+    co.add_argument("--path", required=True)
+    co.add_argument("--target-file-mb", type=int, default=128)
+    co.set_defaults(fn=_cmd_compact)
 
     args = parser.parse_args(argv)
     return args.fn(args)
