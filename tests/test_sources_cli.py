@@ -243,3 +243,37 @@ def test_compaction_rejects_empty_dir(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(ValueError):
         compact_parquet_dir(spark, str(empty))
+
+
+def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
+    """Lake schema evolution: a writer adds a column; mergeSchema reads
+    the union with NULL backfill for old files, and the pruned scan of
+    a shared column still works across both file generations."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    v1.write.parquet(path)
+    v2 = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "value")
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+        .withColumn("quality_score", F.col("value") * 2)
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"event_id", "user_id", "value", "quality_score"}
+    n = v1.count()
+    assert merged.count() == 2 * n
+    # old-generation rows surface NULL for the evolved column
+    assert merged.filter(F.col("quality_score").isNull()).count() == n
+    # and per-generation values survive
+    assert (
+        merged.filter(F.col("quality_score").isNotNull())
+        .filter(F.col("quality_score") != F.col("value") * 2)
+        .count()
+        == 0
+    )
