@@ -150,10 +150,16 @@ def decode_png(data: bytes):
             cur = line
         elif ftype == 2:  # Up (uint8 addition wraps mod 256 by itself)
             cur = line + prev
-        elif ftype == 1:  # Sub — serial in x (rare here: our encoder emits 0)
+        elif ftype == 1:  # Sub — prefix-sum per byte lane: the recurrence
+            # c[x] = line[x] + c[x-bpp] unrolls to a running sum over
+            # every bpp-th byte, and mod-256 distributes over addition,
+            # so a uint64 cumsum masked to 8 bits is exact (vectorized;
+            # the naive per-byte loop costs ~stride Python ops per row)
             cur = line
-            for x in range(bpp, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+            for lane in range(bpp):
+                cur[lane::bpp] = (
+                    np.cumsum(line[lane::bpp], dtype=np.uint64) & 0xFF
+                ).astype(np.uint8)
         elif ftype == 3:  # Average
             cur = line
             for x in range(stride):

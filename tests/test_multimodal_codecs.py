@@ -211,6 +211,60 @@ class TestJpeg:
             encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8), quality=0)
 
 
+class TestPngFilters:
+    """Decoder filter-reconstruction paths beyond what our encoder
+    emits (filter 0): hand-filtered scanlines must decode exactly."""
+
+    @staticmethod
+    def _png(img, ftype):
+        import struct
+        import zlib
+
+        from sparktrends_spark.multimodal.decode import (
+            PNG_SIGNATURE,
+            _png_chunk,
+        )
+
+        gray = img.ndim == 2
+        h, w = img.shape[:2]
+        bpp = 1 if gray else 3
+        raw = bytearray()
+        prev = np.zeros(w * bpp, dtype=np.int16)
+        for y in range(h):
+            line = img[y].reshape(-1).astype(np.int16)
+            filt = line.copy()
+            if ftype == 1:  # Sub
+                filt[bpp:] = (line[bpp:] - line[:-bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                filt = (line - prev) & 0xFF
+            prev = line
+            raw += bytes([ftype]) + bytes(filt.astype(np.uint8))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+        return (
+            PNG_SIGNATURE
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    @pytest.mark.parametrize("ftype", [1, 2])
+    def test_rgb_filters_decode_exactly(self, ftype):
+        from sparktrends_spark.multimodal.decode import decode_png
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(self._png(img, ftype)), img)
+
+    @pytest.mark.parametrize("ftype", [1, 2])
+    def test_gray_filters_decode_exactly(self, ftype):
+        from sparktrends_spark.multimodal.decode import decode_png
+
+        rng = np.random.default_rng(6)
+        g = rng.integers(0, 256, size=(7, 11), dtype=np.uint8)
+        dec = decode_png(self._png(g, ftype))
+        assert np.array_equal(dec[:, :, 0], g)
+
+
 class TestWavWidths:
     """decode_wav maps every RIFF integer PCM width to the engine's
     int16 convention (graded 16-bit path is covered by the oracles)."""
