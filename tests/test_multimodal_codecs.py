@@ -459,3 +459,86 @@ class TestMp4:
         media = decode_mp4(encode_mp4(frames, VIDEO_FRAME_MS))
         assert [b for _, b in media.samples] == frames
         assert [ts for ts, _ in media.samples] == [0, 400, 800]
+
+
+class TestCodecProperties:
+    """Hypothesis round-trip properties over the codec surface."""
+
+    def test_mp4_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            frames=st.lists(st.binary(min_size=0, max_size=64), min_size=1, max_size=12),
+            dur=st.integers(min_value=1, max_value=5000),
+        )
+        def check(frames, dur):
+            media = decode_mp4(encode_mp4(frames, dur))
+            assert [b for _, b in media.samples] == frames
+            assert [ts for ts, _ in media.samples] == [
+                i * dur for i in range(len(frames))
+            ]
+
+        check()
+
+    def test_png_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from sparktrends_spark.multimodal.decode import decode_png, encode_png
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            h=st.integers(min_value=1, max_value=24),
+            w=st.integers(min_value=1, max_value=24),
+            seed=st.integers(min_value=0, max_value=2**31),
+        )
+        def check(h, w, seed):
+            img = np.random.default_rng(seed).integers(
+                0, 256, size=(h, w, 3), dtype=np.uint8
+            )
+            assert np.array_equal(decode_png(encode_png(img)), img)
+
+        check()
+
+    def test_wav_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from sparktrends_spark.multimodal.decode import decode_wav, encode_wav
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            n=st.integers(min_value=0, max_value=512),
+            seed=st.integers(min_value=0, max_value=2**31),
+            rate=st.sampled_from([8000, 16000, 44100]),
+        )
+        def check(n, seed, rate):
+            pcm = np.random.default_rng(seed).integers(
+                -32768, 32768, size=n, dtype=np.int16
+            )
+            dec, r = decode_wav(encode_wav(pcm, rate))
+            assert r == rate
+            assert np.array_equal(dec, pcm)
+
+        check()
+
+    def test_jpeg_constant_color_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            v=st.integers(min_value=0, max_value=255),
+            h=st.integers(min_value=1, max_value=24),
+            w=st.integers(min_value=1, max_value=24),
+            sub=st.sampled_from(["444", "420"]),
+        )
+        def check(v, h, w, sub):
+            img = np.full((h, w, 3), v, dtype=np.uint8)
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg(img, 75, subsampling=sub)), img
+            )
+
+        check()
