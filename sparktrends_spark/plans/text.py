@@ -1233,3 +1233,57 @@ def q_doc_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(
         queries, e, k=3, query_id="query_id", cand_id="doc_id", vec_col="raw"
     )
+
+
+_MIX_ALPHA = 0.7
+
+
+@query(
+    "lang_temperature_mixture",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()},
+a AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS lang_tokens
+  FROM toks GROUP BY lang
+),
+p AS (
+  SELECT lang, n_docs, lang_tokens,
+         lang_tokens / CAST(sum(lang_tokens) OVER () AS DOUBLE) AS share,
+         pow(lang_tokens / CAST(sum(lang_tokens) OVER () AS DOUBLE),
+             {_MIX_ALPHA}) AS powered
+  FROM a
+)
+SELECT lang, n_docs, lang_tokens,
+       round(share, 6) AS natural_share,
+       round(powered / sum(powered) OVER (), 6) AS mixture_share,
+       round((powered / sum(powered) OVER ()) / share, 6) AS upsample_factor
+FROM p
+""",
+)
+def q_lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual-corpus
+    sampling scheme of XLM-R / mT5, public papers): each language's
+    natural token share p_l is raised to alpha = 0.7 and renormalized,
+    damping head languages and upsampling the tail; the reported
+    upsample_factor is the rate a sampler applies per language.
+
+    Same scale shape as lang_mixture_budget: one corpus aggregation,
+    then global windows over the tiny per-language frame only."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("lang", F.size(tokens(F.col("text"))).alias("_n"))
+    agg = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("_n").alias("lang_tokens")
+    )
+    w = Window.partitionBy()
+    share = F.col("lang_tokens") / F.sum("lang_tokens").over(w).cast("double")
+    powered = F.pow(share, F.lit(_MIX_ALPHA))
+    mixture = powered / F.sum(powered).over(w)
+    return agg.select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        F.round(share, 6).alias("natural_share"),
+        F.round(mixture, 6).alias("mixture_share"),
+        F.round(mixture / share, 6).alias("upsample_factor"),
+    )
