@@ -380,3 +380,64 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("_norm"), 6).alias("max_norm"),
         )
     )
+
+
+@query(
+    "embedding_quantized_topk",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+),
+s AS (
+  SELECT vec_id, dv,
+         greatest(list_max(list_transform(dv, x -> abs(x))), 1e-30) AS mx
+  FROM v
+),
+q8 AS (
+  SELECT vec_id,
+         list_transform(dv, x -> CAST(floor(x * 127.0 / mx + 0.5) AS DOUBLE)) AS qv
+  FROM s
+),
+qq AS (SELECT vec_id AS query_id, qv AS a FROM q8 WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(a, qv)
+               / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(qv, qv))),
+               6) AS cosine
+  FROM q8, qq WHERE vec_id != query_id
+)
+SELECT query_id, vec_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+""",
+)
+def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine over the INT8-QUANTIZED vectors — ANN on the 4x-
+    compressed storage path (quantize -> search without dequantizing;
+    integer dots are exact in doubles up to 127²·dim ≈ 2^20). Shares
+    embedding_quantize's absmax floor(+0.5) math so the quantized
+    values are bit-identical across engines; recall vs the float
+    baseline is measured in tests/test_similarity.py. Plan shape is
+    the broadcast brute-force ranker's: corpus never shuffles."""
+    emb = _emb(spark, sf_dir)
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    based = emb.select("vec_id", dv.alias("_dv")).select(
+        "vec_id",
+        "_dv",
+        F.greatest(
+            F.array_max(F.transform(F.col("_dv"), F.abs)), F.lit(1e-30)
+        ).alias("_mx"),
+    )
+    q8 = based.select(
+        "vec_id",
+        F.transform(
+            F.col("_dv"),
+            lambda x: F.floor(x * 127.0 / F.col("_mx") + 0.5).cast("double"),
+        ).alias("qv"),
+    )
+    queries = q8.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv")
+    )
+    return brute_force_topk(queries, q8, k=5, vec_col="qv")

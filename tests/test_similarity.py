@@ -133,3 +133,20 @@ def test_neardup_verify_strategies_identical(spark, sf_dir):
     release_persisted()
     assert join_rows == closure_rows
     assert len(join_rows) > 0
+
+
+def test_quantized_topk_recall_vs_float(spark, sf_dir):
+    """int8 quantization is a gentle perturbation at dim=64: the
+    quantized top-5 must recover most of the float top-5."""
+    from sparktrends_spark.plans import QUERIES
+
+    fl = QUERIES["embedding_topk"](spark, sf_dir).toPandas()
+    qz = QUERIES["embedding_quantized_topk"](spark, sf_dir).toPandas()
+    recall_num = recall_den = 0
+    for qid in fl["query_id"].unique():
+        truth = set(fl[fl["query_id"] == qid]["vec_id"])
+        got = set(qz[qz["query_id"] == qid]["vec_id"])
+        recall_num += len(truth & got)
+        recall_den += len(truth)
+    assert recall_den > 0
+    assert recall_num / recall_den >= 0.8, recall_num / recall_den
