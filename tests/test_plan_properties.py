@@ -206,6 +206,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "q22_idle_balance",        # scalar subquery vs broadcast avg row
         "embedding_topk",          # corpus x broadcast query rows
         "doc_embedding_topk",      # same shape over hashed doc vectors
+        "embedding_quantized_topk",  # same shape over int8 vectors
         "embedding_neardup",       # verify joins vs broadcast pairs
         "embedding_dedup_keep",
         "embedding_ivf_topk",      # corpus x one broadcast centroid row
