@@ -616,6 +616,7 @@ def build_stream_asset_features(
     sf_dir: str,
     max_files_per_trigger: int | None = None,
     ckpt_dir: str | None = None,
+    table_dir: str | None = None,
 ) -> DataFrame:
     from sparktrends_spark.multimodal.assets import documents_to_assets
     from sparktrends_spark.multimodal.featurize import extract_features
@@ -631,5 +632,9 @@ def build_stream_asset_features(
         "asset_id", "modality", "n_bytes", "payload_md5"
     )
     return run_upsert_stream(
-        feats, keys=("asset_id",), output_mode="append", ckpt_dir=ckpt_dir
+        feats,
+        keys=("asset_id",),
+        output_mode="append",
+        ckpt_dir=ckpt_dir,
+        table_dir=table_dir,
     )

@@ -149,3 +149,37 @@ def test_doc_dedup_kill_and_restart_lands_on_oracle(
     ).toPandas()
     assert _n_batches(ckpt) >= N_SPLITS
     _assert_frames_equal(result, _oracle(sf_dir, "stream_doc_dedup"))
+
+
+def test_asset_features_kill_and_restart_lands_on_oracle(
+    spark, sf_dir, tmp_path, monkeypatch, tmp_path_factory
+):
+    """Stateless append-mode recovery: no state store involved, so the
+    invariant under replay is pure sink idempotence — the re-run batch
+    upserts the same asset_ids it already committed."""
+    from sparktrends_spark.plans.streaming_queries import (
+        build_stream_asset_features,
+    )
+    from tests.test_streaming_multibatch import docs_split_dir
+
+    split = docs_split_dir.__wrapped__(sf_dir, tmp_path_factory)
+    ckpt = str(tmp_path / "ckpt_saf")
+    table_dir = str(tmp_path / "table_saf")
+    os.makedirs(table_dir, exist_ok=True)
+
+    monkeypatch.setattr(
+        sq, "upsert_parquet_bucketed", _crashing_sink(1, "post_commit")
+    )
+    with pytest.raises(StreamingQueryException, match="injected kill"):
+        build_stream_asset_features(
+            spark, split, max_files_per_trigger=1,
+            ckpt_dir=ckpt, table_dir=table_dir,
+        )
+    monkeypatch.setattr(sq, "upsert_parquet_bucketed", upsert_parquet_bucketed)
+
+    result = build_stream_asset_features(
+        spark, split, max_files_per_trigger=1,
+        ckpt_dir=ckpt, table_dir=table_dir,
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    _assert_frames_equal(result, _oracle(sf_dir, "stream_asset_features"))
