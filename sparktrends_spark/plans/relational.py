@@ -949,3 +949,145 @@ def q_pricing_decimal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exact_discounted"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "user_retention_cohorts",
+    oracle="""
+WITH weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+  FROM events
+),
+first AS (SELECT user_id, min(w) AS cohort_week FROM weeks GROUP BY user_id),
+act AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', CAST(f.cohort_week AS DATE), CAST(weeks.w AS DATE)) / 7 AS INTEGER) AS week_offset,
+         weeks.user_id
+  FROM weeks JOIN first f USING (user_id)
+),
+per AS (
+  SELECT cohort_week, week_offset, count(*) AS n_active
+  FROM act GROUP BY cohort_week, week_offset
+),
+sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM first GROUP BY cohort_week)
+SELECT cohort_week, week_offset, n_active, cohort_size,
+       round(n_active / CAST(cohort_size AS DOUBLE), 6) AS retention
+FROM per JOIN sizes USING (cohort_week)
+""",
+)
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle — the product-analytics staple: users
+    cohorted by first-active ISO week, and for each (cohort, week
+    offset) the fraction of the cohort still active.
+
+    Scale shape: one distinct over (user, week) — the only pass over
+    raw events — then everything downstream is user- or cohort-sized.
+    The cohort-size frame is tiny (one row per week) and broadcasts
+    onto the per-offset counts."""
+    ev = _t(spark, sf_dir, "events")
+    weeks = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).alias("w"),
+        )
+        .distinct()
+    )
+    first = weeks.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    act = weeks.join(first, "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("w").cast("date"), F.col("cohort_week").cast("date")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+        "user_id",
+    )
+    per = act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return per.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size").cast("double"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+WITH mx AS (SELECT max(o_orderdate) AS anchor FROM orders),
+rfm AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', max(o_orderdate), (SELECT anchor FROM mx)) AS recency_days,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT custkey, recency_days, frequency, monetary,
+         ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency ASC, custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary ASC, custkey) AS m_score
+  FROM rfm
+)
+SELECT custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 THEN 'recent'
+            WHEN f_score >= 4 THEN 'loyal_lapsing'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM scored
+""",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quintile segmentation — the
+    classic marketing-analytics operator: per-customer order stats
+    scored into quintiles and bucketed into named segments.
+
+    The ntile windows are global (unpartitioned) BUT run over the
+    per-customer aggregate, never raw orders — one row per customer,
+    which at 100 TB still needs a range-partitioned sort, the same
+    shape as any global ranking; ties break on custkey so both engines
+    assign identical quintiles."""
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .join(F.broadcast(anchor))
+        .select(
+            "custkey",
+            F.datediff(F.col("anchor"), F.col("_last")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
+    f = Window.orderBy(F.asc("frequency"), F.asc("custkey"))
+    m = Window.orderBy(F.asc("monetary"), F.asc("custkey"))
+    scored = rfm.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r).alias("r_score"),
+        F.ntile(5).over(f).alias("f_score"),
+        F.ntile(5).over(m).alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal_lapsing")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)
