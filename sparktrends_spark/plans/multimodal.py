@@ -506,3 +506,27 @@ def q_asset_decode_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = encode_media_payloads(_assets(spark, sf_dir), video_codec="mp4")
     return decode_health(corrupt_payloads(media, mod=5))
+
+
+@query(
+    "asset_features_arrow",
+    oracle=f"""
+SELECT doc_id AS asset_id,
+       {_MODALITY_SQL.strip()} AS modality,
+       {_MIME_SQL.strip()} AS mime_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       'byte_level' AS decode_status
+FROM documents
+""",
+)
+def q_asset_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asset_features through ``mapInArrow`` — the zero-copy Arrow
+    variant of the Pandas-batched surface, pinned to the identical
+    oracle so the two §2.11 execution paths must hash the same."""
+    from sparktrends_spark.multimodal.featurize import extract_features_arrow
+
+    feats = extract_features_arrow(_assets(spark, sf_dir))
+    return feats.select(
+        "asset_id", "modality", "mime_type", "n_bytes", "payload_md5", "decode_status"
+    )
