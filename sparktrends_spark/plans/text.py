@@ -1235,6 +1235,145 @@ def q_doc_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_K = 8
+
+_DUP_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+b AS (SELECT doc_id, toks, len(toks) AS n FROM toks),
+pos AS (
+  SELECT doc_id, toks, n, unnest(range(0, n - {_SPAN_K} + 1)) AS p
+  FROM b WHERE n >= {_SPAN_K}
+),
+h AS (
+  SELECT doc_id, p,
+         md5(array_to_string(list_slice(toks, p + 1, p + {_SPAN_K}), ' ')) AS h
+  FROM pos
+),
+dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+dp AS (SELECT doc_id, p, p + {_SPAN_K} - 1 AS e FROM h JOIN dup USING (h)),
+brk AS (
+  SELECT doc_id, p, e,
+         CASE WHEN p > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS is_new
+  FROM dp
+),
+grp AS (
+  SELECT doc_id, p, e,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, min(p) AS s, max(e) AS e FROM grp GROUP BY doc_id, g
+),
+perdoc AS (
+  SELECT doc_id,
+         count(*) AS n_dup_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_words,
+         CAST(max(e - s + 1) AS BIGINT) AS longest_span
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id, b.n AS n_words,
+       coalesce(n_dup_spans, 0) AS n_dup_spans,
+       coalesce(dup_words, 0) AS dup_words,
+       coalesce(longest_span, 0) AS longest_span,
+       round(coalesce(dup_words, 0) / CAST(b.n AS DOUBLE), 6) AS dup_frac
+FROM b LEFT JOIN perdoc USING (doc_id)
+"""
+
+
+@query("doc_dup_spans", oracle=_DUP_SPANS_ORACLE)
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans per document — the
+    suffix-array substring-dedup signal of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (public paper),
+    re-expressed relationally: a word position is duplicated when the
+    K-word shingle starting there occurs in >= 2 distinct documents;
+    overlapping duplicated shingles [p, p+K-1] are unioned into
+    maximal intervals with a running-max-end window (a textbook
+    interval merge, NOT the gaps-and-islands diff-by-1 trick, which
+    would double-count words shared by shingles closer than K apart).
+    Output per doc: span count, total duplicated words, longest span,
+    duplicated fraction — the signals a curation pipeline thresholds
+    on before cutting spans out of training text.
+
+    Scale shape: shingle fan-out is pure JVM (split/sequence/slice);
+    ONE shuffle keys the corpus by shingle hash for the distinct-doc
+    count and the hash semi-join back; the interval merge then runs
+    windowed per doc_id (second exchange, keyed by doc). Shingle text
+    never rides the join — only (doc_id, position, hash)."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").alias("n"))
+
+    pos = base.filter(F.col("n") >= _SPAN_K).select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - _SPAN_K)).alias("p"),
+        F.col("toks"),
+    )
+    hashed = pos.select(
+        "doc_id",
+        "p",
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("p") + 1, F.lit(_SPAN_K)))
+        ).alias("h"),
+    )
+    dup_hashes = (
+        hashed.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dp = hashed.join(dup_hashes, "h", "left_semi").select(
+        "doc_id", "p", (F.col("p") + _SPAN_K - 1).alias("e")
+    )
+
+    w = Window.partitionBy("doc_id").orderBy("p")
+    prev_max_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        F.col("p") > F.coalesce(prev_max_end, F.lit(-1)), 1
+    ).otherwise(0)
+    grouped = dp.withColumn(
+        "g",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = grouped.groupBy("doc_id", "g").agg(
+        F.min("p").alias("s"), F.max("e").alias("e")
+    )
+    span_len = F.col("e") - F.col("s") + 1
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(span_len).cast("bigint").alias("dup_words"),
+        F.max(span_len).cast("bigint").alias("longest_span"),
+    )
+    return (
+        base.select("doc_id", F.col("n").alias("n_words"))
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_words", F.lit(0)).alias("dup_words"),
+            F.coalesce("longest_span", F.lit(0)).alias("longest_span"),
+            F.round(
+                F.coalesce("dup_words", F.lit(0))
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 _MIX_ALPHA = 0.7
 
 

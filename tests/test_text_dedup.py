@@ -157,3 +157,51 @@ def test_connected_components_long_chain_converges(spark):
     from sparktrends_spark.caching import release_persisted
 
     release_persisted()
+
+
+def test_dup_spans_interval_union(spark, tmp_path):
+    """The duplicated-span merge must union overlapping intervals, not
+    just chain consecutive positions: duplicated shingle positions
+    {0, 5} with K=8 cover words [0,7] and [5,12] — ONE span of 13
+    words, not two spans of 8+8=16 (the gaps-and-islands diff-by-1
+    bug this test pins down)."""
+    from sparktrends_spark.plans.registry import QUERIES
+    from sparktrends_spark.plans.text import _SPAN_K
+
+    assert _SPAN_K == 8  # the constructions below are K=8-specific
+    x = [f"x{i}" for i in range(13)]
+    s = [f"s{i}" for i in range(10)]
+    rows = [
+        # docs 1/2: shared 10-word prefix, unique 10-word tails ->
+        # dup positions {0,1,2} merge to one span [0,9]: 10 words.
+        (1, " ".join(s + [f"a{i}" for i in range(10)])),
+        (2, " ".join(s + [f"b{i}" for i in range(10)])),
+        # doc 3 holds x0..x12 contiguously + unique tail; doc 4 holds
+        # x0..x7 and x5..x12 separated by a filler, so doc 3's dup
+        # positions are exactly {0, 5} (x1..x8 is NOT contiguous in
+        # doc 4) -> overlapping intervals [0,7] + [5,12] -> one
+        # 13-word span.
+        (3, " ".join(x + [f"c{i}" for i in range(7)])),
+        (4, " ".join(x[0:8] + ["fill"] + x[5:13])),
+        # shorter than K: no shingles, still present in output.
+        (5, "tiny doc"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["doc_dup_spans"](spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 5
+    r1 = out[1]
+    assert (r1["n_dup_spans"], r1["dup_words"], r1["longest_span"]) == (1, 10, 10)
+    assert abs(r1["dup_frac"] - 0.5) < 1e-9
+    r3 = out[3]
+    assert (r3["n_dup_spans"], r3["dup_words"], r3["longest_span"]) == (1, 13, 13)
+    # doc 4: dup positions {0, 9} -> gap 9 > end 7, two disjoint spans.
+    r4 = out[4]
+    assert (r4["n_dup_spans"], r4["dup_words"], r4["longest_span"]) == (2, 16, 8)
+    r5 = out[5]
+    assert (r5["n_dup_spans"], r5["dup_words"], r5["n_words"]) == (0, 0, 2)
