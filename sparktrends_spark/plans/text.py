@@ -1374,6 +1374,161 @@ def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic synthetic PII appended in-plan.
+
+    The driver corpus contains no PII by construction, so a detector
+    over it would be vacuously all-zero; both the Spark plan and the
+    DuckDB oracle append the SAME doc_id-derived email/phone/IP
+    strings, making the regex logic genuinely falsifiable. At
+    production scale this injection step disappears — the detect and
+    redact projections below run unchanged on raw text."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com today"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (did % 256).cast("string"),
+            F.lit(".0."),
+            (did % 250).cast("string"),
+            F.lit(" logged"),
+        ),
+    ).otherwise(F.lit(""))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text")
+    )
+
+
+def _pii_cte() -> str:
+    return """
+pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com today' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' now' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                   || CAST(doc_id % 250 AS VARCHAR) || ' logged' ELSE '' END
+           AS text
+  FROM documents
+)
+"""
+
+
+def _pii_stats_oracle() -> str:
+    from sparktrends_spark.text.pii import PII_PATTERNS
+
+    e, p, i = (PII_PATTERNS[k] for k in ("email", "phone", "ip"))
+    return f"""
+WITH {_pii_cte().strip()},
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phones,
+         CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ips
+  FROM pii
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       (n_emails + n_phones + n_ips) > 0 AS has_pii
+FROM c
+"""
+
+
+@query("doc_pii_stats", oracle=_pii_stats_oracle())
+def q_doc_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII census (emails / phone numbers / IPv4): the
+    signal a curation pipeline uses to route documents to redaction
+    or rejection. Pure projection — three JVM regexp_count
+    expressions in one whole-stage-codegen pass, zero shuffles; at
+    100 TB this is a map-only scan."""
+    from sparktrends_spark.text.pii import pii_count
+
+    d = _pii_docs(spark, sf_dir)
+    t = F.col("text")
+    out = d.select(
+        "doc_id",
+        pii_count(t, "email").alias("n_emails"),
+        pii_count(t, "phone").alias("n_phones"),
+        pii_count(t, "ip").alias("n_ips"),
+    )
+    return out.withColumn(
+        "has_pii",
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0,
+    )
+
+
+def _pii_redact_oracle() -> str:
+    from sparktrends_spark.text.pii import PII_PATTERNS, REDACTION_TOKENS
+
+    e, p, i = (PII_PATTERNS[k] for k in ("email", "phone", "ip"))
+    te, tp, ti = (REDACTION_TOKENS[k] for k in ("email", "phone", "ip"))
+    return f"""
+WITH {_pii_cte().strip()},
+r AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT)
+           + CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)
+           + CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT)
+           AS n_redactions,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{e}', '{te}', 'g'),
+             '{p}', '{tp}', 'g'),
+           '{i}', '{ti}', 'g') AS red
+  FROM pii
+)
+SELECT doc_id, n_redactions,
+       md5(red) AS redacted_fp,
+       CAST(length(red) AS BIGINT) AS redacted_len
+FROM r
+"""
+
+
+@query("doc_pii_redact", oracle=_pii_redact_oracle())
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: every email/phone/IPv4 match replaced by a type
+    token (<EMAIL>/<PHONE>/<IP>) via a chained JVM regexp_replace
+    projection; reports the redaction count and a fingerprint of the
+    scrubbed text (the oracle hashes the exact same bytes, so the
+    replacement spans must agree character-for-character). Map-only —
+    the 100 TB shape is scan -> project -> write, no exchange."""
+    from sparktrends_spark.text.pii import pii_count, redact
+
+    d = _pii_docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        (
+            pii_count(t, "email") + pii_count(t, "phone") + pii_count(t, "ip")
+        ).alias("n_redactions"),
+        F.md5(redact(t)).alias("redacted_fp"),
+        F.length(redact(t)).cast("bigint").alias("redacted_len"),
+    )
+
+
 _MIX_ALPHA = 0.7
 
 

@@ -205,3 +205,36 @@ def test_dup_spans_interval_union(spark, tmp_path):
     assert (r4["n_dup_spans"], r4["dup_words"], r4["longest_span"]) == (2, 16, 8)
     r5 = out[5]
     assert (r5["n_dup_spans"], r5["dup_words"], r5["n_words"]) == (0, 0, 2)
+
+
+def test_pii_detect_and_redact_primitives(spark):
+    """Pattern-level checks independent of the injection plumbing:
+    multiple matches per doc, all three types in one text, word
+    boundaries (a 5-digit run is not a phone), and the exact
+    redacted output string."""
+    from sparktrends_spark.text.pii import pii_count, redact
+
+    rows = [
+        (1, "mail a@b.io and c.d+x@e-f.org or ping 10.0.0.1 call 555-123-4567"),
+        (2, "digits 12345-678-9012 are not a phone and 1.2.3 not an ip"),
+        (3, "no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.col("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            pii_count(t, "email").alias("e"),
+            pii_count(t, "phone").alias("p"),
+            pii_count(t, "ip").alias("i"),
+            redact(t).alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["p"], out[1]["i"]) == (2, 1, 1)
+    assert out[1]["red"] == (
+        "mail <EMAIL> and <EMAIL> or ping <IP> call <PHONE>"
+    )
+    # \b stops 12345-678-9012 matching as a phone; 1.2.3 lacks a 4th octet
+    assert (out[2]["p"], out[2]["i"]) == (0, 0)
+    assert out[3]["red"] == "no pii at all"
