@@ -104,3 +104,31 @@ def event_type_replicated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value") * F.col("bucket_events")).alias("weighted_value"),
     )
+
+
+@query(
+    "user_heavy_hitters",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 20
+""",
+)
+def q_user_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 most active users via Misra-Gries candidate
+    generation + exact recount (`operators/freq.py`). The oracle
+    states the PLAIN semantics (full GROUP BY + ORDER BY + LIMIT);
+    the graded plan must produce the identical rows while shuffling
+    only per-partition sketch survivors and broadcast-filtered
+    recount partials — the shape that stays alive when the key space
+    is 10^9 URLs instead of 150 users. capacity=512 clears the
+    N/(c+1) guarantee threshold by >25x at the graded SF (k-th
+    count ~77 vs threshold ~19.5 at sf0.01)."""
+    from sparktrends_spark.operators.freq import heavy_hitters
+
+    events = load_table(spark, sf_dir, "events")
+    return heavy_hitters(
+        events, "user_id", k=20, capacity=512, count_col="n_events"
+    )

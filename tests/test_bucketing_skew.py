@@ -82,3 +82,39 @@ def test_replicated_join_matches_plain_join(spark, sf_dir):
     plain = orders.join(customer, "o_custkey")
     assert got.count() == plain.count()
     assert sorted(got.columns) == sorted(plain.columns)
+
+
+def test_heavy_hitters_matches_exact_on_high_cardinality(spark):
+    """The sketch must genuinely prune (candidate set << distinct
+    keys) yet return EXACTLY the naive groupBy+orderBy+limit result:
+    30k long-tail keys appearing 1-2 times, 25 head keys appearing
+    60-300 times, capacity far below the cardinality."""
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.operators.freq import heavy_hitters, mg_candidates
+
+    head = spark.range(25).selectExpr(
+        "id AS key", "CAST(60 + id * 10 AS INT) AS reps"
+    )
+    head_rows = head.selectExpr("explode(sequence(1, reps))", "key").select("key")
+    tail = spark.range(30000).selectExpr("1000000 + id AS key")
+    tail2 = spark.range(15000).selectExpr("1000000 + id * 2 AS key")
+    df = head_rows.unionAll(tail).unionAll(tail2).repartition(8)
+
+    capacity = 256
+    cand = mg_candidates(df, "key", capacity)
+    n_cand = cand.count()
+    assert n_cand <= capacity * 8
+    assert n_cand < 5000  # pruned hard vs 30k distinct keys
+
+    got = heavy_hitters(df, "key", k=15, capacity=capacity, count_col="n").collect()
+    exact = (
+        df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("key"))
+        .limit(15)
+        .collect()
+    )
+    assert [(r["key"], r["n"]) for r in got] == [
+        (r["key"], r["n"]) for r in exact
+    ]
