@@ -34,3 +34,45 @@ def test_partition_pruning_on_date_layout(spark, sf_dir, tmp_path):
     assert df.count() == expected > 0
     # (df.inputFiles() reports the pre-pruning relation, so the
     # PartitionFilters assertion above is the directory-skip evidence)
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """Z-order vs single-column sort: a layout sorted by x alone
+    cannot prune a y-only predicate (every file's y-envelope spans the
+    domain), the Morton layout prunes on BOTH clustered columns — and
+    both layouts return identical rows."""
+    from sparktrends_spark.sources.layout import (
+        file_prune_stats,
+        zorder_write,
+    )
+
+    df = spark.range(40000).selectExpr(
+        "CAST(id % 1000 AS BIGINT) AS x",
+        "CAST((id * 7919) % 1000 AS BIGINT) AS y",
+        "id AS payload",
+    )
+    linear = str(tmp_path / "linear")
+    zpath = str(tmp_path / "zorder")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(linear)
+    zorder_write(df, ["x", "y"], zpath, n_files=16)
+
+    rect = {"x": (100, 150), "y": (100, 150)}
+    yonly = {"y": (100, 150)}
+    lin_rect = file_prune_stats(linear, rect)
+    z_rect = file_prune_stats(zpath, rect)
+    lin_y = file_prune_stats(linear, yonly)
+    z_y = file_prune_stats(zpath, yonly)
+
+    # x-sorted layout: y predicate prunes nothing.
+    assert lin_y["n_pruned"] == 0 and lin_y["n_files"] == 16
+    # z-order: both the rectangle and the y-only predicate skip files.
+    assert z_y["n_pruned"] > 0
+    assert z_rect["n_pruned"] >= z_rect["n_files"] // 2
+    assert z_rect["n_pruned"] >= lin_rect["n_pruned"]
+
+    # Same rows either way (layout must never change query results).
+    cond = "x BETWEEN 100 AND 150 AND y BETWEEN 100 AND 150"
+    a = spark.read.parquet(linear).filter(cond)
+    b = spark.read.parquet(zpath).filter(cond)
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
