@@ -1237,8 +1237,9 @@ def q_doc_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 8
 
-_DUP_SPANS_ORACLE = f"""
-WITH toks AS (
+# Shared CTE chain: tokens -> shingle hashes -> cross-doc duplicated
+# positions -> maximal merged intervals. Used by both span queries.
+_SPANS_CTES = f"""toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
   FROM documents
 ),
@@ -1270,7 +1271,10 @@ grp AS (
 ),
 spans AS (
   SELECT doc_id, min(p) AS s, max(e) AS e FROM grp GROUP BY doc_id, g
-),
+)"""
+
+_DUP_SPANS_ORACLE = f"""
+WITH {_SPANS_CTES},
 perdoc AS (
   SELECT doc_id,
          count(*) AS n_dup_spans,
@@ -1287,27 +1291,10 @@ FROM b LEFT JOIN perdoc USING (doc_id)
 """
 
 
-@query("doc_dup_spans", oracle=_DUP_SPANS_ORACLE)
-def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal duplicated-substring spans per document — the
-    suffix-array substring-dedup signal of Lee et al., "Deduplicating
-    Training Data Makes Language Models Better" (public paper),
-    re-expressed relationally: a word position is duplicated when the
-    K-word shingle starting there occurs in >= 2 distinct documents;
-    overlapping duplicated shingles [p, p+K-1] are unioned into
-    maximal intervals with a running-max-end window (a textbook
-    interval merge, NOT the gaps-and-islands diff-by-1 trick, which
-    would double-count words shared by shingles closer than K apart).
-    Output per doc: span count, total duplicated words, longest span,
-    duplicated fraction — the signals a curation pipeline thresholds
-    on before cutting spans out of training text.
-
-    Scale shape: shingle fan-out is pure JVM (split/sequence/slice);
-    ONE shuffle keys the corpus by shingle hash for the distinct-doc
-    count and the hash semi-join back; the interval merge then runs
-    windowed per doc_id (second exchange, keyed by doc). Shingle text
-    never rides the join — only (doc_id, position, hash)."""
-    d = _docs(spark, sf_dir)
+def _span_frames(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(base, spans): base = (doc_id, toks, n); spans = maximal merged
+    duplicated intervals (doc_id, s, e), word positions 0-based
+    inclusive. Mirrors _SPANS_CTES expression-for-expression."""
     base = d.select(
         "doc_id",
         tokens(F.col("text")).alias("toks"),
@@ -1350,6 +1337,30 @@ def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = grouped.groupBy("doc_id", "g").agg(
         F.min("p").alias("s"), F.max("e").alias("e")
     )
+    return base, spans
+
+
+@query("doc_dup_spans", oracle=_DUP_SPANS_ORACLE)
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans per document — the
+    suffix-array substring-dedup signal of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (public paper),
+    re-expressed relationally: a word position is duplicated when the
+    K-word shingle starting there occurs in >= 2 distinct documents;
+    overlapping duplicated shingles [p, p+K-1] are unioned into
+    maximal intervals with a running-max-end window (a textbook
+    interval merge, NOT the gaps-and-islands diff-by-1 trick, which
+    would double-count words shared by shingles closer than K apart).
+    Output per doc: span count, total duplicated words, longest span,
+    duplicated fraction — the signals a curation pipeline thresholds
+    on before cutting spans out of training text.
+
+    Scale shape: shingle fan-out is pure JVM (split/sequence/slice);
+    ONE shuffle keys the corpus by shingle hash for the distinct-doc
+    count and the hash semi-join back; the interval merge then runs
+    windowed per doc_id (second exchange, keyed by doc). Shingle text
+    never rides the join — only (doc_id, position, hash)."""
+    base, spans = _span_frames(_docs(spark, sf_dir))
     span_len = F.col("e") - F.col("s") + 1
     perdoc = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
@@ -1370,6 +1381,73 @@ def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_words").cast("double"),
                 6,
             ).alias("dup_frac"),
+        )
+    )
+
+
+_DUP_REMOVED_ORACLE = f"""
+WITH {_SPANS_CTES},
+cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM spans),
+tp AS (SELECT doc_id, toks, n, unnest(range(0, n)) AS p FROM b),
+tok AS (SELECT doc_id, n, p, toks[p + 1] AS tok FROM tp),
+kept AS (SELECT doc_id, n, p, tok FROM tok ANTI JOIN cov USING (doc_id, p)),
+cl AS (
+  SELECT doc_id, count(*) AS kept_words,
+         string_agg(tok, ' ' ORDER BY p) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, b.n AS n_words,
+       coalesce(kept_words, 0) AS kept_words,
+       b.n - coalesce(kept_words, 0) AS removed_words,
+       md5(coalesce(cleaned, '')) AS cleaned_fp
+FROM b LEFT JOIN cl USING (doc_id)
+"""
+
+
+@query("doc_dup_spans_removed", oracle=_DUP_REMOVED_ORACLE)
+def q_doc_dup_spans_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup APPLIED (the second half of the Lee et al.
+    pipeline): cut every maximal cross-document duplicated span out of
+    each document and fingerprint the surviving text, so the oracle
+    checks the cleaned bytes exactly — including fully-duplicated
+    documents collapsing to the empty string. Word order is preserved
+    by sorting the kept (position, token) pairs inside the per-doc
+    aggregate, not by any global sort.
+
+    Scale shape: the span computation is shared with doc_dup_spans
+    (one shingle-hash shuffle + one doc-keyed window); removal adds a
+    doc-co-partitioned anti join of token positions against covered
+    positions and one final per-doc aggregate — everything keyed by
+    doc_id, so AQE can reuse the same exchange."""
+    base, spans = _span_frames(_docs(spark, sf_dir))
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("s", "e")).alias("p")
+    )
+    toks_pos = base.select(
+        "doc_id", F.posexplode("toks").alias("p", "tok")
+    )
+    kept = toks_pos.join(covered, ["doc_id", "p"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_words"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned"),
+    )
+    return (
+        base.select("doc_id", F.col("n").alias("n_words"))
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("kept_words", F.lit(0)).alias("kept_words"),
+            (F.col("n_words") - F.coalesce("kept_words", F.lit(0))).alias(
+                "removed_words"
+            ),
+            F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_fp"),
         )
     )
 

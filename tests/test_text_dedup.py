@@ -238,3 +238,38 @@ def test_pii_detect_and_redact_primitives(spark):
     # \b stops 12345-678-9012 matching as a phone; 1.2.3 lacks a 4th octet
     assert (out[2]["p"], out[2]["i"]) == (0, 0)
     assert out[3]["red"] == "no pii at all"
+
+
+def test_dup_spans_removed_reconstructs_expected_text(spark, tmp_path):
+    """Removal must cut exactly the merged spans and preserve word
+    order of the remainder; two identical docs both collapse to
+    empty (their whole text is one duplicated span)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from sparktrends_spark.plans.registry import QUERIES
+
+    s = [f"s{i}" for i in range(10)]
+    rows = [
+        (1, " ".join(s + [f"a{i}" for i in range(10)])),
+        (2, " ".join(s + [f"b{i}" for i in range(10)])),
+        (3, "same words everywhere alpha beta gamma delta epsilon"),
+        (4, "same words everywhere alpha beta gamma delta epsilon"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["doc_dup_spans_removed"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    want1 = " ".join(f"a{i}" for i in range(10))
+    assert out[1]["kept_words"] == 10 and out[1]["removed_words"] == 10
+    assert out[1]["cleaned_fp"] == hashlib.md5(want1.encode()).hexdigest()
+    empty_fp = hashlib.md5(b"").hexdigest()
+    assert out[3]["kept_words"] == 0 and out[3]["cleaned_fp"] == empty_fp
+    assert out[4]["cleaned_fp"] == empty_fp
