@@ -638,3 +638,41 @@ def build_stream_asset_features(
         ckpt_dir=ckpt_dir,
         table_dir=table_dir,
     )
+
+
+@query(
+    "stream_user_heavy_hitters",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 20
+""",
+)
+def q_stream_user_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of user_heavy_hitters: a running per-user count
+    maintained across micro-batches (update mode emits only keys whose
+    count changed; the keyed upsert sink keeps each user's latest
+    count), then exact top-20 read from the materialized state. Same
+    oracle as the batch query — the stream must converge to the exact
+    GROUP BY counts however the table is split into micro-batches.
+
+    Scale shape: state is one row per distinct user (the canonical
+    running-count aggregate); per batch only touched keys leave the
+    state store, and the sink rewrite is O(touched buckets). The
+    top-k is a batch TakeOrderedAndProject over the compacted state
+    table, NOT a per-batch global sort."""
+    return build_stream_user_heavy_hitters(spark, sf_dir)
+
+
+def build_stream_user_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+) -> DataFrame:
+    ev = stream_events(spark, sf_dir, max_files_per_trigger)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    final = run_upsert_stream(counts, keys=("user_id",), ckpt_dir=ckpt_dir)
+    return final.orderBy(F.desc("n_events"), F.asc("user_id")).limit(20)

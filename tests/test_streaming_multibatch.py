@@ -195,3 +195,19 @@ def test_multibatch_asset_features_lands_on_oracle(
     ).toPandas()
     assert _n_batches(ckpt) >= N_SPLITS
     _assert_frames_equal(got, _oracle(sf_dir, "stream_asset_features"))
+
+
+def test_multibatch_heavy_hitters_land_on_oracle(spark, sf_dir, split_dir, tmp_path):
+    from sparktrends_spark.plans.streaming_queries import (
+        build_stream_user_heavy_hitters,
+    )
+
+    ckpt = str(tmp_path / "ckpt_hh")
+    result = build_stream_user_heavy_hitters(
+        spark, split_dir, max_files_per_trigger=1, ckpt_dir=ckpt
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    # running counts re-emitted per batch; the keyed upsert keeps the
+    # latest, so the final state equals the exact GROUP BY and the
+    # top-20 cut matches the batch oracle row-for-row
+    _assert_frames_equal(result, _oracle(sf_dir, "stream_user_heavy_hitters"))
