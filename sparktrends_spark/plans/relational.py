@@ -1142,3 +1142,58 @@ def q_event_zorder_rectangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+@query(
+    "event_targeted_delete",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(value), 6) AS total_value
+FROM events
+WHERE user_id NOT IN (3, 7)
+GROUP BY event_type
+""",
+)
+def q_event_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style targeted deletion (`sources/deletion.py`) graded
+    end-to-end: copy events range-clustered by user into 8 files,
+    surgically delete two users (only the 1-2 files containing them
+    are rewritten — proven byte-identical for the rest in
+    tests/test_deletion.py), then aggregate the surviving table. The
+    oracle states plain NOT IN semantics over the original table, so
+    the graded plan proves the rewrite removed exactly the target
+    rows and nothing else.
+
+    Scale shape: affected-file discovery is one projected key-column
+    scan with a broadcast membership filter; rewrite cost is
+    O(files containing the keys), never O(table) — the property that
+    makes a 50-user deletion request tractable on a 100 TB lake."""
+    import os
+
+    from sparktrends_spark.sources.deletion import delete_keys
+    from sparktrends_spark.sources.tables import scan_parallel
+
+    dest = os.path.join(
+        "/tmp/sparktrends_delete",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "events",
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    events.repartitionByRange(8, "user_id").write.mode("overwrite").parquet(
+        dest
+    )
+    spark.catalog.refreshByPath(dest)
+    delete_keys(spark, dest, "user_id", [3, 7])
+    return (
+        scan_parallel(spark.read.parquet(dest))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
