@@ -1659,3 +1659,69 @@ def q_lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mixture, 6).alias("mixture_share"),
         F.round(mixture / share, 6).alias("upsample_factor"),
     )
+
+
+_DRIFT_ORACLE = """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+st AS (SELECT source, tok, count(*) AS c_st FROM tok GROUP BY source, tok),
+s AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+t AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY tok),
+tot AS (SELECT sum(c_t) AS n FROM t),
+term AS (
+  SELECT st.source,
+         (c_st / CAST(n_s AS DOUBLE))
+           * ln((c_st / CAST(n_s AS DOUBLE)) / (c_t / CAST(n AS DOUBLE)))
+           AS kl_term
+  FROM st
+  JOIN s USING (source)
+  JOIN t USING (tok)
+  CROSS JOIN tot
+)
+SELECT s.source, s.n_s AS n_tokens,
+       CAST((SELECT count(*) FROM st WHERE st.source = s.source) AS BIGINT)
+         AS n_distinct_tokens,
+       round((SELECT sum(kl_term) FROM term WHERE term.source = s.source), 6)
+         AS kl_vs_corpus
+FROM s
+"""
+
+
+@query("corpus_source_drift", oracle=_DRIFT_ORACLE)
+def q_corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(source token distribution ||
+    corpus token distribution) — the monitoring signal a training-data
+    pipeline tracks per ingestion source to catch a feed going off
+    (spam flood, language shift, scraper breakage). KL vs the full
+    corpus is always finite: any token a source emits has corpus mass.
+
+    Scale shape: one explode keyed by (source, token) for the partial
+    counts (map-side combine collapses repeats before the exchange),
+    then the token-marginal join is token-co-partitioned, the
+    per-source totals ride a broadcast, and the final agg is one row
+    per source. No Python anywhere."""
+    tok = _docs(spark, sf_dir).select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    s_tot = st.groupBy("source").agg(
+        F.sum("c_st").cast("bigint").alias("n_s"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+    )
+    t_tot = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    n = t_tot.agg(F.sum("c_t").alias("n"))
+    p = F.col("c_st") / F.col("n_s").cast("double")
+    q = F.col("c_t") / F.col("n").cast("double")
+    kl = (
+        st.join(F.broadcast(s_tot.select("source", "n_s")), "source")
+        .join(t_tot, "tok")
+        .join(F.broadcast(n))
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"))
+    )
+    return s_tot.select("source", F.col("n_s").alias("n_tokens"), "n_distinct_tokens").join(
+        kl, "source"
+    )
