@@ -1725,3 +1725,92 @@ def q_corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s_tot.select("source", F.col("n_s").alias("n_tokens"), "n_distinct_tokens").join(
         kl, "source"
     )
+
+
+_DSIR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+raw AS (SELECT tok, count(*) AS c_r FROM tok GROUP BY tok),
+tgt AS (SELECT tok, count(*) AS c_t FROM tok WHERE lang = 'en' GROUP BY tok),
+consts AS (
+  SELECT (SELECT sum(c_r) FROM raw) AS n_r,
+         (SELECT coalesce(sum(c_t), 0) FROM tgt) AS n_t,
+         (SELECT count(*) FROM raw) AS v
+),
+lr AS (
+  SELECT raw.tok,
+         ln(((coalesce(c_t, 0) + 1) / CAST(n_t + v AS DOUBLE))
+            / ((c_r + 1) / CAST(n_r + v AS DOUBLE))) AS llr_tok
+  FROM raw LEFT JOIN tgt USING (tok) CROSS JOIN consts
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(llr_tok) / count(*), 6) AS llr_per_token,
+       any_value(lang = 'en') AS in_target
+FROM tok JOIN lr USING (tok)
+GROUP BY doc_id
+"""
+
+
+@query("doc_importance_weights", oracle=_DSIR_ORACLE)
+def q_doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance weights in the style of DSIR (Xie et
+    al., "Data Selection for Language Models via Importance
+    Resampling", public paper): score every document by its
+    per-token log-likelihood ratio between a target unigram
+    distribution (here: the 'en' slice) and the raw corpus
+    distribution, add-1 smoothed over the corpus vocabulary so
+    out-of-target tokens stay finite. A sampler then keeps documents
+    with probability proportional to exp(llr) — the length-normalized
+    per-token form reported here keeps long documents comparable.
+
+    Scale shape: two token-keyed aggregates (raw + target marginals,
+    map-side combined) joined token-co-partitioned into a per-token
+    log-ratio table, the three corpus scalars ride one broadcast row,
+    and the doc scoring re-joins tokens to ratios on the same token
+    key before one per-doc aggregate. No Python in the row path."""
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    raw = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    consts = raw.agg(
+        F.sum("c_r").alias("n_r"), F.count(F.lit(1)).alias("v")
+    ).join(
+        F.broadcast(
+            tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
+        )
+    )
+    ct = F.coalesce(F.col("c_t"), F.lit(0))
+    lr = (
+        raw.join(tgt, "tok", "left")
+        .join(F.broadcast(consts))
+        .select(
+            "tok",
+            F.log(
+                ((ct + 1) / (F.col("n_t") + F.col("v")).cast("double"))
+                / (
+                    (F.col("c_r") + 1)
+                    / (F.col("n_r") + F.col("v")).cast("double")
+                )
+            ).alias("llr_tok"),
+        )
+    )
+    return (
+        tok.join(lr, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("llr_tok") / F.count(F.lit(1)), 6).alias(
+                "llr_per_token"
+            ),
+            F.any_value(F.col("lang") == "en").alias("in_target"),
+        )
+    )

@@ -224,6 +224,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "doc_unigram_perplexity",  # corpus-total N: one broadcast count row
         "customer_rfm_segments",   # recency anchor: one broadcast max-date row
         "corpus_source_drift",     # corpus-total N: one broadcast count row
+        "doc_importance_weights",  # smoothing constants: broadcast scalar rows
     }
     # Arrow-batched python is the sanctioned slow path; row-at-a-time
     # BatchEvalPython is never acceptable in a registered plan.
