@@ -128,6 +128,19 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_delete(args: argparse.Namespace) -> int:
+    from sparktrends_spark.sources.deletion import delete_keys
+
+    spark = _session(args, "sparktrends-delete")
+    keys: list = [
+        int(k) if k.lstrip("-").isdigit() else k
+        for k in args.keys.split(",")
+    ]
+    stats = delete_keys(spark, args.path, args.key_col, keys)
+    print(json.dumps(stats))
+    return 0
+
+
 def _cmd_bench(args: argparse.Namespace) -> int:
     import runpy
 
@@ -190,6 +203,18 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--path", required=True)
     co.add_argument("--target-file-mb", type=int, default=128)
     co.set_defaults(fn=_cmd_compact)
+
+    de = sub.add_parser(
+        "delete",
+        help="surgically delete rows by key from a parquet dir",
+        parents=[common],
+    )
+    de.add_argument("--path", required=True)
+    de.add_argument("--key-col", required=True)
+    de.add_argument(
+        "--keys", required=True, help="comma-separated key values"
+    )
+    de.set_defaults(fn=_cmd_delete)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -277,3 +277,25 @@ def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
         .count()
         == 0
     )
+
+
+def test_cli_delete(spark, sf_dir, tmp_path, capsys):
+    import json
+
+    from sparktrends_spark.cli import main
+    from sparktrends_spark.sources.tables import load_table
+
+    path = str(tmp_path / "ev")
+    load_table(spark, sf_dir, "events").repartitionByRange(
+        4, "user_id"
+    ).write.parquet(path)
+    assert (
+        main(["delete", "--path", path, "--key-col", "user_id", "--keys", "3,7"])
+        == 0
+    )
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_deleted"] > 0
+    assert stats["files_rewritten"] + stats["files_removed"] < stats["files_total"]
+    assert (
+        spark.read.parquet(path).filter("user_id IN (3, 7)").count() == 0
+    )

@@ -62,6 +62,11 @@ HEAVY_QUERIES = (
     # a single Arrow-batched pass at 10x the corpus
     "asset_jpeg_stats",
     "asset_mp4_frames",
+    # round 6 (cont.): substring-dedup span pipeline (shingle fan-out +
+    # hash shuffle + doc-keyed window) and the Misra-Gries heavy-hitter
+    # two-phase plan — output is fixed at top-20 whatever the input
+    "doc_dup_spans",
+    "user_heavy_hitters",
 )
 
 # Ops that define the plan's *strategy* — join algorithms, aggregate
