@@ -1814,3 +1814,75 @@ def q_doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value(F.col("lang") == "en").alias("in_target"),
         )
     )
+
+
+def _incremental_dedup_oracle() -> str:
+    return f"""
+WITH {_TOKS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+{_minhash_sig_sql().strip()},
+bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string([CAST(x AS VARCHAR) for x in sig[b*4+1:b*4+4]], '|')) AS bh
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands n JOIN bands o ON n.b = o.b AND n.bh = o.bh
+  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+),
+est AS (
+  SELECT new_id, old_id,
+         list_sum(list_transform(range(1, 17),
+                  i -> CASE WHEN sn.sig[i] = so.sig[i] THEN 1 ELSE 0 END))
+           / 16.0 AS est_j
+  FROM cand
+  JOIN sigs sn ON sn.doc_id = new_id
+  JOIN sigs so ON so.doc_id = old_id
+),
+best AS (
+  SELECT new_id, old_id, est_j,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY est_j DESC, old_id) AS rn
+  FROM est WHERE est_j >= 0.7
+)
+SELECT d.doc_id,
+       (b.old_id IS NOT NULL) AS is_dup,
+       b.old_id AS matched_doc,
+       round(b.est_j, 6) AS est_jaccard
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+WHERE d.doc_id % 2 = 1
+"""
+
+
+@query("doc_incremental_dedup", oracle=_incremental_dedup_oracle())
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted MinHash index
+    (`text/dedup_index.py`): the even-doc half of the corpus is
+    summarized into a signature+band index (no text retained), then
+    the odd-doc half arrives as a batch and is flagged against it —
+    the production shape where history is 100 TB and only its compact
+    index is ever touched. Duplicate decision = signature agreement
+    (>= 0.7 of 16 permutations), best match by agreement then id; the
+    DuckDB oracle replays the identical md5-permutation MinHash, so
+    even the probabilistic banding matches value-exactly.
+
+    Scale shape: four band-hash equi-joins (hash joins, index side
+    keyed by band hash), only 16-int signatures ride the joins, one
+    small window over surviving candidates."""
+    import os
+
+    from sparktrends_spark.text.dedup_index import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    d = _docs(spark, sf_dir)
+    idx = os.path.join(
+        "/tmp/sparktrends_dedup_index",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    build_dedup_index(d.filter(F.col("doc_id") % 2 == 0), idx)
+    return incremental_dedup(
+        d.filter(F.col("doc_id") % 2 == 1), idx, threshold=0.7, append=False
+    )

@@ -273,3 +273,42 @@ def test_dup_spans_removed_reconstructs_expected_text(spark, tmp_path):
     empty_fp = hashlib.md5(b"").hexdigest()
     assert out[3]["kept_words"] == 0 and out[3]["cleaned_fp"] == empty_fp
     assert out[4]["cleaned_fp"] == empty_fp
+
+
+def test_incremental_dedup_append_flow(spark, tmp_path):
+    """The index grows with each batch's uniques: batch B's near-dup
+    of the indexed corpus is flagged, its uniques are appended, and
+    replaying the SAME batch then flags every shingleable doc as a
+    duplicate (self-match against the appended index)."""
+    from sparktrends_spark.text.dedup_index import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    idx = str(tmp_path / "idx")
+    a = spark.createDataFrame(
+        [(1, _BASE), (2, "unrelated corpus text about query engines")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(a, idx)
+
+    b = spark.createDataFrame(
+        [
+            (11, _BASE.replace("river bank", "river bend")),  # near-dup of 1
+            (12, "fresh document with completely novel words here"),
+            (13, "xy"),  # too short to shingle -> always unique
+        ],
+        "doc_id long, text string",
+    )
+    first = {r["doc_id"]: r for r in incremental_dedup(b, idx).collect()}
+    assert first[11]["is_dup"] and first[11]["matched_doc"] == 1
+    assert not first[12]["is_dup"] and first[12]["matched_doc"] is None
+    assert not first[13]["is_dup"]
+
+    # replay the identical batch: 12 now matches its own appended entry;
+    # 11 was flagged dup (NOT appended) so it still matches doc 1
+    again = {r["doc_id"]: r for r in incremental_dedup(b, idx).collect()}
+    assert again[12]["is_dup"] and again[12]["matched_doc"] == 12
+    assert again[12]["est_jaccard"] == 1.0
+    assert again[11]["is_dup"] and again[11]["matched_doc"] == 1
+    assert not again[13]["is_dup"]
