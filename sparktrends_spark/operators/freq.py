@@ -35,30 +35,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mg_merge(state: dict, counts: dict, capacity: int) -> dict:
+    """Merge a batch's exact counts into a Misra-Gries summary.
+
+    Add counts, then if more than ``capacity`` keys remain subtract
+    the (capacity+1)-th largest count from all and drop non-positives
+    — the mergeable-summaries construction. Property (Hypothesis-
+    tested): after any merge sequence over a stream of total weight N,
+    every key with true count > N/(capacity+1) is present."""
+    for val, cnt in counts.items():
+        state[val] = state.get(val, 0) + int(cnt)
+    if len(state) > capacity:
+        threshold = sorted(state.values(), reverse=True)[capacity]
+        state = {k: v - threshold for k, v in state.items() if v > threshold}
+    return state
+
+
 def mg_candidates(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
     """Per-partition Misra-Gries candidate keys (``<= capacity`` each).
 
-    State lives across Arrow batches inside one task: counts are
-    merged per batch, then if more than ``capacity`` keys remain the
-    (capacity+1)-th largest count is subtracted from all and
-    non-positive keys dropped — the standard summary merge, which
-    under-counts each key by at most the total decrement and never
-    evicts a key whose partition count exceeds N_p/(capacity+1)."""
+    State lives across Arrow batches inside one task; each Arrow batch
+    contributes its exact value_counts through ``mg_merge``. No key
+    whose partition count exceeds N_p/(capacity+1) is ever evicted."""
     field = df.schema[key_col]
     out_schema = f"{key_col} {field.dataType.simpleString()}"
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state: dict = {}
         for pdf in batches:
-            for val, cnt in pdf[key_col].value_counts(dropna=True).items():
-                state[val] = state.get(val, 0) + int(cnt)
-            if len(state) > capacity:
-                threshold = sorted(state.values(), reverse=True)[capacity]
-                state = {
-                    k: v - threshold
-                    for k, v in state.items()
-                    if v - threshold > 0
-                }
+            state = mg_merge(
+                state, pdf[key_col].value_counts(dropna=True).to_dict(), capacity
+            )
         yield pd.DataFrame({key_col: list(state.keys())})
 
     return df.select(key_col).mapInPandas(summarize, out_schema)

@@ -82,3 +82,31 @@ import pytest  # noqa: E402
 @pytest.fixture(name="spark_session_holder")
 def _spark_session_holder(spark):
     return spark
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_guarantee(stream, capacity, batch_size):
+    """Pure-Python MG property (no Spark): for ANY stream, batch
+    split, and capacity: (a) the summary never exceeds capacity keys,
+    (b) every key with true count > N/(capacity+1) survives — the
+    pigeonhole bound heavy_hitters' exactness rests on."""
+    from collections import Counter
+
+    from sparktrends_spark.operators.freq import mg_merge
+
+    state: dict = {}
+    for i in range(0, len(stream), batch_size):
+        batch = Counter(stream[i : i + batch_size])
+        state = mg_merge(state, batch, capacity)
+        assert len(state) <= capacity
+
+    true = Counter(stream)
+    bound = len(stream) / (capacity + 1)
+    for key, cnt in true.items():
+        if cnt > bound:
+            assert key in state, (key, cnt, bound, capacity, state)
