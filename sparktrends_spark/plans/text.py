@@ -1886,3 +1886,130 @@ def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(
         d.filter(F.col("doc_id") % 2 == 1), idx, threshold=0.7, append=False
     )
+
+
+def _curation_oracle() -> str:
+    from sparktrends_spark.text.pii import PII_PATTERNS, REDACTION_TOKENS
+
+    e, p, i = (PII_PATTERNS[k] for k in ("email", "phone", "ip"))
+    te, tp, ti = (REDACTION_TOKENS[k] for k in ("email", "phone", "ip"))
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+),
+dedup AS (SELECT doc_id, lang, text FROM ranked WHERE rn = 1),
+pii AS (
+  SELECT doc_id, lang,
+         text
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com today' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || ' now' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                   || CAST(doc_id % 250 AS VARCHAR) || ' logged' ELSE '' END
+           AS text
+  FROM dedup
+),
+scrubbed AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT)
+           + CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)
+           + CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT)
+           AS n_red,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{e}', '{te}', 'g'),
+             '{p}', '{tp}', 'g'),
+           '{i}', '{ti}', 'g') AS red
+  FROM pii
+),
+toks AS (
+  SELECT doc_id, lang, n_red,
+         len(regexp_split_to_array(trim(lower(red)), '\\s+')) AS n_toks
+  FROM scrubbed
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(n_red) AS BIGINT) AS n_redactions
+FROM toks
+WHERE n_toks >= 20
+GROUP BY lang
+"""
+
+
+@query("corpus_curation_pipeline", oracle=_curation_oracle())
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pass as ONE Catalyst plan — exact dedup
+    (keep-first per content hash) -> PII scrub (injected identically
+    in plan and oracle, as in doc_pii_redact) -> minimum-length
+    quality gate on the SCRUBBED text -> per-language corpus stats.
+    This is the composition a pipeline user actually ships; declaring
+    it as one DataFrame chain lets Catalyst pipeline the scrub and
+    quality projections into the dedup shuffle's output without
+    materializing intermediate corpora.
+
+    Scale shape: one content-hash window for dedup (keyed shuffle),
+    then map-only regexp scrub + token gate, one final per-lang
+    aggregate. At 100 TB: two exchanges total, everything between is
+    whole-stage-codegen projections."""
+    from sparktrends_spark.text.pii import pii_count, redact
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        d.select("doc_id", "lang", "text", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    did = F.col("doc_id")
+    email = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com today"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" from 10."), (did % 256).cast("string"),
+            F.lit(".0."), (did % 250).cast("string"), F.lit(" logged"),
+        ),
+    ).otherwise(F.lit(""))
+    with_pii = dedup.select(
+        "doc_id", "lang",
+        F.concat(F.col("text"), email, phone, ip).alias("text"),
+    )
+    t = F.col("text")
+    scrubbed = with_pii.select(
+        "doc_id", "lang",
+        (
+            pii_count(t, "email") + pii_count(t, "phone") + pii_count(t, "ip")
+        ).alias("n_red"),
+        redact(t).alias("red"),
+    )
+    gated = scrubbed.select(
+        "lang", "n_red", F.size(tokens(F.col("red"))).alias("n_toks")
+    ).filter(F.col("n_toks") >= 20)
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum("n_red").cast("bigint").alias("n_redactions"),
+    )
