@@ -748,3 +748,51 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .distinct()
     )
+
+
+_SPINE_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT min(year(o_orderdate) * 12 + month(o_orderdate)) AS mn,
+         max(year(o_orderdate) * 12 + month(o_orderdate)) AS mx
+  FROM {orders}
+),
+months(mid) AS (
+  SELECT mn FROM bounds
+  UNION ALL
+  SELECT mid + 1 FROM months WHERE mid < (SELECT mx FROM bounds)
+),
+per_month AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mid,
+         count(*) AS n, sum(o_totalprice) AS tp
+  FROM {orders}
+  GROUP BY 1
+)
+SELECT CAST(mid AS BIGINT) AS month_id,
+       CAST(floor((mid - 1) / 12.0) AS BIGINT) AS year,
+       CAST(((mid - 1) % 12) + 1 AS BIGINT) AS month,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+       round(coalesce(tp, 0.0), 6) AS total_price
+FROM months LEFT JOIN per_month USING (mid)
+"""
+
+
+@query(
+    "order_month_spine_recursive",
+    oracle=_SPINE_SQL.format(orders="orders"),
+)
+def q_order_month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (new in Spark 4): a WITH RECURSIVE month
+    spine from the first to the last order month, left-joined to
+    per-month order counts so months with zero orders still appear —
+    the calendar-fill shape that sequence()-free SQL dialects write
+    recursively. The IDENTICAL statement runs on DuckDB (its recursive
+    CTE dialect matches), so the recursion itself is value-oracled.
+
+    Scale shape: the recursion materializes one row per month (dozens)
+    on the driver-side loop of the recursive plan; the fact table is
+    touched exactly twice (bounds agg + per-month agg), both plain
+    hash aggregates."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_spine_orders"
+    )
+    return spark.sql(_SPINE_SQL.format(orders="_spine_orders"))
