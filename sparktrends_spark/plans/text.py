@@ -2013,3 +2013,49 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").cast("bigint").alias("n_tokens"),
         F.sum("n_red").cast("bigint").alias("n_redactions"),
     )
+
+
+@query(
+    "lang_tokenizer_fertility",
+    oracle="""
+WITH c AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))
+           AS n_bpe,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_words
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       round(sum(n_bpe) / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
+FROM c GROUP BY lang
+""",
+)
+def q_lang_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (BPE-ish tokens per whitespace
+    word) — the metric multilingual-corpus teams track to spot
+    languages a tokenizer fragments (high fertility = more compute per
+    word, worse effective context). Pure map-side regexp counting into
+    one per-language aggregate; at 100 TB this is a scan + 5-row
+    reduce."""
+    d = _docs(spark, sf_dir)
+    from sparktrends_spark.text.analysis import BPE_PRETOKEN_RE
+
+    low = F.lower(F.col("text"))
+    c = d.select(
+        "lang",
+        F.size(F.regexp_extract_all(low, F.lit(BPE_PRETOKEN_RE), 0)).alias(
+            "n_bpe"
+        ),
+        F.size(tokens(F.col("text"))).alias("n_words"),
+    )
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.round(
+            F.sum("n_bpe") / F.sum("n_words").cast("double"), 6
+        ).alias("fertility"),
+    )
