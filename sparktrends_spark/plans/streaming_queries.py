@@ -671,8 +671,11 @@ def build_stream_user_heavy_hitters(
     sf_dir: str,
     max_files_per_trigger: int | None = None,
     ckpt_dir: str | None = None,
+    table_dir: str | None = None,
 ) -> DataFrame:
     ev = stream_events(spark, sf_dir, max_files_per_trigger)
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    final = run_upsert_stream(counts, keys=("user_id",), ckpt_dir=ckpt_dir)
+    final = run_upsert_stream(
+        counts, keys=("user_id",), ckpt_dir=ckpt_dir, table_dir=table_dir
+    )
     return final.orderBy(F.desc("n_events"), F.asc("user_id")).limit(20)

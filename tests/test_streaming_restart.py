@@ -183,3 +183,35 @@ def test_asset_features_kill_and_restart_lands_on_oracle(
     ).toPandas()
     assert _n_batches(ckpt) >= N_SPLITS
     _assert_frames_equal(result, _oracle(sf_dir, "stream_asset_features"))
+
+
+@pytest.mark.parametrize("when", ["pre_commit", "post_commit"])
+def test_heavy_hitters_kill_and_restart_lands_on_oracle(
+    spark, sf_dir, split_dir, tmp_path, monkeypatch, when  # noqa: F811
+):
+    """Running-count recovery: the state store must restore each
+    user's partial count at the crash point — a replay from zero
+    would double-count the already-committed batches and corrupt the
+    top-20 counts (not just their order)."""
+    from sparktrends_spark.plans.streaming_queries import (
+        build_stream_user_heavy_hitters,
+    )
+
+    ckpt = str(tmp_path / f"ckpt_hh_{when}")
+    table_dir = str(tmp_path / f"table_hh_{when}")
+    os.makedirs(table_dir, exist_ok=True)
+
+    monkeypatch.setattr(sq, "upsert_parquet_bucketed", _crashing_sink(1, when))
+    with pytest.raises(StreamingQueryException, match="injected kill"):
+        build_stream_user_heavy_hitters(
+            spark, split_dir, max_files_per_trigger=1,
+            ckpt_dir=ckpt, table_dir=table_dir,
+        )
+    monkeypatch.setattr(sq, "upsert_parquet_bucketed", upsert_parquet_bucketed)
+
+    result = build_stream_user_heavy_hitters(
+        spark, split_dir, max_files_per_trigger=1,
+        ckpt_dir=ckpt, table_dir=table_dir,
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    _assert_frames_equal(result, _oracle(sf_dir, "stream_user_heavy_hitters"))
