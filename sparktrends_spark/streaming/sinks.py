@@ -133,6 +133,19 @@ def _committed_leaves(final: str, buckets: dict[str, int]) -> list[str]:
     ]
 
 
+def _snapshot_path(final: str, version: int) -> str:
+    return os.path.join(final, f"_manifest_v{int(version)}.json")
+
+
+def list_snapshots(final: str) -> list[int]:
+    """Committed snapshot versions still readable as-of (ascending)."""
+    out = []
+    for entry in os.listdir(final):
+        if entry.startswith("_manifest_v") and entry.endswith(".json"):
+            out.append(int(entry[len("_manifest_v") : -len(".json")]))
+    return sorted(out)
+
+
 def upsert_parquet_bucketed(
     df: DataFrame,
     path: str,
@@ -140,6 +153,7 @@ def upsert_parquet_bucketed(
     n_buckets: int = 64,
     version_col: str = "_batch_id",
     version: int = 0,
+    retain_history: int = 0,
 ) -> None:
     """Merge ``df`` into a hash-bucket-partitioned parquet table,
     rewriting only the buckets the incoming keys touch, with an
@@ -168,6 +182,13 @@ def upsert_parquet_bucketed(
     could lose a superseded leaf mid-scan — single-writer local
     semantics here; snapshot-isolated readers are what the real
     Delta/Iceberg log adds on a cluster.
+
+    Time travel: with ``retain_history = R > 0`` each committing batch
+    also writes an immutable ``_manifest_v{K}.json`` snapshot, GC
+    keeps every leaf referenced by the last R snapshots (plus the
+    current state), and ``read_upserted_as_of`` reads the table
+    exactly as batch K committed it. R = 0 keeps today's
+    latest-only behavior.
     """
     spark = df.sparkSession
     incoming = df.withColumn(version_col, F.lit(int(version))).withColumn(
@@ -227,16 +248,77 @@ def upsert_parquet_bucketed(
     for b in todo:
         committed[str(b)] = int(version)
     _write_manifest_atomic(final, manifest)
+    if retain_history > 0:
+        # immutable per-batch snapshot (tmp+rename like the manifest)
+        tmp = _snapshot_path(final, version) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {**manifest, "version": int(version)},
+                fh, indent=0, sort_keys=True,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, _snapshot_path(final, version))
     # ---- GC superseded leaves (post-commit; crash here is harmless —
     # orphans are re-collected by any later batch's GC) ----
-    for b in todo:
+    keep_per_bucket: dict[str, set[int]] = {
+        b: {v} for b, v in committed.items()
+    }
+    if retain_history > 0:
+        snaps = list_snapshots(final)
+        expired, retained = snaps[:-retain_history], snaps[-retain_history:]
+        for s in expired:
+            os.remove(_snapshot_path(final, s))
+        for s in retained:
+            with open(_snapshot_path(final, s)) as fh:
+                for b, v in json.load(fh)["buckets"].items():
+                    keep_per_bucket.setdefault(b, set()).add(int(v))
+        # retained snapshots may reference buckets outside this batch's
+        # touched set; GC every bucket dir so expired leaves anywhere go
+        todo_gc = [
+            e.split("=", 1)[1]
+            for e in os.listdir(final)
+            if e.startswith(f"{BUCKET_COL}=")
+        ]
+    else:
+        todo_gc = [str(b) for b in todo]
+    for b in todo_gc:
         bucket_dir = os.path.join(final, f"{BUCKET_COL}={b}")
         if not os.path.isdir(bucket_dir):
             continue
-        keep = f"{VERSION_DIR_COL}={committed[str(b)]}"
+        keep = {
+            f"{VERSION_DIR_COL}={v}" for v in keep_per_bucket.get(str(b), ())
+        }
         for entry in os.listdir(bucket_dir):
-            if entry.startswith(f"{VERSION_DIR_COL}=") and entry != keep:
+            if entry.startswith(f"{VERSION_DIR_COL}=") and entry not in keep:
                 shutil.rmtree(os.path.join(bucket_dir, entry), ignore_errors=True)
+
+
+def read_upserted_as_of(
+    spark, path: str, version: int, version_col: str = "_batch_id"
+) -> DataFrame:
+    """Read a bucketed upsert table EXACTLY as batch ``version``
+    committed it (requires the sink ran with ``retain_history`` large
+    enough that the snapshot and its leaves still exist). Snapshot
+    files are immutable and leaves are never rewritten in place, so
+    this is a consistent point-in-time view — the poor-man's
+    Delta/Iceberg time travel."""
+    final = path.rstrip("/")
+    snap_path = _snapshot_path(final, version)
+    if not os.path.isfile(snap_path):
+        have = list_snapshots(final)
+        raise FileNotFoundError(
+            f"{final}: no snapshot for version {version} "
+            f"(retained: {have}) — increase retain_history"
+        )
+    with open(snap_path) as fh:
+        snapshot = json.load(fh)
+    leaves = _committed_leaves(final, snapshot["buckets"])
+    df = spark.read.option("basePath", final).parquet(*leaves)
+    drop = [
+        c for c in (version_col, BUCKET_COL, VERSION_DIR_COL) if c in df.columns
+    ]
+    return df.drop(*drop)
 
 
 def read_upserted(spark, path: str, version_col: str = "_batch_id") -> DataFrame:

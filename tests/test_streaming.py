@@ -427,3 +427,64 @@ def test_upsert_parquet_bucketed_last_writer_wins_like_flat(spark, tmp_path):
         (r.s, r.t): r.v for r in read_upserted(spark, path).collect()
     }
     assert rows == {("A", 1): 1.0, ("A", 2): 20.0, ("B", 1): 3.0, ("C", 1): 9.0}
+
+
+def test_upsert_bucketed_time_travel(spark, tmp_path):
+    """retain_history: every batch commit writes an immutable snapshot;
+    read_upserted_as_of reconstructs the table exactly as each
+    retained batch committed it, expired snapshots are GC'd (files AND
+    their otherwise-unreferenced leaves), and the latest read is
+    unaffected."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.streaming.sinks import (
+        list_snapshots,
+        read_upserted,
+        read_upserted_as_of,
+        upsert_parquet_bucketed,
+    )
+
+    path = str(tmp_path / "tt")
+    base = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    upsert_parquet_bucketed(
+        base, path, keys=("k",), n_buckets=4, version=0, retain_history=2
+    )
+    upsert_parquet_bucketed(
+        spark.createDataFrame([(7, 700)], "k long, v long"),
+        path, keys=("k",), n_buckets=4, version=1, retain_history=2,
+    )
+    upsert_parquet_bucketed(
+        spark.createDataFrame([(7, 7000), (51, 510)], "k long, v long"),
+        path, keys=("k",), n_buckets=4, version=2, retain_history=2,
+    )
+
+    # only the last 2 snapshots survive
+    assert list_snapshots(path) == [1, 2]
+    with _pytest.raises(FileNotFoundError, match="retained: \\[1, 2\\]"):
+        read_upserted_as_of(spark, path, 0)
+
+    as_of_1 = read_upserted_as_of(spark, path, 1)
+    assert as_of_1.count() == 50
+    assert as_of_1.filter("k = 7").head().v == 700
+    assert as_of_1.filter("k = 51").count() == 0
+
+    as_of_2 = read_upserted_as_of(spark, path, 2)
+    assert as_of_2.count() == 51
+    assert as_of_2.filter("k = 7").head().v == 7000
+
+    latest = read_upserted(spark, path)
+    assert latest.count() == 51 and latest.filter("k = 7").head().v == 7000
+
+    # retention is bounded: per bucket at most (history + current) leaves
+    for d in os.listdir(path):
+        if d.startswith("_bucket="):
+            leaves = [
+                e for e in os.listdir(os.path.join(path, d))
+                if e.startswith("_v=")
+            ]
+            assert len(leaves) <= 3, (d, leaves)
