@@ -187,3 +187,53 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("n_view_click"),
         F.count("t_purchase").alias("n_full_funnel"),
     )
+
+
+@query(
+    "customer_spend_distribution",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey AS custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(sum(o_totalprice), 6) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, n_orders, total_spend,
+       round(percent_rank() OVER (ORDER BY total_spend, custkey), 6)
+         AS spend_pct_rank,
+       round(cume_dist() OVER (ORDER BY total_spend), 6) AS spend_cume_dist,
+       round(percent_rank() OVER (ORDER BY n_orders, custkey), 6)
+         AS orders_pct_rank
+FROM spend
+""",
+)
+def q_customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows (percent_rank / cume_dist) over
+    per-customer spend — where each customer sits in the spend CDF,
+    the ranking marketing segmentations are built from. percent_rank
+    orders tie-break on custkey for determinism; cume_dist is
+    tie-stable by definition (ties share a value).
+
+    Scale shape: the per-customer aggregate is keyed and parallel; the
+    global distribution windows are a single-partition sort over the
+    ALREADY-AGGREGATED frame (one row per customer) — the same
+    deliberate trade as customer_ntiles, fine at dimension scale,
+    never applied to the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("total_spend"),
+    )
+    from pyspark.sql import Window
+
+    by_spend = Window.orderBy("total_spend", "custkey")
+    by_spend_val = Window.orderBy("total_spend")
+    by_orders = Window.orderBy("n_orders", "custkey")
+    return spend.select(
+        "custkey",
+        "n_orders",
+        "total_spend",
+        F.round(F.percent_rank().over(by_spend), 6).alias("spend_pct_rank"),
+        F.round(F.cume_dist().over(by_spend_val), 6).alias("spend_cume_dist"),
+        F.round(F.percent_rank().over(by_orders), 6).alias("orders_pct_rank"),
+    )
