@@ -1237,9 +1237,11 @@ def q_doc_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_K = 8
 
-# Shared CTE chain: tokens -> shingle hashes -> cross-doc duplicated
-# positions -> maximal merged intervals. Used by both span queries.
-_SPANS_CTES = f"""toks AS (
+# Shared CTE pieces: tokens -> shingle hashes (prefix), and the
+# interval merge (suffix, expects a ``dp(doc_id, p, e)`` CTE). The
+# "which positions are flagged" CTE between them varies per query
+# (cross-doc duplication vs benchmark-set membership).
+_SPANS_PREFIX = f"""toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
   FROM documents
 ),
@@ -1252,10 +1254,9 @@ h AS (
   SELECT doc_id, p,
          md5(array_to_string(list_slice(toks, p + 1, p + {_SPAN_K}), ' ')) AS h
   FROM pos
-),
-dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-dp AS (SELECT doc_id, p, p + {_SPAN_K} - 1 AS e FROM h JOIN dup USING (h)),
-brk AS (
+)"""
+
+_SPANS_MERGE = """brk AS (
   SELECT doc_id, p, e,
          CASE WHEN p > coalesce(max(e) OVER (
                 PARTITION BY doc_id ORDER BY p
@@ -1272,6 +1273,11 @@ grp AS (
 spans AS (
   SELECT doc_id, min(p) AS s, max(e) AS e FROM grp GROUP BY doc_id, g
 )"""
+
+_SPANS_CTES = f"""{_SPANS_PREFIX},
+dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+dp AS (SELECT doc_id, p, p + {_SPAN_K} - 1 AS e FROM h JOIN dup USING (h)),
+{_SPANS_MERGE}"""
 
 _DUP_SPANS_ORACLE = f"""
 WITH {_SPANS_CTES},
@@ -1291,10 +1297,9 @@ FROM b LEFT JOIN perdoc USING (doc_id)
 """
 
 
-def _span_frames(d: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(base, spans): base = (doc_id, toks, n); spans = maximal merged
-    duplicated intervals (doc_id, s, e), word positions 0-based
-    inclusive. Mirrors _SPANS_CTES expression-for-expression."""
+def _hashed_positions(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(base, hashed): base = (doc_id, toks, n); hashed = one row per
+    K-shingle start position (doc_id, p, h). Mirrors _SPANS_PREFIX."""
     base = d.select(
         "doc_id",
         tokens(F.col("text")).alias("toks"),
@@ -1313,16 +1318,12 @@ def _span_frames(d: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.concat_ws(" ", F.slice("toks", F.col("p") + 1, F.lit(_SPAN_K)))
         ).alias("h"),
     )
-    dup_hashes = (
-        hashed.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    dp = hashed.join(dup_hashes, "h", "left_semi").select(
-        "doc_id", "p", (F.col("p") + _SPAN_K - 1).alias("e")
-    )
+    return base, hashed
 
+
+def _merge_spans(dp: DataFrame) -> DataFrame:
+    """Union flagged intervals (doc_id, p, e) into maximal spans
+    (doc_id, s, e). Mirrors _SPANS_MERGE."""
     w = Window.partitionBy("doc_id").orderBy("p")
     prev_max_end = F.max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -1334,10 +1335,26 @@ def _span_frames(d: DataFrame) -> tuple[DataFrame, DataFrame]:
         "g",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    spans = grouped.groupBy("doc_id", "g").agg(
+    return grouped.groupBy("doc_id", "g").agg(
         F.min("p").alias("s"), F.max("e").alias("e")
     )
-    return base, spans
+
+
+def _span_frames(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(base, spans) for CROSS-DOC duplication: a position is flagged
+    when its shingle occurs in >= 2 distinct docs. Mirrors
+    _SPANS_CTES expression-for-expression."""
+    base, hashed = _hashed_positions(d)
+    dup_hashes = (
+        hashed.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dp = hashed.join(dup_hashes, "h", "left_semi").select(
+        "doc_id", "p", (F.col("p") + _SPAN_K - 1).alias("e")
+    )
+    return base, _merge_spans(dp)
 
 
 @query("doc_dup_spans", oracle=_DUP_SPANS_ORACLE)
@@ -2058,4 +2075,84 @@ def q_lang_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("n_bpe") / F.sum("n_words").cast("double"), 6
         ).alias("fertility"),
+    )
+
+
+_SPAN_DECON_ORACLE = f"""
+WITH {_SPANS_PREFIX},
+bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 = 0),
+dp AS (
+  SELECT doc_id, p, p + {_SPAN_K} - 1 AS e
+  FROM h JOIN bench USING (h)
+  WHERE doc_id % 10 != 0
+),
+{_SPANS_MERGE},
+perdoc AS (
+  SELECT doc_id,
+         count(*) AS n_contaminated_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS contaminated_words
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id, b.n AS n_words,
+       coalesce(n_contaminated_spans, 0) AS n_contaminated_spans,
+       coalesce(contaminated_words, 0) AS contaminated_words,
+       round(coalesce(contaminated_words, 0) / CAST(b.n AS DOUBLE), 6)
+         AS contamination_frac,
+       coalesce(contaminated_words, 0) / CAST(b.n AS DOUBLE) > 0.2
+         AS should_drop
+FROM b LEFT JOIN perdoc USING (doc_id)
+WHERE b.doc_id % 10 != 0
+"""
+
+
+@query("doc_span_decontaminate", oracle=_SPAN_DECON_ORACLE)
+def q_doc_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination: a training doc's word
+    position is contaminated when its K-shingle appears ANYWHERE in
+    the benchmark set (here: doc_id % 10 == 0 stands in for the eval
+    suite), and overlapping hits merge into maximal spans — finer
+    than doc-level n-gram screening (doc_decontaminate): it localizes
+    WHICH text leaked and how much, and drops a doc only past a 20%
+    contamination threshold instead of on any single collision.
+
+    Scale shape: identical to doc_dup_spans except the flagging join —
+    training positions semi-join the (distinct) benchmark shingle
+    hashes, which in a real deployment is a small broadcastable set
+    rather than the corpus-wide hash marginal."""
+    d = _docs(spark, sf_dir)
+    base, hashed = _hashed_positions(d)
+    bench = (
+        hashed.filter(F.col("doc_id") % 10 == 0).select("h").distinct()
+    )
+    dp = (
+        hashed.filter(F.col("doc_id") % 10 != 0)
+        .join(bench, "h", "left_semi")
+        .select("doc_id", "p", (F.col("p") + _SPAN_K - 1).alias("e"))
+    )
+    spans = _merge_spans(dp)
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated_spans"),
+        F.sum(F.col("e") - F.col("s") + 1)
+        .cast("bigint")
+        .alias("contaminated_words"),
+    )
+    frac = F.coalesce("contaminated_words", F.lit(0)) / F.col(
+        "n_words"
+    ).cast("double")
+    return (
+        base.filter(F.col("doc_id") % 10 != 0)
+        .select("doc_id", F.col("n").alias("n_words"))
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_contaminated_spans", F.lit(0)).alias(
+                "n_contaminated_spans"
+            ),
+            F.coalesce("contaminated_words", F.lit(0)).alias(
+                "contaminated_words"
+            ),
+            F.round(frac, 6).alias("contamination_frac"),
+            (frac > 0.2).alias("should_drop"),
+        )
     )
