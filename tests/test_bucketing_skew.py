@@ -118,3 +118,15 @@ def test_heavy_hitters_matches_exact_on_high_cardinality(spark):
     assert [(r["key"], r["n"]) for r in got] == [
         (r["key"], r["n"]) for r in exact
     ]
+
+
+def test_heavy_hitters_string_keys(spark):
+    """The schema-derivation path must work for non-numeric keys."""
+    from sparktrends_spark.operators.freq import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 20 + [("c",)] * 5 + [("d",)] * 1,
+        "k string",
+    ).repartition(4)
+    got = heavy_hitters(df, "k", k=2, capacity=16).collect()
+    assert [(r["k"], r["n"]) for r in got] == [("a", 30), ("b", 20)]

@@ -76,3 +76,29 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
     b = spark.read.parquet(zpath).filter(cond)
     assert a.count() == b.count() > 0
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_zorder_key_degenerate_and_clamped_inputs(spark):
+    """A constant column (span 0) must not divide by zero, and values
+    outside the provided stats clamp into [0, 2^bits) instead of
+    corrupting neighboring bit planes."""
+    import pytest
+
+    from sparktrends_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(5, -100), (5, 0), (5, 2000)], "x long, y long"
+    )
+    z = df.select(
+        zorder_key(
+            ["x", "y"], {"x": 5, "y": 0}, {"x": 5, "y": 1000}, bits=8
+        ).alias("z")
+    ).collect()
+    vals = [r["z"] for r in z]
+    assert all(v >= 0 for v in vals)
+    # y=-100 clamps to 0 -> same key as y=0; y=2000 clamps to max
+    assert vals[0] == vals[1]
+    assert vals[2] == max(vals)
+
+    with pytest.raises(ValueError):
+        zorder_key(["x", "y"], {}, {}, bits=32)  # 64 bits > signed range
