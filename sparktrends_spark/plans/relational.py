@@ -1197,3 +1197,74 @@ def q_event_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+@query(
+    "events_quality_checks",
+    oracle="""
+WITH rowchecks AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS v_null,
+         CAST(sum(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_neg,
+         CAST(sum(CASE WHEN value IS NULL OR value > 400 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_cap,
+         CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+                   ('view', 'click', 'purchase', 'signup')
+              THEN 1 ELSE 0 END) AS BIGINT) AS v_type
+  FROM events
+),
+uniq AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS v
+  FROM (SELECT count(*) AS c FROM events GROUP BY event_id HAVING count(*) > 1)
+),
+fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS v
+  FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON e.user_id = c.c_custkey
+  WHERE c.c_custkey IS NULL
+)
+SELECT rule, n_violations, n, round(n_violations / CAST(n AS DOUBLE), 6)
+         AS violation_rate
+FROM (
+  SELECT 'user_not_null' AS rule, v_null AS n_violations, n FROM rowchecks
+  UNION ALL SELECT 'value_nonnegative', v_neg, n FROM rowchecks
+  UNION ALL SELECT 'value_capped_400', v_cap, n FROM rowchecks
+  UNION ALL SELECT 'known_event_type', v_type, n FROM rowchecks
+  UNION ALL SELECT 'unique:event_id', v, (SELECT n FROM rowchecks) FROM uniq
+  UNION ALL SELECT 'fk:user_id', v, (SELECT n FROM rowchecks) FROM fk
+) t(rule, n_violations, n)
+""".replace("n, round", "n AS n_rows, round"),
+)
+def q_events_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-gate data-quality expectations over events
+    (`quality.py`): four row-local rules in ONE aggregate pass
+    (stacked to long form), key uniqueness as one keyed aggregate,
+    and referential integrity to the customer dimension as a
+    broadcast anti join. Two rules genuinely fire on this data
+    (value > 400 exists; 'error' is outside the allowed type set), so
+    the oracle checks real violation counts, not a vacuous zero
+    column."""
+    from sparktrends_spark.quality import (
+        check_foreign_key,
+        check_rules,
+        check_unique,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    rules = check_rules(
+        events,
+        {
+            "user_not_null": F.col("user_id").isNotNull(),
+            "value_nonnegative": F.col("value") >= 0,
+            "value_capped_400": F.col("value") <= 400,
+            "known_event_type": F.col("event_type").isin(
+                "view", "click", "purchase", "signup"
+            ),
+        },
+    )
+    uniq = check_unique(events, ["event_id"])
+    fk = check_foreign_key(events, "user_id", customer, "c_custkey")
+    return rules.unionByName(uniq).unionByName(fk)
