@@ -441,3 +441,33 @@ def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("qv")
     )
     return brute_force_topk(queries, q8, k=5, vec_col="qv")
+
+
+@query("embedding_ivf_index_topk", oracle=_ivf_oracle())
+def q_embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 through a PERSISTED IVF index: centroids + per-cell
+    partitioned vector assignments built once on disk
+    (`build_ivf_index`), then queried with the probed cells applied as
+    a static partition filter — the scan provably opens only probed
+    cell directories (PartitionFilters + DPP in the plan, asserted in
+    tests/test_similarity.py). Identical output (and oracle) to the
+    in-plan embedding_ivf_topk; the difference is the 100 TB shape:
+    build cost is paid once, and each query's IO is ~nprobe/n_cells
+    of the corpus instead of a full re-scan + re-assignment."""
+    import os
+
+    from sparktrends_spark.similarity.cosine import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = os.path.join(
+        "/tmp/sparktrends_ivf_index",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    build_ivf_index(emb, idx)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_index_topk(spark, idx, queries, k=3, nprobe=_IVF_NPROBE)

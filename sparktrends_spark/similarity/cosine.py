@@ -319,6 +319,113 @@ def label_centroids(
     )
 
 
+def _with_cell_sims(
+    df: DataFrame,
+    id_alias: str,
+    cent_row: DataFrame,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """(id, _v, _nv, _sims) — rounded cosine to every centroid,
+    computed against the broadcast one-row centroid table without any
+    fan-out or shuffle."""
+    return (
+        df.select(F.col(id_alias), F.col(vec_col).alias("_v"))
+        .withColumn("_nv", norm(F.col("_v")))
+        .crossJoin(F.broadcast(cent_row))
+        .withColumn(
+            "_sims",
+            F.transform(
+                "_cents",
+                lambda c: F.struct(
+                    F.round(
+                        dot(F.col("_v"), c["cvec"])
+                        / (F.col("_nv") * c["cn"]),
+                        round_digits,
+                    ).alias("sim"),
+                    c["cell"].alias("cell"),
+                ),
+            ),
+        )
+    )
+
+
+def _best_cell():
+    """argmax by (sim desc, cell asc): max of (sim, -cell) structs.
+    Built lazily — higher-order lambdas need a live SparkContext."""
+    return F.array_max(
+        F.transform(
+            "_sims",
+            lambda s: F.struct(
+                s["sim"].alias("sim"),
+                (-s["cell"]).alias("negcell"),
+                s["cell"].alias("cell"),
+            ),
+        )
+    )
+
+
+def _probe_order():
+    """top-nprobe cells: sort by (-sim, cell) asc, slice, explode."""
+    return F.array_sort(
+        F.transform(
+            "_sims",
+            lambda s: F.struct(
+                (-s["sim"]).alias("negsim"), s["cell"].alias("cell")
+            ),
+        )
+    )
+
+
+def _rank_probed(
+    assigned: DataFrame,
+    queries: DataFrame,
+    cent_row: DataFrame,
+    k: int,
+    nprobe: int,
+    query_id: str,
+    cand_id: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Shared IVF query tail: probe cells, exact-score candidates in
+    probed cells only, per-query top-k. ``assigned`` carries
+    (cand_id, _cv, _nc, cell)."""
+    from pyspark.sql import Window
+
+    probes = (
+        _with_cell_sims(queries, query_id, cent_row, vec_col, round_digits)
+        .select(
+            query_id,
+            F.explode(F.slice(_probe_order(), 1, nprobe)).alias("_p"),
+        )
+        .select(query_id, F.col("_p.cell").alias("cell"))
+    )
+    qv = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_nq"),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .filter(F.col(cand_id) != F.col(query_id))
+        .join(F.broadcast(qv), on=query_id)
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("_cv"), F.col("_qv")) / (F.col("_nc") * F.col("_nq")),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, cand_id, "cosine", "rnk")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -358,86 +465,92 @@ def ivf_topk(
         cent.select("cell", "cvec", norm(F.col("cvec")).alias("cn"))
         .agg(F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents"))
     )
-
-    def with_cell_sims(df: DataFrame, id_alias: str) -> DataFrame:
-        """(id, _v, _nv, _sims) — rounded cosine to every centroid,
-        computed without any fan-out or shuffle."""
-        return (
-            df.select(F.col(id_alias), F.col(vec_col).alias("_v"))
-            .withColumn("_nv", norm(F.col("_v")))
-            .crossJoin(F.broadcast(cent_row))
-            .withColumn(
-                "_sims",
-                F.transform(
-                    "_cents",
-                    lambda c: F.struct(
-                        F.round(
-                            dot(F.col("_v"), c["cvec"])
-                            / (F.col("_nv") * c["cn"]),
-                            round_digits,
-                        ).alias("sim"),
-                        c["cell"].alias("cell"),
-                    ),
-                ),
-            )
-        )
-
-    # argmax by (sim desc, cell asc): max of (sim, -cell) structs.
-    best = F.array_max(
-        F.transform(
-            "_sims",
-            lambda s: F.struct(
-                s["sim"].alias("sim"),
-                (-s["cell"]).alias("negcell"),
-                s["cell"].alias("cell"),
-            ),
-        )
-    )
-    assigned = with_cell_sims(vectors, cand_id).select(
+    assigned = _with_cell_sims(
+        vectors, cand_id, cent_row, vec_col, round_digits
+    ).select(
         cand_id,
         F.col("_v").alias("_cv"),
         F.col("_nv").alias("_nc"),
-        best["cell"].alias("cell"),
+        _best_cell()["cell"].alias("cell"),
     )
-    # top-nprobe cells: sort by (-sim, cell) asc, slice, explode.
-    probe_order = F.array_sort(
-        F.transform(
-            "_sims",
-            lambda s: F.struct(
-                (-s["sim"]).alias("negsim"), s["cell"].alias("cell")
-            ),
+    return _rank_probed(
+        assigned, queries, cent_row, k, nprobe,
+        query_id, cand_id, vec_col, round_digits,
+    )
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    label_col: str = "label",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> None:
+    """Persist an IVF index: ``path/centroids`` (one tiny parquet of
+    cell, cvec, cn) and ``path/vectors`` partitioned BY CELL — so a
+    query that probes nprobe of n_cells reads only those partition
+    directories from disk, the 100 TB property an in-plan index can't
+    give you (ivf_topk re-scans and re-assigns the corpus per run).
+    Assignment is byte-identical to ivf_topk's (same argmax, same
+    tie-break)."""
+    cent = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
+    cent_n = cent.select("cell", "cvec", norm(F.col("cvec")).alias("cn"))
+    cent_n.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark = vectors.sparkSession
+    cent_row = spark.read.parquet(f"{path}/centroids").agg(
+        F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents")
+    )
+    assigned = _with_cell_sims(
+        vectors, cand_id, cent_row, vec_col, round_digits
+    ).select(
+        cand_id,
+        F.col("_v").alias("_cv"),
+        F.col("_nv").alias("_nc"),
+        _best_cell()["cell"].alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/vectors"
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Query a persisted IVF index (``build_ivf_index``). The probed
+    cell set (<= |queries| * nprobe small ints — the documented
+    bounded-collect pattern, same as the sink's bucket ids) is applied
+    as a STATIC partition filter, so the scan provably touches only
+    probed cell directories (PartitionFilters in the plan, asserted in
+    tests); the per-query probe join then restricts scoring within
+    them. Results are identical to ivf_topk over the same corpus."""
+    cent_row = spark.read.parquet(f"{path}/centroids").agg(
+        F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents")
+    )
+    probe_cells = sorted(
+        r["cell"]
+        for r in _with_cell_sims(
+            queries, query_id, cent_row, vec_col, round_digits
         )
+        .select(F.explode(F.slice(_probe_order(), 1, nprobe)).alias("_p"))
+        .select(F.col("_p.cell").alias("cell"))
+        .distinct()
+        .collect()
     )
-    probes = (
-        with_cell_sims(queries, query_id)
-        .select(
-            query_id,
-            F.explode(F.slice(probe_order, 1, nprobe)).alias("_p"),
-        )
-        .select(query_id, F.col("_p.cell").alias("cell"))
+    assigned = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probe_cells)
     )
-    qv = queries.select(
-        F.col(query_id),
-        F.col(vec_col).alias("_qv"),
-        norm(F.col(vec_col)).alias("_nq"),
-    )
-    scored = (
-        assigned.join(F.broadcast(probes), on="cell")
-        .filter(F.col(cand_id) != F.col(query_id))
-        .join(F.broadcast(qv), on=query_id)
-        .withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("_cv"), F.col("_qv")) / (F.col("_nc") * F.col("_nq")),
-                round_digits,
-            ),
-        )
-    )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(cand_id))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(query_id, cand_id, "cosine", "rnk")
+    return _rank_probed(
+        assigned, queries, cent_row, k, nprobe,
+        query_id, cand_id, vec_col, round_digits,
     )
 
 

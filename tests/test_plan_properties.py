@@ -210,6 +210,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "embedding_neardup",       # verify joins vs broadcast pairs
         "embedding_dedup_keep",
         "embedding_ivf_topk",      # corpus x one broadcast centroid row
+        "embedding_ivf_index_topk",  # same shape over the persisted index
         "embedding_lsh_topk",
         "event_window_range_join", # range join vs broadcast window list
         "q6_revenue_delta",

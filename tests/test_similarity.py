@@ -150,3 +150,41 @@ def test_quantized_topk_recall_vs_float(spark, sf_dir):
         recall_den += len(truth)
     assert recall_den > 0
     assert recall_num / recall_den >= 0.8, recall_num / recall_den
+
+
+def test_ivf_index_matches_inplan_and_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted index must return byte-identical rankings to the
+    in-plan IVF AND read only probed cell directories (static
+    partition filter on the cell partition column)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.similarity.cosine import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+    from sparktrends_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx)
+
+    via_index = ivf_index_topk(spark, idx, queries, k=3, nprobe=1)
+    inplan = ivf_topk(emb, queries, k=3, nprobe=1)
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, inplan.collect())
+    )
+
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[cell[^\]]*IN \(([^)]*)\)", plan)
+    assert pf, plan
+    # nprobe=1 over 3 queries: at most 3 of the cells are opened
+    assert len(pf[0].split(",")) <= 3
+    from sparktrends_spark.caching import release_persisted
+
+    release_persisted()
