@@ -237,3 +237,57 @@ def q_customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.cume_dist().over(by_spend_val), 6).alias("spend_cume_dist"),
         F.round(F.percent_rank().over(by_orders), 6).alias("orders_pct_rank"),
     )
+
+
+@query(
+    "event_type_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n_transitions,
+       round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+         AS p_next
+FROM pairs
+""",
+)
+def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: for each user's
+    time-ordered event stream, count (previous type -> next type)
+    transitions and normalize rows into conditional probabilities —
+    the Markov-chain input for session modeling and anomaly scoring
+    (an impossible transition spike = instrumentation bug or abuse).
+
+    Scale shape: ONE user-keyed window for lag (the stream is already
+    per-user ordered after the exchange), a 25-cell aggregate, and a
+    window over that tiny matrix for row normalization. Deterministic
+    ordering ties break on event_id."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    row_total = F.sum("n_transitions").over(
+        Window.partitionBy("prev_type")
+    )
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / row_total.cast("double"), 6
+        ).alias("p_next"),
+    )
