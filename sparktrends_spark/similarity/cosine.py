@@ -514,6 +514,39 @@ def build_ivf_index(
     )
 
 
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> None:
+    """Add a batch of vectors to a persisted IVF index WITHOUT
+    recomputing centroids: assignments use the index's existing coarse
+    quantizer (the standard IVF maintenance trade — cells drift as the
+    distribution shifts, so deployments rebuild centroids on a slow
+    cadence while appending on a fast one). Append cost is
+    O(new batch); the existing index is never read. Batches must be
+    id-disjoint from the index (the caller's ingest contract — an
+    id-dedup here would force a full index scan per append)."""
+    spark = new_vectors.sparkSession
+    cent_row = spark.read.parquet(f"{path}/centroids").agg(
+        F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents")
+    )
+    assigned = _with_cell_sims(
+        new_vectors, cand_id, cent_row, vec_col, round_digits
+    ).select(
+        cand_id,
+        F.col("_v").alias("_cv"),
+        F.col("_nv").alias("_nc"),
+        _best_cell()["cell"].alias("cell"),
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/vectors"
+    )
+    spark.catalog.refreshByPath(f"{path}/vectors")
+
+
 def ivf_index_topk(
     spark,
     path: str,

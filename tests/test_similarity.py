@@ -188,3 +188,45 @@ def test_ivf_index_matches_inplan_and_prunes_partitions(spark, sf_dir, tmp_path)
     from sparktrends_spark.caching import release_persisted
 
     release_persisted()
+
+
+def test_ivf_index_append_flow(spark, sf_dir, tmp_path):
+    """Appending a batch reuses the EXISTING centroids (no rebuild):
+    the grown index holds every id exactly once and queries reach the
+    appended vectors — an appended near-duplicate of a query must
+    surface as its top neighbor."""
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.similarity.cosine import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from sparktrends_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter("vec_id % 2 = 0"), idx)
+
+    # odd batch + one planted near-dup of vector 0 (id 900000)
+    planted = emb.filter("vec_id = 0").select(
+        F.lit(900000).cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0001).alias("embedding"),
+        F.col("label"),
+    )
+    append_ivf_index(
+        emb.filter("vec_id % 2 = 1").unionByName(planted), idx
+    )
+
+    ids = spark.read.parquet(f"{idx}/vectors").select("vec_id")
+    assert ids.count() == emb.count() + 1
+    assert ids.distinct().count() == ids.count()
+
+    q0 = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ivf_index_topk(spark, idx, q0, k=1, nprobe=1).head()
+    assert top["vec_id"] == 900000 and top["cosine"] >= 0.999999
+    from sparktrends_spark.caching import release_persisted
+
+    release_persisted()
