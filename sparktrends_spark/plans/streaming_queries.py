@@ -679,3 +679,36 @@ def build_stream_user_heavy_hitters(
         counts, keys=("user_id",), ckpt_dir=ckpt_dir, table_dir=table_dir
     )
     return final.orderBy(F.desc("n_events"), F.asc("user_id")).limit(20)
+
+
+@query(
+    "stream_event_type_totals",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_stream_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode, graded — the third of Spark's three
+    streaming output modes (append and update are covered by the
+    session/window and running-count queries): every micro-batch
+    re-emits the ENTIRE aggregate state, which is only sane when the
+    result is small (5 event types here). The keyed upsert sink
+    absorbs the re-emissions idempotently; the converged table must
+    equal the plain batch GROUP BY.
+
+    Scale note: complete mode's per-batch output is O(result), so it
+    is reserved for dashboard-sized aggregates — the dimension-bounded
+    case the reference's console tracker represents; anything keyed by
+    user/symbol belongs in update mode."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    return run_upsert_stream(
+        agg, keys=("event_type",), output_mode="complete"
+    )
