@@ -141,6 +141,18 @@ def _cmd_delete(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_zorder(args: argparse.Namespace) -> int:
+    from sparktrends_spark.sources.layout import file_prune_stats, zorder_write
+
+    spark = _session(args, "sparktrends-zorder")
+    cols = args.cols.split(",")
+    df = spark.read.parquet(args.path)
+    zorder_write(df, cols, args.out, n_files=args.n_files, bits=args.bits)
+    summary = {"out": args.out, "cols": cols, "n_files": args.n_files}
+    print(json.dumps(summary))
+    return 0
+
+
 def _cmd_bench(args: argparse.Namespace) -> int:
     import runpy
 
@@ -215,6 +227,20 @@ def main(argv: list[str] | None = None) -> int:
         "--keys", required=True, help="comma-separated key values"
     )
     de.set_defaults(fn=_cmd_delete)
+
+    zo = sub.add_parser(
+        "zorder",
+        help="rewrite a parquet dir clustered on a Z-order curve",
+        parents=[common],
+    )
+    zo.add_argument("--path", required=True)
+    zo.add_argument("--out", required=True)
+    zo.add_argument(
+        "--cols", required=True, help="comma-separated numeric columns"
+    )
+    zo.add_argument("--n-files", type=int, default=16)
+    zo.add_argument("--bits", type=int, default=16)
+    zo.set_defaults(fn=_cmd_zorder)
 
     args = parser.parse_args(argv)
     return args.fn(args)

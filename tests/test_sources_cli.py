@@ -299,3 +299,27 @@ def test_cli_delete(spark, sf_dir, tmp_path, capsys):
     assert (
         spark.read.parquet(path).filter("user_id IN (3, 7)").count() == 0
     )
+
+
+def test_cli_zorder(spark, sf_dir, tmp_path, capsys):
+    import json
+
+    from sparktrends_spark.cli import main
+    from sparktrends_spark.sources.tables import load_table
+
+    src = str(tmp_path / "ev_src")
+    out = str(tmp_path / "ev_z")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    ).write.parquet(src)
+    rc = main([
+        "zorder", "--path", src, "--out", out,
+        "--cols", "user_id,value", "--n-files", "4",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["cols"] == ["user_id", "value"]
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(out)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
