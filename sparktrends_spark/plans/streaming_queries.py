@@ -712,3 +712,62 @@ def q_stream_event_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_upsert_stream(
         agg, keys=("event_type",), output_mode="complete"
     )
+
+
+def _stream_pii_oracle() -> str:
+    from sparktrends_spark.plans.text import _pii_redact_oracle
+
+    return _pii_redact_oracle()
+
+
+@query("stream_doc_pii_redact", oracle=_stream_pii_oracle())
+def q_stream_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing on the INGEST path: documents arrive as a stream,
+    the injection + regexp scrub runs as a stateless append-mode
+    projection inside each micro-batch (no state store — map-only),
+    and the keyed upsert sink makes replays idempotent. Same oracle as
+    the batch doc_pii_redact: however the corpus is micro-batched, the
+    scrubbed fingerprints must be identical."""
+    return build_stream_doc_pii_redact(spark, sf_dir)
+
+
+def build_stream_doc_pii_redact(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+    table_dir: str | None = None,
+) -> DataFrame:
+    from sparktrends_spark.text.pii import (
+        inject_synthetic_pii,
+        pii_count,
+        redact,
+    )
+
+    base = sf_dir.rstrip("/")
+    reader = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(f"{base}/documents*.parquet")
+    injected = docs.select(
+        "doc_id",
+        inject_synthetic_pii(F.col("text"), F.col("doc_id")).alias("text"),
+    )
+    t = F.col("text")
+    scrubbed = injected.select(
+        "doc_id",
+        (
+            pii_count(t, "email") + pii_count(t, "phone") + pii_count(t, "ip")
+        ).alias("n_redactions"),
+        F.md5(redact(t)).alias("redacted_fp"),
+        F.length(redact(t)).cast("bigint").alias("redacted_len"),
+    )
+    return run_upsert_stream(
+        scrubbed,
+        keys=("doc_id",),
+        output_mode="append",
+        ckpt_dir=ckpt_dir,
+        table_dir=table_dir,
+    )

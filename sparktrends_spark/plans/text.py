@@ -1478,37 +1478,11 @@ def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings, making the regex logic genuinely falsifiable. At
     production scale this injection step disappears — the detect and
     redact projections below run unchanged on raw text."""
-    did = F.col("doc_id")
-    email = F.when(
-        did % 5 == 0,
-        F.concat(
-            F.lit(" contact user"),
-            did.cast("string"),
-            F.lit("@example.com today"),
-        ),
-    ).otherwise(F.lit(""))
-    phone = F.when(
-        did % 7 == 0,
-        F.concat(
-            F.lit(" call 555-"),
-            F.lpad((did % 1000).cast("string"), 3, "0"),
-            F.lit("-"),
-            F.lpad((did % 10000).cast("string"), 4, "0"),
-            F.lit(" now"),
-        ),
-    ).otherwise(F.lit(""))
-    ip = F.when(
-        did % 11 == 0,
-        F.concat(
-            F.lit(" from 10."),
-            (did % 256).cast("string"),
-            F.lit(".0."),
-            (did % 250).cast("string"),
-            F.lit(" logged"),
-        ),
-    ).otherwise(F.lit(""))
+    from sparktrends_spark.text.pii import inject_synthetic_pii
+
     return _docs(spark, sf_dir).select(
-        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text")
+        "doc_id",
+        inject_synthetic_pii(F.col("text"), F.col("doc_id")).alias("text"),
     )
 
 
@@ -1985,34 +1959,11 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    did = F.col("doc_id")
-    email = F.when(
-        did % 5 == 0,
-        F.concat(
-            F.lit(" contact user"), did.cast("string"),
-            F.lit("@example.com today"),
-        ),
-    ).otherwise(F.lit(""))
-    phone = F.when(
-        did % 7 == 0,
-        F.concat(
-            F.lit(" call 555-"),
-            F.lpad((did % 1000).cast("string"), 3, "0"),
-            F.lit("-"),
-            F.lpad((did % 10000).cast("string"), 4, "0"),
-            F.lit(" now"),
-        ),
-    ).otherwise(F.lit(""))
-    ip = F.when(
-        did % 11 == 0,
-        F.concat(
-            F.lit(" from 10."), (did % 256).cast("string"),
-            F.lit(".0."), (did % 250).cast("string"), F.lit(" logged"),
-        ),
-    ).otherwise(F.lit(""))
+    from sparktrends_spark.text.pii import inject_synthetic_pii
+
     with_pii = dedup.select(
         "doc_id", "lang",
-        F.concat(F.col("text"), email, phone, ip).alias("text"),
+        inject_synthetic_pii(F.col("text"), F.col("doc_id")).alias("text"),
     )
     t = F.col("text")
     scrubbed = with_pii.select(

@@ -36,6 +36,44 @@ REDACTION_TOKENS: dict[str, str] = {
 }
 
 
+def inject_synthetic_pii(text: Column, doc_id: Column) -> Column:
+    """Append deterministic doc_id-derived email/phone/IP strings.
+
+    Test-fixture injection (the driver corpus has no PII by
+    construction); both the Spark plans and the DuckDB oracles apply
+    the identical construction so the detector/scrubber logic is
+    genuinely falsifiable. Production pipelines skip this step."""
+    email = F.when(
+        doc_id % 5 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            doc_id.cast("string"),
+            F.lit("@example.com today"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        doc_id % 7 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((doc_id % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        doc_id % 11 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (doc_id % 256).cast("string"),
+            F.lit(".0."),
+            (doc_id % 250).cast("string"),
+            F.lit(" logged"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(text, email, phone, ip)
+
+
 def pii_count(text: Column, kind: str) -> Column:
     """Number of matches of one PII pattern (bigint)."""
     return F.regexp_count(text, F.lit(PII_PATTERNS[kind])).cast("bigint")
