@@ -211,3 +211,42 @@ def test_multibatch_heavy_hitters_land_on_oracle(spark, sf_dir, split_dir, tmp_p
     # latest, so the final state equals the exact GROUP BY and the
     # top-20 cut matches the batch oracle row-for-row
     _assert_frames_equal(result, _oracle(sf_dir, "stream_user_heavy_hitters"))
+
+
+def test_multibatch_complete_mode_totals_land_on_oracle(
+    spark, sf_dir, split_dir, tmp_path
+):
+    from sparktrends_spark.plans.streaming_queries import (
+        run_upsert_stream,
+        stream_events,
+    )
+    from pyspark.sql import functions as F
+
+    ckpt = str(tmp_path / "ckpt_totals")
+    ev = stream_events(spark, split_dir, max_files_per_trigger=1)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    result = run_upsert_stream(
+        agg, keys=("event_type",), output_mode="complete", ckpt_dir=ckpt
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    # complete mode re-emits the FULL state per batch; the upsert's
+    # last-writer-wins per key must converge on the exact totals
+    _assert_frames_equal(result, _oracle(sf_dir, "stream_event_type_totals"))
+
+
+def test_multibatch_pii_redact_lands_on_oracle(
+    spark, sf_dir, docs_split_dir, tmp_path
+):
+    from sparktrends_spark.plans.streaming_queries import (
+        build_stream_doc_pii_redact,
+    )
+
+    ckpt = str(tmp_path / "ckpt_pii")
+    result = build_stream_doc_pii_redact(
+        spark, docs_split_dir, max_files_per_trigger=1, ckpt_dir=ckpt
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    _assert_frames_equal(result, _oracle(sf_dir, "stream_doc_pii_redact"))
