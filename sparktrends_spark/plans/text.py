@@ -1718,8 +1718,7 @@ def q_corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DSIR_ORACLE = """
-WITH tok AS (
+_DSIR_CTES = """tok AS (
   SELECT doc_id, lang,
          unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
   FROM documents
@@ -1736,13 +1735,22 @@ lr AS (
          ln(((coalesce(c_t, 0) + 1) / CAST(n_t + v AS DOUBLE))
             / ((c_r + 1) / CAST(n_r + v AS DOUBLE))) AS llr_tok
   FROM raw LEFT JOIN tgt USING (tok) CROSS JOIN consts
-)
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       round(sum(llr_tok) / count(*), 6) AS llr_per_token,
-       any_value(lang = 'en') AS in_target
-FROM tok JOIN lr USING (tok)
-GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(llr_tok) / count(*) AS llr_raw,
+         any_value(lang = 'en') AS in_target
+  FROM tok JOIN lr USING (tok)
+  GROUP BY doc_id
+)"""
+
+_DSIR_ORACLE = f"""
+WITH {_DSIR_CTES}
+SELECT doc_id, n_tokens,
+       round(llr_raw, 6) AS llr_per_token,
+       in_target
+FROM scored
 """
 
 
@@ -1763,6 +1771,16 @@ def q_doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-ratio table, the three corpus scalars ride one broadcast row,
     and the doc scoring re-joins tokens to ratios on the same token
     key before one per-doc aggregate. No Python in the row path."""
+    return _dsir_scored(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.round("llr_raw", 6).alias("llr_per_token"),
+        "in_target",
+    )
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, llr_raw, in_target) — mirrors _DSIR_CTES."""
     tok = _docs(spark, sf_dir).select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
     )
@@ -1799,9 +1817,7 @@ def q_doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum("llr_tok") / F.count(F.lit(1)), 6).alias(
-                "llr_per_token"
-            ),
+            (F.sum("llr_tok") / F.count(F.lit(1))).alias("llr_raw"),
             F.any_value(F.col("lang") == "en").alias("in_target"),
         )
     )
@@ -2106,4 +2122,65 @@ def q_doc_span_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(frac, 6).alias("contamination_frac"),
             (frac > 0.2).alias("should_drop"),
         )
+    )
+
+
+_DSIR_BETA = 200.0
+_DSIR_BASE_RATE = 0.5
+
+_DSIR_SAMPLE_ORACLE = f"""
+WITH {_DSIR_CTES},
+probs AS (
+  SELECT doc_id, n_tokens, in_target,
+         round(least(1.0, {_DSIR_BASE_RATE} * exp({_DSIR_BETA} * llr_raw)), 6)
+           AS p_keep,
+         (CAST(concat('0x',
+               substr(md5(concat('dsir|', CAST(doc_id AS VARCHAR))), 1, 8))
+             AS BIGINT) % 1000000) / 1000000.0 AS u
+  FROM scored
+)
+SELECT doc_id, n_tokens, in_target, p_keep, (u < p_keep) AS kept
+FROM probs
+"""
+
+
+@query("doc_importance_sample", oracle=_DSIR_SAMPLE_ORACLE)
+def q_doc_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance RESAMPLING applied (the second half of DSIR): each
+    document is kept with probability min(1, base_rate *
+    exp(beta * llr_per_token)) — upsampling target-like documents,
+    downsampling the rest — using a salted-md5 uniform per doc so the
+    draw is deterministic, engine-independent, and seed-stable across
+    reruns (the same property doc_stratified_sample uses). p_keep is
+    quantized to 6 decimals BEFORE the comparison so the keep verdict
+    can't flip on cross-engine exp() ULP differences.
+
+    Scale shape: the DSIR scoring dataflow (shared helper) plus one
+    map-only projection — the sampler adds zero shuffles."""
+    scored = _dsir_scored(spark, sf_dir)
+    p_keep = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(_DSIR_BASE_RATE) * F.exp(F.lit(_DSIR_BETA) * F.col("llr_raw")),
+        ),
+        6,
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    ) / 1000000.0
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "in_target",
+        p_keep.alias("p_keep"),
+        (u < p_keep).alias("kept"),
     )
