@@ -2184,3 +2184,56 @@ def q_doc_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_keep.alias("p_keep"),
         (u < p_keep).alias("kept"),
     )
+
+
+@query(
+    "corpus_bpe_pair_counts",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS wc FROM toks GROUP BY tok),
+pairs AS (
+  SELECT substr(tok, i, 2) AS pair, wc
+  FROM vocab, unnest(range(1, len(tok))) AS t(i)
+  WHERE len(tok) >= 2
+),
+agg AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences FROM pairs GROUP BY pair)
+SELECT pair, n_occurrences FROM agg
+ORDER BY n_occurrences DESC, pair
+LIMIT 50
+""",
+)
+def q_corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed primitive of BPE tokenizer training: corpus-wide
+    adjacent-character pair frequencies, computed over the DISTINCT
+    word vocabulary weighted by word count — the classic trick that
+    makes merge-step counting O(|vocab|) instead of O(|corpus|)
+    (identical totals, since pair occurrences factor through words).
+    Returns the top-50 merge candidates.
+
+    Scale shape: one word-count aggregate (map-side combined), a pure
+    JVM character fan-out over the small vocab, one pair aggregate,
+    TakeOrderedAndProject for the cut."""
+    d = _docs(spark, sf_dir)
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = (
+        vocab.filter(F.length("tok") >= 2)
+        .select(
+            F.col("wc"),
+            F.expr("explode(sequence(1, length(tok) - 1))").alias("i"),
+            F.col("tok"),
+        )
+        .select(F.expr("substring(tok, i, 2)").alias("pair"), "wc")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(50)
+    )
