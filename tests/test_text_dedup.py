@@ -312,3 +312,68 @@ def test_incremental_dedup_append_flow(spark, tmp_path):
     assert again[12]["est_jaccard"] == 1.0
     assert again[11]["is_dup"] and again[11]["matched_doc"] == 1
     assert not again[13]["is_dup"]
+
+
+def test_dup_spans_against_pure_python_reference(spark, tmp_path):
+    """Independent cross-check of doc_dup_spans on a randomized
+    (seeded) corpus: the Spark plan and the DuckDB oracle share the
+    relational formulation, so a formulation-level bug could pass
+    parity — this reference implements the semantics directly in
+    Python (shingle -> cross-doc membership -> interval union) and
+    must agree on every row."""
+    import random
+
+    from sparktrends_spark.plans.registry import QUERIES
+    from sparktrends_spark.plans.text import _SPAN_K
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for doc_id in range(30):
+        n = rng.randint(2, 60)
+        words = [rng.choice(vocab) for _ in range(n)]
+        docs.append((doc_id, " ".join(words)))
+
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    # pure-Python reference
+    shingles: dict[int, list[tuple[int, str]]] = {}
+    owners: dict[str, set[int]] = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        sh = [
+            (p, " ".join(toks[p : p + _SPAN_K]))
+            for p in range(len(toks) - _SPAN_K + 1)
+        ]
+        shingles[doc_id] = sh
+        for _p, s in sh:
+            owners.setdefault(s, set()).add(doc_id)
+    expected = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        covered: set[int] = set()
+        for p, s in shingles.get(doc_id, []):
+            if len(owners[s]) >= 2:
+                covered.update(range(p, p + _SPAN_K))
+        # count maximal runs of covered positions
+        spans = 0
+        longest = cur = 0
+        for i in range(len(toks)):
+            if i in covered:
+                cur += 1
+                if cur == 1:
+                    spans += 1
+                longest = max(longest, cur)
+            else:
+                cur = 0
+        expected[doc_id] = (len(toks), spans, len(covered), longest)
+
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_dup_spans"], r["dup_words"], r["longest_span"]
+        )
+        for r in QUERIES["doc_dup_spans"](spark, str(tmp_path)).collect()
+    }
+    assert got == expected
