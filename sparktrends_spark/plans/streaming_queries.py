@@ -771,3 +771,90 @@ def build_stream_doc_pii_redact(
         ckpt_dir=ckpt_dir,
         table_dir=table_dir,
     )
+
+
+def _stream_incr_dedup_oracle() -> str:
+    from sparktrends_spark.plans.text import _incremental_dedup_oracle
+
+    return _incremental_dedup_oracle()
+
+
+@query("stream_doc_incremental_dedup", oracle=_stream_incr_dedup_oracle())
+def q_stream_doc_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index-screened dedup on the INGEST path: the even-doc half of
+    the corpus is summarized once into the persisted MinHash index
+    (`text/dedup_index.py`), then the odd-doc half ARRIVES AS A
+    STREAM and every micro-batch is screened against that fixed index
+    inside foreachBatch (band-hash equi-joins; signatures only — no
+    text leaves the batch). Same oracle as the batch
+    doc_incremental_dedup: however the stream is micro-batched, the
+    screening verdicts must be identical (the index is fixed, so
+    batch boundaries cannot change any verdict). The growing-index
+    variant (append=True) is unit-tested in
+    test_incremental_dedup_append_flow."""
+    return build_stream_doc_incremental_dedup(spark, sf_dir)
+
+
+def build_stream_doc_incremental_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+    table_dir: str | None = None,
+) -> DataFrame:
+    import os as _os
+
+    from sparktrends_spark.text.dedup_index import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    base = sf_dir.rstrip("/")
+    idx = _os.path.join(
+        "/tmp/sparktrends_stream_dedup_index",
+        _os.path.basename(base) or "sf",
+    )
+    # Read the same glob the stream consumes — in the multibatch tests
+    # the corpus is split across documents_*.parquet files and the
+    # history index must cover all of them, not just the first.
+    history = spark.read.parquet(f"{base}/documents*.parquet").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    build_dedup_index(history, idx)
+
+    reader = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(f"{base}/documents*.parquet").filter(
+        F.col("doc_id") % 2 == 1
+    )
+
+    out_dir = table_dir or tempfile.mkdtemp(prefix="stream_out_")
+    ckpt_dir = ckpt_dir or tempfile.mkdtemp(prefix="stream_ckpt_")
+    table = _os.path.join(out_dir, "t")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        import sparktrends_spark.plans.streaming_queries as _self
+
+        flags = incremental_dedup(batch_df, idx, threshold=0.7, append=False)
+        _self.upsert_parquet_bucketed(
+            flags, table, keys=("doc_id",), version=batch_id
+        )
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_upserted(spark, table)

@@ -250,3 +250,23 @@ def test_multibatch_pii_redact_lands_on_oracle(
     ).toPandas()
     assert _n_batches(ckpt) >= N_SPLITS
     _assert_frames_equal(result, _oracle(sf_dir, "stream_doc_pii_redact"))
+
+
+def test_multibatch_incremental_dedup_screen_lands_on_oracle(
+    spark, sf_dir, docs_split_dir, tmp_path
+):
+    """Screening against a FIXED index is batch-boundary-invariant:
+    splitting the incoming docs into 3 micro-batches must produce the
+    identical verdicts as the single-batch oracle."""
+    from sparktrends_spark.plans.streaming_queries import (
+        build_stream_doc_incremental_dedup,
+    )
+
+    ckpt = str(tmp_path / "ckpt_incr")
+    result = build_stream_doc_incremental_dedup(
+        spark, docs_split_dir, max_files_per_trigger=1, ckpt_dir=ckpt
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    _assert_frames_equal(
+        result, _oracle(sf_dir, "stream_doc_incremental_dedup")
+    )

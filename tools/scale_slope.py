@@ -67,6 +67,11 @@ HEAVY_QUERIES = (
     # two-phase plan — output is fixed at top-20 whatever the input
     "doc_dup_spans",
     "user_heavy_hitters",
+    # composed curation pass (dedup window + map-only scrub/gate) and
+    # the map-only PII scrubber — both should scale ~linearly with
+    # unchanged plans
+    "corpus_curation_pipeline",
+    "doc_pii_redact",
 )
 
 # Ops that define the plan's *strategy* — join algorithms, aggregate
