@@ -215,3 +215,39 @@ def test_heavy_hitters_kill_and_restart_lands_on_oracle(
     ).toPandas()
     assert _n_batches(ckpt) >= N_SPLITS
     _assert_frames_equal(result, _oracle(sf_dir, "stream_user_heavy_hitters"))
+
+
+def test_incremental_dedup_screen_kill_and_restart(
+    spark, sf_dir, tmp_path, monkeypatch, tmp_path_factory
+):
+    """Stateless screening recovery: no state store — the replayed
+    batch re-screens against the same fixed index and the keyed
+    upsert converges idempotently on the oracle verdicts."""
+    from sparktrends_spark.plans.streaming_queries import (
+        build_stream_doc_incremental_dedup,
+    )
+    from tests.test_streaming_multibatch import docs_split_dir
+
+    split = docs_split_dir.__wrapped__(sf_dir, tmp_path_factory)
+    ckpt = str(tmp_path / "ckpt_screen")
+    table_dir = str(tmp_path / "table_screen")
+    os.makedirs(table_dir, exist_ok=True)
+
+    monkeypatch.setattr(
+        sq, "upsert_parquet_bucketed", _crashing_sink(1, "post_commit")
+    )
+    with pytest.raises(StreamingQueryException, match="injected kill"):
+        build_stream_doc_incremental_dedup(
+            spark, split, max_files_per_trigger=1,
+            ckpt_dir=ckpt, table_dir=table_dir,
+        )
+    monkeypatch.setattr(sq, "upsert_parquet_bucketed", upsert_parquet_bucketed)
+
+    result = build_stream_doc_incremental_dedup(
+        spark, split, max_files_per_trigger=1,
+        ckpt_dir=ckpt, table_dir=table_dir,
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    _assert_frames_equal(
+        result, _oracle(sf_dir, "stream_doc_incremental_dedup")
+    )
