@@ -1268,3 +1268,42 @@ def q_events_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq = check_unique(events, ["event_id"])
     fk = check_foreign_key(events, "user_id", customer, "c_custkey")
     return rules.unionByName(uniq).unionByName(fk)
+
+
+@query(
+    "event_value_histogram",
+    oracle="""
+WITH b AS (
+  -- DuckDB has no width_bucket; this is its exact contract for
+  -- (value, 0, 500, 20): 0 below range, n+1 at/above max, else
+  -- floor(value/width)+1. Inputs are 2-decimal, so no value sits
+  -- within double-ULP of a 25.0 boundary.
+  SELECT CASE WHEN value < 0.0 THEN 0
+              WHEN value >= 500.0 THEN 21
+              ELSE CAST(floor(value / 25.0) AS BIGINT) + 1 END AS bucket
+  FROM events
+)
+SELECT bucket,
+       round(0.0 + (bucket - 1) * 25.0, 6) AS lo,
+       round(0.0 + bucket * 25.0, 6) AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bucket
+""",
+)
+def q_event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram via width_bucket — the profiling
+    primitive behind data-quality dashboards and skew diagnosis
+    (bucket 21 is the overflow bin for values above the range). One
+    map-side bucketing projection + a 20-row aggregate; at 100 TB
+    it's a scan and a tiny reduce."""
+    events = load_table(spark, sf_dir, "events")
+    b = events.select(
+        F.width_bucket("value", F.lit(0.0), F.lit(500.0), F.lit(20)).alias(
+            "bucket"
+        )
+    )
+    return b.groupBy("bucket").agg(
+        F.round((F.col("bucket") - 1) * 25.0, 6).alias("lo"),
+        F.round(F.col("bucket") * 25.0, 6).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
