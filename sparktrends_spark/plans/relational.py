@@ -1307,3 +1307,38 @@ def q_event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("bucket") * 25.0, 6).alias("hi"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "event_weekday_hour_heatmap",
+    oracle="""
+WITH g AS (
+  SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+       CAST(n AS BIGINT) AS n_events,
+       round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS share
+FROM g
+""",
+)
+def q_event_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap (day-of-week x hour) with global shares — the
+    traffic-shape profile capacity planning and anomaly baselines read.
+    NOTE the dialect trap the oracle pins: Spark's dayofweek is
+    1=Sunday..7=Saturday while DuckDB's is 0=Sunday..6 — the oracle
+    shifts by one, and a value-level check (not an assumption) keeps
+    the two aligned. One aggregate over the fact
+    table; the share window runs over the <=168-row result."""
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy(
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    total = F.sum("n_events").over(Window.partitionBy())
+    return g.select(
+        "dow",
+        "hr",
+        "n_events",
+        F.round(F.col("n_events") / total.cast("double"), 6).alias("share"),
+    )
