@@ -1342,3 +1342,61 @@ def q_event_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("n_events") / total.cast("double"), 6).alias("share"),
     )
+
+
+@query(
+    "user_activity_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 6) AS total_value
+  FROM events WHERE ts < TIMESTAMP '2024-01-16' AND user_id < 100
+  GROUP BY user_id
+),
+new AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 6) AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'inserted'
+            WHEN n.user_id IS NULL THEN 'deleted'
+            WHEN o.n_events IS NOT DISTINCT FROM n.n_events
+             AND o.total_value IS NOT DISTINCT FROM n.total_value
+              THEN 'unchanged'
+            ELSE 'updated' END AS change_type,
+       o.n_events AS old_n_events,
+       o.total_value AS old_total_value,
+       n.n_events AS new_n_events,
+       n.total_value AS new_total_value
+FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+""",
+)
+def q_user_activity_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff (`operators/diff.py`): per-user
+    activity aggregated over the first half of the month (the OLD
+    snapshot) vs the full month (the NEW snapshot), every user
+    classified inserted / updated / unchanged under null-safe value
+    equality — the change feed an incremental consumer ingests, and
+    the audit a pipeline rollout gates on. One full-outer join keyed
+    by user; both snapshot aggregates are map-side-combined."""
+    from sparktrends_spark.operators.diff import snapshot_diff
+
+    events = _t(spark, sf_dir, "events")
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+
+    cutoff = F.lit("2024-01-16").cast("timestamp_ntz")
+    # the OLD snapshot predates users >= 100 (they onboard later), so
+    # the diff genuinely exercises the 'inserted' classification too
+    old = snap(
+        events.filter((F.col("ts") < cutoff) & (F.col("user_id") < 100))
+    )
+    new = snap(events)
+    return snapshot_diff(
+        old, new, keys=["user_id"], compare_cols=["n_events", "total_value"]
+    )

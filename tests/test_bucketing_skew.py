@@ -130,3 +130,36 @@ def test_heavy_hitters_string_keys(spark):
     ).repartition(4)
     got = heavy_hitters(df, "k", k=2, capacity=16).collect()
     assert [(r["k"], r["n"]) for r in got] == [("a", 30), ("b", 20)]
+
+
+def test_snapshot_diff_covers_all_change_types(spark):
+    from sparktrends_spark.operators.diff import diff_summary, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10, None), (2, 20, "x"), (3, 30, "y")],
+        "k long, v long, s string",
+    )
+    new = spark.createDataFrame(
+        [(2, 20, "x"), (3, 31, "y"), (4, 40, None)],
+        "k long, v long, s string",
+    )
+    d = {
+        r["k"]: r
+        for r in snapshot_diff(
+            old, new, keys=["k"], compare_cols=["v", "s"]
+        ).collect()
+    }
+    assert d[1]["change_type"] == "deleted" and d[1]["new_v"] is None
+    # null-safe equality: NULL == NULL must read as unchanged
+    assert d[2]["change_type"] == "unchanged"
+    assert d[3]["change_type"] == "updated" and d[3]["old_v"] == 30
+    assert d[4]["change_type"] == "inserted" and d[4]["old_v"] is None
+    counts = {
+        r["change_type"]: r["n_keys"]
+        for r in diff_summary(
+            snapshot_diff(old, new, keys=["k"], compare_cols=["v", "s"])
+        ).collect()
+    }
+    assert counts == {
+        "deleted": 1, "unchanged": 1, "updated": 1, "inserted": 1
+    }
