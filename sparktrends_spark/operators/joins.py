@@ -58,6 +58,7 @@ def as_of_join(
     right_tiebreak: str | None = None,
     allow_exact: bool = True,
     prefix: str = "asof_",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Nearest-prior-timestamp join (pandas ``merge_asof`` semantics,
     direction='backward').
@@ -68,9 +69,14 @@ def as_of_join(
     pre-deduplicated or disambiguated via ``right_tiebreak`` (the row
     with the greatest tiebreak wins).
 
+    ``tolerance_seconds`` bounds the lookback (pandas merge_asof's
+    ``tolerance``): a match older than the bound is nulled out, so a
+    quote from last week never decorates today's trade.
+
     Implementation: tag both sides, union by name, then one window per
     key ordered by (ts, side, tiebreak) carrying ``last(value,
-    ignorenulls=True)`` forward. One shuffle, no nested loop.
+    ignorenulls=True)`` forward (plus the matched right ts when a
+    tolerance is set). One shuffle, no nested loop.
     """
     on = list(on)
     quote_rank = 0 if allow_exact else 2
@@ -96,11 +102,32 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = unioned
+    if tolerance_seconds is not None:
+        # carry the matched right-row timestamp so staleness is testable
+        out = out.withColumn(
+            "_rts", F.when(F.col("_side") != 1, F.col("_ts"))
+        ).withColumn("_rts", F.last("_rts", ignorenulls=True).over(w))
     for c in value_cols:
         out = out.withColumn(
             f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w)
         )
-    return out.filter(F.col("_side") == 1).drop("_ts", "_side", "_tb")
+    out = out.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        stale = (
+            F.col("_rts").isNull()
+            | (
+                F.unix_timestamp(F.col("_ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("_rts").cast("timestamp"))
+                > tolerance_seconds
+            )
+        )
+        for c in value_cols:
+            out = out.withColumn(
+                f"{prefix}{c}",
+                F.when(stale, F.lit(None)).otherwise(F.col(f"{prefix}{c}")),
+            )
+        out = out.drop("_rts")
+    return out.drop("_ts", "_side", "_tb")
 
 
 def interval_join(

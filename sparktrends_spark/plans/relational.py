@@ -1400,3 +1400,70 @@ def q_user_activity_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame
     return snapshot_diff(
         old, new, keys=["user_id"], compare_cols=["n_events", "total_value"]
     )
+
+
+@query(
+    "purchase_to_prior_view_asof",
+    oracle="""
+WITH q AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+),
+m AS (
+  SELECT q.event_id, q.user_id, q.ts, q.value,
+         s.ts AS view_ts, s.view_value
+  FROM q ASOF LEFT JOIN s
+    ON q.user_id = s.user_id AND s.ts <= q.ts
+)
+SELECT event_id, user_id, ts, value,
+       CASE WHEN view_ts IS NOT NULL
+             AND date_diff('second', view_ts, ts) <= 3600
+            THEN view_value END AS asof_view_value,
+       (view_ts IS NOT NULL
+        AND date_diff('second', view_ts, ts) <= 3600) AS attributed
+FROM m
+""",
+)
+def q_purchase_to_prior_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback as-of join (pandas merge_asof `tolerance`):
+    each purchase picks up the user's most recent view WITHIN ONE
+    HOUR — a view from last week must NOT decorate today's purchase,
+    which is what an unbounded as-of (events_to_orders_asof) would
+    happily do. The attribution flag makes the staleness cut itself a
+    graded value. Duplicate (user, ts) views are pre-deduplicated by
+    max(value), matching the operator's tiebreak contract.
+
+    Same scale shape as the unbounded variant: union + one user-keyed
+    window; the tolerance adds a carried match-timestamp column, no
+    extra shuffle."""
+    events = _t(spark, sf_dir, "events")
+    q = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    s = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = as_of_join(
+        q,
+        s,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["view_value"],
+        tolerance_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("asof_view_value"),
+        F.col("asof_view_value").isNotNull().alias("attributed"),
+    )
