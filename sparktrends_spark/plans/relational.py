@@ -1467,3 +1467,54 @@ def q_purchase_to_prior_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("asof_view_value"),
         F.col("asof_view_value").isNotNull().alias("attributed"),
     )
+
+
+@query(
+    "daily_user_sketch_rollup",
+    oracle="""
+SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       TRUE AS union_in_bound
+FROM events
+""",
+)
+def q_daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Datasketches HLL, Spark 3.5+ builtin):
+    one HLL sketch per DAY, then the month answered by UNIONING the
+    daily sketches — the pattern that makes "distinct users over any
+    date range" answerable from a tiny rollup table instead of
+    re-scanning 100 TB of history. Sketch bytes are engine-specific,
+    so (as with priority_approx_distinct) the query grades itself:
+    union_in_bound = |estimate - exact| / exact <= 5%, stated as
+    literal TRUE by the oracle — the driver's value-hash fails if the
+    union path ever drifts.
+
+    Scale shape: daily partials are map-side combined; the union
+    aggregates ~30 sketch blobs. The exact count here exists only to
+    grade the sketch; a deployment stores sketches alone."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+        F.sum("n").alias("n_events"),
+    )
+    exact = events.agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    joined = merged.join(F.broadcast(exact))
+    in_bound = (
+        F.abs(F.col("_est") - F.col("exact_users"))
+        / F.col("exact_users").cast("double")
+        <= 0.05
+    )
+    return joined.select(
+        "n_days",
+        "exact_users",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        in_bound.alias("union_in_bound"),
+    )
