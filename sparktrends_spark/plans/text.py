@@ -2237,3 +2237,87 @@ def q_corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(50)
     )
+
+
+_SPAN_DECON_REMOVED_ORACLE = f"""
+WITH {_SPANS_PREFIX},
+bench AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 = 0),
+dp AS (
+  SELECT doc_id, p, p + {_SPAN_K} - 1 AS e
+  FROM h JOIN bench USING (h)
+  WHERE doc_id % 10 != 0
+),
+{_SPANS_MERGE},
+cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM spans),
+tp AS (
+  SELECT doc_id, toks, n, unnest(range(0, n)) AS p
+  FROM b WHERE doc_id % 10 != 0
+),
+tok AS (SELECT doc_id, n, p, toks[p + 1] AS tok FROM tp),
+kept AS (SELECT doc_id, n, p, tok FROM tok ANTI JOIN cov USING (doc_id, p)),
+cl AS (
+  SELECT doc_id, count(*) AS kept_words,
+         string_agg(tok, ' ' ORDER BY p) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, b.n AS n_words,
+       coalesce(kept_words, 0) AS kept_words,
+       b.n - coalesce(kept_words, 0) AS removed_words,
+       md5(coalesce(cleaned, '')) AS cleaned_fp
+FROM b LEFT JOIN cl USING (doc_id)
+WHERE b.doc_id % 10 != 0
+"""
+
+
+@query("doc_span_decontaminate_removed", oracle=_SPAN_DECON_REMOVED_ORACLE)
+def q_doc_span_decontaminate_removed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination APPLIED: cut the exact benchmark-leaked spans
+    out of every training document and fingerprint the surviving
+    text — the surgical alternative to dropping whole documents
+    (doc_span_decontaminate reports; this one operates). Shares the
+    flagging join with the report query and the order-preserving
+    removal machinery with doc_dup_spans_removed; the oracle hashes
+    the cleaned bytes exactly."""
+    base, hashed = _hashed_positions(_docs(spark, sf_dir))
+    bench = (
+        hashed.filter(F.col("doc_id") % 10 == 0).select("h").distinct()
+    )
+    dp = (
+        hashed.filter(F.col("doc_id") % 10 != 0)
+        .join(bench, "h", "left_semi")
+        .select("doc_id", "p", (F.col("p") + _SPAN_K - 1).alias("e"))
+    )
+    spans = _merge_spans(dp)
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("s", "e")).alias("p")
+    )
+    train = base.filter(F.col("doc_id") % 10 != 0)
+    toks_pos = train.select(
+        "doc_id", F.posexplode("toks").alias("p", "tok")
+    )
+    kept = toks_pos.join(covered, ["doc_id", "p"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_words"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned"),
+    )
+    return (
+        train.select("doc_id", F.col("n").alias("n_words"))
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("kept_words", F.lit(0)).alias("kept_words"),
+            (F.col("n_words") - F.coalesce("kept_words", F.lit(0))).alias(
+                "removed_words"
+            ),
+            F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_fp"),
+        )
+    )
