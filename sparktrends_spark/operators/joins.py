@@ -103,30 +103,42 @@ def as_of_join(
     )
     out = unioned
     if tolerance_seconds is not None:
-        # carry the matched right-row timestamp so staleness is testable
-        out = out.withColumn(
-            "_rts", F.when(F.col("_side") != 1, F.col("_ts"))
-        ).withColumn("_rts", F.last("_rts", ignorenulls=True).over(w))
+        # Staleness is judged PER VALUE COLUMN: each column carries the
+        # timestamp of the right row that actually supplied its value
+        # (null-valued rows contribute no timestamp). A single shared
+        # "latest right ts" would validate an old carried value against
+        # a newer right row whose own value was NULL, reporting a
+        # beyond-tolerance value as fresh.
+        for c in value_cols:
+            out = out.withColumn(
+                f"_rts_{c}",
+                F.when(
+                    (F.col("_side") != 1)
+                    & F.col(f"{prefix}{c}").isNotNull(),
+                    F.col("_ts"),
+                ),
+            ).withColumn(
+                f"_rts_{c}", F.last(f"_rts_{c}", ignorenulls=True).over(w)
+            )
     for c in value_cols:
         out = out.withColumn(
             f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w)
         )
     out = out.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        stale = (
-            F.col("_rts").isNull()
-            | (
-                F.unix_timestamp(F.col("_ts").cast("timestamp"))
-                - F.unix_timestamp(F.col("_rts").cast("timestamp"))
-                > tolerance_seconds
-            )
-        )
         for c in value_cols:
+            stale = (
+                F.col(f"_rts_{c}").isNull()
+                | (
+                    F.unix_timestamp(F.col("_ts").cast("timestamp"))
+                    - F.unix_timestamp(F.col(f"_rts_{c}").cast("timestamp"))
+                    > tolerance_seconds
+                )
+            )
             out = out.withColumn(
                 f"{prefix}{c}",
                 F.when(stale, F.lit(None)).otherwise(F.col(f"{prefix}{c}")),
-            )
-        out = out.drop("_rts")
+            ).drop(f"_rts_{c}")
     return out.drop("_ts", "_side", "_tb")
 
 

@@ -493,9 +493,21 @@ def build_ivf_index(
     directories from disk, the 100 TB property an in-plan index can't
     give you (ivf_topk re-scans and re-assigns the corpus per run).
     Assignment is byte-identical to ivf_topk's (same argmax, same
-    tie-break)."""
+    tie-break).
+
+    On-disk vector element type is canonicalized to ``array<double>``
+    (exact widening — ``dot`` already folds in double, so scores are
+    unchanged): without the cast, an ``append_ivf_index`` batch whose
+    vectors carry a different element type (e.g. float built, double
+    appended) would land mixed-typed parquet files in the same cell
+    directories, and whether a later read survives depends on which
+    file schema-inference picks — a silently poisoned index."""
     cent = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
-    cent_n = cent.select("cell", "cvec", norm(F.col("cvec")).alias("cn"))
+    cent_n = cent.select(
+        "cell",
+        F.col("cvec").cast("array<double>").alias("cvec"),
+        norm(F.col("cvec")).alias("cn"),
+    )
     cent_n.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     spark = vectors.sparkSession
     cent_row = spark.read.parquet(f"{path}/centroids").agg(
@@ -505,7 +517,7 @@ def build_ivf_index(
         vectors, cand_id, cent_row, vec_col, round_digits
     ).select(
         cand_id,
-        F.col("_v").alias("_cv"),
+        F.col("_v").cast("array<double>").alias("_cv"),
         F.col("_nv").alias("_nc"),
         _best_cell()["cell"].alias("cell"),
     )
@@ -528,7 +540,13 @@ def append_ivf_index(
     cadence while appending on a fast one). Append cost is
     O(new batch); the existing index is never read. Batches must be
     id-disjoint from the index (the caller's ingest contract — an
-    id-dedup here would force a full index scan per append)."""
+    id-dedup here would force a full index scan per append).
+
+    The stored vector is cast to the index's canonical
+    ``array<double>`` (see ``build_ivf_index``) so a batch with a
+    different element type — e.g. a float-built index receiving
+    vectors promoted to double by an upstream transform — can never
+    land mixed-typed files in a cell directory."""
     spark = new_vectors.sparkSession
     cent_row = spark.read.parquet(f"{path}/centroids").agg(
         F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents")
@@ -537,7 +555,7 @@ def append_ivf_index(
         new_vectors, cand_id, cent_row, vec_col, round_digits
     ).select(
         cand_id,
-        F.col("_v").alias("_cv"),
+        F.col("_v").cast("array<double>").alias("_cv"),
         F.col("_nv").alias("_nc"),
         _best_cell()["cell"].alias("cell"),
     )

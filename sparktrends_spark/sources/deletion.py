@@ -75,7 +75,13 @@ def delete_keys(
     rewritten = removed = 0
     for fp in targets:
         df = spark.read.parquet(fp)
-        keep = df.filter(~F.col(key_col).isin(list(keys)))
+        # NULL-keyed rows are explicitly kept: `~isin` evaluates to
+        # NULL (not true) for a NULL key, so without the isNull() arm
+        # the filter would silently drop rows it was never asked to
+        # delete — and count them as deleted.
+        keep = df.filter(
+            F.col(key_col).isNull() | ~F.col(key_col).isin(list(keys))
+        )
         n_before = df.count()
         n_keep = keep.count()
         rows_deleted += n_before - n_keep
@@ -93,7 +99,13 @@ def delete_keys(
             continue
         # Write the replacement as a single file next to the original,
         # then rename over it — readers never see a half-written file.
-        tmp_dir = f"{fp}__del_{uuid.uuid4().hex[:8]}"
+        # The temp dir is dot-prefixed: Spark's file listing skips
+        # hidden paths, so a crash between write and cleanup leaves a
+        # dir that does NOT break partition discovery over the table.
+        tmp_dir = os.path.join(
+            os.path.dirname(fp),
+            f".{os.path.basename(fp)}__del_{uuid.uuid4().hex[:8]}",
+        )
         keep.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
         part = next(
             os.path.join(tmp_dir, f)

@@ -59,6 +59,54 @@ def test_delete_keys_rewrites_only_affected_files(spark, sf_dir, tmp_path):
     assert keep_orig.exceptAll(got).count() == 0
 
 
+def test_delete_keys_keeps_null_keyed_rows(spark, tmp_path):
+    """`~isin` is NULL (not true) for NULL keys — the deletion filter
+    must keep NULL-keyed rows explicitly, and must not count them in
+    rows_deleted."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (None, "d"), (3, "e")],
+        "k INT, v STRING",
+    )
+    df.coalesce(1).write.parquet(path)
+    stats = delete_keys(spark, path, "k", [1, 3])
+    assert stats["rows_deleted"] == 2
+    got = spark.read.parquet(path)
+    assert got.count() == 3
+    assert got.filter(F.col("k").isNull()).count() == 2
+    assert {r["v"] for r in got.collect()} == {"b", "c", "d"}
+
+
+def test_delete_keys_temp_dir_is_hidden_from_spark_listing(spark, tmp_path):
+    """A crash between the temp-dir write and cleanup must not break
+    subsequent reads of the table: the temp dir is dot-prefixed, which
+    Spark's file listing ignores. Simulate the crash by planting a
+    stale temp dir shaped exactly like the one delete_keys creates."""
+    path = str(tmp_path / "t")
+    spark.range(10).selectExpr("id AS k", "id * 2 AS v").coalesce(
+        1
+    ).write.parquet(path)
+    fp = next(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    stale = os.path.join(
+        path, f".{os.path.basename(fp)}__del_deadbeef"
+    )
+    os.makedirs(stale)
+    spark.range(3).selectExpr("id AS k", "id AS v").coalesce(
+        1
+    ).write.mode("overwrite").parquet(stale)
+    spark.catalog.refreshByPath(path)
+    # hidden dir is invisible: read still sees only the original rows
+    assert spark.read.parquet(path).count() == 10
+    # and delete_keys itself still works with the stale dir present
+    stats = delete_keys(spark, path, "k", [0, 1])
+    assert stats["rows_deleted"] == 2
+    assert spark.read.parquet(path).count() == 8
+
+
 def test_delete_keys_drops_fully_matching_file(spark, tmp_path):
     path = str(tmp_path / "t")
     df = spark.range(100).selectExpr("CAST(id < 50 AS INT) AS bucket", "id")

@@ -230,3 +230,51 @@ def test_ivf_index_append_flow(spark, sf_dir, tmp_path):
     from sparktrends_spark.caching import release_persisted
 
     release_persisted()
+
+
+def test_ivf_index_append_canonicalizes_element_type(spark, sf_dir, tmp_path):
+    """Regression (round-6 red test): a float-built index receiving an
+    ``array<double>`` batch must NOT land mixed-typed parquet files in
+    its cell directories. Every vector file on disk is canonicalized to
+    array<double>, so reading EVERY cell back (full scan + per-cell
+    collect) succeeds regardless of which file footer schema-inference
+    would have picked."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from sparktrends_spark.similarity.cosine import (
+        append_ivf_index,
+        build_ivf_index,
+    )
+    from sparktrends_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert emb.schema["embedding"].dataType.elementType.typeName() == "float"
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter("vec_id % 2 = 0"), idx)
+
+    # double-typed batch: float * double-literal promotes the array
+    doubled = emb.filter("vec_id % 2 = 1").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 1.0001).alias("embedding"),
+        "label",
+    )
+    assert isinstance(
+        doubled.schema["embedding"].dataType.elementType, DoubleType
+    )
+    append_ivf_index(doubled, idx)
+
+    vecs = spark.read.parquet(f"{idx}/vectors")
+    assert isinstance(vecs.schema["_cv"].dataType, ArrayType)
+    assert isinstance(vecs.schema["_cv"].dataType.elementType, DoubleType)
+    # touch every row of every cell — this is what blew up with
+    # SchemaColumnConvertNotSupportedException on mixed-typed files
+    n = vecs.select("vec_id", "_cv").filter(F.size("_cv") > 0).count()
+    assert n == emb.count()
+    for cell_row in vecs.select("cell").distinct().collect():
+        spark.read.parquet(f"{idx}/vectors").filter(
+            F.col("cell") == cell_row["cell"]
+        ).select("_cv").collect()
+    from sparktrends_spark.caching import release_persisted
+
+    release_persisted()
