@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sparktrends_spark.caching import persist_tracked
+
 
 def ema(
     df: DataFrame,
@@ -165,6 +167,37 @@ def _collect_sorted_rows(
     )
 
 
+def _guard_rows(max_rows_per_key: int | None):
+    """Optional hard bound on the per-key materialized series: the
+    collect_list paths hold one key's FULL history in one task, so a
+    pathological key (a million-row symbol) can OOM an executor
+    silently. With a bound set, the task fails FAST with a clear
+    message pointing at the chunked variant instead."""
+    def apply(grouped: DataFrame) -> DataFrame:
+        if max_rows_per_key is None:
+            return grouped
+        return grouped.withColumn(
+            "_rows",
+            F.when(
+                F.size("_rows") <= int(max_rows_per_key), F.col("_rows")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "per-key series exceeds max_rows_per_key="
+                            f"{int(max_rows_per_key)} (got "
+                        ),
+                        F.size("_rows").cast("string"),
+                        F.lit(
+                            " rows); use ema_chunked for bounded memory"
+                        ),
+                    )
+                )
+            ),
+        )
+    return apply
+
+
 def ema_jvm(
     df: DataFrame,
     value_col: str,
@@ -172,6 +205,7 @@ def ema_jvm(
     partition_cols: Iterable[str],
     alpha: float = 0.3,
     out_col: str = "ema",
+    max_rows_per_key: int | None = None,
 ) -> DataFrame:
     """JVM-only EMA — same signature and bit-identical results to
     ``ema``, with no Python in the plan: collect_list -> array_sort ->
@@ -181,7 +215,9 @@ def ema_jvm(
     (per-key series length), without Arrow transfer or Python workers.
     """
     partition_cols = list(partition_cols)
-    grouped = _collect_sorted_rows(df, order_col, partition_cols)
+    grouped = _guard_rows(max_rows_per_key)(
+        _collect_sorted_rows(df, order_col, partition_cols)
+    )
     vals = f"transform(_rows, p -> cast(p.r.{value_col} as double))"
     emas = grouped.withColumn("_emas", F.expr(_ema_fold_expr(vals, alpha)))
     return emas.select(
@@ -197,6 +233,7 @@ def macd_jvm(
     fast: int = 12,
     slow: int = 26,
     signal_n: int = 9,
+    max_rows_per_key: int | None = None,
 ) -> DataFrame:
     """JVM-only MACD — same signature and bit-identical results to
     ``macd``: three chained ``aggregate()`` folds (fast/slow EMA over
@@ -209,7 +246,9 @@ def macd_jvm(
         2.0 / (slow + 1),
         2.0 / (signal_n + 1),
     )
-    grouped = _collect_sorted_rows(df, order_col, partition_cols)
+    grouped = _guard_rows(max_rows_per_key)(
+        _collect_sorted_rows(df, order_col, partition_cols)
+    )
     vals = f"transform(_rows, p -> cast(p.r.{value_col} as double))"
     step = (
         grouped.withColumn("_ef", F.expr(_ema_fold_expr(vals, a_fast)))
@@ -226,6 +265,129 @@ def macd_jvm(
         F.col("z._sig").alias("signal"),
         F.col("z._hist").alias("histogram"),
     )
+
+
+def ema_chunked(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_cols: Iterable[str],
+    alpha: float = 0.3,
+    out_col: str = "ema",
+    chunk_rows: int = 100_000,
+) -> DataFrame:
+    """EMA with per-task memory bounded by ``chunk_rows`` — the scale
+    path when one key's history is too long to materialize in a single
+    task (``ema``/``ema_jvm`` hold a key's FULL series in one task).
+
+    The recurrence is linear, so it decomposes exactly: split each
+    key's series into row-count chunks; fold each chunk locally with a
+    ZERO boundary (for chunk 0 the seeded fold, y_0 = x_0); then one
+    tiny per-key pass over chunk summaries (end-value + decay factor
+    ``(1-a)^len`` per chunk — n_chunks rows, not n_rows) computes each
+    chunk's true boundary accumulator B; finally each local value is
+    corrected by the decayed boundary: ``y_j = l_j + B·(1-a)^(j+1)``.
+
+    Cost: one window pass to number rows (WindowExec spills, never
+    holds a key on-heap), one Arrow-batched local fold per (key,
+    chunk) group holding at most ``chunk_rows`` rows per task (a JVM
+    ``aggregate()`` fold would be O(chunk²) — ``array_append`` copies
+    the array per element — so the hot local fold is the Pandas path,
+    same as ``ema``), one per-key summary fold over n_chunks rows, one
+    (key, chunk) equi-join. Results match the sequential fold to FP
+    reassociation error (~1e-12 relative — the decomposition is exact
+    in real arithmetic), unlike ``ema``/``ema_jvm`` which are
+    bit-identical to each other; tests assert the tolerance on a
+    million-row key.
+    """
+    partition_cols = list(partition_cols)
+    om = 1.0 - alpha
+    wn = Window.partitionBy(*partition_cols).orderBy(order_col)
+    chunked = df.withColumn(
+        "_rn", F.row_number().over(wn) - F.lit(1)
+    ).select(
+        "*",
+        (F.col("_rn") / F.lit(int(chunk_rows))).cast("bigint").alias("_chunk"),
+        (F.col("_rn") % F.lit(int(chunk_rows))).alias("_j"),
+    ).drop("_rn")
+
+    # local fold per (key, chunk): seeded (y_0 = x_0) for chunk 0 —
+    # those are already the true values — zero-boundary
+    # l_j = Σ_{i<=j} a·(1-a)^(j-i)·x_i for later chunks.
+    schema = T.StructType(
+        list(chunked.schema.fields) + [T.StructField("_l", T.DoubleType())]
+    )
+
+    def _local(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_j", kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        seeded = bool(len(pdf)) and pdf["_chunk"].iat[0] == 0
+        out = [0.0] * len(vals)
+        acc = 0.0
+        for i, v in enumerate(vals):
+            acc = v if (i == 0 and seeded) else acc * om + v * alpha
+            out[i] = acc
+        pdf = pdf.copy()
+        pdf["_l"] = out
+        return pdf
+
+    local = persist_tracked(
+        chunked.groupBy(*partition_cols, "_chunk").applyInPandas(
+            _local, schema=schema
+        )
+    )
+
+    # Per-key boundary pass over CHUNK SUMMARIES (n_chunks rows/key,
+    # tiny — JVM fold is fine here): B_0 = end(local_0);
+    # B_c = end(local_c) + B_{c-1}·(1-a)^len_c. b_prev joined to chunk
+    # c is B_{c-1} (0.0 for chunk 0 — unused there).
+    summaries = local.groupBy(*partition_cols, "_chunk").agg(
+        F.max_by("_l", "_j").alias("_endv"),
+        F.count(F.lit(1)).alias("_len"),
+    )
+    bounds = (
+        summaries.groupBy(*partition_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_chunk").alias("c"),
+                        F.col("_endv").alias("endv"),
+                        F.expr(f"power({om!r}, _len)").alias("decay"),
+                    )
+                )
+            ).alias("_ss")
+        )
+        .withColumn(
+            "_bs",
+            F.expr(
+                "aggregate(_ss, "
+                "named_struct('acc', cast(0.0 as double), "
+                "'out', cast(array() as array<double>)), "
+                "(st, s) -> named_struct("
+                "'acc', if(s.c = 0, s.endv, s.endv + st.acc * s.decay), "
+                "'out', array_append(st.out, st.acc)), "
+                "st -> st.out)"
+            ),
+        )
+        .select(
+            *partition_cols,
+            F.explode(F.arrays_zip("_ss", "_bs")).alias("z"),
+        )
+        .select(
+            *partition_cols,
+            F.col("z._ss.c").alias("_chunk"),
+            F.col("z._bs").alias("_b_prev"),
+        )
+    )
+    corrected = local.join(bounds, partition_cols + ["_chunk"]).withColumn(
+        out_col,
+        F.when(F.col("_chunk") == 0, F.col("_l")).otherwise(
+            F.col("_l")
+            + F.col("_b_prev") * F.expr(f"power({om!r}, _j + 1)")
+        ),
+    )
+    return corrected.drop("_chunk", "_j", "_l", "_b_prev")
 
 
 def bollinger_bands(

@@ -1241,8 +1241,9 @@ def q_events_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Publish-gate data-quality expectations over events
     (`quality.py`): four row-local rules in ONE aggregate pass
     (stacked to long form), key uniqueness as one keyed aggregate,
-    and referential integrity to the customer dimension as a
-    broadcast anti join. Two rules genuinely fire on this data
+    and referential integrity to the customer dimension as a broadcast
+    marker join — each family reads events exactly ONCE (no eager
+    count() actions; plan-asserted). Two rules genuinely fire on this data
     (value > 400 exists; 'error' is outside the allowed type set), so
     the oracle checks real violation counts, not a vacuous zero
     column."""

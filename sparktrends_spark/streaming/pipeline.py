@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from sparktrends_spark.operators.metrics import anomalies, vwap_metrics
-from sparktrends_spark.streaming.sinks import upsert_parquet
+from sparktrends_spark.streaming.upsert import (
+    BucketedParquetUpsertSink,
+    UpsertSink,
+    get_upsert_sink,
+)
 
 AlertFn = Callable[[list[dict[str, Any]]], None]
 
@@ -75,13 +79,28 @@ def run_bar_pipeline(
     alert_limit: int = 1000,
     available_now: bool = False,
     processing_time: str | None = None,
+    sink: UpsertSink | str = "bucketed",
 ) -> StreamingQuery:
     """Start the full bars -> metrics -> alerts streaming query.
 
     ``bar_stream`` is a watermarked streaming bars DataFrame (e.g. from
     ``streaming_minute_bars``); runs in update mode so refining windows
     re-emit and the upsert keeps the latest version of each bar.
+
+    ``sink`` picks the upsert strategy (``streaming/upsert.py``);
+    default is the bucketed manifest-committed sink, so per-batch write
+    cost is O(buckets touched by the batch's symbols), not O(bars
+    history) — the bars table grows without bound under a long-running
+    stream, and a flat read-merge-rewrite (the previous default) made
+    every micro-batch pay for all of it, the same failure class as the
+    reference's per-batch Postgres full re-read (stock_stream.py:169-180).
     """
+    if isinstance(sink, str):
+        sink = (
+            BucketedParquetUpsertSink(n_buckets=32)
+            if sink == "bucketed"
+            else get_upsert_sink(sink)
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -89,14 +108,14 @@ def run_bar_pipeline(
         try:
             if batch_df.isEmpty():
                 return
-            upsert_parquet(
+            sink.upsert(
                 batch_df, bars_path, keys=("symbol", "timestamp"), version=batch_id
             )
-            bars_table = spark.read.parquet(bars_path)
+            bars_table = sink.read(spark, bars_path)
             metrics = compute_batch_metrics(
                 bars_table, batch_df, history_bars
             ).persist()
-            upsert_parquet(
+            sink.upsert(
                 metrics, metrics_path, keys=("symbol", "timestamp"), version=batch_id
             )
             if alert_fn is not None:

@@ -281,6 +281,13 @@ def upsert_parquet_bucketed(
             if e.startswith(f"{BUCKET_COL}=")
         ]
     else:
+        # retain_history demoted to 0: drop any snapshots a previous
+        # configuration left behind. GC below deletes leaves those
+        # snapshots reference, so keeping the files would leave
+        # read_upserted_as_of a pointer that fails MID-SCAN on missing
+        # leaf dirs instead of the intended clear FileNotFoundError.
+        for s in list_snapshots(final):
+            os.remove(_snapshot_path(final, s))
         todo_gc = [str(b) for b in todo]
     for b in todo_gc:
         bucket_dir = os.path.join(final, f"{BUCKET_COL}={b}")

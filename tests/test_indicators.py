@@ -150,3 +150,82 @@ def test_bollinger_plan_single_shuffle(spark, sf_dir):
     # (the win the composition buys; see operators/bars.daily_bars)
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "SortAggregate" not in plan
+
+
+def test_ema_chunked_matches_sequential_small(spark):
+    """Chunked decomposition == sequential fold (tolerance: the
+    reassociation is exact in real arithmetic)."""
+    from sparktrends_spark.caching import release_persisted
+    from sparktrends_spark.operators.indicators import ema_chunked
+
+    closes = [10.0, 20.0, 5.0, 7.0, 30.0, 1.0, 2.0, 50.0, 8.0]
+    df = _series(spark, closes)
+    want = {
+        r.day: r.ema
+        for r in ema(df, "close", "day", ["symbol"], alpha=0.3).collect()
+    }
+    got = {
+        r.day: r.ema
+        for r in ema_chunked(
+            df, "close", "day", ["symbol"], alpha=0.3, chunk_rows=3
+        ).collect()
+    }
+    release_persisted()
+    assert want.keys() == got.keys()
+    for k in want:
+        assert math.isclose(want[k], got[k], rel_tol=1e-11, abs_tol=1e-11), k
+
+
+def test_ema_chunked_bounded_memory_on_million_row_key(spark):
+    """The scale contract: one key, 1M rows, chunk_rows=50k -> per-task
+    series arrays hold at most 50k rows; results still match the
+    unchunked sequential fold within FP-reassociation tolerance."""
+    from sparktrends_spark.caching import release_persisted
+    from sparktrends_spark.operators.indicators import ema_chunked
+
+    n = 1_000_000
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "'A' AS symbol",
+            "CAST(id AS DOUBLE) AS day",
+            # deterministic pseudo-random walk, pure JVM
+            "100.0 + 10.0 * sin(id * 0.001) + pmod(id * 2654435761, 97) / 97.0 AS close",
+        )
+    )
+    seq = ema(df, "close", "day", ["symbol"], alpha=0.1)
+    chk = ema_chunked(
+        df, "close", "day", ["symbol"], alpha=0.1, chunk_rows=50_000
+    )
+    # spot-check a deterministic sample of positions incl. chunk edges
+    probe = [0, 1, 49_999, 50_000, 50_001, 123_456, 999_999]
+    want = {
+        r.day: r.ema
+        for r in seq.filter(F.col("day").isin([float(p) for p in probe])).collect()
+    }
+    got = {
+        r.day: r.ema
+        for r in chk.filter(F.col("day").isin([float(p) for p in probe])).collect()
+    }
+    release_persisted()
+    assert want.keys() == got.keys() and len(want) == len(probe)
+    for k in want:
+        assert math.isclose(want[k], got[k], rel_tol=1e-9, abs_tol=1e-9), (
+            k, want[k], got[k],
+        )
+
+
+def test_ema_jvm_max_rows_guard_fires(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = _series(spark, [1.0] * 10)
+    with pytest.raises(Exception, match="max_rows_per_key"):
+        ema_jvm(
+            df, "close", "day", ["symbol"], max_rows_per_key=5
+        ).collect()
+    # under the bound: clean
+    assert (
+        len(ema_jvm(df, "close", "day", ["symbol"], max_rows_per_key=10).collect())
+        == 10
+    )

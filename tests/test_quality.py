@@ -47,3 +47,39 @@ def test_check_foreign_key_counts_orphans(spark):
     dim = spark.createDataFrame([(1,), (2,), (3,)], "id long")
     row = check_foreign_key(fact, "fk", dim, "id").head()
     assert row["n_violations"] == 2 and row["rule"] == "fk:fk"
+
+
+def test_check_foreign_key_null_fk_is_orphan(spark):
+    fact = spark.createDataFrame([(1,), (None,)], "fk INT")
+    dim = spark.createDataFrame([(1,), (2,)], "id INT")
+    row = check_foreign_key(fact, "fk", dim, "id").head()
+    assert row["n_violations"] == 1 and row["n_rows"] == 2
+
+
+def test_check_rules_rejects_sql_injection_shaped_rule_name(spark):
+    import pytest
+
+    df = spark.range(3)
+    for bad in ["a'b", "a`b", "a), (b"]:
+        with pytest.raises(ValueError):
+            check_rules(df, {bad: F.col("id") >= 0}).collect()
+
+
+def test_quality_checks_scan_each_table_once(spark, sf_dir):
+    """The de-scan fix: no per-check eager count() actions. Each rule
+    family's plan contains exactly one scan of the fact table."""
+    from sparktrends_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def n_event_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("events.parquet")
+
+    uniq = check_unique(events, ["event_id"])
+    assert n_event_scans(uniq) == 1
+    fk = check_foreign_key(events, "user_id", customer, "c_custkey")
+    assert n_event_scans(fk) == 1
+    rules = check_rules(events, {"user_not_null": F.col("user_id").isNotNull()})
+    assert n_event_scans(rules) == 1

@@ -104,8 +104,10 @@ def test_streaming_bars_match_batch(spark, trade_dir, tmp_path):
     """Streaming OHLCV over micro-batches == batch OHLCV over the union."""
     _run_pipeline(spark, trade_dir, tmp_path)
 
+    from sparktrends_spark.streaming.sinks import read_upserted
+
     got = (
-        spark.read.parquet(str(tmp_path / "bars"))
+        read_upserted(spark, str(tmp_path / "bars"))
         .select("symbol", "timestamp", "open", "high", "low", "close", "volume")
         .orderBy("symbol", "timestamp")
         .collect()
@@ -128,7 +130,9 @@ def test_streaming_bars_match_batch(spark, trade_dir, tmp_path):
 
 def test_streaming_metrics_latest_per_symbol(spark, trade_dir, tmp_path):
     _run_pipeline(spark, trade_dir, tmp_path)
-    metrics = spark.read.parquet(str(tmp_path / "metrics"))
+    from sparktrends_spark.streaming.sinks import read_upserted
+
+    metrics = read_upserted(spark, str(tmp_path / "metrics"))
     # one metrics row per (symbol, bar); latest bar per symbol present
     latest = (
         metrics.groupBy("symbol")
@@ -143,19 +147,21 @@ def test_streaming_metrics_latest_per_symbol(spark, trade_dir, tmp_path):
 def test_checkpoint_restart_is_idempotent(spark, trade_dir, tmp_path):
     """Re-running with the same checkpoint after new data arrives must
     process only the new file and never duplicate bars."""
+    from sparktrends_spark.streaming.sinks import read_upserted
+
     _run_pipeline(spark, trade_dir, tmp_path)
-    n_before = spark.read.parquet(str(tmp_path / "bars")).count()
+    n_before = read_upserted(spark, str(tmp_path / "bars")).count()
 
     # restart with zero new data: nothing changes
     _run_pipeline(spark, trade_dir, tmp_path)
-    assert spark.read.parquet(str(tmp_path / "bars")).count() == n_before
+    assert read_upserted(spark, str(tmp_path / "bars")).count() == n_before
 
     # new file -> new bar, old bars unchanged (upsert by natural key)
     _write_frames(
         trade_dir, "b2.json", [_frame([("CCC", 1.0, 1.0, _minute_ms(9, 0))])]
     )
     _run_pipeline(spark, trade_dir, tmp_path)
-    bars = spark.read.parquet(str(tmp_path / "bars"))
+    bars = read_upserted(spark, str(tmp_path / "bars"))
     assert bars.filter(F.col("symbol") == "CCC").count() == 1
     assert bars.count() == n_before + 1
     key_counts = bars.groupBy("symbol", "timestamp").count()
@@ -488,3 +494,161 @@ def test_upsert_bucketed_time_travel(spark, tmp_path):
                 if e.startswith("_v=")
             ]
             assert len(leaves) <= 3, (d, leaves)
+
+
+def test_retain_history_demotion_drops_stale_snapshots(spark, tmp_path):
+    """A table that ran with retain_history>0 and is later demoted to
+    retain_history=0 must not keep `_manifest_v*.json` pointers whose
+    leaves GC has deleted — read_upserted_as_of must fail with the
+    intended clear FileNotFoundError, never mid-scan on missing dirs."""
+    from sparktrends_spark.streaming.sinks import (
+        list_snapshots,
+        read_upserted,
+        read_upserted_as_of,
+        upsert_parquet_bucketed,
+    )
+
+    path = str(tmp_path / "t")
+    df0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    upsert_parquet_bucketed(
+        df0, path, keys=("k",), n_buckets=4, version=0, retain_history=3
+    )
+    df1 = spark.createDataFrame([(1, 11)], "k long, v long")
+    upsert_parquet_bucketed(
+        df1, path, keys=("k",), n_buckets=4, version=1, retain_history=3
+    )
+    assert list_snapshots(path) == [0, 1]
+
+    # demote: next batch runs with retain_history=0
+    df2 = spark.createDataFrame([(2, 22)], "k long, v long")
+    upsert_parquet_bucketed(
+        df2, path, keys=("k",), n_buckets=4, version=2, retain_history=0
+    )
+    assert list_snapshots(path) == []
+    with pytest.raises(FileNotFoundError, match="no snapshot"):
+        read_upserted_as_of(spark, path, 0)
+    got = {r.k: r.v for r in read_upserted(spark, path).collect()}
+    assert got == {1: 11, 2: 22}
+
+
+def test_bucketed_batch_n_plus_1_leaves_other_buckets_untouched(spark, tmp_path):
+    """The O(touched buckets) contract of the pipeline's default sink:
+    batch N+1 must not rewrite (or even re-open for write) data files
+    of buckets only batch N touched — their inodes and mtimes are
+    byte-identical after the next batch."""
+    from sparktrends_spark.streaming.sinks import (
+        read_upserted,
+        upsert_parquet_bucketed,
+    )
+
+    path = str(tmp_path / "t")
+    batch0 = spark.createDataFrame(
+        [(k, k * 10) for k in range(50)], "k long, v long"
+    )
+    upsert_parquet_bucketed(batch0, path, keys=("k",), n_buckets=8, version=0)
+
+    def leaf_files():
+        out = {}
+        for r, _d, fs in os.walk(path):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    fp = os.path.join(r, f)
+                    st = os.stat(fp)
+                    out[fp] = (st.st_ino, st.st_mtime_ns, st.st_size)
+        return out
+
+    before = leaf_files()
+    # batch 1 touches exactly one key -> one bucket
+    upsert_parquet_bucketed(
+        spark.createDataFrame([(7, 700)], "k long, v long"),
+        path, keys=("k",), n_buckets=8, version=1,
+    )
+    after = leaf_files()
+    survivors = set(before) & set(after)
+    # every surviving batch-0 file is bit-identical (inode+mtime+size)
+    for fp in survivors:
+        assert after[fp] == before[fp], fp
+    # and only ONE bucket's worth of batch-0 files was replaced
+    replaced_buckets = {
+        fp.split("_bucket=")[1].split("/")[0]
+        for fp in set(before) - survivors
+    }
+    assert len(replaced_buckets) == 1
+    assert {r.k: r.v for r in read_upserted(spark, path).collect()}[7] == 700
+
+
+def test_upsert_sink_strategy_seam(spark, tmp_path):
+    """streaming/upsert.py: flat and bucketed strategies are
+    interchangeable behind UpsertSink; both converge to last-writer-
+    wins state through the same interface."""
+    from sparktrends_spark.streaming.upsert import (
+        get_upsert_sink,
+        upsert_strategies,
+    )
+
+    assert upsert_strategies() == ["bucketed", "flat", "sql-merge"]
+    for name in ["flat", "bucketed"]:
+        sink = get_upsert_sink(name)
+        path = str(tmp_path / name)
+        sink.upsert(
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+            path, keys=("k",), version=0,
+        )
+        sink.upsert(
+            spark.createDataFrame([(2, 22)], "k long, v long"),
+            path, keys=("k",), version=1,
+        )
+        got = {r.k: r.v for r in sink.read(spark, path).collect()}
+        assert got == {1: 10, 2: 22}, name
+
+
+def test_sql_merge_sink_emits_versioned_merge(spark):
+    """The MERGE INTO seam: generated SQL is the last-writer-wins
+    upsert with a replay guard; identifiers are validated."""
+    import pytest as _pytest
+
+    from sparktrends_spark.streaming.upsert import (
+        SqlMergeUpsertSink,
+        merge_into_sql,
+    )
+
+    sql = merge_into_sql(
+        "lake.bars", "src", ["symbol", "timestamp"],
+        ["symbol", "timestamp", "close"],
+    )
+    assert sql.startswith("MERGE INTO lake.bars t USING src s ON ")
+    assert "t.symbol = s.symbol AND t.timestamp = s.timestamp" in sql
+    assert "WHEN MATCHED AND s._batch_id >= t._batch_id" in sql
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
+    with _pytest.raises(ValueError, match="unsafe"):
+        merge_into_sql("t; DROP TABLE x", "s", ["k"], ["k", "v"])
+
+    ran = []
+    sink = SqlMergeUpsertSink(run_sql=lambda sp, q: ran.append(q))
+    sink.upsert(
+        spark.createDataFrame([(1, 2.0)], "k long, v double"),
+        "cat.tbl", keys=("k",), version=7,
+    )
+    assert len(ran) == 1 and "MERGE INTO cat.tbl" in ran[0]
+
+
+def test_run_bar_pipeline_flat_strategy_still_works(spark, trade_dir, tmp_path):
+    """The seam keeps the flat sink selectable for small tables."""
+    from sparktrends_spark.streaming.pipeline import run_bar_pipeline
+    from sparktrends_spark.streaming.sinks import read_upserted
+    from sparktrends_spark.streaming.sources import trade_stream_from_files
+    from sparktrends_spark.streaming.windows import streaming_minute_bars
+
+    trades = trade_stream_from_files(spark, trade_dir)
+    bars = streaming_minute_bars(trades, watermark="2 minutes")
+    query = run_bar_pipeline(
+        bars,
+        bars_path=str(tmp_path / "bars_flat"),
+        metrics_path=str(tmp_path / "metrics_flat"),
+        checkpoint_dir=str(tmp_path / "ckpt_flat"),
+        available_now=True,
+        sink="flat",
+    )
+    query.awaitTermination(180)
+    assert not query.isActive
+    assert read_upserted(spark, str(tmp_path / "bars_flat")).count() > 0
