@@ -257,6 +257,40 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_neardup_topk",
+    oracle=_neardup_with()
+    + f""", sym AS (
+  SELECT id_a AS vec_id, id_b AS neighbor_id, cosine
+  FROM scored WHERE cosine >= {_ND_THRESHOLD}
+  UNION ALL
+  SELECT id_b, id_a, cosine
+  FROM scored WHERE cosine >= {_ND_THRESHOLD}
+)
+SELECT vec_id, neighbor_id, cosine, rnk FROM (
+  SELECT sym.*, CAST(ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS INT) AS rnk FROM sym
+) WHERE rnk <= 3""",
+)
+def q_embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-bounded near-dup report: per document, its top-3
+    neighbors above the threshold — O(n·k) rows no matter how tight
+    the clusters, unlike the O(n²)-output pair form
+    (`embedding_neardup`). Same LSH-bucketed candidate generation and
+    exact verification; the cap is one per-document window."""
+    from sparktrends_spark.similarity.cosine import neardup_topk
+
+    return neardup_topk(
+        _emb(spark, sf_dir),
+        k=3,
+        threshold=_ND_THRESHOLD,
+        num_planes=_ND_PLANES,
+        num_tables=_ND_TABLES,
+        dim=_DIM,
+    )
+
+
+@query(
     "embedding_dedup_keep",
     oracle=_neardup_with()
     + f"""SELECT vec_id, label FROM embeddings

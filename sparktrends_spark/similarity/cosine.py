@@ -291,6 +291,63 @@ def neardup_pairs(
     )
 
 
+def neardup_topk(
+    vectors: DataFrame,
+    k: int = 3,
+    threshold: float = 0.35,
+    num_planes: int = 4,
+    num_tables: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document top-k near-duplicate neighbors above ``threshold``
+    — the OUTPUT-BOUNDED sibling of ``neardup_pairs``.
+
+    At a fixed cosine threshold the full pair set is inherently O(n²)
+    in the worst case (a tight cluster emits every internal pair);
+    capping at k neighbors per document makes the result O(n·k)
+    regardless of cluster geometry — the form a 100 TB dedup report
+    should ship. Candidate generation and verification are identical
+    to ``neardup_pairs`` (LSH-bucketed, never all-pairs); the cap is
+    one per-document window over the verified pairs, symmetrized so
+    both members of a pair see each other as neighbors. Ties break by
+    neighbor id ascending (deterministic across engines).
+    """
+    from pyspark.sql import Window
+
+    pairs = neardup_pairs(
+        vectors,
+        threshold=threshold,
+        num_planes=num_planes,
+        num_tables=num_tables,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias(id_col),
+        F.col("id_b").alias("neighbor_id"),
+        "cosine",
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias(id_col),
+            F.col("id_a").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "neighbor_id", "cosine", "rnk")
+    )
+
+
 def label_centroids(
     vectors: DataFrame,
     label_col: str = "label",

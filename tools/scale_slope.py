@@ -72,6 +72,10 @@ HEAVY_QUERIES = (
     # unchanged plans
     "corpus_curation_pipeline",
     "doc_pii_redact",
+    # round 7: the output-bounded near-dup report — output is O(n·k)
+    # per document (cap k=3), so unlike embedding_neardup's threshold
+    # pair set it must NOT inherit the O(n²) output growth
+    "embedding_neardup_topk",
 )
 
 # Ops that define the plan's *strategy* — join algorithms, aggregate
