@@ -390,6 +390,46 @@ def ema_chunked(
     return corrected.drop("_chunk", "_j", "_l", "_b_prev")
 
 
+def macd_chunked(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_cols: Iterable[str],
+    fast: int = 12,
+    slow: int = 26,
+    signal_n: int = 9,
+    chunk_rows: int = 100_000,
+) -> DataFrame:
+    """MACD with per-task memory bounded by ``chunk_rows`` — three
+    ``ema_chunked`` passes composed exactly like the unchunked
+    definition (fast/slow EMA of the value, signal EMA of the derived
+    MACD series), so no stage ever materializes a full key history.
+    Same FP-reassociation tolerance vs ``macd`` as ``ema_chunked`` vs
+    ``ema``."""
+    partition_cols = list(partition_cols)
+    a_fast, a_slow, a_sig = (
+        2.0 / (fast + 1),
+        2.0 / (slow + 1),
+        2.0 / (signal_n + 1),
+    )
+    step = ema_chunked(
+        df, value_col, order_col, partition_cols,
+        alpha=a_fast, out_col="_ema_fast", chunk_rows=chunk_rows,
+    )
+    step = ema_chunked(
+        step, value_col, order_col, partition_cols,
+        alpha=a_slow, out_col="_ema_slow", chunk_rows=chunk_rows,
+    )
+    step = step.withColumn(
+        "macd", F.col("_ema_fast") - F.col("_ema_slow")
+    ).drop("_ema_fast", "_ema_slow")
+    step = ema_chunked(
+        step, "macd", order_col, partition_cols,
+        alpha=a_sig, out_col="signal", chunk_rows=chunk_rows,
+    )
+    return step.withColumn("histogram", F.col("macd") - F.col("signal"))
+
+
 def bollinger_bands(
     df: DataFrame,
     value_col: str,

@@ -109,6 +109,35 @@ def q_ema_daily_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("symbol", "day", "close", F.round("ema", 6).alias("ema"))
 
 
+@query(
+    "ema_daily_chunked",
+    oracle=_EMA_ORACLE.format(
+        trades=_TRADES_CTE.strip(), daily=_DAILY_BARS_CTE.strip()
+    ),
+)
+def q_ema_daily_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME EMA through the memory-bounded chunked decomposition
+    (operators/indicators.py:ema_chunked) with chunk_rows=16 so the
+    daily series genuinely spans multiple chunks: per-task state is
+    bounded by the chunk, the per-key boundary pass runs over chunk
+    summaries, and corrected values equal the sequential fold up to FP
+    reassociation (~1e-12 relative) — far inside the 6-digit round
+    both engines apply, so it shares ema_daily's oracle verbatim.
+    This is the variant a million-row-per-key table must use; the
+    graded row proves the decomposition on real data."""
+    from sparktrends_spark.operators.indicators import ema_chunked
+
+    out = ema_chunked(
+        _daily(spark, sf_dir),
+        value_col="close",
+        order_col="day",
+        partition_cols=["symbol"],
+        alpha=_EMA_ALPHA,
+        chunk_rows=16,
+    )
+    return out.select("symbol", "day", "close", F.round("ema", 6).alias("ema"))
+
+
 def _macd_oracle() -> str:
     # repr() of the Python doubles: shortest form round-trips to the
     # identical IEEE double in DuckDB, so both engines fold the same
@@ -165,6 +194,33 @@ def q_macd_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="close",
         order_col="day",
         partition_cols=["symbol"],
+    )
+    return out.select(
+        "symbol",
+        "day",
+        "close",
+        F.round("macd", 6).alias("macd"),
+        F.round("signal", 6).alias("signal"),
+        F.round("histogram", 6).alias("histogram"),
+    )
+
+
+@query("macd_daily_chunked", oracle=_macd_oracle())
+def q_macd_daily_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9) through the memory-bounded chunked decomposition
+    (three ema_chunked passes composed like the definition;
+    chunk_rows=16 so daily series span multiple chunks). Shares
+    macd_daily's oracle — FP-reassociation error (~1e-11) sits far
+    inside the 6-digit round, verified exactly-equal at sf0.001/0.01.
+    This is the variant for keys whose history can't sit in one task."""
+    from sparktrends_spark.operators.indicators import macd_chunked
+
+    out = macd_chunked(
+        _daily(spark, sf_dir),
+        value_col="close",
+        order_col="day",
+        partition_cols=["symbol"],
+        chunk_rows=16,
     )
     return out.select(
         "symbol",

@@ -1519,3 +1519,129 @@ def q_daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         in_bound.alias("union_in_bound"),
     )
+
+
+@query(
+    "value_quantile_sketch_rollup",
+    oracle="""
+WITH b AS (
+  SELECT CASE WHEN value < 0.0 THEN 0
+              WHEN value >= 500.0 THEN 101
+              ELSE CAST(floor(value / 5.0) AS BIGINT) + 1 END AS bucket
+  FROM events
+),
+h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket),
+c AS (
+  SELECT bucket, n, CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum
+  FROM h
+),
+tgt AS (
+  SELECT p, CAST(ceil(p * total) AS BIGINT) AS target
+  FROM (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(p))
+  CROSS JOIN (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+),
+pick AS (
+  SELECT t.p, t.target,
+         min(c.bucket) AS bucket,
+         min_by(c.cum, c.bucket) AS cum,
+         min_by(c.n, c.bucket) AS n
+  FROM tgt t JOIN c ON c.cum >= t.target
+  GROUP BY t.p, t.target
+),
+est AS (
+  SELECT p, target,
+         CASE WHEN bucket = 0 THEN 0.0
+              WHEN bucket = 101 THEN 500.0
+              ELSE (bucket - 1) * 5.0
+                   + (target - (cum - n)) / CAST(n AS DOUBLE) * 5.0
+         END AS est
+  FROM pick
+),
+ranked AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn FROM events
+),
+x AS (
+  SELECT t.p, r.value AS exact_val
+  FROM tgt t JOIN ranked r ON r.rn = t.target
+)
+SELECT e.p, round(e.est, 6) AS est, round(x.exact_val, 6) AS exact_val,
+       abs(e.est - x.exact_val) <= 5.0 AS in_bound
+FROM est e JOIN x ON e.p = x.p
+""",
+)
+def q_value_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HISTOGRAM sketch rollup for range quantiles — the
+    percentile sibling of `daily_user_sketch_rollup` (HLL / distinct).
+
+    Per-day equi-width histograms of event value (100 buckets over
+    [0, 500) + under/overflow bins) are the persisted sketch; any date
+    range's p50/p90/p99 is answered by SUMMING the daily count vectors
+    (here: the two-level (day, bucket) -> (bucket) aggregate) and
+    interpolating inside the first bucket whose cumulative count
+    reaches ceil(p·n) — never re-scanning raw history. Guarantee:
+    the rank-target value lies inside the chosen bucket, so
+    |estimate − exact| <= bucket width (5.0); the query self-grades
+    that bound per quantile, and the exact disc-quantile (global
+    row_number — grading machinery only, not part of the sketch path)
+    is emitted for the oracle's value hash.
+
+    Scale shape: the sketch table is O(days × 102) rows, map-side
+    combined; the rollup and quantile walk touch ~102 rows. At 100 TB
+    only the grading column costs a sort — a deployment drops it."""
+    events = _t(spark, sf_dir, "events")
+    nb, width, hi_dom = 100, 5.0, 500.0
+    v = F.col("value")
+    bucket = (
+        F.when(v < 0.0, F.lit(0))
+        .when(v >= hi_dom, F.lit(nb + 1))
+        .otherwise(F.floor(v / width) + 1)
+    ).cast("bigint")
+    daily = (
+        events.select(F.to_date("ts").alias("day"), bucket.alias("bucket"))
+        .groupBy("day", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    h = daily.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("n"))
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = h.withColumn("cum", F.sum("n").over(wcum).cast("bigint"))
+    total = h.agg(F.sum("n").cast("bigint").alias("total"))
+    ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+    tgt = ps.crossJoin(F.broadcast(total)).select(
+        "p", F.ceil(F.col("p") * F.col("total")).cast("bigint").alias("target")
+    )
+    pick = (
+        tgt.join(F.broadcast(c), F.col("cum") >= F.col("target"))
+        .groupBy("p", "target")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.min_by("cum", "bucket").alias("cum"),
+            F.min_by("n", "bucket").alias("n"),
+        )
+    )
+    est = pick.select(
+        "p",
+        "target",
+        F.when(F.col("bucket") == 0, F.lit(0.0))
+        .when(F.col("bucket") == nb + 1, F.lit(hi_dom))
+        .otherwise(
+            (F.col("bucket") - 1) * width
+            + (F.col("target") - (F.col("cum") - F.col("n")))
+            / F.col("n").cast("double")
+            * width
+        )
+        .alias("est"),
+    )
+    ranked = events.select("value").withColumn(
+        "rn", F.row_number().over(Window.orderBy("value"))
+    )
+    exact = tgt.join(
+        ranked, ranked["rn"] == tgt["target"]
+    ).select("p", F.col("value").alias("exact_val"))
+    return est.join(exact, "p").select(
+        "p",
+        F.round("est", 6).alias("est"),
+        F.round("exact_val", 6).alias("exact_val"),
+        (F.abs(F.col("est") - F.col("exact_val")) <= width).alias("in_bound"),
+    )

@@ -229,3 +229,26 @@ def test_ema_jvm_max_rows_guard_fires(spark):
         len(ema_jvm(df, "close", "day", ["symbol"], max_rows_per_key=10).collect())
         == 10
     )
+
+
+def test_macd_chunked_matches_sequential(spark):
+    from sparktrends_spark.caching import release_persisted
+    from sparktrends_spark.operators.indicators import macd_chunked
+
+    closes = [float(10 + ((i * 7) % 13) - 3) for i in range(40)]
+    df = _series(spark, closes)
+    want = {
+        r.day: (r.macd, r.signal, r.histogram)
+        for r in macd(df, "close", "day", ["symbol"]).collect()
+    }
+    got = {
+        r.day: (r.macd, r.signal, r.histogram)
+        for r in macd_chunked(
+            df, "close", "day", ["symbol"], chunk_rows=7
+        ).collect()
+    }
+    release_persisted()
+    assert want.keys() == got.keys()
+    for k in want:
+        for a, b in zip(want[k], got[k]):
+            assert math.isclose(a, b, rel_tol=1e-10, abs_tol=1e-10), (k, a, b)
