@@ -327,16 +327,29 @@ def neardup_topk(
         vec_col=vec_col,
         round_digits=round_digits,
     )
+    # symmetrize with ONE explode, not a unionAll of two selects: Spark
+    # has no common-subplan reuse across union branches, so the union
+    # form executes the whole candidate-generation + verification
+    # subplan twice (measured 2x wall-clock at the 10x replica scale).
     sym = pairs.select(
-        F.col("id_a").alias(id_col),
-        F.col("id_b").alias("neighbor_id"),
-        "cosine",
-    ).unionAll(
-        pairs.select(
-            F.col("id_b").alias(id_col),
-            F.col("id_a").alias("neighbor_id"),
-            "cosine",
-        )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("vid"),
+                    F.col("id_b").alias("nid"),
+                    F.col("cosine").alias("cosine"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("vid"),
+                    F.col("id_a").alias("nid"),
+                    F.col("cosine").alias("cosine"),
+                ),
+            )
+        ).alias("z")
+    ).select(
+        F.col("z.vid").alias(id_col),
+        F.col("z.nid").alias("neighbor_id"),
+        F.col("z.cosine").alias("cosine"),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

@@ -79,12 +79,20 @@ def delete_keys(
         # NULL (not true) for a NULL key, so without the isNull() arm
         # the filter would silently drop rows it was never asked to
         # delete — and count them as deleted.
-        keep = df.filter(
-            F.col(key_col).isNull() | ~F.col(key_col).isin(list(keys))
+        keep_cond = F.col(key_col).isNull() | ~F.col(key_col).isin(
+            list(keys)
         )
-        n_before = df.count()
-        n_keep = keep.count()
-        rows_deleted += n_before - n_keep
+        keep = df.filter(keep_cond)
+        # one aggregate pass for both counts (not two .count() actions
+        # re-scanning the file): total rows + surviving rows
+        counts = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.when(keep_cond, 1)), F.lit(0)
+            ).alias("k"),
+        ).head()
+        n_keep = counts["k"]
+        rows_deleted += counts["n"] - n_keep
         # Hadoop's local FS keeps a ".{name}.crc" checksum sidecar per
         # file; after replacing the bytes the stale sidecar fails every
         # read (ChecksumException), so it must go with the original.

@@ -96,8 +96,12 @@ def run_bar_pipeline(
     reference's per-batch Postgres full re-read (stock_stream.py:169-180).
     """
     if isinstance(sink, str):
+        # bucket by SYMBOL alone (a prefix of the (symbol, timestamp)
+        # upsert key): a symbol's whole bar history co-locates in one
+        # bucket, so the per-batch metrics read below prunes to the
+        # batch's symbols' buckets instead of scanning all bars.
         sink = (
-            BucketedParquetUpsertSink(n_buckets=32)
+            BucketedParquetUpsertSink(n_buckets=32, bucket_cols=("symbol",))
             if sink == "bucketed"
             else get_upsert_sink(sink)
         )
@@ -111,7 +115,13 @@ def run_bar_pipeline(
             sink.upsert(
                 batch_df, bars_path, keys=("symbol", "timestamp"), version=batch_id
             )
-            bars_table = sink.read(spark, bars_path)
+            # keyed read: with the symbol-bucketed sink this scans only
+            # the buckets holding the batch's symbols (O(batch symbols),
+            # not O(bars history)); other strategies fall back to the
+            # full committed read and the semi-join below still scopes.
+            bars_table = sink.read_keyed(
+                spark, bars_path, batch_df.select("symbol").distinct()
+            )
             metrics = compute_batch_metrics(
                 bars_table, batch_df, history_bars
             ).persist()

@@ -154,6 +154,7 @@ def upsert_parquet_bucketed(
     version_col: str = "_batch_id",
     version: int = 0,
     retain_history: int = 0,
+    bucket_cols: Sequence[str] | None = None,
 ) -> None:
     """Merge ``df`` into a hash-bucket-partitioned parquet table,
     rewriting only the buckets the incoming keys touch, with an
@@ -189,10 +190,24 @@ def upsert_parquet_bucketed(
     current state), and ``read_upserted_as_of`` reads the table
     exactly as batch K committed it. R = 0 keeps today's
     latest-only behavior.
+
+    ``bucket_cols`` (default: ``keys``) picks which key columns feed
+    the bucket hash. Bucketing on a PREFIX of the natural key (e.g.
+    symbol alone for a (symbol, timestamp) key) co-locates a whole
+    entity's history in one bucket, so `read_upserted_keyed` can
+    answer "all rows for these entities" reading only their bucket
+    directories — the index property a per-entity lookup needs at
+    100 TB. The choice is recorded in the manifest and must stay
+    consistent across batches.
     """
     spark = df.sparkSession
+    bucket_cols = list(bucket_cols) if bucket_cols is not None else list(keys)
+    if not set(bucket_cols) <= set(keys):
+        raise ValueError(
+            f"bucket_cols {bucket_cols} must be a subset of keys {list(keys)}"
+        )
     incoming = df.withColumn(version_col, F.lit(int(version))).withColumn(
-        BUCKET_COL, F.pmod(F.hash(*keys), F.lit(n_buckets))
+        BUCKET_COL, F.pmod(F.hash(*bucket_cols), F.lit(n_buckets))
     )
     final = path.rstrip("/")
     # An upsert of zero rows is a no-op — and must not write or commit:
@@ -203,9 +218,17 @@ def upsert_parquet_bucketed(
     manifest = read_manifest(final) or {
         "n_buckets": int(n_buckets),
         "keys": list(keys),
+        "bucket_cols": bucket_cols,
         "version_col": version_col,
         "buckets": {},
     }
+    if manifest.get("bucket_cols", manifest["keys"]) != bucket_cols:
+        raise ValueError(
+            f"{final}: table was bucketed on "
+            f"{manifest.get('bucket_cols', manifest['keys'])}, "
+            f"this batch asked for {bucket_cols} — rebucketing requires "
+            "a rebuild, not an append"
+        )
     committed: dict[str, int] = manifest["buckets"]
     # Bounded driver collect: ≤ n_buckets small ints per batch.
     affected = sorted(
@@ -321,6 +344,53 @@ def read_upserted_as_of(
     with open(snap_path) as fh:
         snapshot = json.load(fh)
     leaves = _committed_leaves(final, snapshot["buckets"])
+    df = spark.read.option("basePath", final).parquet(*leaves)
+    drop = [
+        c for c in (version_col, BUCKET_COL, VERSION_DIR_COL) if c in df.columns
+    ]
+    return df.drop(*drop)
+
+
+def read_upserted_keyed(
+    spark,
+    path: str,
+    keys_df: DataFrame,
+    version_col: str = "_batch_id",
+) -> DataFrame:
+    """Read ONLY the committed buckets that can contain rows whose
+    bucket columns match a row of ``keys_df`` — the per-entity lookup
+    path a symbol-bucketed bars table serves in O(entities' buckets)
+    instead of O(table).
+
+    ``keys_df`` must carry the table's ``bucket_cols`` (from the
+    manifest); its distinct bucket ids are collected (bounded by
+    n_buckets, the same bounded-collect contract as the writer). The
+    scan still returns every column; rows of OTHER entities sharing a
+    probed bucket are included (callers filter/semi-join, exactly as
+    they already do) — the guarantee is no false negatives, pruned IO.
+    Falls back to the full committed read for flat tables.
+    """
+    final = path.rstrip("/")
+    manifest = read_manifest(final)
+    if manifest is None:
+        return read_upserted(spark, final, version_col=version_col)
+    bucket_cols = manifest.get("bucket_cols", manifest["keys"])
+    n_buckets = int(manifest["n_buckets"])
+    wanted = {
+        r["_b"]
+        for r in keys_df.select(
+            F.pmod(F.hash(*bucket_cols), F.lit(n_buckets)).alias("_b")
+        )
+        .distinct()
+        .collect()
+    }
+    hit = {
+        b: v for b, v in manifest["buckets"].items() if int(b) in wanted
+    }
+    if not hit:
+        base = read_upserted(spark, final, version_col=version_col)
+        return base.limit(0)
+    leaves = _committed_leaves(final, hit)
     df = spark.read.option("basePath", final).parquet(*leaves)
     drop = [
         c for c in (version_col, BUCKET_COL, VERSION_DIR_COL) if c in df.columns

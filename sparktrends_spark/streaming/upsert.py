@@ -46,6 +46,14 @@ class UpsertSink:
     def read(self, spark: SparkSession, path: str) -> DataFrame:
         raise NotImplementedError
 
+    def read_keyed(
+        self, spark: SparkSession, path: str, keys_df: DataFrame
+    ) -> DataFrame:
+        """Committed rows restricted (at least) to the entities in
+        ``keys_df`` — strategies with a physical index prune IO; the
+        default is the full committed read (callers filter anyway)."""
+        return self.read(spark, path)
+
 
 class FlatParquetUpsertSink(UpsertSink):
     """Whole-table read-merge-rewrite (``upsert_parquet``). Per-batch
@@ -64,9 +72,15 @@ class BucketedParquetUpsertSink(UpsertSink):
     buckets), not O(table) — the shape that keeps a long-running
     update-mode stream viable as its sink table grows."""
 
-    def __init__(self, n_buckets: int = 32, retain_history: int = 0):
+    def __init__(
+        self,
+        n_buckets: int = 32,
+        retain_history: int = 0,
+        bucket_cols: Sequence[str] | None = None,
+    ):
         self.n_buckets = int(n_buckets)
         self.retain_history = int(retain_history)
+        self.bucket_cols = list(bucket_cols) if bucket_cols else None
 
     def upsert(self, df, path, keys, version):
         _sinks.upsert_parquet_bucketed(
@@ -76,10 +90,15 @@ class BucketedParquetUpsertSink(UpsertSink):
             n_buckets=self.n_buckets,
             version=version,
             retain_history=self.retain_history,
+            bucket_cols=self.bucket_cols,
         )
 
     def read(self, spark, path):
         return _sinks.read_upserted(spark, path)
+
+    def read_keyed(self, spark, path, keys_df):
+        # prunes to the buckets the keys hash into (manifest-routed)
+        return _sinks.read_upserted_keyed(spark, path, keys_df)
 
 
 def merge_into_sql(

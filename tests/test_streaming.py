@@ -652,3 +652,59 @@ def test_run_bar_pipeline_flat_strategy_still_works(spark, trade_dir, tmp_path):
     query.awaitTermination(180)
     assert not query.isActive
     assert read_upserted(spark, str(tmp_path / "bars_flat")).count() > 0
+
+
+def test_read_upserted_keyed_prunes_to_entity_buckets(spark, tmp_path):
+    """Symbol-prefix bucketing: a keyed read opens only the buckets the
+    requested entities hash into (inputFiles ⊂ full read), returns
+    every row of those entities, and an unknown entity yields an empty
+    frame with the table schema."""
+    from sparktrends_spark.streaming.sinks import (
+        read_upserted,
+        read_upserted_keyed,
+        upsert_parquet_bucketed,
+    )
+
+    path = str(tmp_path / "bars")
+    rows = [
+        (s, t, float(ord(s[0]) + t))
+        for s in ["AAA", "BBB", "CCC", "DDD", "EEE"]
+        for t in range(20)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, t long, v double")
+    upsert_parquet_bucketed(
+        df, path, keys=("symbol", "t"), n_buckets=8, version=0,
+        bucket_cols=("symbol",),
+    )
+    keys = spark.createDataFrame([("AAA",)], "symbol string")
+    keyed = read_upserted_keyed(spark, path, keys)
+    full = read_upserted(spark, path)
+    assert len(keyed.inputFiles()) < len(full.inputFiles())
+    got = keyed.filter(F.col("symbol") == "AAA")
+    assert got.count() == 20  # no false negatives
+    # unknown entity -> empty, schema preserved
+    none = read_upserted_keyed(
+        spark, path, spark.createDataFrame([("ZZZ",)], "symbol string")
+    )
+    present = {r.symbol for r in none.select("symbol").distinct().collect()}
+    assert "ZZZ" not in present
+    assert set(none.columns) == set(full.columns)
+
+
+def test_bucket_cols_must_stay_consistent(spark, tmp_path):
+    from sparktrends_spark.streaming.sinks import upsert_parquet_bucketed
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([("A", 1, 1.0)], "s string, t long, v double")
+    upsert_parquet_bucketed(
+        df, path, keys=("s", "t"), n_buckets=4, version=0, bucket_cols=("s",)
+    )
+    with pytest.raises(ValueError, match="bucketed on"):
+        upsert_parquet_bucketed(
+            df, path, keys=("s", "t"), n_buckets=4, version=1
+        )
+    with pytest.raises(ValueError, match="subset of keys"):
+        upsert_parquet_bucketed(
+            df, path, keys=("s", "t"), n_buckets=4, version=1,
+            bucket_cols=("v",),
+        )
