@@ -612,12 +612,18 @@ def append_ivf_index(
     id-disjoint from the index (the caller's ingest contract — an
     id-dedup here would force a full index scan per append).
 
-    The stored vector is cast to the index's canonical
-    ``array<double>`` (see ``build_ivf_index``) so a batch with a
-    different element type — e.g. a float-built index receiving
+    The stored vector is cast to the element type the index ALREADY
+    uses on disk (``array<double>`` for indexes built by
+    ``build_ivf_index``; whatever a legacy index carries otherwise),
+    so a batch with a different element type — e.g. an index receiving
     vectors promoted to double by an upstream transform — can never
     land mixed-typed files in a cell directory."""
     spark = new_vectors.sparkSession
+    try:
+        stored = spark.read.parquet(f"{path}/vectors").schema["_cv"].dataType
+        elem = stored.elementType.simpleString()
+    except Exception:
+        elem = "double"
     cent_row = spark.read.parquet(f"{path}/centroids").agg(
         F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents")
     )
@@ -625,7 +631,7 @@ def append_ivf_index(
         new_vectors, cand_id, cent_row, vec_col, round_digits
     ).select(
         cand_id,
-        F.col("_v").cast("array<double>").alias("_cv"),
+        F.col("_v").cast(f"array<{elem}>").alias("_cv"),
         F.col("_nv").alias("_nc"),
         _best_cell()["cell"].alias("cell"),
     )

@@ -278,3 +278,60 @@ def test_ivf_index_append_canonicalizes_element_type(spark, sf_dir, tmp_path):
     from sparktrends_spark.caching import release_persisted
 
     release_persisted()
+
+
+def test_ivf_append_matches_legacy_float_index(spark, sf_dir, tmp_path):
+    """A LEGACY index whose vectors are float-typed on disk (built
+    before type canonicalization) must keep receiving float-typed
+    appends: append casts to the index's on-disk element type, not
+    unconditionally to double."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import FloatType
+
+    from sparktrends_spark.similarity.cosine import append_ivf_index
+    from sparktrends_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    # hand-build a legacy float index layout: centroids + float vectors
+    from sparktrends_spark.similarity.cosine import (
+        _best_cell,
+        _with_cell_sims,
+        label_centroids,
+        norm,
+    )
+
+    cent = label_centroids(emb, label_col="label", vec_col="embedding")
+    cent.select("cell", "cvec", norm(F.col("cvec")).alias("cn")).coalesce(
+        1
+    ).write.parquet(f"{idx}/centroids")
+    cent_row = spark.read.parquet(f"{idx}/centroids").agg(
+        F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents")
+    )
+    _with_cell_sims(
+        emb.filter("vec_id % 2 = 0"), "vec_id", cent_row, "embedding", 6
+    ).select(
+        "vec_id",
+        F.col("_v").alias("_cv"),  # float, legacy layout
+        F.col("_nv").alias("_nc"),
+        _best_cell()["cell"].alias("cell"),
+    ).write.partitionBy("cell").parquet(f"{idx}/vectors")
+    assert isinstance(
+        spark.read.parquet(f"{idx}/vectors")
+        .schema["_cv"].dataType.elementType,
+        FloatType,
+    )
+
+    # append a double-promoted batch: must land as FLOAT
+    doubled = emb.filter("vec_id % 2 = 1").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 1.0).alias("embedding"),
+        "label",
+    )
+    append_ivf_index(doubled, idx)
+    vecs = spark.read.parquet(f"{idx}/vectors")
+    assert isinstance(vecs.schema["_cv"].dataType.elementType, FloatType)
+    assert vecs.select("_cv").count() == emb.count()
+    from sparktrends_spark.caching import release_persisted
+
+    release_persisted()
