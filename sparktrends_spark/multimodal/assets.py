@@ -144,10 +144,24 @@ def encode_media_payloads(
             return encode_png(fake_decode_image(raw, w, h))
 
         def video_payload(raw: bytes, dur: int) -> bytes:
-            if video_codec in ("mp4", "mp4_png"):
-                from sparktrends_spark.multimodal.mp4 import encode_mp4
+            if video_codec in ("mp4", "mp4_png", "fmp4"):
+                from sparktrends_spark.multimodal.mp4 import (
+                    encode_fmp4,
+                    encode_mp4,
+                )
 
                 n_frames = max(1, dur // VIDEO_FRAME_MS)
+                if video_codec == "fmp4":
+                    # fragmented layout (moof/mdat pairs) — same
+                    # md5(text#i) digest samples as "mp4", so every
+                    # downstream demux oracle holds unchanged
+                    frames = [
+                        hashlib.md5(raw + b"#" + str(i).encode()).digest()
+                        for i in range(n_frames)
+                    ]
+                    return encode_fmp4(
+                        frames, VIDEO_FRAME_MS, frames_per_fragment=4
+                    )
                 if video_codec == "mp4_png":
                     # each sample is itself a real PNG frame: pixels =
                     # the md5-tiled array of (text#i), 16x16 RGB (768

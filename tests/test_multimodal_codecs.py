@@ -405,11 +405,85 @@ class TestMp4:
         with pytest.raises(ValueError):
             decode_mp4(b"RIFF....WAVE")
 
-    def test_fragmented_raises_not_implemented(self):
+    def test_fragmented_without_moov_raises_value_error(self):
         ftyp = b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"
         moof = b"\x00\x00\x00\x08moof"
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_mp4(ftyp + moof)
+
+    def test_fmp4_roundtrip_matches_progressive(self):
+        import hashlib
+
+        from sparktrends_spark.multimodal.mp4 import encode_fmp4
+
+        frames = [
+            hashlib.md5(f"f{i}".encode()).digest() for i in range(10)
+        ]
+        prog = decode_mp4(encode_mp4(frames, 400, width=16, height=16))
+        frag = decode_mp4(
+            encode_fmp4(
+                frames, 400, width=16, height=16, frames_per_fragment=4
+            )
+        )
+        # the demuxed sample list is layout-independent
+        assert frag.samples == prog.samples
+        assert (frag.width, frag.height) == (16, 16)
+        assert frag.duration_ms == prog.duration_ms == 4000
+
+    def test_fmp4_variable_sizes_and_single_fragment(self):
+        from sparktrends_spark.multimodal.mp4 import encode_fmp4
+
+        frames = [b"x" * i for i in range(1, 6)]
+        media = decode_mp4(
+            encode_fmp4(frames, 100, frames_per_fragment=100)
+        )
+        assert [b for _, b in media.samples] == frames
+        assert [t for t, _ in media.samples] == [0, 100, 200, 300, 400]
+        assert media.duration_ms == 500
+
+    def test_fmp4_trun_per_sample_durations_override_tfhd_default(self):
+        from sparktrends_spark.multimodal.mp4 import encode_fmp4
+
+        # rewrite the first fragment's trun to carry per-sample
+        # durations (flag 0x100) of 50 units instead of the tfhd
+        # default 100 — decoded timestamps must follow the trun
+        data = bytearray(encode_fmp4([b"AAAA", b"BBBB"], 100))
+        at = bytes(data).find(b"trun")
+        (flags,) = struct.unpack(">I", bytes(data[at + 4 : at + 8]))
+        assert flags & 0x200 and not flags & 0x100
+        # old payload: ver/flags, count, data_offset, size0, size1
+        cnt, doff, s0, s1 = struct.unpack(
+            ">IiII", bytes(data[at + 8 : at + 24])
+        )
+        new_trun_payload = struct.pack(
+            ">IiIIII", cnt, doff + 8, 50, s0, 50, s1
+        )
+        new_trun = (
+            struct.pack(">I", 8 + 4 + len(new_trun_payload))
+            + b"trun"
+            + struct.pack(">I", flags | 0x100)
+            + new_trun_payload
+        )
+        rebuilt = bytearray(
+            bytes(data[: at - 4]) + new_trun + bytes(data[at + 24 :])
+        )
+        for name in (b"moof", b"traf"):
+            at2 = bytes(rebuilt).find(name)
+            (sz,) = struct.unpack(">I", bytes(rebuilt[at2 - 4 : at2]))
+            rebuilt[at2 - 4 : at2] = struct.pack(">I", sz + 8)
+        media = decode_mp4(bytes(rebuilt))
+        assert [t for t, _ in media.samples] == [0, 50]
+        assert [b for _, b in media.samples] == [b"AAAA", b"BBBB"]
+
+    def test_fmp4_sample_overrun_raises_value_error(self):
+        from sparktrends_spark.multimodal.mp4 import encode_fmp4
+
+        data = bytearray(encode_fmp4([b"AAAA"], 100))
+        at = bytes(data).find(b"trun")
+        # inflate the only sample's size past EOF
+        data[at + 16 : at + 20] = struct.pack(">I", 1 << 20)
+        with pytest.raises(ValueError):
+            decode_mp4(bytes(data))
 
     def test_multi_chunk_stsc_reconstruction(self):
         # rewrite a 4-frame file into 2 chunks of 2 samples to cover
