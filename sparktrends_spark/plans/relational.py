@@ -1094,6 +1094,52 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_stats_skipping_scan",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 50 AND 250
+GROUP BY event_type
+""",
+)
+def q_event_stats_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME rectangle aggregate through the explicit data-skipping
+    reader (`layout.scan_pruned`): per-file footer min/max envelopes —
+    the statistics a Delta/Iceberg manifest caches — select the file
+    subset that can contain matching rows BEFORE Spark plans the scan,
+    and the exact predicate filters the survivors. Shares
+    `event_zorder_rectangle`'s oracle (plain semantics over the
+    original table) so the graded row proves file-level skipping is
+    lossless; `tests/test_partition_pruning.py` asserts it actually
+    reads fewer files on the Z-ordered layout."""
+    import os
+
+    from sparktrends_spark.sources.layout import scan_pruned, zorder_write
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    dest = os.path.join(
+        "/tmp/sparktrends_zorder",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "events_skip",
+    )
+    zorder_write(events, ["user_id", "value"], dest, n_files=8)
+    return (
+        scan_pruned(
+            spark, dest, {"user_id": (3, 9), "value": (50.0, 250.0)}
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+@query(
     "event_zorder_rectangle",
     oracle="""
 SELECT event_type,
@@ -1606,29 +1652,37 @@ def q_value_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         Window.unboundedPreceding, Window.currentRow
     )
     c = h.withColumn("cum", F.sum("n").over(wcum).cast("bigint"))
-    total = h.agg(F.sum("n").cast("bigint").alias("total"))
-    ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
-    tgt = ps.crossJoin(F.broadcast(total)).select(
-        "p", F.ceil(F.col("p") * F.col("total")).cast("bigint").alias("target")
+    # collapse the (<= 102-row) merged sketch to ONE broadcast row so
+    # the cum >= target walk is an array filter, not a non-equi join
+    # (a BroadcastNestedLoopJoin — forbidden by the plan-hygiene gate
+    # even when both sides are tiny); broadcast-singleton crossJoin is
+    # the sanctioned pattern.
+    sketch_row = c.agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket", "n", "cum"))
+        ).alias("_cs"),
+        F.sum("n").cast("bigint").alias("total"),
     )
-    pick = (
-        tgt.join(F.broadcast(c), F.col("cum") >= F.col("target"))
-        .groupBy("p", "target")
-        .agg(
-            F.min("bucket").alias("bucket"),
-            F.min_by("cum", "bucket").alias("cum"),
-            F.min_by("n", "bucket").alias("n"),
-        )
+    ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+    tgt = ps.crossJoin(F.broadcast(sketch_row)).select(
+        "p",
+        F.ceil(F.col("p") * F.col("total")).cast("bigint").alias("target"),
+        "_cs",
+    )
+    pick = tgt.select(
+        "p",
+        "target",
+        F.expr("filter(_cs, s -> s.cum >= target)")[0].alias("s"),
     )
     est = pick.select(
         "p",
         "target",
-        F.when(F.col("bucket") == 0, F.lit(0.0))
-        .when(F.col("bucket") == nb + 1, F.lit(hi_dom))
+        F.when(F.col("s.bucket") == 0, F.lit(0.0))
+        .when(F.col("s.bucket") == nb + 1, F.lit(hi_dom))
         .otherwise(
-            (F.col("bucket") - 1) * width
-            + (F.col("target") - (F.col("cum") - F.col("n")))
-            / F.col("n").cast("double")
+            (F.col("s.bucket") - 1) * width
+            + (F.col("target") - (F.col("s.cum") - F.col("s.n")))
+            / F.col("s.n").cast("double")
             * width
         )
         .alias("est"),

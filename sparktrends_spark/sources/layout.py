@@ -94,12 +94,12 @@ def zorder_write(
     )
 
 
-def file_prune_stats(path: str, ranges: dict[str, tuple[float, float]]) -> dict:
-    """How many files of a parquet directory a rectangle predicate can
-    skip, judged ONLY by footer min/max stats (what a scan planner
-    sees). Returns ``{"n_files", "n_matching", "n_pruned"}``: a file
-    "matches" when every queried column's [min, max] envelope
-    intersects its range."""
+def _matching_files(
+    path: str, ranges: dict[str, tuple[float, float]]
+) -> tuple[list[str], list[str]]:
+    """(all files, files whose footer min/max envelope intersects every
+    queried range). A file with no stats on a queried column cannot be
+    pruned and counts as matching."""
     import pyarrow.parquet as pq
 
     files = sorted(
@@ -108,7 +108,7 @@ def file_prune_stats(path: str, ranges: dict[str, tuple[float, float]]) -> dict:
         for f in fs
         if f.endswith(".parquet")
     )
-    n_match = 0
+    matching = []
     for fp in files:
         md = pq.ParquetFile(fp).metadata
         names = {md.schema.column(i).name: i for i in range(md.num_columns)}
@@ -127,9 +127,52 @@ def file_prune_stats(path: str, ranges: dict[str, tuple[float, float]]) -> dict:
             if cmax < lo or cmin > hi:
                 hit = False
                 break
-        n_match += int(hit)
+        if hit:
+            matching.append(fp)
+    return files, matching
+
+
+def file_prune_stats(path: str, ranges: dict[str, tuple[float, float]]) -> dict:
+    """How many files of a parquet directory a rectangle predicate can
+    skip, judged ONLY by footer min/max stats (what a scan planner
+    sees). Returns ``{"n_files", "n_matching", "n_pruned"}``: a file
+    "matches" when every queried column's [min, max] envelope
+    intersects its range."""
+    files, matching = _matching_files(path, ranges)
     return {
         "n_files": len(files),
-        "n_matching": n_match,
-        "n_pruned": len(files) - n_match,
+        "n_matching": len(matching),
+        "n_pruned": len(files) - len(matching),
     }
+
+
+def scan_pruned(
+    spark, path: str, ranges: dict[str, tuple[float, float]]
+) -> DataFrame:
+    """Data-skipping read: consult per-file footer min/max envelopes
+    (the same statistics a table format's manifest caches — Delta's
+    ``stats`` column, Iceberg's manifest entries), hand Spark ONLY the
+    files that can contain matching rows, then apply the exact range
+    predicate to the survivors. Results are identical to filtering a
+    full scan; IO is proportional to the envelope-matching file set —
+    on a Z-ordered table (``zorder_write``) that is the rectangle's
+    neighborhood, not the lake.
+
+    The footer walk here reads each file's metadata once on the driver
+    (the filesystem-lake stand-in for a cached stats manifest; the
+    listing cost is what a real table format amortizes into its commit
+    log). File-level skipping composes with Spark's own row-group-level
+    pushdown — the predicate is still pushed into the surviving scans.
+    """
+    files, matching = _matching_files(path, ranges)
+    pred = reduce(
+        lambda a, b: a & b,
+        [F.col(c).between(lo, hi) for c, (lo, hi) in ranges.items()],
+    )
+    if not matching:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*matching)
+        .filter(pred)
+    )

@@ -102,3 +102,47 @@ def test_zorder_key_degenerate_and_clamped_inputs(spark):
 
     with pytest.raises(ValueError):
         zorder_key(["x", "y"], {}, {}, bits=32)  # 64 bits > signed range
+
+
+def test_scan_pruned_reads_fewer_files_and_is_lossless(spark, tmp_path):
+    """Footer-stats file skipping: on a Z-ordered layout the skipping
+    reader hands Spark a strict subset of files (inputFiles) for a
+    rectangle predicate, and its result equals the full-scan filter."""
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.sources.layout import scan_pruned, zorder_write
+
+    df = spark.range(20_000).selectExpr(
+        "id AS event_id",
+        "CAST(pmod(id * 2654435761, 50) AS INT) AS user_id",
+        "CAST(pmod(id * 40503, 500) AS DOUBLE) AS value",
+    )
+    dest = str(tmp_path / "z")
+    zorder_write(df, ["user_id", "value"], dest, n_files=16)
+
+    ranges = {"user_id": (3, 9), "value": (50.0, 250.0)}
+    pruned = scan_pruned(spark, dest, ranges)
+    full = spark.read.parquet(dest).filter(
+        F.col("user_id").between(3, 9) & F.col("value").between(50.0, 250.0)
+    )
+    assert len(pruned.inputFiles()) < len(
+        spark.read.parquet(dest).inputFiles()
+    )
+    a = sorted(r.event_id for r in pruned.select("event_id").collect())
+    b = sorted(r.event_id for r in full.select("event_id").collect())
+    assert a == b and len(a) > 0
+
+
+def test_scan_pruned_empty_rectangle(spark, tmp_path):
+    from sparktrends_spark.sources.layout import scan_pruned, zorder_write
+
+    df = spark.range(1000).selectExpr(
+        "id AS event_id",
+        "CAST(pmod(id, 50) AS INT) AS user_id",
+        "CAST(pmod(id, 500) AS DOUBLE) AS value",
+    )
+    dest = str(tmp_path / "z")
+    zorder_write(df, ["user_id", "value"], dest, n_files=4)
+    out = scan_pruned(spark, dest, {"user_id": (900, 950), "value": (0.0, 1.0)})
+    assert out.count() == 0
+    assert "event_id" in out.columns

@@ -228,6 +228,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "doc_importance_weights",  # smoothing constants: broadcast scalar rows
         "doc_importance_sample",   # same scoring dataflow + map-only sampler
         "daily_user_sketch_rollup",  # one-row sketch union x broadcast exact row
+        "value_quantile_sketch_rollup",  # 3 quantile rows x one broadcast sketch row
     }
     # Arrow-batched python is the sanctioned slow path; row-at-a-time
     # BatchEvalPython is never acceptable in a registered plan.
