@@ -131,14 +131,22 @@ def encode_media_payloads(
         jpeg_cache: dict[tuple[int, int, int], bytes] = {}
 
         def image_payload(raw: bytes, w: int, h: int) -> bytes:
-            if image_codec == "jpeg":
-                from sparktrends_spark.multimodal.jpeg import encode_jpeg
+            if image_codec in ("jpeg", "jpeg_progressive"):
+                from sparktrends_spark.multimodal.jpeg import (
+                    encode_jpeg,
+                    encode_jpeg_progressive,
+                )
 
+                enc_fn = (
+                    encode_jpeg_progressive
+                    if image_codec == "jpeg_progressive"
+                    else encode_jpeg
+                )
                 v = hashlib.md5(raw).digest()[0]
-                key = (v, w, h)
+                key = (image_codec, v, w, h)
                 enc = jpeg_cache.get(key)
                 if enc is None:
-                    enc = encode_jpeg(np.full((h, w, 3), v, dtype=np.uint8), 75)
+                    enc = enc_fn(np.full((h, w, 3), v, dtype=np.uint8), 75)
                     jpeg_cache[key] = enc
                 return enc
             return encode_png(fake_decode_image(raw, w, h))

@@ -11,14 +11,24 @@ decode directions actually exercised by the engine.
 
 Scope (documented, honest):
 
-- **Encoder**: 8-bit RGB or grayscale, 4:4:4 (no chroma subsampling),
-  baseline DCT, standard Huffman tables, selectable quality.
-- **Decoder**: baseline sequential (SOF0), 1- or 3-component, any
+- **Encoder**: 8-bit RGB or grayscale, baseline DCT (4:4:4 or 4:2:0)
+  with standard Huffman tables, selectable quality; AND progressive
+  (SOF2, ``encode_jpeg_progressive``) with the classic 10-scan
+  spectral-selection + successive-approximation script (4:4:4,
+  standard tables — EOB runs therefore cap at 1, the only EOBn symbol
+  baseline tables carry).
+- **Decoder**: baseline sequential (SOF0) — 1- or 3-component, any
   sampling factors declared in SOF0 (4:4:4, 4:2:0, 4:2:2 — chroma is
   nearest-neighbor upsampled), restart markers (DRI/RSTn), custom DQT
-  and DHT tables. Progressive (SOF2), arithmetic coding and 12-bit
-  precision raise ``NotImplementedError``; corrupt data raises
-  ``ValueError`` per the decode_payload contract.
+  and DHT tables — and progressive (SOF2): multi-scan coefficient
+  accumulation across DC first/refinement and banded AC
+  first/refinement scans with general EOBn runs (T.81 Annex G).
+  Arithmetic coding, 12-bit precision and hierarchical modes raise
+  ``NotImplementedError``; restart markers inside progressive scans
+  are likewise a documented seam; corrupt data raises ``ValueError``
+  per the decode_payload contract. Progressive and baseline encodes of
+  the same image decode BIT-IDENTICALLY (property-tested) — the scan
+  structure changes, the coefficients do not.
 
 JPEG is lossy in general, but two exactness properties make it
 oracle-checkable end-to-end (see plans/multimodal.py):
@@ -500,16 +510,291 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder — spectral selection + successive
+# approximation, the libjpeg-style scan script. Public spec: ITU T.81
+# Annex G.
+# ---------------------------------------------------------------------------
+
+
+def _prog_scan_script(ncomp: int) -> list:
+    """(comps, Ss, Se, Ah, Al) per scan — the classic 10-scan libjpeg
+    script for color (3-scan DC+AC for grayscale): coarse DC first,
+    low-frequency luma band, full chroma at half precision, the rest
+    of luma, then one refinement pass per band."""
+    if ncomp == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: magnitude shift (truncate toward zero), NOT
+    an arithmetic shift — T.81 G.1.2.2."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _ProgACWriter:
+    """AC band writer for one progressive scan of one component:
+    EOB-run accumulation (first scans) and correction-bit buffering
+    (refinement scans), flushed through the shared ``_BitWriter``."""
+
+    def __init__(self, bw: _BitWriter, ac_codes: dict):
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+    def _emit_eobrun(self) -> None:
+        if self.eobrun == 0:
+            return
+        r = self.eobrun.bit_length() - 1
+        code, length = self.ac[r << 4]
+        self.bw.write(code, length)
+        if r:
+            self.bw.write(self.eobrun - (1 << r), r)
+        for b in self.pending_bits:
+            self.bw.write(b, 1)
+        self.pending_bits = []
+        self.eobrun = 0
+
+    def _count_eob(self) -> None:
+        self.eobrun += 1
+        # The standard Annex-K AC tables carry no EOBn symbols beyond
+        # EOB0 (0x00) — they are baseline tables — so runs are emitted
+        # immediately rather than accumulated (spec-valid: an EOB run
+        # of length 1). The DECODER still handles general EOBn runs
+        # from encoders that ship custom tables.
+        self._emit_eobrun()
+
+    def first_scan_block(self, zz, ss: int, se: int, al: int) -> None:
+        vals = [_pt(int(zz[k]), al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(vals) if v != 0]
+        if not nz:
+            self._count_eob()
+            return
+        self._emit_eobrun()
+        run = 0
+        last = nz[-1]
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = self.ac[0xF0]  # ZRL
+                self.bw.write(code, length)
+                run -= 16
+            size, extra = _magnitude(v)
+            code, length = self.ac[(run << 4) | size]
+            self.bw.write(code, length)
+            self.bw.write(extra, size)
+            run = 0
+        if last < se - ss:
+            self._count_eob()
+
+    def refine_block(self, zz, ss: int, se: int, al: int) -> None:
+        """Ah = Al + 1 refinement (T.81 G.1.2.3 / libjpeg's
+        encode_mcu_AC_refine walk): newly-significant coefficients code
+        as (run-over-zero-history, size=1) + sign; correction bits of
+        already-significant coefficients buffer and flush after the
+        NEXT emitted symbol — including intermediate ZRLs — so the
+        decoder consumes them in positional order as it walks. Runs
+        past the last newly-significant coefficient fold into the EOB
+        run, their trailing correction bits pending on it."""
+        vals = [int(zz[k]) for k in range(ss, se + 1)]
+        absv = [_pt(abs(v), al) for v in vals]
+        newly = [i for i, a in enumerate(absv) if a == 1]
+        if not newly:
+            # no new significance: the whole band folds into the EOB
+            # run; history corrections ride on its eventual emission
+            self.eobrun += 1
+            self.pending_bits.extend(
+                (abs(v) >> al) & 1
+                for v, a in zip(vals, absv)
+                if a > 1
+            )
+            self._emit_eobrun()  # standard tables: EOB0 only
+            return
+        last_new = newly[-1]
+        self._emit_eobrun()
+        run = 0
+        be: list[int] = []
+        for i in range(last_new + 1):
+            a, v = absv[i], vals[i]
+            if a == 0:
+                run += 1
+                continue
+            while run > 15:  # ZRL covers the next 16 zero-history slots
+                code, length = self.ac[0xF0]
+                self.bw.write(code, length)
+                for b in be:
+                    self.bw.write(b, 1)
+                be = []
+                run -= 16
+            if a > 1:  # already significant: buffer its correction bit
+                be.append((abs(v) >> al) & 1)
+                continue
+            code, length = self.ac[(run << 4) | 1]
+            self.bw.write(code, length)
+            self.bw.write(1 if v > 0 else 0, 1)
+            for b in be:
+                self.bw.write(b, 1)
+            be = []
+            run = 0
+        # be is always flushed by the final newly-significant symbol
+        if last_new < len(vals) - 1:
+            self.eobrun += 1
+            self.pending_bits.extend(
+                (abs(vals[i]) >> al) & 1
+                for i in range(last_new + 1, len(vals))
+                if absv[i] > 1
+            )
+            self._emit_eobrun()  # standard tables: EOB0 only
+
+    def finish(self) -> None:
+        self._emit_eobrun()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 75
+) -> bytes:
+    """Progressive (SOF2) JFIF encode with the classic multi-scan
+    script: coarse DC, banded AC at reduced precision, then successive-
+    approximation refinement scans — the layout web encoders emit so an
+    image sharpens as it loads. Coefficients, tables and quantization
+    are identical to ``encode_jpeg`` (4:4:4); only the entropy-coded
+    scan structure differs, so ``decode_jpeg`` reconstructs the exact
+    same pixels for both (asserted in tests)."""
+    arr = np.asarray(pixels)
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive expects uint8 pixels")
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("expects (H, W, 3) RGB or (H, W) gray")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("image dimensions out of JPEG range")
+    qt_l, qt_c = quality_tables(quality)
+    ph, pw = -h % 8, -w % 8
+    ycc = (
+        arr.astype(np.float64)[:, :, None]
+        if gray
+        else rgb_to_ycbcr(arr)
+    )
+    ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge") - 128.0
+    ncomp = 1 if gray else 3
+    qts = [qt_l] + [qt_c] * (ncomp - 1)
+    planes = [
+        _encode_component(ycc[:, :, c], qts[c]) for c in range(ncomp)
+    ]
+    by, bx = planes[0].shape[:2]
+    zzs = [
+        planes[c].reshape(by, bx, 64)[:, :, ZIGZAG]
+        for c in range(ncomp)
+    ]
+
+    dc_codes = [_build_codes(*STD_DC_LUMA)] + [
+        _build_codes(*STD_DC_CHROMA)
+    ] * (ncomp - 1)
+    ac_codes = [_build_codes(*STD_AC_LUMA)] + [
+        _build_codes(*STD_AC_CHROMA)
+    ] * (ncomp - 1)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += seg(0xDB, bytes([0]) + bytes(qt_l.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if ncomp == 3:
+        out += seg(
+            0xDB, bytes([1]) + bytes(qt_c.reshape(64)[ZIGZAG].astype(np.uint8))
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    for cls, tid, (bits, vals) in (
+        (0, 0, STD_DC_LUMA),
+        (1, 0, STD_AC_LUMA),
+        *((((0, 1, STD_DC_CHROMA), (1, 1, STD_AC_CHROMA))) if ncomp == 3 else ()),
+    ):
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    for comps, ss, se, ah, al in _prog_scan_script(ncomp):
+        sos = bytes([len(comps)])
+        for c in comps:
+            tid = 0 if c == 0 else 1
+            sos += bytes([c + 1, (tid << 4) | tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        bw = _BitWriter()
+        if ss == 0:  # DC scan, interleaved over blocks (4:4:4 MCU = block)
+            if ah == 0:
+                prev = {c: 0 for c in comps}
+                for yb in range(by):
+                    for xb in range(bx):
+                        for c in comps:
+                            v = int(zzs[c][yb, xb, 0]) >> al
+                            diff = v - prev[c]
+                            prev[c] = v
+                            size, extra = _magnitude(diff)
+                            code, length = dc_codes[c][size]
+                            bw.write(code, length)
+                            if size:
+                                bw.write(extra, size)
+            else:  # DC refinement: one raw bit per block per comp
+                for yb in range(by):
+                    for xb in range(bx):
+                        for c in comps:
+                            bw.write((int(zzs[c][yb, xb, 0]) >> al) & 1, 1)
+        else:  # AC scan: single component, raster block order
+            (c,) = comps
+            wtr = _ProgACWriter(bw, ac_codes[c])
+            for yb in range(by):
+                for xb in range(bx):
+                    zz = zzs[c][yb, xb]
+                    if ah == 0:
+                        wtr.first_scan_block(zz, ss, se, al)
+                    else:
+                        wtr.refine_block(zz, ss, se, al)
+            wtr.finish()
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline sequential JPEG decode -> (H, W, 3) uint8 RGB
-    (grayscale replicated to 3 channels). Supports arbitrary SOF0
-    sampling factors (nearest-neighbor chroma upsampling), restart
-    markers, and custom DQT/DHT. Progressive / arithmetic / 12-bit
-    raise NotImplementedError; corrupt data raises ValueError."""
+    """JPEG decode -> (H, W, 3) uint8 RGB (grayscale replicated to 3
+    channels). Baseline sequential (SOF0): arbitrary sampling factors
+    (nearest-neighbor chroma upsampling), restart markers, custom
+    DQT/DHT. Progressive (SOF2): multi-scan coefficient accumulation —
+    DC first/refine, banded AC first/refine, EOBn runs. Arithmetic /
+    12-bit / hierarchical raise NotImplementedError; corrupt data
+    raises ValueError."""
     if data[:3] != JPEG_SIGNATURE or data[3] < 0xC0:
         raise ValueError("not a JPEG: bad signature")
     pos = 2
@@ -517,6 +802,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, comps) with comps = [(cid, hsamp, vsamp, qid)]
     restart_interval = 0
+    progressive = False
+    coefs = geom = None  # progressive coefficient buffers
     n = len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
@@ -569,9 +856,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 qid = payload[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, qid))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2: progressive DCT
+            precision = payload[0]
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            h, w = struct.unpack(">HH", payload[1:5])
+            nc = payload[5]
+            comps = []
+            for c in range(nc):
+                cid = payload[6 + 3 * c]
+                hv = payload[7 + 3 * c]
+                qid = payload[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, qid))
+            frame = (h, w, comps)
+            progressive = True
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/hierarchical) unsupported"
+                f"JPEG SOF{marker - 0xC0} (arithmetic/hierarchical/lossless) unsupported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
@@ -580,14 +881,33 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("JPEG SOS before SOF")
             ns = payload[0]
             scan_tables = {}
+            scan_cids = []
             for c in range(ns):
                 cid = payload[1 + 2 * c]
                 td, ta = payload[2 + 2 * c] >> 4, payload[2 + 2 * c] & 0x0F
                 scan_tables[cid] = (td, ta)
-            return _decode_scan(
-                data, pos, frame, scan_tables, qtables, htables, restart_interval
+                scan_cids.append(cid)
+            if not progressive:
+                return _decode_scan(
+                    data, pos, frame, scan_tables, qtables, htables,
+                    restart_interval,
+                )
+            if restart_interval:
+                raise NotImplementedError(
+                    "restart markers in progressive scans unsupported"
+                )
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if coefs is None:
+                coefs, geom = _prog_alloc(frame)
+            pos = _decode_progressive_scan(
+                data, pos, frame, scan_cids, scan_tables, ss, se, ah, al,
+                coefs, geom, htables,
             )
         # APPn / COM / others: skipped
+    if progressive and coefs is not None:
+        return _prog_reconstruct(frame, coefs, geom, qtables)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -664,6 +984,262 @@ def _decode_scan(
         if hs != hmax or vs != vmax:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         chans.append(p[:h, :w])
+    if len(chans) == 1:
+        y = np.clip(np.round(chans[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    if len(chans) != 3:
+        raise NotImplementedError("only 1- or 3-component JPEG supported")
+    return ycbcr_to_rgb(np.stack(chans, axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoder internals
+# ---------------------------------------------------------------------------
+
+
+def _prog_alloc(frame: tuple):
+    """Zigzag-order coefficient buffers per component, sized to the
+    MCU-padded block grid (interleaved DC scans cover padding blocks;
+    non-interleaved AC scans cover only the component's own grid)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs, geom = {}, {}
+    for cid, hs, vs, qid in comps:
+        by_pad, bx_pad = mcuy * vs, mcux * hs
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        geom[cid] = {
+            "by_pad": by_pad,
+            "bx_pad": bx_pad,
+            "bh": -(-ch // 8),
+            "bw": -(-cw // 8),
+            "hs": hs,
+            "vs": vs,
+            "qid": qid,
+        }
+        coefs[cid] = np.zeros((by_pad, bx_pad, 64), dtype=np.int64)
+    return coefs, geom
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """First non-stuffing marker at/after ``pos`` (entropy data may end
+    mid-byte; stuffed FF00 bytes are entropy content, not markers)."""
+    n = len(data)
+    p = pos
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            return p
+        p += 1
+    raise ValueError("JPEG entropy data ran past end of file")
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    frame: tuple,
+    scan_cids: list,
+    scan_tables: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coefs: dict,
+    geom: dict,
+    htables: dict,
+) -> int:
+    """Decode one progressive scan into the coefficient buffers;
+    returns the file position of the next marker."""
+    h, w, comps = frame
+    br = _BitReader(data, pos)
+    try:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            _prog_dc_scan(br, frame, scan_cids, scan_tables, ah, al,
+                          coefs, geom, htables)
+        else:
+            if len(scan_cids) != 1:
+                raise ValueError("progressive AC scan must be 1-component")
+            cid = scan_cids[0]
+            _td, ta = scan_tables[cid]
+            ac_t = htables.get((1, ta))
+            if ac_t is None:
+                raise ValueError("JPEG scan references missing AC table")
+            g = geom[cid]
+            blocks = coefs[cid]
+            if ah == 0:
+                _prog_ac_first(br, blocks, g, ac_t, ss, se, al)
+            else:
+                _prog_ac_refine(br, blocks, g, ac_t, ss, se, al)
+    except ValueError as exc:
+        raise ValueError(f"JPEG progressive scan failed: {exc}") from exc
+    return _next_marker(data, br.pos)
+
+
+def _prog_dc_scan(br, frame, scan_cids, scan_tables, ah, al, coefs, geom, htables):
+    h, w, comps = frame
+    by_cid = {c[0]: c for c in comps}
+    if len(scan_cids) > 1:  # interleaved MCU walk
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        prev = {cid: 0 for cid in scan_cids}
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for cid in scan_cids:
+                _c, hs, vs, _q = by_cid[cid]
+                for v in range(vs):
+                    for hh in range(hs):
+                        _prog_dc_block(
+                            br, coefs[cid][my * vs + v, mx * hs + hh],
+                            cid, scan_tables, htables, ah, al, prev,
+                        )
+    else:
+        cid = scan_cids[0]
+        g = geom[cid]
+        prev = {cid: 0}
+        for yb in range(g["bh"]):
+            for xb in range(g["bw"]):
+                _prog_dc_block(
+                    br, coefs[cid][yb, xb], cid, scan_tables, htables,
+                    ah, al, prev,
+                )
+
+
+def _prog_dc_block(br, zz, cid, scan_tables, htables, ah, al, prev):
+    if ah == 0:
+        td, _ta = scan_tables[cid]
+        dc_t = htables.get((0, td))
+        if dc_t is None:
+            raise ValueError("JPEG scan references missing DC table")
+        size = br.decode_huff(dc_t)
+        diff = _extend(br.read_bits(size), size)
+        prev[cid] += diff
+        zz[0] = prev[cid] << al
+    else:
+        if br.read_bit():
+            zz[0] |= 1 << al  # two's-complement OR appends the bit
+
+
+def _prog_ac_first(br, blocks, g, ac_t, ss, se, al):
+    eobrun = 0
+    for yb in range(g["bh"]):
+        for xb in range(g["bw"]):
+            zz = blocks[yb, xb]
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = br.decode_huff(ac_t)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += br.read_bits(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("AC run overflows band")
+                zz[k] = _extend(br.read_bits(size), size) << al
+                k += 1
+
+
+def _prog_ac_refine(br, blocks, g, ac_t, ss, se, al):
+    p1 = 1 << al
+
+    def correct(zz, k):
+        if br.read_bit() and not (abs(int(zz[k])) & p1):
+            zz[k] += p1 if zz[k] > 0 else -p1
+
+    eobrun = 0
+    for yb in range(g["bh"]):
+        for xb in range(g["bw"]):
+            zz = blocks[yb, xb]
+            if eobrun > 0:
+                for k in range(ss, se + 1):
+                    if zz[k] != 0:
+                        correct(zz, k)
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = br.decode_huff(ac_t)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0 and run < 15:  # EOBn
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += br.read_bits(run)
+                    break
+                if size == 0:  # ZRL: pass 16 zero-history positions
+                    cnt = 16
+                    while cnt > 0:
+                        if k > se:
+                            raise ValueError("ZRL overflows band")
+                        if zz[k] != 0:
+                            correct(zz, k)
+                        else:
+                            cnt -= 1
+                        k += 1
+                    continue
+                if size != 1:
+                    raise ValueError("refinement scan with size > 1")
+                newval = p1 if br.read_bit() else -p1
+                cnt = run
+                while True:
+                    if k > se:
+                        raise ValueError("refinement run overflows band")
+                    if zz[k] != 0:
+                        correct(zz, k)
+                    else:
+                        if cnt == 0:
+                            break
+                        cnt -= 1
+                    k += 1
+                zz[k] = newval
+                k += 1
+            # finish the block: corrections for remaining history
+            for kk in range(k, se + 1):
+                if zz[kk] != 0:
+                    correct(zz, kk)
+
+
+def _prog_reconstruct(frame, coefs, geom, qtables) -> np.ndarray:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    idct_t = DCT_M.T
+    chans = []
+    for cid, hs, vs, qid in comps:
+        qt = qtables.get(qid)
+        if qt is None:
+            raise ValueError("JPEG frame references missing quant table")
+        g = geom[cid]
+        by_pad, bx_pad = g["by_pad"], g["bx_pad"]
+        plane = np.zeros((by_pad * 8, bx_pad * 8), dtype=np.float64)
+        zz = coefs[cid]
+        nat = np.zeros((by_pad, bx_pad, 64), dtype=np.int64)
+        nat[:, :, ZIGZAG] = zz
+        blocks = nat.reshape(by_pad, bx_pad, 8, 8) * qt
+        px = (
+            np.einsum("ij,byjk,kl->byil", idct_t, blocks.astype(np.float64), DCT_M)
+            + 128.0
+        )
+        plane = (
+            px.transpose(0, 2, 1, 3).reshape(by_pad * 8, bx_pad * 8)
+        )
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        chans.append(plane[:h, :w])
     if len(chans) == 1:
         y = np.clip(np.round(chans[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)

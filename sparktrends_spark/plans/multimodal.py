@@ -229,6 +229,44 @@ def q_asset_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asset_jpeg_progressive_stats",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CAST(32 * (1 + doc_id % 8) AS INTEGER) AS width,
+       CAST(32 * (1 + doc_id % 5) AS INTEGER) AS height,
+       round(CAST(CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS DOUBLE),
+             6) AS mean_brightness,
+       'decoded' AS decode_status
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+def q_asset_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same pixel statistics through PROGRESSIVE JPEG (SOF2):
+    encode_media_payloads(image_codec='jpeg_progressive') writes each
+    image with the 10-scan spectral-selection + successive-
+    approximation script (multimodal/jpeg.py:encode_jpeg_progressive)
+    and the multi-scan decoder reconstructs coefficients across DC
+    first/refine and banded AC first/refine scans before one IDCT
+    pass. Shares `asset_jpeg_stats`' oracle: progressive restructures
+    only the entropy-coded scans, so the decoded pixels are
+    bit-identical to baseline — the graded pair proves it on real
+    data (and a property test proves it on random images)."""
+    from sparktrends_spark.multimodal.featurize import image_pixel_features
+
+    media = encode_media_payloads(
+        _assets(spark, sf_dir), image_codec="jpeg_progressive"
+    )
+    feats = image_pixel_features(media, grid=4)
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_brightness", 6).alias("mean_brightness"),
+        "decode_status",
+    )
+
+
+@query(
     "asset_fmp4_frames",
     oracle="""
 SELECT asset_id,

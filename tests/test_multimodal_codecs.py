@@ -88,11 +88,21 @@ class TestJpeg:
         with pytest.raises(ValueError):
             decode_jpeg(enc[: len(enc) // 2])
 
-    def test_progressive_marker_raises_not_implemented(self):
+    def test_arithmetic_marker_raises_not_implemented(self):
         enc = bytearray(encode_jpeg(np.full((8, 8, 3), 10, dtype=np.uint8)))
         sof = enc.find(b"\xff\xc0")
-        enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        enc[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic)
         with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(enc))
+
+    def test_baseline_scan_under_sof2_is_malformed(self):
+        # SOF2 is now SUPPORTED; a baseline full-band scan header
+        # (Ss=0, Se=63) under it is spec-invalid (progressive DC scans
+        # must have Se=0) and maps to the corrupt-data contract.
+        enc = bytearray(encode_jpeg(np.full((8, 8, 3), 10, dtype=np.uint8)))
+        sof = enc.find(b"\xff\xc0")
+        enc[sof + 1] = 0xC2
+        with pytest.raises(ValueError):
             decode_jpeg(bytes(enc))
 
     def _entropy_constant_mcus(self, dc_per_mcu):
@@ -616,3 +626,68 @@ class TestCodecProperties:
             )
 
         check()
+
+
+class TestProgressiveJpeg:
+    def test_progressive_decodes_bit_identical_to_baseline(self):
+        from sparktrends_spark.multimodal.jpeg import encode_jpeg_progressive
+
+        rng = np.random.default_rng(42)
+        for shape in [(8, 8, 3), (17, 31, 3), (9, 130, 3), (1, 1, 3)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            for q in (50, 75, 95):
+                base = decode_jpeg(encode_jpeg(img, q))
+                prog = decode_jpeg(encode_jpeg_progressive(img, q))
+                assert np.array_equal(base, prog), (shape, q)
+
+    def test_progressive_grayscale_and_structured_inputs(self):
+        from sparktrends_spark.multimodal.jpeg import encode_jpeg_progressive
+
+        rng = np.random.default_rng(7)
+        gray = rng.integers(0, 256, (23, 17), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(gray, 75)),
+            decode_jpeg(encode_jpeg_progressive(gray, 75)),
+        )
+        # gradient: deep EOB runs + refinement correction bits
+        g = np.linspace(0, 255, 64 * 96).reshape(64, 96).astype(np.uint8)
+        grad = np.stack([g, g, g], axis=2)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(grad, 75)),
+            decode_jpeg(encode_jpeg_progressive(grad, 75)),
+        )
+        # checkerboard: dense AC through every banded scan
+        chk = (np.indices((48, 48)).sum(axis=0) % 2 * 255).astype(np.uint8)
+        chk3 = np.stack([chk] * 3, axis=2)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(chk3, 75)),
+            decode_jpeg(encode_jpeg_progressive(chk3, 75)),
+        )
+
+    def test_progressive_constant_color_roundtrips_exactly(self):
+        from sparktrends_spark.multimodal.jpeg import encode_jpeg_progressive
+
+        for v in (0, 1, 55, 137, 255):
+            img = np.full((24, 16, 3), v, dtype=np.uint8)
+            out = decode_jpeg(encode_jpeg_progressive(img, 75))
+            assert np.array_equal(out, img), v
+
+    def test_progressive_marker_is_sof2(self):
+        from sparktrends_spark.multimodal.jpeg import encode_jpeg_progressive
+
+        data = encode_jpeg_progressive(
+            np.zeros((8, 8, 3), dtype=np.uint8), 75
+        )
+        assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+        # multiple SOS scans (the 10-scan color script)
+        assert data.count(b"\xff\xda") == 10
+
+    def test_progressive_truncated_raises_value_error(self):
+        from sparktrends_spark.multimodal.jpeg import encode_jpeg_progressive
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        data = encode_jpeg_progressive(img, 75)
+        for cut in (len(data) // 3, len(data) // 2, -30):
+            with pytest.raises(ValueError):
+                decode_jpeg(data[:cut])
