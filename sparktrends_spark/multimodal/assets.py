@@ -77,6 +77,51 @@ def corrupt_payloads(assets: DataFrame, mod: int = 5) -> DataFrame:
     )
 
 
+def embed_exif_payloads(assets: DataFrame) -> DataFrame:
+    """Splice a deterministic Exif APP1 into every image payload
+    (JPEG-encoded upstream via ``encode_media_payloads``): orientation,
+    camera make/model, capture time, exposure and ISO derived from
+    asset_id — so the downstream Exif extraction path
+    (``image_exif_features``) is value-oracle-checkable. Non-image
+    payloads pass through untouched. One mapInPandas; bytes never
+    leave the executors."""
+    schema = assets.schema
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparktrends_spark.multimodal.exif import insert_exif
+
+        for pdf in batches:
+            out = []
+            for asset_id, payload, modality in zip(
+                pdf["asset_id"], pdf["payload"], pdf["modality"]
+            ):
+                raw = bytes(payload)
+                if modality != "image":
+                    out.append(raw)
+                    continue
+                a = int(asset_id)
+                out.append(
+                    insert_exif(
+                        raw,
+                        {
+                            "make": "SparkTrends",
+                            "model": "CamSim",
+                            "orientation": 1 + a % 8,
+                            "datetime": (
+                                f"2026:01:{1 + a % 28:02d} 12:00:00"
+                            ),
+                            "exposure_time": (1, 125 * (1 + a % 4)),
+                            "iso": 100 * (1 + a % 16),
+                        },
+                    )
+                )
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
+
+    return assets.mapInPandas(embed, schema)
+
+
 def encode_media_payloads(
     assets: DataFrame,
     image_codec: str = "png",

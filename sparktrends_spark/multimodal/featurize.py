@@ -503,3 +503,43 @@ def extract_features_arrow(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInArrow(featurize, FEATURE_SCHEMA)
+
+
+def image_exif_features(assets: DataFrame) -> DataFrame:
+    """Extract Exif metadata from image payloads — the
+    orientation/capture-time/camera mining pass a training pipeline
+    runs before rotation fixes and temporal dedup. Parses the APP1
+    TIFF structure for real (multimodal/exif.py); images without Exif
+    report has_exif=false with NULL fields. One Arrow-batched
+    mapInPandas over image rows; payload bytes never shuffle."""
+    out_schema = (
+        "asset_id long, orientation int, iso int, exposure_den long, "
+        "camera string, shot_at string, has_exif boolean"
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparktrends_spark.multimodal.exif import parse_exif
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "asset_id": [], "orientation": [], "iso": [],
+                "exposure_den": [], "camera": [], "shot_at": [],
+                "has_exif": [],
+            }
+            imgs = pdf[pdf["modality"] == "image"]
+            for asset_id, payload in zip(imgs["asset_id"], imgs["payload"]):
+                tags = parse_exif(bytes(payload))
+                rows["asset_id"].append(int(asset_id))
+                rows["has_exif"].append(bool(tags))
+                rows["orientation"].append(tags.get("orientation"))
+                rows["iso"].append(tags.get("iso"))
+                exp = tags.get("exposure_time")
+                rows["exposure_den"].append(exp[1] if exp else None)
+                make, model = tags.get("make"), tags.get("model")
+                rows["camera"].append(
+                    f"{make} {model}" if make and model else None
+                )
+                rows["shot_at"].append(tags.get("datetime"))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(extract, out_schema)

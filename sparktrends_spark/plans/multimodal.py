@@ -267,6 +267,39 @@ def q_asset_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "asset_exif_stats",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+       CAST(100 * (1 + doc_id % 16) AS INTEGER) AS iso,
+       CAST(125 * (1 + doc_id % 4) AS BIGINT) AS exposure_den,
+       'SparkTrends CamSim' AS camera,
+       concat('2026:01:', lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0'),
+              ' 12:00:00') AS shot_at,
+       TRUE AS has_exif
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+def q_asset_exif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exif metadata mining through the REAL APP1/TIFF structure:
+    embed_exif_payloads splices a deterministic Exif segment (IFD0 +
+    Exif sub-IFD, big-endian TIFF) into each real JPEG, and
+    image_exif_features parses it back tag by tag
+    (multimodal/exif.py) — orientation, ISO, exposure denominator,
+    camera make+model, capture time. The oracle restates every field
+    from doc_id, so the graded row proves the writer AND parser agree
+    on the wire format. The scrub direction (strip_exif) is
+    unit-tested; pixels are untouched either way."""
+    from sparktrends_spark.multimodal.assets import embed_exif_payloads
+    from sparktrends_spark.multimodal.featurize import image_exif_features
+
+    media = embed_exif_payloads(
+        encode_media_payloads(_assets(spark, sf_dir), image_codec="jpeg")
+    )
+    return image_exif_features(media)
+
+
+@query(
     "asset_fmp4_frames",
     oracle="""
 SELECT asset_id,

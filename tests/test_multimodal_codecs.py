@@ -691,3 +691,69 @@ class TestProgressiveJpeg:
         for cut in (len(data) // 3, len(data) // 2, -30):
             with pytest.raises(ValueError):
                 decode_jpeg(data[:cut])
+
+
+class TestExif:
+    def _jpeg(self):
+        return encode_jpeg(np.full((16, 16, 3), 120, dtype=np.uint8), 75)
+
+    def test_roundtrip_all_fields(self):
+        from sparktrends_spark.multimodal.exif import insert_exif, parse_exif
+
+        fields = {
+            "make": "ACME", "model": "Cam 9", "orientation": 6,
+            "datetime": "2026:08:14 12:00:00",
+            "exposure_time": (1, 250), "iso": 400,
+        }
+        assert parse_exif(insert_exif(self._jpeg(), fields)) == fields
+
+    def test_pixels_untouched_by_insert_and_strip(self):
+        from sparktrends_spark.multimodal.exif import (
+            insert_exif,
+            parse_exif,
+            strip_exif,
+        )
+
+        j = self._jpeg()
+        j2 = insert_exif(j, {"orientation": 3})
+        assert np.array_equal(decode_jpeg(j2), decode_jpeg(j))
+        j3 = strip_exif(j2)
+        assert parse_exif(j3) == {}
+        assert np.array_equal(decode_jpeg(j3), decode_jpeg(j))
+
+    def test_no_exif_returns_empty(self):
+        from sparktrends_spark.multimodal.exif import parse_exif
+
+        assert parse_exif(self._jpeg()) == {}
+
+    def test_little_endian_tiff_parses(self):
+        # hand-build an II (little-endian) Exif: orientation=5
+        from sparktrends_spark.multimodal.exif import parse_exif
+
+        tiff = (
+            b"II" + struct.pack("<HI", 42, 8)
+            + struct.pack("<H", 1)                       # 1 entry
+            + struct.pack("<HHI", 0x0112, 3, 1)          # orientation SHORT
+            + struct.pack("<H", 5) + b"\x00\x00"
+            + struct.pack("<I", 0)                       # next IFD
+        )
+        payload = b"Exif\x00\x00" + tiff
+        seg = struct.pack(">BBH", 0xFF, 0xE1, len(payload) + 2) + payload
+        j = self._jpeg()
+        assert parse_exif(j[:2] + seg + j[2:]) == {"orientation": 5}
+
+    def test_corrupt_tiff_raises_value_error(self):
+        from sparktrends_spark.multimodal.exif import parse_exif
+
+        j = self._jpeg()
+        for bad_tiff in (b"XX" + b"\x00" * 10, b"MM\x00\x2a\xff\xff\xff\xff"):
+            payload = b"Exif\x00\x00" + bad_tiff
+            seg = struct.pack(">BBH", 0xFF, 0xE1, len(payload) + 2) + payload
+            with pytest.raises(ValueError):
+                parse_exif(j[:2] + seg + j[2:])
+
+    def test_insert_on_non_jpeg_raises(self):
+        from sparktrends_spark.multimodal.exif import insert_exif
+
+        with pytest.raises(ValueError):
+            insert_exif(b"RIFFxxxx", {"orientation": 1})
