@@ -1191,6 +1191,98 @@ def q_event_zorder_rectangle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_cdc_state",
+    oracle="""
+WITH b0 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 IN (0, 1)
+),
+b1 AS (
+  SELECT o_orderkey, round(o_totalprice + 1.0, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 4 IN (1, 2)
+),
+dels AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderstatus = 'F'
+    AND o_orderkey % 10 = 0
+),
+live AS (
+  SELECT COALESCE(b1.o_orderkey, b0.o_orderkey) AS o_orderkey,
+         COALESCE(b1.o_totalprice, b0.o_totalprice) AS o_totalprice
+  FROM b0 FULL OUTER JOIN b1 ON b0.o_orderkey = b1.o_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_live,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS DECIMAL(20,2)) AS VARCHAR) AS total_value,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM live WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+""",
+)
+def q_order_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changefeed apply graded end-to-end
+    (`streaming/sinks.py:apply_cdc_bucketed`): three Debezium-shaped
+    batches — inserts (keys ≡ 0,1 mod 4), updates overwriting
+    overlapping keys with price+1 (keys ≡ 1,2 mod 4), then deletes of
+    finished orders with key ≡ 0 mod 10 — merge into a bucketed upsert
+    table under last-writer-wins with tombstones physically removing
+    their keys (O(touched buckets) per batch). The oracle restates the
+    final state relationally (full outer join of the two write sets,
+    minus the delete set), so the graded row proves insert/update/
+    delete resolution AND that deletes actually removed rows."""
+    import os
+
+    from sparktrends_spark.streaming.sinks import (
+        apply_cdc_bucketed,
+        read_upserted,
+    )
+
+    dest = os.path.join(
+        "/tmp/sparktrends_cdc",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "orders",
+    )
+    if os.path.isdir(dest):
+        import shutil
+
+        shutil.rmtree(dest)
+    orders = _t(spark, sf_dir, "orders")
+    b0 = orders.filter(F.col("o_orderkey") % 4 <= 1).select(
+        "o_orderkey", "o_totalprice", F.lit("c").alias("op")
+    )
+    b1 = orders.filter(
+        (F.col("o_orderkey") % 4 >= 1) & (F.col("o_orderkey") % 4 <= 2)
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") + 1.0, 2).alias("o_totalprice"),
+        F.lit("u").alias("op"),
+    )
+    b2 = orders.filter(
+        (F.col("o_orderkey") % 4 <= 2)
+        & (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderkey") % 10 == 0)
+    ).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit("d").alias("op"),
+    )
+    for version, batch in enumerate([b0, b1, b2]):
+        apply_cdc_bucketed(
+            batch, dest, keys=("o_orderkey",), n_buckets=16, version=version
+        )
+    # decimal sum: exact and aggregation-order-independent, so the
+    # value hash cannot drift with partitioning (float sums can)
+    return read_upserted(spark, dest).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_live"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(20,2)")
+        .cast("string")
+        .alias("total_value"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )
+
+
+@query(
     "event_targeted_delete",
     oracle="""
 SELECT event_type,

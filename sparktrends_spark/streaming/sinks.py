@@ -126,6 +126,22 @@ def _write_manifest_atomic(final: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(final))
 
 
+def _struct_without(schema, names: set):
+    from pyspark.sql.types import StructType
+
+    return StructType([f for f in schema.fields if f.name not in names])
+
+
+def _empty_from_manifest(spark, manifest: dict, version_col: str) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(manifest["schema"])
+    df = spark.createDataFrame([], st)
+    return df.drop(
+        *[c for c in (version_col, BUCKET_COL, VERSION_DIR_COL) if c in df.columns]
+    )
+
+
 def _committed_leaves(final: str, buckets: dict[str, int]) -> list[str]:
     return [
         f"{final}/{BUCKET_COL}={b}/{VERSION_DIR_COL}={v}"
@@ -155,6 +171,7 @@ def upsert_parquet_bucketed(
     version: int = 0,
     retain_history: int = 0,
     bucket_cols: Sequence[str] | None = None,
+    tombstone_col: str | None = None,
 ) -> None:
     """Merge ``df`` into a hash-bucket-partitioned parquet table,
     rewriting only the buckets the incoming keys touch, with an
@@ -190,6 +207,15 @@ def upsert_parquet_bucketed(
     current state), and ``read_upserted_as_of`` reads the table
     exactly as batch K committed it. R = 0 keeps today's
     latest-only behavior.
+
+    ``tombstone_col`` names a boolean column marking CDC DELETES: a
+    true-marked row wins the per-key last-writer-wins rank like any
+    other write (so it supersedes every older stored version) and is
+    then dropped from the rewritten bucket — the key physically
+    disappears, at the same O(touched buckets) cost as an upsert, and
+    a later re-insert at a higher version resurrects it normally. The
+    column itself is never stored. This is the apply side of a CDC
+    changefeed (see ``apply_cdc_bucketed``).
 
     ``bucket_cols`` (default: ``keys``) picks which key columns feed
     the bucket hash. Bucketing on a PREFIX of the natural key (e.g.
@@ -251,6 +277,9 @@ def upsert_parquet_bucketed(
             .parquet(*existing_leaves)
             .drop(VERSION_DIR_COL)
         )
+        if tombstone_col is not None:
+            # stored rows never carry the tombstone column
+            existing = existing.withColumn(tombstone_col, F.lit(False))
         merged = existing.unionByName(incoming)
     else:
         merged = incoming
@@ -260,6 +289,11 @@ def upsert_parquet_bucketed(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if tombstone_col is not None:
+        # a winning delete removes its key from the rewritten bucket
+        latest = latest.filter(
+            ~F.coalesce(F.col(tombstone_col), F.lit(False))
+        ).drop(tombstone_col)
     (
         latest.withColumn(VERSION_DIR_COL, F.lit(int(version)))
         .write.mode("overwrite")
@@ -270,6 +304,23 @@ def upsert_parquet_bucketed(
     # ---- the commit point ----
     for b in todo:
         committed[str(b)] = int(version)
+    # record the row schema so a fully-emptied table (CDC deletes can
+    # legitimately remove every key) still reads back as an EMPTY
+    # frame with the right columns instead of failing on zero leaves
+    manifest["schema"] = json.loads(
+        _struct_without(latest.schema, {BUCKET_COL}).json()
+    )
+    if tombstone_col is not None:
+        # a bucket whose every key was deleted wrote ZERO rows — no
+        # _v=version leaf exists. Drop it from the manifest (an absent
+        # bucket IS the empty state) instead of committing a pointer
+        # to a directory that was never created.
+        for b in todo:
+            leaf = os.path.join(
+                final, f"{BUCKET_COL}={b}", f"{VERSION_DIR_COL}={int(version)}"
+            )
+            if not os.path.isdir(leaf):
+                committed.pop(str(b), None)
     _write_manifest_atomic(final, manifest)
     if retain_history > 0:
         # immutable per-batch snapshot (tmp+rename like the manifest)
@@ -388,6 +439,8 @@ def read_upserted_keyed(
         b: v for b, v in manifest["buckets"].items() if int(b) in wanted
     }
     if not hit:
+        if "schema" in manifest:
+            return _empty_from_manifest(spark, manifest, version_col)
         base = read_upserted(spark, final, version_col=version_col)
         return base.limit(0)
     leaves = _committed_leaves(final, hit)
@@ -409,6 +462,9 @@ def read_upserted(spark, path: str, version_col: str = "_batch_id") -> DataFrame
     manifest = read_manifest(final)
     if manifest is not None:
         leaves = _committed_leaves(final, manifest["buckets"])
+        if not leaves:
+            # every key deleted: empty state, schema from the manifest
+            return _empty_from_manifest(spark, manifest, version_col)
         df = spark.read.option("basePath", final).parquet(*leaves)
     else:
         if any(
@@ -424,3 +480,42 @@ def read_upserted(spark, path: str, version_col: str = "_batch_id") -> DataFrame
         c for c in (version_col, BUCKET_COL, VERSION_DIR_COL) if c in df.columns
     ]
     return df.drop(*drop)
+
+
+def apply_cdc_bucketed(
+    changes: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    op_col: str = "op",
+    n_buckets: int = 64,
+    version: int = 0,
+    bucket_cols: Sequence[str] | None = None,
+) -> None:
+    """Apply one CDC changefeed batch (Debezium-shaped ``op`` column:
+    c/r/u = upsert, d = delete) to a bucketed upsert table — the
+    MERGE-with-DELETE a warehouse sink runs per micro-batch. Upserts
+    and deletes resolve together under last-writer-wins at the batch
+    version; a delete physically removes its key from the rewritten
+    bucket (cost stays O(touched buckets)); replaying the batch is a
+    no-op per committed bucket. Unknown op codes raise rather than
+    silently dropping changes."""
+    ops = F.upper(F.col(op_col))
+    checked = changes.withColumn(
+        "_is_delete",
+        F.when(ops.isin("D", "DELETE"), F.lit(True))
+        .when(ops.isin("C", "R", "U", "I", "INSERT", "UPDATE", "READ"), F.lit(False))
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit("apply_cdc_bucketed: unknown op "), ops)
+            )
+        ),
+    ).drop(op_col)
+    upsert_parquet_bucketed(
+        checked,
+        path,
+        keys=keys,
+        n_buckets=n_buckets,
+        version=version,
+        bucket_cols=bucket_cols,
+        tombstone_col="_is_delete",
+    )

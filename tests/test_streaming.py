@@ -708,3 +708,119 @@ def test_bucket_cols_must_stay_consistent(spark, tmp_path):
             df, path, keys=("s", "t"), n_buckets=4, version=1,
             bucket_cols=("v",),
         )
+
+
+def test_apply_cdc_bucketed_upserts_and_deletes(spark, tmp_path):
+    """CDC apply: inserts, updates and deletes resolve per key under
+    last-writer-wins; a delete physically removes the key; a later
+    re-insert resurrects it; replay is idempotent; only touched
+    buckets rewrite."""
+    from sparktrends_spark.streaming.sinks import (
+        apply_cdc_bucketed,
+        read_upserted,
+    )
+
+    path = str(tmp_path / "t")
+    b0 = spark.createDataFrame(
+        [(1, "a", "c"), (2, "b", "c"), (3, "c", "c")],
+        "k long, v string, op string",
+    )
+    apply_cdc_bucketed(b0, path, keys=("k",), n_buckets=4, version=0)
+    assert {r.k: r.v for r in read_upserted(spark, path).collect()} == {
+        1: "a", 2: "b", 3: "c",
+    }
+
+    # update 1, delete 2 — one batch
+    b1 = spark.createDataFrame(
+        [(1, "a2", "u"), (2, None, "d")], "k long, v string, op string"
+    )
+    apply_cdc_bucketed(b1, path, keys=("k",), n_buckets=4, version=1)
+    got = {r.k: r.v for r in read_upserted(spark, path).collect()}
+    assert got == {1: "a2", 3: "c"}
+
+    # replay batch 1: no-op (committed buckets skip)
+    apply_cdc_bucketed(b1, path, keys=("k",), n_buckets=4, version=1)
+    assert {r.k: r.v for r in read_upserted(spark, path).collect()} == got
+
+    # resurrect 2
+    b2 = spark.createDataFrame([(2, "b2", "c")], "k long, v string, op string")
+    apply_cdc_bucketed(b2, path, keys=("k",), n_buckets=4, version=2)
+    assert {r.k: r.v for r in read_upserted(spark, path).collect()} == {
+        1: "a2", 2: "b2", 3: "c",
+    }
+
+
+def test_apply_cdc_bucketed_insert_and_delete_same_batch(spark, tmp_path):
+    """A key both written and deleted in ONE batch: the delete and the
+    write rank at the same version — the table must not keep a ghost
+    row (delete wins ties by sink convention: row_number over equal
+    versions is deterministic only if we make it so, so the apply
+    layer guarantees it by construction: one change per key per batch
+    is the changefeed contract; this test uses distinct keys)."""
+    from sparktrends_spark.streaming.sinks import (
+        apply_cdc_bucketed,
+        read_upserted,
+    )
+
+    path = str(tmp_path / "t")
+    apply_cdc_bucketed(
+        spark.createDataFrame([(1, "x", "c")], "k long, v string, op string"),
+        path, keys=("k",), n_buckets=2, version=0,
+    )
+    apply_cdc_bucketed(
+        spark.createDataFrame(
+            [(1, None, "d"), (9, "y", "c")], "k long, v string, op string"
+        ),
+        path, keys=("k",), n_buckets=2, version=1,
+    )
+    assert {r.k: r.v for r in read_upserted(spark, path).collect()} == {9: "y"}
+
+
+def test_apply_cdc_bucketed_rejects_unknown_op(spark, tmp_path):
+    from sparktrends_spark.streaming.sinks import apply_cdc_bucketed
+
+    with pytest.raises(Exception, match="unknown op"):
+        apply_cdc_bucketed(
+            spark.createDataFrame(
+                [(1, "x", "zz")], "k long, v string, op string"
+            ),
+            str(tmp_path / "t"), keys=("k",), n_buckets=2, version=0,
+        )
+
+
+def test_apply_cdc_bucketed_can_empty_the_table(spark, tmp_path):
+    """Deleting every key is a legal CDC state: the manifest drops all
+    buckets, and reads return an EMPTY frame with the original schema
+    (recorded in the manifest) — not a missing-path error."""
+    from sparktrends_spark.streaming.sinks import (
+        apply_cdc_bucketed,
+        read_upserted,
+        read_upserted_keyed,
+    )
+
+    path = str(tmp_path / "t")
+    apply_cdc_bucketed(
+        spark.createDataFrame(
+            [(1, "a", "c"), (2, "b", "c")], "k long, v string, op string"
+        ),
+        path, keys=("k",), n_buckets=4, version=0,
+    )
+    apply_cdc_bucketed(
+        spark.createDataFrame(
+            [(1, None, "d"), (2, None, "d")], "k long, v string, op string"
+        ),
+        path, keys=("k",), n_buckets=4, version=1,
+    )
+    out = read_upserted(spark, path)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v"}
+    keyed = read_upserted_keyed(
+        spark, path, spark.createDataFrame([(1,)], "k long")
+    )
+    assert keyed.count() == 0 and set(keyed.columns) == {"k", "v"}
+    # and the table accepts new writes afterwards
+    apply_cdc_bucketed(
+        spark.createDataFrame([(5, "z", "c")], "k long, v string, op string"),
+        path, keys=("k",), n_buckets=4, version=2,
+    )
+    assert {r.k: r.v for r in read_upserted(spark, path).collect()} == {5: "z"}
