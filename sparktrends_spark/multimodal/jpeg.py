@@ -23,9 +23,10 @@ Scope (documented, honest):
   and DHT tables — and progressive (SOF2): multi-scan coefficient
   accumulation across DC first/refinement and banded AC
   first/refinement scans with general EOBn runs (T.81 Annex G).
-  Arithmetic coding, 12-bit precision and hierarchical modes raise
-  ``NotImplementedError``; restart markers inside progressive scans
-  are likewise a documented seam; corrupt data raises ``ValueError``
+  Restart markers (DRI/RSTn) are honored in progressive scans too
+  (predictors and EOB runs reset per interval). Arithmetic coding,
+  12-bit precision and hierarchical modes raise
+  ``NotImplementedError``; corrupt data raises ``ValueError``
   per the decode_payload contract. Progressive and baseline encodes of
   the same image decode BIT-IDENTICALLY (property-tested) — the scan
   structure changes, the coefficients do not.
@@ -671,7 +672,7 @@ class _ProgACWriter:
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quality: int = 75
+    pixels: np.ndarray, quality: int = 75, restart_interval: int = 0
 ) -> bytes:
     """Progressive (SOF2) JFIF encode with the classic multi-scan
     script: coarse DC, banded AC at reduced precision, then successive-
@@ -731,6 +732,8 @@ def encode_jpeg_progressive(
     for c in range(ncomp):
         sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
     out += seg(0xC2, sof)  # SOF2: progressive
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     for cls, tid, (bits, vals) in (
         (0, 0, STD_DC_LUMA),
         (1, 0, STD_AC_LUMA),
@@ -746,11 +749,23 @@ def encode_jpeg_progressive(
         sos += bytes([ss, se, (ah << 4) | al])
         out += seg(0xDA, sos)
         bw = _BitWriter()
+        rst = [0]  # next RSTn index
+
+        def emit_restart() -> None:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst[0] % 8])
+            rst[0] += 1
+
         if ss == 0:  # DC scan, interleaved over blocks (4:4:4 MCU = block)
             if ah == 0:
                 prev = {c: 0 for c in comps}
+                i = 0
                 for yb in range(by):
                     for xb in range(bx):
+                        if restart_interval and i and i % restart_interval == 0:
+                            emit_restart()
+                            prev = {c: 0 for c in comps}
+                        i += 1
                         for c in comps:
                             v = int(zzs[c][yb, xb, 0]) >> al
                             diff = v - prev[c]
@@ -761,15 +776,24 @@ def encode_jpeg_progressive(
                             if size:
                                 bw.write(extra, size)
             else:  # DC refinement: one raw bit per block per comp
+                i = 0
                 for yb in range(by):
                     for xb in range(bx):
+                        if restart_interval and i and i % restart_interval == 0:
+                            emit_restart()
+                        i += 1
                         for c in comps:
                             bw.write((int(zzs[c][yb, xb, 0]) >> al) & 1, 1)
         else:  # AC scan: single component, raster block order
             (c,) = comps
             wtr = _ProgACWriter(bw, ac_codes[c])
+            i = 0
             for yb in range(by):
                 for xb in range(bx):
+                    if restart_interval and i and i % restart_interval == 0:
+                        wtr.finish()  # EOB runs may not cross a restart
+                        emit_restart()
+                    i += 1
                     zz = zzs[c][yb, xb]
                     if ah == 0:
                         wtr.first_scan_block(zz, ss, se, al)
@@ -892,10 +916,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     data, pos, frame, scan_tables, qtables, htables,
                     restart_interval,
                 )
-            if restart_interval:
-                raise NotImplementedError(
-                    "restart markers in progressive scans unsupported"
-                )
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             ahal = payload[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
@@ -903,7 +923,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 coefs, geom = _prog_alloc(frame)
             pos = _decode_progressive_scan(
                 data, pos, frame, scan_cids, scan_tables, ss, se, ah, al,
-                coefs, geom, htables,
+                coefs, geom, htables, restart_interval,
             )
         # APPn / COM / others: skipped
     if progressive and coefs is not None:
@@ -1049,9 +1069,14 @@ def _decode_progressive_scan(
     coefs: dict,
     geom: dict,
     htables: dict,
+    restart_interval: int = 0,
 ) -> int:
     """Decode one progressive scan into the coefficient buffers;
-    returns the file position of the next marker."""
+    returns the file position of the next marker. ``restart_interval``
+    (DRI) is honored: at each boundary the reader aligns to the RSTn
+    marker and DC predictors / EOB runs reset — restart intervals are
+    counted in MCUs for interleaved DC scans and in blocks for
+    non-interleaved scans, and an EOB run may not cross a boundary."""
     h, w, comps = frame
     br = _BitReader(data, pos)
     try:
@@ -1059,7 +1084,7 @@ def _decode_progressive_scan(
             if se != 0:
                 raise ValueError("progressive DC scan must have Se=0")
             _prog_dc_scan(br, frame, scan_cids, scan_tables, ah, al,
-                          coefs, geom, htables)
+                          coefs, geom, htables, restart_interval)
         else:
             if len(scan_cids) != 1:
                 raise ValueError("progressive AC scan must be 1-component")
@@ -1071,15 +1096,18 @@ def _decode_progressive_scan(
             g = geom[cid]
             blocks = coefs[cid]
             if ah == 0:
-                _prog_ac_first(br, blocks, g, ac_t, ss, se, al)
+                _prog_ac_first(br, blocks, g, ac_t, ss, se, al,
+                               restart_interval)
             else:
-                _prog_ac_refine(br, blocks, g, ac_t, ss, se, al)
+                _prog_ac_refine(br, blocks, g, ac_t, ss, se, al,
+                                restart_interval)
     except ValueError as exc:
         raise ValueError(f"JPEG progressive scan failed: {exc}") from exc
     return _next_marker(data, br.pos)
 
 
-def _prog_dc_scan(br, frame, scan_cids, scan_tables, ah, al, coefs, geom, htables):
+def _prog_dc_scan(br, frame, scan_cids, scan_tables, ah, al, coefs, geom,
+                  htables, restart_interval=0):
     h, w, comps = frame
     by_cid = {c[0]: c for c in comps}
     if len(scan_cids) > 1:  # interleaved MCU walk
@@ -1089,6 +1117,9 @@ def _prog_dc_scan(br, frame, scan_cids, scan_tables, ah, al, coefs, geom, htable
         mcuy = -(-h // (8 * vmax))
         prev = {cid: 0 for cid in scan_cids}
         for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                br.align_restart()
+                prev = {cid: 0 for cid in scan_cids}
             my, mx = divmod(m, mcux)
             for cid in scan_cids:
                 _c, hs, vs, _q = by_cid[cid]
@@ -1102,8 +1133,13 @@ def _prog_dc_scan(br, frame, scan_cids, scan_tables, ah, al, coefs, geom, htable
         cid = scan_cids[0]
         g = geom[cid]
         prev = {cid: 0}
+        i = 0
         for yb in range(g["bh"]):
             for xb in range(g["bw"]):
+                if restart_interval and i and i % restart_interval == 0:
+                    br.align_restart()
+                    prev = {cid: 0}
+                i += 1
                 _prog_dc_block(
                     br, coefs[cid][yb, xb], cid, scan_tables, htables,
                     ah, al, prev,
@@ -1125,10 +1161,15 @@ def _prog_dc_block(br, zz, cid, scan_tables, htables, ah, al, prev):
             zz[0] |= 1 << al  # two's-complement OR appends the bit
 
 
-def _prog_ac_first(br, blocks, g, ac_t, ss, se, al):
+def _prog_ac_first(br, blocks, g, ac_t, ss, se, al, restart_interval=0):
     eobrun = 0
+    i = 0
     for yb in range(g["bh"]):
         for xb in range(g["bw"]):
+            if restart_interval and i and i % restart_interval == 0:
+                br.align_restart()
+                eobrun = 0  # EOB runs may not cross a restart
+            i += 1
             zz = blocks[yb, xb]
             if eobrun > 0:
                 eobrun -= 1
@@ -1152,7 +1193,7 @@ def _prog_ac_first(br, blocks, g, ac_t, ss, se, al):
                 k += 1
 
 
-def _prog_ac_refine(br, blocks, g, ac_t, ss, se, al):
+def _prog_ac_refine(br, blocks, g, ac_t, ss, se, al, restart_interval=0):
     p1 = 1 << al
 
     def correct(zz, k):
@@ -1160,8 +1201,13 @@ def _prog_ac_refine(br, blocks, g, ac_t, ss, se, al):
             zz[k] += p1 if zz[k] > 0 else -p1
 
     eobrun = 0
+    i = 0
     for yb in range(g["bh"]):
         for xb in range(g["bw"]):
+            if restart_interval and i and i % restart_interval == 0:
+                br.align_restart()
+                eobrun = 0
+            i += 1
             zz = blocks[yb, xb]
             if eobrun > 0:
                 for k in range(ss, se + 1):

@@ -757,3 +757,26 @@ class TestExif:
 
         with pytest.raises(ValueError):
             insert_exif(b"RIFFxxxx", {"orientation": 1})
+
+
+class TestProgressiveRestart:
+    @pytest.mark.parametrize("ri", [1, 3, 7])
+    def test_progressive_with_restart_markers_matches_baseline(self, ri):
+        from sparktrends_spark.multimodal.jpeg import encode_jpeg_progressive
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (17, 31, 3), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, 75))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, 75, restart_interval=ri)
+        )
+        assert np.array_equal(base, prog)
+
+    def test_restart_stream_contains_dri_and_rst_markers(self):
+        from sparktrends_spark.multimodal.jpeg import encode_jpeg_progressive
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        data = encode_jpeg_progressive(img, 75, restart_interval=2)
+        assert b"\xff\xdd" in data  # DRI
+        assert any(bytes([0xFF, 0xD0 + n]) in data for n in range(8))
