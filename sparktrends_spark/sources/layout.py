@@ -94,14 +94,86 @@ def zorder_write(
     )
 
 
+STATS_MANIFEST = "_stats_manifest.json"
+
+
+def _file_stats(fp: str) -> dict:
+    """Per-column [min, max] envelopes of one parquet file's footer
+    (numeric columns with complete row-group stats only)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fp).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for col, idx in names.items():
+        cmin = cmax = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            if not isinstance(st.min, (int, float)):
+                ok = False
+                break
+            cmin = st.min if cmin is None else min(cmin, st.min)
+            cmax = st.max if cmax is None else max(cmax, st.max)
+        if ok and cmin is not None:
+            out[col] = [cmin, cmax]
+    return out
+
+
+def build_stats_manifest(path: str) -> dict:
+    """Collect every file's footer envelopes ONCE into
+    ``path/_stats_manifest.json`` — the cached statistics a table
+    format keeps in its commit log (Delta's per-file ``stats``,
+    Iceberg's manifest entries), so repeated ``scan_pruned`` calls
+    plan from one small JSON instead of re-reading N footers. Keyed by
+    (size, mtime_ns) per file; ``scan_pruned`` falls back to the live
+    footer for entries that changed since (stale entries never cause
+    wrong pruning, only a footer re-read)."""
+    import json
+
+    entries = {}
+    for r, _d, fs in os.walk(path):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(r, f)
+            st = os.stat(fp)
+            entries[os.path.relpath(fp, path)] = {
+                "size": st.st_size,
+                "mtime_ns": st.st_mtime_ns,
+                "cols": _file_stats(fp),
+            }
+    manifest = {"files": entries}
+    tmp = os.path.join(path, STATS_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(path, STATS_MANIFEST))
+    return manifest
+
+
+def _load_stats_manifest(path: str) -> dict | None:
+    import json
+
+    p = os.path.join(path, STATS_MANIFEST)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
 def _matching_files(
     path: str, ranges: dict[str, tuple[float, float]]
 ) -> tuple[list[str], list[str]]:
     """(all files, files whose footer min/max envelope intersects every
     queried range). A file with no stats on a queried column cannot be
-    pruned and counts as matching."""
-    import pyarrow.parquet as pq
-
+    pruned and counts as matching. Envelopes come from the cached
+    ``_stats_manifest.json`` when present and current (per-file
+    size+mtime check); otherwise from the live footer."""
+    manifest = _load_stats_manifest(path)
+    cached = manifest["files"] if manifest else {}
     files = sorted(
         os.path.join(r, f)
         for r, _d, fs in os.walk(path)
@@ -110,20 +182,22 @@ def _matching_files(
     )
     matching = []
     for fp in files:
-        md = pq.ParquetFile(fp).metadata
-        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        rel = os.path.relpath(fp, path)
+        entry = cached.get(rel)
+        if entry is not None:
+            st = os.stat(fp)
+            if (
+                entry["size"] != st.st_size
+                or entry["mtime_ns"] != st.st_mtime_ns
+            ):
+                entry = None  # stale: file rewritten since collection
+        col_stats = entry["cols"] if entry is not None else _file_stats(fp)
         hit = True
         for col, (lo, hi) in ranges.items():
-            cmin = cmax = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(names[col]).statistics
-                if st is None or not st.has_min_max:
-                    cmin, cmax = None, None
-                    break
-                cmin = st.min if cmin is None else min(cmin, st.min)
-                cmax = st.max if cmax is None else max(cmax, st.max)
-            if cmin is None:  # no stats -> cannot prune this file
+            env = col_stats.get(col)
+            if env is None:  # no stats -> cannot prune this file
                 continue
+            cmin, cmax = env
             if cmax < lo or cmin > hi:
                 hit = False
                 break

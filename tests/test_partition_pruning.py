@@ -146,3 +146,79 @@ def test_scan_pruned_empty_rectangle(spark, tmp_path):
     out = scan_pruned(spark, dest, {"user_id": (900, 950), "value": (0.0, 1.0)})
     assert out.count() == 0
     assert "event_id" in out.columns
+
+
+def test_stats_manifest_caches_envelopes_and_detects_staleness(spark, tmp_path):
+    """build_stats_manifest collects footer envelopes once; scan_pruned
+    plans from the cache (same file selection as live footers), and a
+    rewritten file invalidates its entry via size/mtime so pruning is
+    never wrong against stale stats."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.sources.layout import (
+        STATS_MANIFEST,
+        build_stats_manifest,
+        scan_pruned,
+        zorder_write,
+    )
+
+    df = spark.range(10_000).selectExpr(
+        "id AS event_id",
+        "CAST(pmod(id * 2654435761, 50) AS INT) AS user_id",
+        "CAST(pmod(id * 40503, 500) AS DOUBLE) AS value",
+    )
+    dest = str(tmp_path / "z")
+    zorder_write(df, ["user_id", "value"], dest, n_files=8)
+
+    ranges = {"user_id": (3, 9), "value": (50.0, 250.0)}
+    live = sorted(scan_pruned(spark, dest, ranges).inputFiles())
+    build_stats_manifest(dest)
+    assert os.path.isfile(os.path.join(dest, STATS_MANIFEST))
+    cached = sorted(scan_pruned(spark, dest, ranges).inputFiles())
+    assert cached == live
+
+    # poison the manifest for one file: pretend it covers nothing.
+    # size/mtime still match, so the (wrong) cached envelope is used —
+    # proving the cache is actually consulted...
+    mp = os.path.join(dest, STATS_MANIFEST)
+    m = json.load(open(mp))
+    victim = os.path.relpath(
+        live[0].replace("file:", ""), dest
+    )
+    m["files"][victim]["cols"]["user_id"] = [10_000, 10_001]
+    json.dump(m, open(mp, "w"))
+    spark.catalog.refreshByPath(dest)
+    poisoned = sorted(scan_pruned(spark, dest, ranges).inputFiles())
+    assert len(poisoned) == len(live) - 1
+
+    # ...and rewriting the file on disk invalidates the stale entry
+    # (size/mtime mismatch -> live footer read -> correct again)
+    vf = os.path.join(dest, victim)
+    sub = spark.read.parquet(vf)
+    tmp_out = str(tmp_path / "one")
+    sub.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = next(
+        os.path.join(tmp_out, f)
+        for f in os.listdir(tmp_out)
+        if f.endswith(".parquet")
+    )
+    os.replace(part, vf)
+    crc = os.path.join(
+        os.path.dirname(vf), f".{os.path.basename(vf)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(dest)
+    refreshed = sorted(scan_pruned(spark, dest, ranges).inputFiles())
+    assert len(refreshed) == len(live)
+    # result correctness end-to-end after all of it
+    full = spark.read.parquet(dest).filter(
+        F.col("user_id").between(3, 9) & F.col("value").between(50.0, 250.0)
+    )
+    got = scan_pruned(spark, dest, ranges)
+    assert sorted(r.event_id for r in got.collect()) == sorted(
+        r.event_id for r in full.collect()
+    )
