@@ -858,3 +858,76 @@ def build_stream_doc_incremental_dedup(
         if q.isActive:
             q.stop()
     return read_upserted(spark, table)
+
+
+@query(
+    "stream_order_cdc_apply",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)
+""",
+)
+def q_stream_order_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changefeed apply on a LIVE stream: orders arrive as a
+    Debezium-shaped feed (op = 'd' for finished orders with key ≡ 0
+    mod 10, 'c' otherwise — one change per key, the changefeed
+    contract) and every micro-batch runs the MERGE-with-DELETE
+    (`apply_cdc_bucketed`, batch id as the version) against the
+    bucketed table inside foreachBatch. The oracle states the
+    surviving rows relationally; tombstoned keys must be PHYSICALLY
+    absent from the sink whatever the micro-batching. Multi-batch and
+    kill-and-restart behavior ride the same checkpoint/replay
+    machinery as the other stream sinks (replaying a committed batch
+    is a per-bucket no-op)."""
+    return build_stream_order_cdc_apply(spark, sf_dir)
+
+
+def build_stream_order_cdc_apply(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+    table_dir: str | None = None,
+) -> DataFrame:
+    from sparktrends_spark.streaming.sinks import apply_cdc_bucketed
+
+    _ensure_read_confs(spark)
+    base = sf_dir.rstrip("/")
+    schema = spark.read.parquet(f"{base}/orders.parquet").schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    changes = reader.parquet(f"{base}/orders*.parquet").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 0),
+            F.lit("d"),
+        )
+        .otherwise(F.lit("c"))
+        .alias("op"),
+    )
+    out_dir = table_dir or tempfile.mkdtemp(prefix="stream_cdc_out_")
+    ckpt = ckpt_dir or tempfile.mkdtemp(prefix="stream_cdc_ckpt_")
+    table = os.path.join(out_dir, "t")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_bucketed(
+            batch_df, table, keys=("o_orderkey",), n_buckets=16,
+            version=batch_id,
+        )
+
+    q = (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_upserted(spark, table)

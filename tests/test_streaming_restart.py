@@ -251,3 +251,72 @@ def test_incremental_dedup_screen_kill_and_restart(
     _assert_frames_equal(
         result, _oracle(sf_dir, "stream_doc_incremental_dedup")
     )
+
+
+def test_cdc_stream_kill_and_restart_lands_on_oracle(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """CDC apply with tombstones through kill-and-restart: the stream
+    crashes mid-feed (after committing batch 0), restarts from the
+    checkpoint, and the final sink equals the relational oracle —
+    including keys whose DELETE arrived in a replayed batch."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    import sparktrends_spark.streaming.sinks as sinks_mod
+    from sparktrends_spark.plans.streaming_queries import (
+        build_stream_order_cdc_apply,
+    )
+    from sparktrends_spark.streaming.sinks import (
+        read_upserted,
+        upsert_parquet_bucketed as real_upsert,
+    )
+    from tests.oracle_utils import duckdb_connection
+
+    # split orders into 3 key-ordered files, mtime-ascending
+    split = tmp_path / "orders_split"
+    split.mkdir()
+    tbl = pq_.read_table(f"{sf_dir}/orders.parquet")
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("o_orderkey", "ascending")]))
+    step = (len(tbl) + 2) // 3
+    for i in range(3):
+        name = "orders.parquet" if i == 0 else f"orders_{i}.parquet"
+        p = str(split / name)
+        pq_.write_table(tbl.slice(i * step, step), p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    calls = {"crashed": False}
+    def crashing(df, path, keys, **kw):
+        if kw.get("version") == 1 and not calls["crashed"]:
+            calls["crashed"] = True
+            raise RuntimeError("injected kill (cdc)")
+        return real_upsert(df, path, keys=keys, **kw)
+
+    monkeypatch.setattr(sinks_mod, "upsert_parquet_bucketed", crashing)
+    ckpt = str(tmp_path / "ckpt")
+    table_dir = str(tmp_path / "table")
+    os.makedirs(table_dir, exist_ok=True)
+    with pytest.raises(StreamingQueryException, match="injected kill"):
+        build_stream_order_cdc_apply(
+            spark, str(split), max_files_per_trigger=1,
+            ckpt_dir=ckpt, table_dir=table_dir,
+        )
+    monkeypatch.setattr(sinks_mod, "upsert_parquet_bucketed", real_upsert)
+
+    result = build_stream_order_cdc_apply(
+        spark, str(split), max_files_per_trigger=1,
+        ckpt_dir=ckpt, table_dir=table_dir,
+    )
+    got = {r.o_orderkey: r.o_totalprice for r in result.collect()}
+    con = duckdb_connection(sf_dir)
+    try:
+        want = {
+            int(k): v
+            for k, v in con.execute(
+                "SELECT o_orderkey, o_totalprice FROM orders "
+                "WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want
