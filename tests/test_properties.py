@@ -110,3 +110,99 @@ def test_misra_gries_guarantee(stream, capacity, batch_size):
     for key, cnt in true.items():
         if cnt > bound:
             assert key in state, (key, cnt, bound, capacity, state)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 10),
+    st.floats(0.05, 0.95),
+)
+def test_ema_chunked_equals_sequential_property(
+    spark_session_holder, closes, chunk_rows, alpha
+):
+    """For ANY series, chunk size and alpha: the chunked linear-
+    recurrence decomposition equals the sequential fold within FP-
+    reassociation tolerance."""
+    import math
+
+    from sparktrends_spark.caching import release_persisted
+    from sparktrends_spark.operators.indicators import ema, ema_chunked
+
+    spark = spark_session_holder
+    rows = [("S", float(i), float(c)) for i, c in enumerate(closes)]
+    df = spark.createDataFrame(rows, "symbol string, day double, close double")
+    want = {
+        r.day: r.ema
+        for r in ema(df, "close", "day", ["symbol"], alpha=alpha).collect()
+    }
+    got = {
+        r.day: r.ema
+        for r in ema_chunked(
+            df, "close", "day", ["symbol"], alpha=alpha, chunk_rows=chunk_rows
+        ).collect()
+    }
+    release_persisted()
+    assert want.keys() == got.keys()
+    for k in want:
+        assert math.isclose(want[k], got[k], rel_tol=1e-9, abs_tol=1e-6), (
+            k, want[k], got[k],
+        )
+
+
+cdc_op_st = st.tuples(
+    st.integers(0, 9),                       # key
+    st.integers(0, 1_000),                   # value
+    st.sampled_from(["c", "u", "d"]),        # op
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(st.lists(st.lists(cdc_op_st, min_size=1, max_size=6), min_size=1, max_size=4))
+def test_cdc_apply_matches_model(spark_session_holder, tmp_path_factory, batches):
+    """apply_cdc_bucketed over arbitrary batch sequences equals a
+    dict model applying the same changes in order (one change per key
+    per batch — the changefeed contract; duplicates within a batch are
+    collapsed to the last occurrence before applying)."""
+    from sparktrends_spark.streaming.sinks import (
+        apply_cdc_bucketed,
+        read_upserted,
+    )
+
+    spark = spark_session_holder
+    path = str(tmp_path_factory.mktemp("cdc") / "t")
+    model: dict[int, int] = {}
+    for version, batch in enumerate(batches):
+        dedup: dict[int, tuple] = {}
+        for k, v, op in batch:  # last change per key wins in the feed
+            dedup[k] = (k, v, op)
+        rows = list(dedup.values())
+        apply_cdc_bucketed(
+            spark.createDataFrame(rows, "k long, v long, op string"),
+            path, keys=("k",), n_buckets=4, version=version,
+        )
+        for k, v, op in rows:
+            if op == "d":
+                model.pop(k, None)
+            else:
+                model[k] = v
+    got = {r.k: r.v for r in read_upserted(spark, path).collect()}
+    assert got == model
