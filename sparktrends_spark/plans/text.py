@@ -742,6 +742,97 @@ def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_bm25_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+corp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+scored AS (
+  SELECT f.doc_id, f.term, f.tf,
+         round(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (0.25 + 0.75 * (d.dl / avgdl))),
+           6) AS bm25
+  FROM tf f
+  JOIN dfreq USING (term)
+  JOIN dl d ON d.doc_id = f.doc_id
+  CROSS JOIN corp
+),
+ranked AS (
+  SELECT doc_id, term, tf, bm25,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY bm25 DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, bm25, rnk FROM ranked WHERE rnk <= 3
+""",
+)
+def q_doc_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 BM25 terms per document (k1=1.2, b=0.75, Lucene-form
+    idf = ln((N−df+0.5)/(df+0.5) + 1) — always positive) — the
+    retrieval-grade sibling of `doc_tfidf_terms`, with the length
+    normalization TF-IDF lacks: long documents stop dominating on raw
+    term counts. Same scale shape: explode → (doc, term) counts →
+    broadcast df/corpus-constant joins → per-doc window; avgdl is an
+    exact integer sum over one tiny frame (no float aggregation-order
+    sensitivity); scores round to 6 digits BEFORE ranking; ties break
+    on the term."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    dl = toks.select("doc_id", F.size("_toks").cast("bigint").alias("dl"))
+    terms = toks.select("doc_id", F.explode("_toks").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corp = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(corp))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75) * (F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
     "doc_pack_sequences",
     oracle=f"""
 WITH {_TOKS_CTE.strip()},
@@ -2320,4 +2411,124 @@ def q_doc_span_decontaminate_removed(
             ),
             F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_fp"),
         )
+    )
+
+
+@query(
+    "doc_hybrid_rrf",
+    oracle=f"""
+WITH {_HASH_EMBED_CTES.strip()},
+e AS (SELECT doc_id, raw, nrm FROM n WHERE nrm > 0),
+q AS (SELECT doc_id AS query_id, raw AS qv, nrm AS qn FROM e WHERE doc_id < 10),
+sem_scored AS (
+  SELECT query_id, e.doc_id,
+         round(list_dot_product(qv, raw) / (qn * nrm), 6) AS cosine
+  FROM e, q WHERE e.doc_id != query_id
+),
+sem AS (
+  SELECT query_id, doc_id, rnk AS rank_sem FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk
+    FROM sem_scored
+  ) WHERE rnk <= 20
+),
+tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+dterm AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tk),
+qterm AS (SELECT doc_id AS query_id, term FROM dterm WHERE doc_id < 10),
+lex_scored AS (
+  SELECT q.query_id, d.doc_id, CAST(count(*) AS BIGINT) AS shared
+  FROM qterm q JOIN dterm d ON d.term = q.term AND d.doc_id != q.query_id
+  GROUP BY q.query_id, d.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id, rnk AS rank_lex FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY shared DESC, doc_id) AS rnk
+    FROM lex_scored
+  ) WHERE rnk <= 20
+),
+fused AS (
+  SELECT COALESCE(s.query_id, l.query_id) AS query_id,
+         COALESCE(s.doc_id, l.doc_id) AS doc_id,
+         round(COALESCE(1.0 / (60 + s.rank_sem), 0.0)
+               + COALESCE(1.0 / (60 + l.rank_lex), 0.0), 6) AS rrf
+  FROM sem s FULL OUTER JOIN lex l
+    ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+)
+SELECT query_id, doc_id, rrf, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+  FROM fused
+) WHERE rnk <= 5
+""",
+)
+def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion — the RAG-pipeline
+    primitive that merges a SEMANTIC ranking (in-plan hash-embedding
+    cosine, `doc_embedding_topk`'s dataflow, top-20) with a LEXICAL
+    ranking (distinct shared-term counts — integer-exact, no float
+    aggregation-order risk — top-20) as
+    rrf = Σ 1/(60 + rank_list), then re-ranks the union to a top-5
+    per query. Candidates in one list only contribute that list's
+    term (standard RRF). Both rankings round/tiebreak before ranking
+    so the fusion is engine-stable.
+
+    Scale shape: the semantic side is the broadcast brute-force ranker
+    (corpus never shuffles; swap in the LSH/IVF ranker at scale); the
+    lexical side is a term-keyed equi-join of 10 query docs' distinct
+    terms against the corpus term table — bucket-keyed, never
+    all-pairs; fusion joins two ≤ (queries × 20)-row frames."""
+    from sparktrends_spark.caching import persist_tracked
+    from sparktrends_spark.similarity.cosine import brute_force_topk
+
+    d = _docs(spark, sf_dir)
+    e = persist_tracked(
+        hash_embed_vectors(spark, sf_dir).filter(F.col("nrm") > 0)
+    )
+    queries = e.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), F.col("raw")
+    )
+    sem = brute_force_topk(
+        queries, e, k=20, query_id="query_id", cand_id="doc_id", vec_col="raw"
+    ).select("query_id", "doc_id", F.col("rnk").alias("rank_sem"))
+
+    dterm = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    qterm = dterm.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    lex_scored = (
+        qterm.join(
+            dterm.withColumnRenamed("doc_id", "cand_id"), "term"
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("cand_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.desc("shared"), F.asc("doc_id")
+    )
+    lex = (
+        lex_scored.withColumn("rank_lex", F.row_number().over(wl))
+        .filter(F.col("rank_lex") <= 20)
+        .select("query_id", "doc_id", "rank_lex")
+    )
+    fused = sem.join(lex, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(60) + F.col("rank_sem")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(60) + F.col("rank_lex")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rnk") <= 5)
     )
