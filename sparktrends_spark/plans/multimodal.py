@@ -300,6 +300,58 @@ def q_asset_exif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asset_exif_scrubbed",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_images,
+       CAST(0 AS BIGINT) AS n_with_exif,
+       round(avg(CAST(CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT)
+                 AS DOUBLE)), 6) AS mean_brightness_all
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+def q_asset_exif_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII-scrub direction graded end-to-end: embed Exif into every
+    real JPEG, STRIP it (`exif.strip_exif` — APP1 removed, entropy data
+    untouched), then prove with the parser that zero images still carry
+    metadata AND with the pixel decoder that brightness is unchanged
+    (the scrub may not touch image content). Oracle: exact image count,
+    literal zero Exif survivors, and the constant-color mean restated
+    from md5(text) — averaging per-image integers, deterministic."""
+    from sparktrends_spark.multimodal.assets import embed_exif_payloads
+    from sparktrends_spark.multimodal.featurize import (
+        image_exif_features,
+        image_pixel_features,
+    )
+
+    media = embed_exif_payloads(
+        encode_media_payloads(_assets(spark, sf_dir), image_codec="jpeg")
+    )
+
+    def scrub(batches):
+        from sparktrends_spark.multimodal.exif import strip_exif
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                strip_exif(bytes(p)) if m == "image" else bytes(p)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pdf
+
+    scrubbed = media.mapInPandas(scrub, media.schema)
+    exif = image_exif_features(scrubbed)
+    px = image_pixel_features(scrubbed, grid=4)
+    joined = exif.join(px.select("asset_id", "mean_brightness"), "asset_id")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.coalesce(
+            F.sum(F.when(F.col("has_exif"), 1)), F.lit(0)
+        ).cast("bigint").alias("n_with_exif"),
+        F.round(F.avg("mean_brightness"), 6).alias("mean_brightness_all"),
+    )
+
+
+@query(
     "asset_fmp4_frames",
     oracle="""
 SELECT asset_id,
