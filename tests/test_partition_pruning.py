@@ -222,3 +222,70 @@ def test_stats_manifest_caches_envelopes_and_detects_staleness(spark, tmp_path):
     assert sorted(r.event_id for r in got.collect()) == sorted(
         r.event_id for r in full.collect()
     )
+
+
+def test_bloom_index_point_lookup_prunes_without_false_negatives(spark, tmp_path):
+    """High-cardinality point lookups: min/max envelopes can't prune a
+    randomly distributed key, the Bloom sidecar can — strict inputFiles
+    subset, result identical to a full-scan IN filter (zero false
+    negatives by construction), and a stale entry degrades to
+    accept-the-file, never to missing rows."""
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.sources.bloom import build_bloom_index, scan_bloom
+
+    dest = str(tmp_path / "t")
+    # ids shuffled across 16 files: every file's [min, max] spans ~the
+    # whole domain, so range stats prune nothing
+    spark.range(50_000).selectExpr(
+        "CAST(pmod(id * 2654435761, 1000000007) AS LONG) AS event_id",
+        "id AS payload",
+    ).repartition(16).write.parquet(dest)
+
+    build_bloom_index(dest, "event_id", fpp=0.01)
+    probe = [
+        r.event_id
+        for r in spark.read.parquet(dest).limit(3).collect()
+    ]
+    got = scan_bloom(spark, dest, "event_id", probe)
+    full = spark.read.parquet(dest).filter(F.col("event_id").isin(probe))
+    assert len(got.inputFiles()) < len(spark.read.parquet(dest).inputFiles())
+    assert sorted(r.payload for r in got.collect()) == sorted(
+        r.payload for r in full.collect()
+    )
+    assert got.count() >= 3
+
+    # absent key: most (often all) files rejected, zero rows
+    none = scan_bloom(spark, dest, "event_id", [-1])
+    assert none.count() == 0
+
+    # staleness: rewrite one file in place -> its entry is ignored
+    # (file accepted), results stay correct
+    import os
+
+    victim = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(dest)
+        for f in fs
+        if f.endswith(".parquet")
+    )[0]
+    sub = spark.read.parquet(victim).limit(10)
+    tmp_out = str(tmp_path / "one")
+    sub.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = next(
+        os.path.join(tmp_out, f)
+        for f in os.listdir(tmp_out)
+        if f.endswith(".parquet")
+    )
+    os.replace(part, victim)
+    crc = os.path.join(
+        os.path.dirname(victim), f".{os.path.basename(victim)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.refreshByPath(dest)
+    again = scan_bloom(spark, dest, "event_id", probe)
+    full2 = spark.read.parquet(dest).filter(F.col("event_id").isin(probe))
+    assert sorted(r.payload for r in again.collect()) == sorted(
+        r.payload for r in full2.collect()
+    )
