@@ -61,12 +61,24 @@ def _size_for(n_items: int, fpp: float) -> tuple[int, int]:
     return m, min(k, 16)
 
 
-def build_bloom_index(path: str, col: str, fpp: float = 0.01) -> dict:
+def build_bloom_index(
+    path: str, col: str, fpp: float = 0.01, incremental: bool = False
+) -> dict:
     """Build/refresh the per-file Bloom sidecar for ``col``. One
     column-projected read per file; the filter is bytes, base64 in the
-    JSON. Returns the index dict."""
+    JSON. With ``incremental=True``, files whose (size, mtime) entry in
+    the existing sidecar is current are NOT re-read — maintenance cost
+    is O(new + rewritten files), the append-workload shape (a table
+    format does the same by attaching stats at write time); entries
+    for deleted files are dropped either way. Returns the index."""
     import pyarrow.parquet as pq
 
+    prior: dict = {}
+    if incremental and os.path.isfile(_bloom_path(path, col)):
+        with open(_bloom_path(path, col)) as fh:
+            loaded = json.load(fh)
+        if loaded.get("col") == col and loaded.get("fpp") == fpp:
+            prior = loaded.get("files", {})
     files = sorted(
         os.path.join(r, f)
         for r, _d, fs in os.walk(path)
@@ -75,6 +87,16 @@ def build_bloom_index(path: str, col: str, fpp: float = 0.01) -> dict:
     )
     entries = {}
     for fp in files:
+        rel = os.path.relpath(fp, path)
+        st = os.stat(fp)
+        old = prior.get(rel)
+        if (
+            old is not None
+            and old["size"] == st.st_size
+            and old["mtime_ns"] == st.st_mtime_ns
+        ):
+            entries[rel] = old
+            continue
         vals = pq.read_table(fp, columns=[col]).column(col).to_pylist()
         uniq = {v for v in vals if v is not None}
         n_bits, k = _size_for(len(uniq), fpp)
@@ -82,8 +104,7 @@ def build_bloom_index(path: str, col: str, fpp: float = 0.01) -> dict:
         for v in uniq:
             for pos in _hashes(v, n_bits, k):
                 bits[pos >> 3] |= 1 << (pos & 7)
-        st = os.stat(fp)
-        entries[os.path.relpath(fp, path)] = {
+        entries[rel] = {
             "size": st.st_size,
             "mtime_ns": st.st_mtime_ns,
             "n_bits": n_bits,

@@ -123,7 +123,7 @@ def _file_stats(fp: str) -> dict:
     return out
 
 
-def build_stats_manifest(path: str) -> dict:
+def build_stats_manifest(path: str, incremental: bool = False) -> dict:
     """Collect every file's footer envelopes ONCE into
     ``path/_stats_manifest.json`` — the cached statistics a table
     format keeps in its commit log (Delta's per-file ``stats``,
@@ -131,9 +131,16 @@ def build_stats_manifest(path: str) -> dict:
     plan from one small JSON instead of re-reading N footers. Keyed by
     (size, mtime_ns) per file; ``scan_pruned`` falls back to the live
     footer for entries that changed since (stale entries never cause
-    wrong pruning, only a footer re-read)."""
+    wrong pruning, only a footer re-read). With ``incremental=True``
+    only new/rewritten files re-read their footers — O(appended files)
+    maintenance; deleted files' entries drop either way."""
     import json
 
+    prior: dict = {}
+    if incremental:
+        loaded = _load_stats_manifest(path)
+        if loaded:
+            prior = loaded.get("files", {})
     entries = {}
     for r, _d, fs in os.walk(path):
         for f in fs:
@@ -141,7 +148,16 @@ def build_stats_manifest(path: str) -> dict:
                 continue
             fp = os.path.join(r, f)
             st = os.stat(fp)
-            entries[os.path.relpath(fp, path)] = {
+            rel = os.path.relpath(fp, path)
+            old = prior.get(rel)
+            if (
+                old is not None
+                and old["size"] == st.st_size
+                and old["mtime_ns"] == st.st_mtime_ns
+            ):
+                entries[rel] = old
+                continue
+            entries[rel] = {
                 "size": st.st_size,
                 "mtime_ns": st.st_mtime_ns,
                 "cols": _file_stats(fp),

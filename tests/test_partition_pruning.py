@@ -289,3 +289,81 @@ def test_bloom_index_point_lookup_prunes_without_false_negatives(spark, tmp_path
     assert sorted(r.payload for r in again.collect()) == sorted(
         r.payload for r in full2.collect()
     )
+
+
+def test_incremental_index_maintenance_touches_only_new_files(spark, tmp_path):
+    """Append workload: incremental refresh keeps current entries
+    byte-identical (no re-read — proven by preserving a poisoned
+    marker), indexes the appended files, drops deleted ones, and both
+    skipping readers stay correct."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.sources.bloom import (
+        _bloom_path,
+        build_bloom_index,
+        scan_bloom,
+    )
+    from sparktrends_spark.sources.layout import (
+        STATS_MANIFEST,
+        build_stats_manifest,
+        scan_pruned,
+    )
+
+    dest = str(tmp_path / "t")
+    spark.range(5_000).selectExpr(
+        "CAST(pmod(id * 2654435761, 1000003) AS LONG) AS event_id",
+        "CAST(pmod(id, 50) AS INT) AS user_id",
+        "CAST(pmod(id * 40503, 500) AS DOUBLE) AS value",
+    ).repartition(4).write.parquet(dest)
+    build_stats_manifest(dest)
+    build_bloom_index(dest, "event_id")
+
+    # plant a marker in one current entry of each sidecar: an
+    # incremental refresh must carry it through untouched (proving it
+    # did not re-read that file)
+    sp = os.path.join(dest, STATS_MANIFEST)
+    m = json.load(open(sp))
+    k0 = sorted(m["files"])[0]
+    m["files"][k0]["_marker"] = 1
+    json.dump(m, open(sp, "w"))
+    bp = _bloom_path(dest, "event_id")
+    b = json.load(open(bp))
+    b["files"][k0]["_marker"] = 1
+    json.dump(b, open(bp, "w"))
+
+    # append new files
+    spark.range(5_000, 7_000).selectExpr(
+        "CAST(pmod(id * 2654435761, 1000003) AS LONG) AS event_id",
+        "CAST(pmod(id, 50) AS INT) AS user_id",
+        "CAST(pmod(id * 40503, 500) AS DOUBLE) AS value",
+    ).repartition(2).write.mode("append").parquet(dest)
+    spark.catalog.refreshByPath(dest)
+
+    build_stats_manifest(dest, incremental=True)
+    build_bloom_index(dest, "event_id", incremental=True)
+    m2 = json.load(open(sp))
+    b2 = json.load(open(bp))
+    n_files = len([
+        f for r, _d, fs in os.walk(dest) for f in fs if f.endswith(".parquet")
+    ])
+    assert len(m2["files"]) == len(b2["files"]) == n_files == 6
+    assert m2["files"][k0].get("_marker") == 1  # untouched entry
+    assert b2["files"][k0].get("_marker") == 1
+
+    # correctness end-to-end over old + new data
+    full = spark.read.parquet(dest)
+    probe = [r.event_id for r in full.orderBy(F.desc("event_id")).limit(2).collect()]
+    assert (
+        scan_bloom(spark, dest, "event_id", probe).count()
+        == full.filter(F.col("event_id").isin(probe)).count()
+    )
+    ranges = {"user_id": (3, 9), "value": (50.0, 250.0)}
+    assert (
+        scan_pruned(spark, dest, ranges).count()
+        == full.filter(
+            F.col("user_id").between(3, 9) & F.col("value").between(50.0, 250.0)
+        ).count()
+    )
