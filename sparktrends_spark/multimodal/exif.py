@@ -160,6 +160,13 @@ def parse_exif(jpeg: bytes) -> dict:
     """Extract known tags from the first Exif APP1 (IFD0 + Exif
     sub-IFD). Returns {} when no Exif is present; raises ValueError on
     a corrupt TIFF structure."""
+    try:
+        return _parse_exif_checked(jpeg)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"Exif structure corrupt: {exc}") from exc
+
+
+def _parse_exif_checked(jpeg: bytes) -> dict:
     app1 = None
     for marker, _pos, payload in _segments(jpeg):
         if marker == 0xE1 and payload[:6] == b"Exif\x00\x00":
@@ -182,8 +189,14 @@ def parse_exif(jpeg: bytes) -> dict:
     (ifd_off,) = struct.unpack(e + "I", app1[4:8])
 
     out: dict = {}
+    seen_ifds: set[int] = set()
 
     def read_ifd(off: int) -> None:
+        # cycle guard: a fuzzed sub-IFD pointer aimed back at a parent
+        # IFD would otherwise recurse forever
+        if off in seen_ifds:
+            raise ValueError("Exif IFD pointer cycle")
+        seen_ifds.add(off)
         if off + 2 > len(app1):
             raise ValueError("Exif IFD offset out of range")
         (cnt,) = struct.unpack(e + "H", app1[off : off + 2])

@@ -818,7 +818,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     DQT/DHT. Progressive (SOF2): multi-scan coefficient accumulation —
     DC first/refine, banded AC first/refine, EOBn runs. Arithmetic /
     12-bit / hierarchical raise NotImplementedError; corrupt data
-    raises ValueError."""
+    raises ValueError — including structurally fuzzed streams whose
+    truncated segments would otherwise surface IndexError/struct.error
+    from slice parsing (converted at this boundary; the quarantine
+    contract promises exactly ValueError for bad bytes)."""
+    try:
+        return _decode_jpeg_checked(data)
+    except (IndexError, KeyError, struct.error, OverflowError) as exc:
+        # fuzzed streams can declare a 255-bit DC size (int64 overflow
+        # in the block buffer), reference components/tables absent
+        # from the frame (KeyError), or truncate any length-prefixed
+        # structure (IndexError/struct.error)
+        raise ValueError(f"JPEG structure corrupt: {exc}") from exc
+
+
+def _decode_jpeg_checked(data: bytes) -> np.ndarray:
     if data[:3] != JPEG_SIGNATURE or data[3] < 0xC0:
         raise ValueError("not a JPEG: bad signature")
     pos = 2
@@ -1078,6 +1092,9 @@ def _decode_progressive_scan(
     counted in MCUs for interleaved DC scans and in blocks for
     non-interleaved scans, and an EOB run may not cross a boundary."""
     h, w, comps = frame
+    known = {c[0] for c in comps}
+    if any(cid not in known for cid in scan_cids):
+        raise ValueError("progressive scan references unknown component")
     br = _BitReader(data, pos)
     try:
         if ss == 0:

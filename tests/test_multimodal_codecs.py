@@ -780,3 +780,71 @@ class TestProgressiveRestart:
         data = encode_jpeg_progressive(img, 75, restart_interval=2)
         assert b"\xff\xdd" in data  # DRI
         assert any(bytes([0xFF, 0xD0 + n]) in data for n in range(8))
+
+
+class TestCorruptContractFuzz:
+    """The quarantine contract: for ANY byte-level corruption, decode
+    returns a valid result or raises ValueError/NotImplementedError —
+    never IndexError/struct.error/RecursionError."""
+
+    ALLOWED = (ValueError, NotImplementedError)
+
+    def _fuzz(self, data: bytes, decode, rng, rounds=300):
+        n = len(data)
+        for i in range(rounds):
+            b = bytearray(data)
+            mode = i % 3
+            if mode == 0:  # flip a few bytes
+                for _ in range(rng.integers(1, 6)):
+                    b[int(rng.integers(0, n))] = int(rng.integers(0, 256))
+            elif mode == 1:  # truncate
+                b = b[: int(rng.integers(1, n))]
+            else:  # flip AND truncate
+                b[int(rng.integers(0, n))] = int(rng.integers(0, 256))
+                b = b[: int(rng.integers(8, n))]
+            try:
+                decode(bytes(b))
+            except self.ALLOWED:
+                pass
+
+    def test_jpeg_baseline_fuzz(self):
+        rng = np.random.default_rng(123)
+        img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+        self._fuzz(encode_jpeg(img, 75), decode_jpeg, rng)
+
+    def test_jpeg_progressive_fuzz(self):
+        from sparktrends_spark.multimodal.jpeg import encode_jpeg_progressive
+
+        rng = np.random.default_rng(124)
+        img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+        self._fuzz(encode_jpeg_progressive(img, 75), decode_jpeg, rng)
+
+    def test_mp4_fuzz(self):
+        import hashlib
+
+        rng = np.random.default_rng(125)
+        frames = [hashlib.md5(f"f{i}".encode()).digest() for i in range(6)]
+        self._fuzz(encode_mp4(frames, 100), decode_mp4, rng)
+
+    def test_fmp4_fuzz(self):
+        import hashlib
+
+        from sparktrends_spark.multimodal.mp4 import encode_fmp4
+
+        rng = np.random.default_rng(126)
+        frames = [hashlib.md5(f"f{i}".encode()).digest() for i in range(6)]
+        self._fuzz(
+            encode_fmp4(frames, 100, frames_per_fragment=2), decode_mp4, rng
+        )
+
+    def test_exif_fuzz(self):
+        from sparktrends_spark.multimodal.exif import insert_exif, parse_exif
+
+        rng = np.random.default_rng(127)
+        j = insert_exif(
+            encode_jpeg(np.full((8, 8, 3), 9, dtype=np.uint8), 75),
+            {"make": "A", "model": "B", "orientation": 3,
+             "datetime": "2026:01:01 00:00:00",
+             "exposure_time": (1, 8), "iso": 100},
+        )
+        self._fuzz(j, parse_exif, rng)
