@@ -1283,6 +1283,63 @@ def q_order_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_optimize_roundtrip",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 50 AND 250
+GROUP BY event_type
+""",
+)
+def q_event_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full OPTIMIZE maintenance verb graded end-to-end
+    (`sources/optimize.py`): scatter events across 32 small files (the
+    streaming-sink failure mode), run one `optimize_table` call —
+    Z-order-clustered compaction + footer-stats manifest + Bloom
+    sidecar — then answer the rectangle aggregate THROUGH the
+    stats-skipping reader over the optimized layout. The oracle states
+    plain semantics over the original table, so the graded row proves
+    the whole rewrite-and-index cycle is lossless. Scale shape: one
+    shuffle for the clustered rewrite, O(files) index build (a
+    write-time hook in a deployment), pruned IO forever after."""
+    import os
+    import shutil
+
+    from sparktrends_spark.sources.layout import scan_pruned
+    from sparktrends_spark.sources.optimize import optimize_table
+
+    dest = os.path.join(
+        "/tmp/sparktrends_optimize",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "events",
+    )
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    events.repartition(32).write.parquet(dest)
+    spark.catalog.refreshByPath(dest)
+    optimize_table(
+        spark,
+        dest,
+        zorder_cols=["user_id", "value"],
+        bloom_cols=["event_id"],
+        target_file_bytes=256 * 1024,
+    )
+    return (
+        scan_pruned(spark, dest, {"user_id": (3, 9), "value": (50.0, 250.0)})
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+@query(
     "event_bloom_point_lookup",
     oracle="""
 SELECT CAST(event_id AS BIGINT) AS event_id, user_id, event_type,

@@ -848,3 +848,39 @@ class TestCorruptContractFuzz:
              "exposure_time": (1, 8), "iso": 100},
         )
         self._fuzz(j, parse_exif, rng)
+
+    def test_png_fuzz(self):
+        from sparktrends_spark.multimodal.decode import decode_png, encode_png
+
+        rng = np.random.default_rng(128)
+        img = rng.integers(0, 256, (12, 18, 3), dtype=np.uint8)
+        data = encode_png(img)
+        n = len(data)
+        for i in range(300):
+            b = bytearray(data)
+            if i % 2:
+                b[int(rng.integers(0, n))] = int(rng.integers(0, 256))
+            else:
+                b = b[: int(rng.integers(1, n))]
+            try:
+                decode_png(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+
+    def test_wav_fuzz(self):
+        from sparktrends_spark.multimodal.decode import decode_wav, encode_wav
+
+        rng = np.random.default_rng(129)
+        samples = rng.integers(-32768, 32767, 256, dtype=np.int16)
+        data = encode_wav(samples, 8000)
+        n = len(data)
+        for i in range(300):
+            b = bytearray(data)
+            if i % 2:
+                b[int(rng.integers(0, n))] = int(rng.integers(0, 256))
+            else:
+                b = b[: int(rng.integers(1, n))]
+            try:
+                decode_wav(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
