@@ -76,6 +76,9 @@ HEAVY_QUERIES = (
     # per document (cap k=3), so unlike embedding_neardup's threshold
     # pair set it must NOT inherit the O(n²) output growth
     "embedding_neardup_topk",
+    # round 7 (cont.): retrieval + fragmented-container dataflows
+    "doc_bm25_terms",
+    "asset_fmp4_frames",
 )
 
 # Ops that define the plan's *strategy* — join algorithms, aggregate
