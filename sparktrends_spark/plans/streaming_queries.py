@@ -931,3 +931,48 @@ def build_stream_order_cdc_apply(
         if q.isActive:
             q.stop()
     return read_upserted(spark, table)
+
+
+@query(
+    "stream_value_histogram_sketch",
+    oracle="""
+WITH b AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CASE WHEN value < 0.0 THEN 0
+              WHEN value >= 500.0 THEN 101
+              ELSE CAST(floor(value / 5.0) AS BIGINT) + 1 END AS bucket
+  FROM events
+)
+SELECT day, bucket, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY day, bucket
+""",
+)
+def q_stream_value_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable histogram sketch MAINTAINED ON THE INGEST PATH:
+    the per-(day, bucket) count table behind
+    `value_quantile_sketch_rollup` built as a streaming state-store
+    aggregate in update mode, landed through the idempotent
+    natural-key upsert — so the quantile rollup's input stays current
+    as events arrive, instead of being recomputed from raw history.
+    Oracle = batch semantics of the same sketch table; any range's
+    p50/p90/p99 is then the tiny bucket walk the batch query grades.
+    Scale shape: state is O(days × 102) rows regardless of event
+    volume; micro-batches rewrite only the (day, bucket) keys they
+    touch."""
+    ev = stream_events(spark, sf_dir)
+    nb, width, hi_dom = 100, 5.0, 500.0
+    v = F.col("value")
+    bucket = (
+        F.when(v < 0.0, F.lit(0))
+        .when(v >= hi_dom, F.lit(nb + 1))
+        .otherwise(F.floor(v / width) + 1)
+    ).cast("bigint")
+    sketch = (
+        ev.select(
+            F.col("ts").cast("date").cast("string").alias("day"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return run_upsert_stream(sketch, keys=("day", "bucket"))
