@@ -959,7 +959,17 @@ def q_stream_value_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFra
     Scale shape: state is O(days × 102) rows regardless of event
     volume; micro-batches rewrite only the (day, bucket) keys they
     touch."""
-    ev = stream_events(spark, sf_dir)
+    return build_stream_value_histogram_sketch(spark, sf_dir)
+
+
+def build_stream_value_histogram_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+    table_dir: str | None = None,
+) -> DataFrame:
+    ev = stream_events(spark, sf_dir, max_files_per_trigger)
     nb, width, hi_dom = 100, 5.0, 500.0
     v = F.col("value")
     bucket = (
@@ -975,4 +985,6 @@ def q_stream_value_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("day", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return run_upsert_stream(sketch, keys=("day", "bucket"))
+    return run_upsert_stream(
+        sketch, keys=("day", "bucket"), ckpt_dir=ckpt_dir, table_dir=table_dir
+    )

@@ -270,3 +270,22 @@ def test_multibatch_incremental_dedup_screen_lands_on_oracle(
     _assert_frames_equal(
         result, _oracle(sf_dir, "stream_doc_incremental_dedup")
     )
+
+
+def test_multibatch_histogram_sketch_lands_on_oracle(
+    spark, sf_dir, split_dir, tmp_path
+):
+    """Update-mode sketch maintenance across real micro-batches: a
+    (day, bucket) count refined over several batches must upsert to
+    exactly the single-batch sketch — the property that makes range
+    quantiles answerable from the live rollup."""
+    from sparktrends_spark.plans.streaming_queries import (
+        build_stream_value_histogram_sketch,
+    )
+
+    ckpt = str(tmp_path / "ckpt_sketch")
+    result = build_stream_value_histogram_sketch(
+        spark, split_dir, max_files_per_trigger=1, ckpt_dir=ckpt
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    _assert_frames_equal(result, _oracle(sf_dir, "stream_value_histogram_sketch"))
