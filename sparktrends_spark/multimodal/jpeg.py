@@ -24,8 +24,12 @@ Scope (documented, honest):
   accumulation across DC first/refinement and banded AC
   first/refinement scans with general EOBn runs (T.81 Annex G).
   Restart markers (DRI/RSTn) are honored in progressive scans too
-  (predictors and EOB runs reset per interval). Arithmetic coding,
-  12-bit precision and hierarchical modes raise
+  (predictors and EOB runs reset per interval). 12-bit extended
+  sequential (SOF1, grayscale) is supported end-to-end:
+  ``encode_jpeg12``/``decode_jpeg12`` carry full 0..4095 precision
+  (16-bit pq=1 DQT, self-describing 12-bit Huffman tables), and plain
+  ``decode_jpeg`` downshifts a 12-bit frame to its uint8 contract.
+  Arithmetic coding, 12-bit color, and hierarchical modes raise
   ``NotImplementedError``; corrupt data raises ``ValueError``
   per the decode_payload contract. Progressive and baseline encodes of
   the same image decode BIT-IDENTICALLY (property-tested) — the scan
@@ -511,6 +515,86 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# 12-bit (extended sequential, SOF1) encoder — grayscale
+# ---------------------------------------------------------------------------
+
+# 12-bit magnitudes exceed the Annex-K tables (DC sizes reach 15, AC
+# sizes 14), so the encoder ships its OWN canonical tables in DHT:
+# flat-length codes — 16 five-bit DC size codes and 226 eight-bit AC
+# RS codes (EOB, ZRL, runs 0-15 x sizes 1-14). Suboptimal compression,
+# trivially valid (no all-ones code), and self-describing: any T.81
+# decoder (including ours) reads them from the stream.
+DC12_TABLE = (
+    [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(16)),
+)
+AC12_TABLE = (
+    [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0x00, 0xF0] + [(r << 4) | sz for r in range(16) for sz in range(1, 15)],
+)
+
+
+def encode_jpeg12(pixels: np.ndarray, quality: int = 75) -> bytes:
+    """Extended-sequential (SOF1) 12-bit GRAYSCALE encode: input is
+    (H, W) uint16 with values 0..4095; level shift 2048; quantizers =
+    the Annex-K luma table under the same IJG quality scaling,
+    multiplied by 16 to match the 16x larger coefficient range (stored
+    as a 16-bit pq=1 DQT); custom flat Huffman tables sized for 12-bit
+    magnitudes ride in DHT. Round-trips through ``decode_jpeg12`` with
+    quantization error only; constant images whose (v - 2048) is a
+    multiple of 16 round-trip EXACTLY at quality 75 (DC quantizer
+    8*16=128 divides 8*(v-2048))."""
+    arr = np.asarray(pixels)
+    if arr.ndim != 2 or arr.dtype != np.uint16:
+        raise ValueError("encode_jpeg12 expects (H, W) uint16 grayscale")
+    if int(arr.max(initial=0)) > 4095:
+        raise ValueError("12-bit samples must be in [0, 4095]")
+    h, w = arr.shape
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("image dimensions out of JPEG range")
+    qt = quality_tables(quality)[0] * 16
+    ph, pw = -h % 8, -w % 8
+    plane = np.pad(
+        arr.astype(np.float64), ((0, ph), (0, pw)), mode="edge"
+    ) - 2048.0
+    blocks = _encode_component(plane, qt)
+
+    dc_codes = _build_codes(*DC12_TABLE)
+    ac_codes = _build_codes(*AC12_TABLE)
+    bw = _BitWriter()
+    prev = 0
+    by, bx = blocks.shape[:2]
+    for yb in range(by):
+        for xb in range(bx):
+            zz = blocks[yb, xb].reshape(64)[ZIGZAG]
+            prev = _write_block(bw, zz, prev, dc_codes, ac_codes)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    # pq=1: 16-bit quantizer entries
+    out += seg(
+        0xDB,
+        bytes([0x10])
+        + b"".join(
+            struct.pack(">H", int(v)) for v in qt.reshape(64)[ZIGZAG]
+        ),
+    )
+    out += seg(0xC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    for cls, tid, (bits, vals) in ((0, 0, DC12_TABLE), (1, 0, AC12_TABLE)):
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Progressive (SOF2) encoder — spectral selection + successive
 # approximation, the libjpeg-style scan script. Public spec: ITU T.81
 # Annex G.
@@ -832,7 +916,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError(f"JPEG structure corrupt: {exc}") from exc
 
 
-def _decode_jpeg_checked(data: bytes) -> np.ndarray:
+def decode_jpeg12(data: bytes) -> np.ndarray:
+    """Full-precision decode of a 12-bit (extended sequential SOF0/1)
+    grayscale JPEG -> (H, W) uint16 with values 0..4095. Raises
+    ValueError for 8-bit input (use ``decode_jpeg``) and keeps the
+    corrupt-data contract."""
+    try:
+        return _decode_jpeg_checked(data, want_12bit=True)
+    except (IndexError, KeyError, struct.error, OverflowError) as exc:
+        raise ValueError(f"JPEG structure corrupt: {exc}") from exc
+
+
+def _decode_jpeg_checked(data: bytes, want_12bit: bool = False) -> np.ndarray:
     if data[:3] != JPEG_SIGNATURE or data[3] < 0xC0:
         raise ValueError("not a JPEG: bad signature")
     pos = 2
@@ -841,6 +936,7 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
     frame = None  # (h, w, comps) with comps = [(cid, hsamp, vsamp, qid)]
     restart_interval = 0
     progressive = False
+    frame_precision = 8
     coefs = geom = None  # progressive coefficient buffers
     n = len(data)
     while pos + 4 <= n:
@@ -859,17 +955,24 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
             while p < len(payload):
                 pq, tq = payload[p] >> 4, payload[p] & 0x0F
                 p += 1
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables unsupported")
-                zz = np.frombuffer(payload[p : p + 64], dtype=np.uint8).astype(
-                    np.int64
-                )
+                if pq == 0:  # 8-bit entries
+                    zz = np.frombuffer(
+                        payload[p : p + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    step = 64
+                elif pq == 1:  # 16-bit entries (12-bit precision frames)
+                    zz = np.frombuffer(
+                        payload[p : p + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    step = 128
+                else:
+                    raise ValueError(f"DQT precision {pq} invalid")
                 if len(zz) != 64:
                     raise ValueError("DQT truncated")
                 nat = np.zeros(64, dtype=np.int64)
                 nat[ZIGZAG] = zz
                 qtables[tq] = nat.reshape(8, 8)
-                p += 64
+                p += step
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(payload):
@@ -881,10 +984,12 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
                     raise ValueError("DHT truncated")
                 htables[(tc, th)] = _build_decode_map(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 sequential
             precision = payload[0]
-            if precision != 8:
-                raise NotImplementedError("only 8-bit precision supported")
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    f"sample precision {precision} unsupported"
+                )
             h, w = struct.unpack(">HH", payload[1:5])
             nc = payload[5]
             comps = []
@@ -894,6 +999,7 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
                 qid = payload[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, qid))
             frame = (h, w, comps)
+            frame_precision = precision
         elif marker == 0xC2:  # SOF2: progressive DCT
             precision = payload[0]
             if precision != 8:
@@ -928,7 +1034,7 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
             if not progressive:
                 return _decode_scan(
                     data, pos, frame, scan_tables, qtables, htables,
-                    restart_interval,
+                    restart_interval, frame_precision, want_12bit,
                 )
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             ahal = payload[3 + 2 * ns]
@@ -941,6 +1047,8 @@ def _decode_jpeg_checked(data: bytes) -> np.ndarray:
             )
         # APPn / COM / others: skipped
     if progressive and coefs is not None:
+        if want_12bit:
+            raise ValueError("decode_jpeg12 requires a 12-bit frame")
         return _prog_reconstruct(frame, coefs, geom, qtables)
     raise ValueError("JPEG has no SOS scan")
 
@@ -953,7 +1061,13 @@ def _decode_scan(
     qtables: dict,
     htables: dict,
     restart_interval: int,
+    precision: int = 8,
+    want_12bit: bool = False,
 ) -> np.ndarray:
+    if want_12bit and precision != 12:
+        raise ValueError("decode_jpeg12 requires a 12-bit frame")
+    level = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -1004,7 +1118,7 @@ def _decode_scan(
                         nat = np.zeros(64, dtype=np.int64)
                         nat[ZIGZAG] = zz
                         block = (nat.reshape(8, 8) * qt).astype(np.float64)
-                        px = idct_t @ block @ DCT_M + 128.0
+                        px = idct_t @ block @ DCT_M + level
                         y0 = (my * vs + v) * 8
                         x0 = (mx * hs + hh) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
@@ -1019,8 +1133,16 @@ def _decode_scan(
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         chans.append(p[:h, :w])
     if len(chans) == 1:
-        y = np.clip(np.round(chans[0]), 0, 255).astype(np.uint8)
+        if precision == 12:
+            y12 = np.clip(np.round(chans[0]), 0, maxval).astype(np.uint16)
+            if want_12bit:
+                return y12
+            y = (y12 >> 4).astype(np.uint8)  # uint8 contract: top 8 bits
+        else:
+            y = np.clip(np.round(chans[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
+    if precision != 8:
+        raise NotImplementedError("12-bit color JPEG unsupported (grayscale only)")
     if len(chans) != 3:
         raise NotImplementedError("only 1- or 3-component JPEG supported")
     return ycbcr_to_rgb(np.stack(chans, axis=-1))
@@ -1303,6 +1425,7 @@ def _prog_reconstruct(frame, coefs, geom, qtables) -> np.ndarray:
                 np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
             )
         chans.append(plane[:h, :w])
+    # progressive frames are 8-bit only (SOF2 branch enforces it)
     if len(chans) == 1:
         y = np.clip(np.round(chans[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)

@@ -884,3 +884,92 @@ class TestCorruptContractFuzz:
                 decode_wav(bytes(b))
             except (ValueError, NotImplementedError):
                 pass
+
+
+class TestJpeg12Bit:
+    def test_constant_multiple_of_16_roundtrips_exactly(self):
+        from sparktrends_spark.multimodal.jpeg import (
+            decode_jpeg12,
+            encode_jpeg12,
+        )
+
+        for v in (0, 2048, 2048 + 16 * 5, 4080):
+            img = np.full((24, 17), v, dtype=np.uint16)
+            out = decode_jpeg12(encode_jpeg12(img, 75))
+            assert out.dtype == np.uint16
+            assert np.array_equal(out, img), v
+
+    def test_arbitrary_constant_within_quant_error(self):
+        from sparktrends_spark.multimodal.jpeg import (
+            decode_jpeg12,
+            encode_jpeg12,
+        )
+
+        img = np.full((16, 16), 1234, dtype=np.uint16)
+        out = decode_jpeg12(encode_jpeg12(img, 75))
+        assert abs(int(out[0, 0]) - 1234) <= 16
+
+    def test_gradient_psnr_in_12bit_domain(self):
+        import math
+
+        from sparktrends_spark.multimodal.jpeg import (
+            decode_jpeg12,
+            encode_jpeg12,
+        )
+
+        x = np.linspace(0, 4095, 64).astype(np.uint16)
+        grad = np.tile(x, (48, 1))
+        dec = decode_jpeg12(encode_jpeg12(grad, 90))
+        mse = np.mean((dec.astype(float) - grad.astype(float)) ** 2)
+        assert 10 * math.log10(4095.0**2 / mse) > 40
+
+    def test_plain_decode_downshifts_to_uint8(self):
+        from sparktrends_spark.multimodal.jpeg import encode_jpeg12
+
+        v = 2048 + 16 * 4
+        rgb = decode_jpeg(encode_jpeg12(np.full((8, 8), v, dtype=np.uint16), 75))
+        assert rgb.shape == (8, 8, 3) and rgb[0, 0, 0] == v >> 4
+
+    def test_decode12_rejects_8bit_and_bad_input(self):
+        from sparktrends_spark.multimodal.jpeg import (
+            decode_jpeg12,
+            encode_jpeg12,
+        )
+
+        with pytest.raises(ValueError):
+            decode_jpeg12(encode_jpeg(np.full((8, 8, 3), 9, dtype=np.uint8)))
+        with pytest.raises(ValueError):
+            encode_jpeg12(np.full((8, 8), 5000, dtype=np.uint16))
+        with pytest.raises(ValueError):
+            encode_jpeg12(np.full((8, 8), 5, dtype=np.uint8))
+
+    def test_12bit_stream_structure(self):
+        from sparktrends_spark.multimodal.jpeg import encode_jpeg12
+
+        data = encode_jpeg12(np.full((8, 8), 100, dtype=np.uint16), 75)
+        assert b"\xff\xc1" in data  # SOF1
+        sof = data.find(b"\xff\xc1")
+        assert data[sof + 4] == 12  # precision byte
+        dqt = data.find(b"\xff\xdb")
+        assert data[dqt + 4] == 0x10  # pq=1, tq=0
+
+    def test_12bit_fuzz(self):
+        from sparktrends_spark.multimodal.jpeg import (
+            decode_jpeg12,
+            encode_jpeg12,
+        )
+
+        rng = np.random.default_rng(130)
+        img = (rng.integers(0, 4096, (16, 16))).astype(np.uint16)
+        data = encode_jpeg12(img, 75)
+        n = len(data)
+        for i in range(300):
+            b = bytearray(data)
+            if i % 2:
+                b[int(rng.integers(0, n))] = int(rng.integers(0, 256))
+            else:
+                b = b[: int(rng.integers(1, n))]
+            try:
+                decode_jpeg12(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
