@@ -38,10 +38,11 @@ def _skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT {_HOT_KEY_EXPR}  AS user_bucket,
        count(*)         AS n_events,
-       sum(value)       AS total_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
        min(value)       AS min_value,
        max(value)       AS max_value,
-       sum(value) / count(value) AS avg_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+                        AS avg_value
 FROM events
 GROUP BY 1
 """,
@@ -50,16 +51,26 @@ def user_event_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over a head-skewed key
     (operators/skew.py:34): phase 1 aggregates (key, salt) partials so
     the hot key's rows spread over 16 reducers, phase 2 merges
-    |keys| x 16 partial rows. Result is bit-for-bit the plain GROUP BY
-    (algebraic aggregates only; avg carried as sum+count and divided
-    at the end)."""
+    |keys| x 16 partial rows. Result is bit-for-bit the plain GROUP BY.
+
+    Value discipline (plans/relational.py's decimal-sum pattern): the
+    events fixture is 2-decimal, so ``sum(value)`` is carried as
+    decimal(18,2) partials through BOTH phases — exact and
+    aggregation-order-independent — and cast to double only after the
+    exact merge. A raw-double two-phase sum drifts 1 ULP from the
+    oracle's single-phase sum (the round-7 driver hash failure).
+    ``avg`` is not algebraic over partials: merge exact sum + count,
+    divide once at the end (identical double op on both sides)."""
     ev = _skewed_events(spark, sf_dir)
     out = salted_agg(
         ev,
         keys=["user_bucket"],
         aggs={
             "n_events": (F.count(F.lit(1)), F.sum("n_events")),
-            "total_value": (F.sum("value"), F.sum("total_value")),
+            "total_value": (
+                F.sum(F.col("value").cast("decimal(18,2)")),
+                F.sum("total_value"),
+            ),
             "min_value": (F.min("value"), F.min("min_value")),
             "max_value": (F.max("value"), F.max("max_value")),
             # avg is NOT algebraic over partials — merge sum+count, then divide
@@ -67,9 +78,14 @@ def user_event_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt_buckets=16,
     )
-    return out.withColumn(
-        "avg_value", F.col("total_value") / F.col("_value_n")
-    ).drop("_value_n")
+    return (
+        out.withColumn(
+            "avg_value",
+            F.col("total_value").cast("double") / F.col("_value_n"),
+        )
+        .withColumn("total_value", F.col("total_value").cast("double"))
+        .drop("_value_n")
+    )
 
 
 @query(
@@ -85,7 +101,8 @@ dim AS (
 )
 SELECT s.event_type,
        count(*)                                   AS n,
-       sum(s.value * d.bucket_events)             AS weighted_value
+       CAST(sum(CAST(s.value AS DECIMAL(18,2)) * d.bucket_events) AS DOUBLE)
+                                                  AS weighted_value
 FROM skewed s JOIN dim d USING (user_bucket)
 GROUP BY s.event_type
 """,
@@ -96,13 +113,20 @@ def event_type_replicated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one key, the right dim (one row per bucket) is exploded
     ``salt_buckets`` ways so the hot key's matches land on 8 tasks
     instead of 1. Semantically identical to the plain equi-join, as
-    the oracle states."""
+    the oracle states.
+
+    Value discipline: value is 2-decimal, so value x bucket_events is
+    carried exactly as decimal(18,2) x bigint and summed in decimal —
+    order-independent — then cast to double once at the end (mirrored
+    in the oracle). A raw-double sum here is partitioning-dependent."""
     ev = _skewed_events(spark, sf_dir).select("user_bucket", "event_type", "value")
     dim = ev.groupBy("user_bucket").agg(F.count(F.lit(1)).alias("bucket_events"))
     joined = replicated_join(ev, dim, on=["user_bucket"], salt_buckets=8)
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value") * F.col("bucket_events")).alias("weighted_value"),
+        F.sum(F.col("value").cast("decimal(18,2)") * F.col("bucket_events"))
+        .cast("double")
+        .alias("weighted_value"),
     )
 
 

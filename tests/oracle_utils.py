@@ -57,7 +57,18 @@ def _values_close(a, b) -> bool:
     return a == b
 
 
-def assert_query_matches_oracle(spark, sf_dir: str, name: str) -> None:
+def _cell_str(v) -> str:
+    """Stringify a cell the way the driver's exact hasher sees it: NaN/NaT
+    and None collapse to one token, floats via repr (shortest roundtrip),
+    everything else via str."""
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    return repr(v) if isinstance(v, float) else str(v)
+
+
+def assert_query_matches_oracle(
+    spark, sf_dir: str, name: str, exact: bool = False
+) -> None:
     from sparktrends_spark.plans import ORACLES, QUERIES
 
     spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
@@ -85,15 +96,27 @@ def assert_query_matches_oracle(spark, sf_dir: str, name: str) -> None:
         )
     mismatches = []
     for col in s.columns:
-        exact = not pd.api.types.is_float_dtype(s[col])
+        cell_exact = exact or not pd.api.types.is_float_dtype(s[col])
         sv, dv = s[col].tolist(), d[col].tolist()
         for i, (a, b) in enumerate(zip(sv, dv)):
+            if exact:
+                # Driver-faithful comparison: stringified cells, bit-exact
+                # floats (repr roundtrip). Any drift here IS a driver
+                # hash_match failure, whatever the numeric tolerance says.
+                if _cell_str(a) != _cell_str(b):
+                    mismatches.append((col, i, _cell_str(a), _cell_str(b)))
+                    if len(mismatches) > 5:
+                        break
+                continue
             a = None if (a is pd.NaT or (isinstance(a, float) and math.isnan(a))) else a
             b = None if (b is pd.NaT or (isinstance(b, float) and math.isnan(b))) else b
-            if not (a == b if exact and not (a is None or b is None) else _values_close(a, b)):
+            if not (a == b if cell_exact and not (a is None or b is None) else _values_close(a, b)):
                 mismatches.append((col, i, a, b))
                 if len(mismatches) > 5:
                     break
         if len(mismatches) > 5:
             break
-    assert not mismatches, f"{name}: value mismatches (col,row,spark,duck): {mismatches}"
+    mode = "EXACT-string" if exact else "tolerant"
+    assert not mismatches, (
+        f"{name}: {mode} value mismatches (col,row,spark,duck): {mismatches}"
+    )

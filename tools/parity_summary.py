@@ -5,7 +5,14 @@ registered query against its DuckDB oracle (same comparison as
 tests/oracle_utils) with a vanilla SparkSession, so a red query can't
 hide behind driver sampling. Commit the artifact with each round.
 
-Usage: python tools/parity_summary.py [sf_dir]   (default sf0.01)
+Usage: python tools/parity_summary.py [--exact] [sf_dir]   (default sf0.01)
+
+``--exact`` switches the value comparison from float-tolerant
+(rel_tol 1e-6) to the driver-faithful mode: stringified cells compared
+exactly, floats bit-for-bit via repr. The driver's hash_match IS this
+comparison — the tolerant sweep can never see a 1-ULP aggregation-order
+drift that the driver flags (round-7 `user_event_salted_agg`). Run BOTH
+modes before round end; exact writes PARITY_EXACT.json.
 """
 
 from __future__ import annotations
@@ -17,7 +24,9 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    exact = "--exact" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
     spark = (
@@ -35,7 +44,7 @@ def main() -> int:
     rows_only: list[str] = sorted(set(queries) - set(oracles))
     for name in sorted(oracles):
         try:
-            assert_query_matches_oracle(spark, sf_dir, name)
+            assert_query_matches_oracle(spark, sf_dir, name, exact=exact)
         except Exception as exc:  # noqa: BLE001 - summarize, don't abort
             failures[name] = str(exc)[:300]
     for name in rows_only:
@@ -45,6 +54,7 @@ def main() -> int:
             failures[name] = str(exc)[:300]
 
     summary = {
+        "mode": "exact-string" if exact else "tolerant",
         "sf_dir": sf_dir,
         "n_registered": len(queries),
         "n_oracled": len(oracles),
@@ -53,7 +63,8 @@ def main() -> int:
         "n_parity_pass": len(oracles) - sum(1 for f in failures if f in oracles),
         "failures": failures,
     }
-    with open("/root/repo/PARITY.json", "w") as fh:
+    out_path = "/root/repo/PARITY_EXACT.json" if exact else "/root/repo/PARITY.json"
+    with open(out_path, "w") as fh:
         json.dump(summary, fh, indent=2)
     print(json.dumps({k: v for k, v in summary.items() if k != "failures"}))
     if failures:
