@@ -783,11 +783,15 @@ def q_doc_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = ln((N−df+0.5)/(df+0.5) + 1) — always positive) — the
     retrieval-grade sibling of `doc_tfidf_terms`, with the length
     normalization TF-IDF lacks: long documents stop dominating on raw
-    term counts. Same scale shape: explode → (doc, term) counts →
-    broadcast df/corpus-constant joins → per-doc window; avgdl is an
-    exact integer sum over one tiny frame (no float aggregation-order
-    sensitivity); scores round to 6 digits BEFORE ranking; ties break
-    on the term."""
+    term counts. Same scale shape as `doc_tfidf_terms`: explode →
+    (doc, term) counts → vocab-keyed shuffle join on `term` (NOT
+    broadcast: df has one row per distinct term, and at corpus scale
+    the vocabulary is 10^8-10^9 terms — a broadcast hint there forces
+    an un-broadcastable build side past Catalyst's size check; AQE
+    picks the join strategy) → broadcast only the one-row corpus
+    frame; avgdl is an exact integer sum over one tiny frame (no float
+    aggregation-order sensitivity); scores round to 6 digits BEFORE
+    ranking; ties break on the term."""
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
     dl = toks.select("doc_id", F.size("_toks").cast("bigint").alias("dl"))
@@ -799,7 +803,7 @@ def q_doc_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .join(dl, "doc_id")
         .join(F.broadcast(corp))
         .select(
