@@ -71,6 +71,18 @@ metrics AS (
 _METRIC_COLS = ["symbol", "timestamp", "close", "vwap_5", "vol_5", "is_anomaly"]
 
 
+def _round6(df: DataFrame, *cols: str) -> DataFrame:
+    """Round float OUTPUT columns to 6 digits (both the Spark plan and
+    the oracle SQL do this identically). Windowed sums/stddevs over
+    doubles are addition-order-dependent — Spark's frame evaluation vs
+    DuckDB's segment trees drift ~1 ULP — so raw values hash-mismatch
+    under the driver's exact comparison; predicates (is_anomaly) are
+    computed from the UNROUNDED values first on both sides."""
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
 def trades_projection(ev: DataFrame) -> DataFrame:
     """Project raw events (batch or streaming) to the trades shape."""
     return ev.select(
@@ -149,21 +161,28 @@ def q_ohlcv_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vwap_metrics",
     oracle=f"""
 WITH {_TRADES_CTE.strip()}, {_BARS_CTE.strip()}, {_METRICS_CTE.strip()}
-SELECT symbol, timestamp, close, vwap_5, vol_5,
-       abs(close - vwap_5) > 3.0 * vol_5 AS is_anomaly
-FROM metrics
+SELECT symbol, timestamp, close,
+       round(vwap_5, 6) AS vwap_5, round(vol_5, 6) AS vol_5, is_anomaly
+FROM (
+  SELECT m.*, abs(close - vwap_5) > 3.0 * vol_5 AS is_anomaly FROM metrics m
+)
 """,
 )
 def q_vwap_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: W1+W2+P6 — trailing-5-row VWAP, volatility, anomaly."""
-    return vwap_metrics(bars_df(spark, sf_dir)).select(*_METRIC_COLS)
+    return _round6(
+        vwap_metrics(bars_df(spark, sf_dir)).select(*_METRIC_COLS),
+        "vwap_5",
+        "vol_5",
+    )
 
 
 @query(
     "latest_metrics",
     oracle=f"""
 WITH {_TRADES_CTE.strip()}, {_BARS_CTE.strip()}, {_METRICS_CTE.strip()}
-SELECT symbol, timestamp, close, vwap_5, vol_5,
+SELECT symbol, timestamp, close,
+       round(vwap_5, 6) AS vwap_5, round(vol_5, 6) AS vol_5,
        abs(close - vwap_5) > 3.0 * vol_5 AS is_anomaly
 FROM (
   SELECT m.*, row_number() OVER (PARTITION BY symbol ORDER BY timestamp DESC) AS rn
@@ -174,7 +193,7 @@ FROM (
 def q_latest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+J1 restated: newest metrics row per symbol (single window pass)."""
     m = vwap_metrics(bars_df(spark, sf_dir)).select(*_METRIC_COLS)
-    return latest_per_group(m, ["symbol"])
+    return _round6(latest_per_group(m, ["symbol"]), "vwap_5", "vol_5")
 
 
 @query(
@@ -197,7 +216,8 @@ m10 AS (
     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
   )
 )
-SELECT symbol, timestamp, close, vwap_5, vol_5,
+SELECT symbol, timestamp, close,
+       round(vwap_5, 6) AS vwap_5, round(vol_5, 6) AS vol_5,
        abs(close - vwap_5) > 3.0 * vol_5 AS is_anomaly
 FROM (
   SELECT m.*, row_number() OVER (PARTITION BY symbol ORDER BY timestamp DESC) AS rn
@@ -215,14 +235,15 @@ def q_anomaly_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
     ).select("symbol", "timestamp", "close", "volume")
     m = vwap_metrics(last10).select(*_METRIC_COLS)
-    return latest_per_group(m, ["symbol"])
+    return _round6(latest_per_group(m, ["symbol"]), "vwap_5", "vol_5")
 
 
 @query(
     "vwap_timerange",
     oracle=f"""
 WITH {_TRADES_CTE.strip()}, {_BARS_CTE.strip()}
-SELECT symbol, timestamp, close, vwap_t, vol_t,
+SELECT symbol, timestamp, close,
+       round(vwap_t, 6) AS vwap_t, round(vol_t, 6) AS vol_t,
        abs(close - vwap_t) > 3.0 * vol_t AS is_anomaly
 FROM (
   SELECT symbol, timestamp, close,
@@ -238,9 +259,13 @@ FROM (
 )
 def q_vwap_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-true 5-minute VWAP via rangeBetween (SURVEY Q10 variant)."""
-    return vwap_metrics_time_range(
-        bars_df(spark, sf_dir), frame_seconds=300
-    ).select("symbol", "timestamp", "close", "vwap_t", "vol_t", "is_anomaly")
+    return _round6(
+        vwap_metrics_time_range(
+            bars_df(spark, sf_dir), frame_seconds=300
+        ).select("symbol", "timestamp", "close", "vwap_t", "vol_t", "is_anomaly"),
+        "vwap_t",
+        "vol_t",
+    )
 
 
 _DAILY_BARS_CTE = """
@@ -264,11 +289,11 @@ daily AS (
     oracle=f"""
 WITH {_TRADES_CTE.strip()}, {_DAILY_BARS_CTE.strip()}
 SELECT symbol, day, close,
-       stddev_samp(close) OVER (
+       round(stddev_samp(close) OVER (
          PARTITION BY symbol
          ORDER BY CAST(epoch(day) AS BIGINT) // 86400
          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
-       ) AS vol_7d,
+       ), 6) AS vol_7d,
        count(*) OVER (
          PARTITION BY symbol
          ORDER BY CAST(epoch(day) AS BIGINT) // 86400
@@ -303,7 +328,7 @@ def q_weekly_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "day",
         "close",
-        F.stddev_samp("close").over(w).alias("vol_7d"),
+        F.round(F.stddev_samp("close").over(w), 6).alias("vol_7d"),
         F.count(F.lit(1)).over(w).alias("n_days"),
     )
 
@@ -312,7 +337,8 @@ def q_weekly_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anomaly_vs_history",
     oracle=f"""
 WITH {_TRADES_CTE.strip()}, {_BARS_CTE.strip()}
-SELECT symbol, timestamp, close, hist_vwap, hist_vol,
+SELECT symbol, timestamp, close,
+       round(hist_vwap, 6) AS hist_vwap, round(hist_vol, 6) AS hist_vol,
        abs(close - hist_vwap) > 3.0 * hist_vol AS is_anomaly
 FROM (
   SELECT symbol, timestamp, close,
@@ -332,8 +358,12 @@ def q_anomaly_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot at threshold 3.0; see operators/metrics.py docstring)."""
     from sparktrends_spark.operators.metrics import anomaly_vs_history
 
-    return anomaly_vs_history(bars_df(spark, sf_dir)).select(
-        "symbol", "timestamp", "close", "hist_vwap", "hist_vol", "is_anomaly"
+    return _round6(
+        anomaly_vs_history(bars_df(spark, sf_dir)).select(
+            "symbol", "timestamp", "close", "hist_vwap", "hist_vol", "is_anomaly"
+        ),
+        "hist_vwap",
+        "hist_vol",
     )
 
 

@@ -70,8 +70,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_mktsegment,
        count(*)                     AS n_customers,
        count(DISTINCT c_nationkey)  AS n_nations,
-       avg(c_acctbal)               AS avg_bal,
-       stddev_samp(c_acctbal)       AS sd_bal,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal)
+                                    AS avg_bal,
+       round(stddev_samp(c_acctbal), 6) AS sd_bal,
        min(c_acctbal)               AS min_bal,
        max(c_acctbal)               AS max_bal,
        median(c_acctbal)            AS med_bal
@@ -80,15 +81,23 @@ GROUP BY c_mktsegment
 """,
 )
 def q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped stats incl. exact distinct count and exact median."""
+    """Grouped stats incl. exact distinct count and exact median.
+
+    Value discipline: avg is an exact decimal sum (acctbal is
+    2-decimal) divided once; stddev has no exact form, so both sides
+    round to 6 digits — raw double aggregates are addition-order-
+    dependent and drift between engines."""
     return (
         _t(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.countDistinct("c_nationkey").alias("n_nations"),
-            F.avg("c_acctbal").alias("avg_bal"),
-            F.stddev_samp("c_acctbal").alias("sd_bal"),
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("avg_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 6).alias("sd_bal"),
             F.min("c_acctbal").alias("min_bal"),
             F.max("c_acctbal").alias("max_bal"),
             F.median("c_acctbal").alias("med_bal"),
@@ -197,7 +206,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_region_revenue",
     oracle="""
-SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -207,7 +218,13 @@ GROUP BY n_name
 """,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join with every dimension broadcast."""
+    """TPC-H Q5 shape: star join with every dimension broadcast.
+
+    Revenue is summed as exact decimals (prices/discounts are
+    2-decimal) and cast to double once at the end: a raw-double sum's
+    value depends on addition order — partition layout on the Spark
+    side, thread scheduling on the oracle side — and drifts 1 ULP
+    between engines (caught by the round-8 exact-string sweep)."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation").join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
@@ -229,7 +246,12 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
     )
     return joined.groupBy("n_name").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue")
     )
 
 

@@ -175,7 +175,9 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity",
     oracle="""
-SELECT sum(l_extendedprice) / 7.0 AS avg_yearly, count(*) AS n
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       count(*) AS n
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#3'
   AND l_quantity < (
@@ -189,7 +191,8 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     related into a grouped aggregate + broadcast join — Spark-side the
     decorrelation is explicit, so the lineitem fact scans exactly
     twice. Quantity averages are exact in float64, so the threshold is
-    engine-independent."""
+    engine-independent; the price sum is carried as exact decimal and
+    cast to double once (raw-double sums drift with addition order)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     thresh = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
@@ -203,7 +206,12 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(thresh), F.col("_pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("_thresh"))
         .agg(
-            (F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -252,7 +260,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_revenue",
     oracle="""
-SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue, count(*) AS n
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 1 AND 11)
@@ -279,9 +289,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | arm("Brand#23", 10, 10, 20)
         | arm("Brand#34", 15, 20, 30)
     ).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "revenue"
-        ),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -159,11 +159,13 @@ def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q7_volume_shipping",
     oracle="""
-SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-         l.l_extendedprice * (1 - l.l_discount) AS volume
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS volume
   FROM lineitem l
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -217,8 +219,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue")
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 

@@ -41,11 +41,45 @@ def _bloom_path(path: str, col: str) -> str:
     return os.path.join(path, f"_bloom_{col}.json")
 
 
+# Hash-input canonicalization version; sidecars carry it so an index
+# built under a different scheme is never trusted (treated as stale —
+# files accepted, never skipped).
+_HASH_SCHEME = "canon-v2"
+
+
+def _canon(value) -> bytes:
+    """Canonical hash key: numerically equal values map to one byte
+    string regardless of Python/Arrow type — 1, 1.0, Decimal('1.00')
+    and '1' all become b'1'. Spark's exact `isin` filter COERCES types
+    (probing 1 matches a double column's 1.0), so hashing raw
+    `str(value)` made a type-mismatched probe skip a file that
+    contains the row — a false negative breaking the module's
+    zero-false-negative guarantee. Unification can only add false
+    POSITIVES (e.g. the string '1' vs the int 1), which just cost a
+    scan; the exact filter still decides."""
+    import decimal
+
+    if isinstance(value, bool):
+        value = int(value)
+    if not isinstance(value, (int, float, decimal.Decimal)):
+        s = str(value)
+        try:
+            value = float(s)
+        except ValueError:
+            return s.encode()
+    if isinstance(value, int):
+        return str(value).encode()
+    f = float(value)
+    if f.is_integer() and abs(f) < 2.0**53:
+        return str(int(f)).encode()
+    return repr(f).encode()
+
+
 def _hashes(value, n_bits: int, k: int) -> list[int]:
-    """k deterministic bit positions for a value: md5(value||seed),
+    """k deterministic bit positions for a value: md5(canon||seed),
     engine- and run-stable (no PYTHONHASHSEED dependence)."""
     out = []
-    v = str(value).encode()
+    v = _canon(value)
     for seed in range(k):
         h = hashlib.md5(v + b"|" + str(seed).encode()).digest()
         out.append(int.from_bytes(h[:8], "big") % n_bits)
@@ -77,7 +111,11 @@ def build_bloom_index(
     if incremental and os.path.isfile(_bloom_path(path, col)):
         with open(_bloom_path(path, col)) as fh:
             loaded = json.load(fh)
-        if loaded.get("col") == col and loaded.get("fpp") == fpp:
+        if (
+            loaded.get("col") == col
+            and loaded.get("fpp") == fpp
+            and loaded.get("hash_scheme") == _HASH_SCHEME
+        ):
             prior = loaded.get("files", {})
     files = sorted(
         os.path.join(r, f)
@@ -111,7 +149,7 @@ def build_bloom_index(
             "k": k,
             "bits": base64.b64encode(bytes(bits)).decode(),
         }
-    index = {"col": col, "fpp": fpp, "files": entries}
+    index = {"col": col, "fpp": fpp, "hash_scheme": _HASH_SCHEME, "files": entries}
     tmp = _bloom_path(path, col) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(index, fh, sort_keys=True)
@@ -144,6 +182,11 @@ def scan_bloom(spark, path: str, col: str, values) -> DataFrame:
         )
     with open(index_path) as fh:
         index = json.load(fh)
+    if index.get("hash_scheme") != _HASH_SCHEME:
+        # Built under a different hash scheme: probes would hash to the
+        # wrong bits — a silent false-negative factory. Trust nothing;
+        # read everything (correct, just unpruned) until a rebuild.
+        index = {"files": {}}
     values = list(values)
     files = sorted(
         os.path.join(r, f)

@@ -427,9 +427,28 @@ def read_upserted_keyed(
         return read_upserted(spark, final, version_col=version_col)
     bucket_cols = manifest.get("bucket_cols", manifest["keys"])
     n_buckets = int(manifest["n_buckets"])
+    # F.hash is type-sensitive (hash(1) != hash(1L) != hash(1.0)): a
+    # caller whose keys_df carries int where the table wrote bigint
+    # would silently probe the WRONG buckets and get zero rows. Cast
+    # every bucket column to the type the manifest recorded at write
+    # time, so the probe hashes exactly as the writer did.
+    from pyspark.sql.types import StructType
+
+    probe = keys_df
+    if "schema" in manifest:
+        written = {
+            f.name: f.dataType
+            for f in StructType.fromJson(manifest["schema"]).fields
+        }
+        probe = keys_df.select(
+            *[
+                F.col(c).cast(written[c]).alias(c) if c in written else F.col(c)
+                for c in bucket_cols
+            ]
+        )
     wanted = {
         r["_b"]
-        for r in keys_df.select(
+        for r in probe.select(
             F.pmod(F.hash(*bucket_cols), F.lit(n_buckets)).alias("_b")
         )
         .distinct()

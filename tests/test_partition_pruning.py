@@ -291,6 +291,44 @@ def test_bloom_index_point_lookup_prunes_without_false_negatives(spark, tmp_path
     )
 
 
+def test_bloom_probe_type_mismatch_never_false_negative(spark, tmp_path):
+    """A probe whose Python type differs from the stored column type
+    (1.0 vs 1, '1' vs 1, int vs double column) must hash to the same
+    bits as the stored value — Spark's exact `isin` coerces and
+    matches, so a type-sensitive hash would skip a file that contains
+    the row (false negative). Canonicalization (bloom._canon) makes
+    numerically equal values hash identically."""
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.sources.bloom import build_bloom_index, scan_bloom
+
+    # long column probed with float and string forms
+    ints = str(tmp_path / "ints")
+    spark.range(2_000).selectExpr(
+        "CAST(pmod(id * 2654435761, 1000003) AS LONG) AS k", "id AS payload"
+    ).repartition(8).write.parquet(ints)
+    build_bloom_index(ints, "k", fpp=0.01)
+    stored = [r.k for r in spark.read.parquet(ints).limit(3).collect()]
+    for probe in ([float(v) for v in stored], [str(v) for v in stored]):
+        got = scan_bloom(spark, ints, "k", probe)
+        full = spark.read.parquet(ints).filter(F.col("k").isin(probe))
+        assert sorted(r.payload for r in got.collect()) == sorted(
+            r.payload for r in full.collect()
+        )
+        assert got.count() >= 3, f"false negative for probe {probe!r}"
+
+    # double column (integral values) probed with plain ints
+    dbls = str(tmp_path / "dbls")
+    spark.range(2_000).selectExpr(
+        "CAST(pmod(id * 37, 997) AS DOUBLE) AS k", "id AS payload"
+    ).repartition(8).write.parquet(dbls)
+    build_bloom_index(dbls, "k", fpp=0.01)
+    int_probe = [int(r.k) for r in spark.read.parquet(dbls).limit(3).collect()]
+    got = scan_bloom(spark, dbls, "k", int_probe)
+    full = spark.read.parquet(dbls).filter(F.col("k").isin(int_probe))
+    assert got.count() == full.count() and got.count() >= 3
+
+
 def test_incremental_index_maintenance_touches_only_new_files(spark, tmp_path):
     """Append workload: incremental refresh keeps current entries
     byte-identical (no re-read — proven by preserving a poisoned

@@ -691,6 +691,35 @@ def test_read_upserted_keyed_prunes_to_entity_buckets(spark, tmp_path):
     assert set(none.columns) == set(full.columns)
 
 
+def test_read_upserted_keyed_casts_probe_to_written_types(spark, tmp_path):
+    """F.hash is type-sensitive: a keys_df whose bucket column is int
+    where the table wrote bigint (or string where it wrote long) used
+    to hash into the WRONG buckets and silently return nothing. The
+    keyed read now casts probes to the manifest-recorded types, so a
+    dtype-mismatched probe still finds its rows."""
+    from sparktrends_spark.streaming.sinks import (
+        read_upserted_keyed,
+        upsert_parquet_bucketed,
+    )
+
+    path = str(tmp_path / "byid")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "entity_id long, v double"
+    )
+    upsert_parquet_bucketed(
+        df, path, keys=("entity_id",), n_buckets=8, version=0,
+        bucket_cols=("entity_id",),
+    )
+    # int probe against a bigint table: hash(int 7) != hash(long 7)
+    int_probe = spark.createDataFrame([(7,)], "entity_id int")
+    got = read_upserted_keyed(spark, path, int_probe)
+    assert got.filter(F.col("entity_id") == 7).count() == 1
+    # string probe, castable: still lands in the right bucket
+    str_probe = spark.createDataFrame([("7",)], "entity_id string")
+    got2 = read_upserted_keyed(spark, path, str_probe)
+    assert got2.filter(F.col("entity_id") == 7).count() == 1
+
+
 def test_bucket_cols_must_stay_consistent(spark, tmp_path):
     from sparktrends_spark.streaming.sinks import upsert_parquet_bucketed
 
