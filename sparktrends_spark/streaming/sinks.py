@@ -70,7 +70,13 @@ def upsert_parquet(
         os.rename(backup, final)
     if os.path.isdir(path):
         existing = spark.read.parquet(path)
-        merged = existing.unionByName(incoming)
+        # schema evolution (same contract as the bucketed sink — see
+        # _evolved_schema): the flat strategy rewrites the whole table
+        # per batch, so the evolved schema lands everywhere at once
+        target = _evolved_schema(existing.schema, incoming.schema, keys)
+        merged = _cast_to(existing, target).unionByName(
+            _cast_to(incoming, target), allowMissingColumns=True
+        )
     else:
         merged = incoming
     w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
@@ -130,6 +136,76 @@ def _struct_without(schema, names: set):
     from pyspark.sql.types import StructType
 
     return StructType([f for f in schema.fields if f.name not in names])
+
+
+# numeric widening ladder for upsert schema evolution
+_NUM_WIDTH = {"byte": 0, "short": 1, "integer": 2, "long": 3, "float": 4, "double": 5}
+
+
+def _evolved_schema(stored, incoming_schema, keys: Sequence[str]):
+    """Schema-evolution contract shared by the upsert sinks: given the
+    table's recorded schema and an incoming batch's schema, return the
+    evolved table schema, or raise on an illegal change.
+
+    - KEY columns are pinned to their first-written type — the bucket
+      hash and merge identity depend on it. A batch may send a
+      narrower numeric type (ingest casts it up to the stored type);
+      widening or retyping a key is rejected.
+    - Non-key columns may be ADDED (existing rows read NULL), be
+      ABSENT from a batch (its rows store NULL), or WIDEN along
+      byte<short<int<long<float<double. Narrowing never happens (the
+      wider of the two types wins); incompatible retypes
+      (string<->numeric, ...) are rejected with a clear error.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    stored_names = {f.name for f in stored.fields}
+    in_by = {f.name: f for f in incoming_schema.fields}
+    out = []
+    for f in stored.fields:
+        g = in_by.get(f.name)
+        if g is None or g.dataType == f.dataType:
+            out.append(f)
+            continue
+        s, i = f.dataType.typeName(), g.dataType.typeName()
+        both_num = s in _NUM_WIDTH and i in _NUM_WIDTH
+        if f.name in keys:
+            if both_num and _NUM_WIDTH[i] <= _NUM_WIDTH[s]:
+                out.append(f)  # ingest casts the batch key up to stored
+                continue
+            raise ValueError(
+                f"schema evolution: key column {f.name!r} is pinned to "
+                f"{f.dataType.simpleString()} (first write); batch sent "
+                f"{g.dataType.simpleString()} — rekeying requires a rebuild"
+            )
+        if both_num:
+            wide = f if _NUM_WIDTH[s] >= _NUM_WIDTH[i] else g
+            out.append(StructField(f.name, wide.dataType, True))
+            continue
+        raise ValueError(
+            f"schema evolution: column {f.name!r} cannot change "
+            f"{f.dataType.simpleString()} -> {g.dataType.simpleString()} "
+            "(only numeric widening byte<short<int<long<float<double "
+            "and add/absent columns are supported)"
+        )
+    for g in incoming_schema.fields:
+        if g.name not in stored_names:
+            out.append(StructField(g.name, g.dataType, True))
+    return StructType(out)
+
+
+def _cast_to(df: DataFrame, target) -> DataFrame:
+    """Cast df's columns to the target schema's types where they
+    differ (by name; columns absent from df are left to
+    unionByName(allowMissingColumns=True))."""
+    types = {f.name: f.dataType for f in target.fields}
+    casts = [
+        F.col(c).cast(types[c]).alias(c)
+        if c in types and dict(df.dtypes)[c] != types[c].simpleString()
+        else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*casts)
 
 
 def _empty_from_manifest(spark, manifest: dict, version_col: str) -> DataFrame:
@@ -226,21 +302,21 @@ def upsert_parquet_bucketed(
     100 TB. The choice is recorded in the manifest and must stay
     consistent across batches.
     """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     spark = df.sparkSession
     bucket_cols = list(bucket_cols) if bucket_cols is not None else list(keys)
     if not set(bucket_cols) <= set(keys):
         raise ValueError(
             f"bucket_cols {bucket_cols} must be a subset of keys {list(keys)}"
         )
-    incoming = df.withColumn(version_col, F.lit(int(version))).withColumn(
-        BUCKET_COL, F.pmod(F.hash(*bucket_cols), F.lit(n_buckets))
-    )
+    missing_keys = [k for k in keys if k not in df.columns]
+    if missing_keys:
+        raise ValueError(
+            f"{path}: batch is missing key column(s) {missing_keys} — "
+            "an upsert needs every key"
+        )
     final = path.rstrip("/")
-    # An upsert of zero rows is a no-op — and must not write or commit:
-    # append-mode streams emit empty micro-batches routinely while the
-    # watermark catches up.
-    if incoming.isEmpty():
-        return
     manifest = read_manifest(final) or {
         "n_buckets": int(n_buckets),
         "keys": list(keys),
@@ -248,6 +324,33 @@ def upsert_parquet_bucketed(
         "version_col": version_col,
         "buckets": {},
     }
+    # ---- schema evolution (add-column / numeric widening; see
+    # _evolved_schema for the contract). The evolved schema also
+    # drives the EXISTING-leaf read: touched buckets may have been
+    # written under different historical schemas, and an explicit read
+    # schema both up-casts narrow files and nulls absent columns.
+    target_schema = None
+    if "schema" in manifest:
+        stored = _struct_without(
+            StructType.fromJson(manifest["schema"]), {tombstone_col or ""}
+        )
+        target_schema = _evolved_schema(
+            stored,
+            df.withColumn(version_col, F.lit(int(version))).schema,
+            keys,
+        )
+        # key/bucket columns are pinned: cast the batch's (possibly
+        # narrower) keys to the stored types BEFORE hashing, or the
+        # same logical key would route to a different bucket
+        df = _cast_to(df, target_schema)
+    incoming = df.withColumn(version_col, F.lit(int(version))).withColumn(
+        BUCKET_COL, F.pmod(F.hash(*bucket_cols), F.lit(n_buckets))
+    )
+    # An upsert of zero rows is a no-op — and must not write or commit:
+    # append-mode streams emit empty micro-batches routinely while the
+    # watermark catches up.
+    if incoming.isEmpty():
+        return
     if manifest.get("bucket_cols", manifest["keys"]) != bucket_cols:
         raise ValueError(
             f"{final}: table was bucketed on "
@@ -272,15 +375,25 @@ def upsert_parquet_bucketed(
         final, {str(b): committed[str(b)] for b in todo if str(b) in committed}
     )
     if existing_leaves:
-        existing = (
-            spark.read.option("basePath", final)
-            .parquet(*existing_leaves)
-            .drop(VERSION_DIR_COL)
-        )
+        reader = spark.read.option("basePath", final)
+        if target_schema is not None:
+            # evolved read: up-casts leaves written under a narrower
+            # historical schema, nulls columns added since
+            reader = reader.schema(
+                StructType(
+                    [
+                        f
+                        for f in target_schema.fields
+                        if f.name != (tombstone_col or "")
+                    ]
+                    + [StructField(BUCKET_COL, IntegerType(), True)]
+                )
+            )
+        existing = reader.parquet(*existing_leaves).drop(VERSION_DIR_COL)
         if tombstone_col is not None:
             # stored rows never carry the tombstone column
             existing = existing.withColumn(tombstone_col, F.lit(False))
-        merged = existing.unionByName(incoming)
+        merged = existing.unionByName(incoming, allowMissingColumns=True)
     else:
         merged = incoming
     w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
@@ -306,9 +419,16 @@ def upsert_parquet_bucketed(
         committed[str(b)] = int(version)
     # record the row schema so a fully-emptied table (CDC deletes can
     # legitimately remove every key) still reads back as an EMPTY
-    # frame with the right columns instead of failing on zero leaves
+    # frame with the right columns instead of failing on zero leaves.
+    # MUST be the EVOLVED schema, not this batch's: a batch touching
+    # only fresh buckets never unions with existing leaves, and
+    # recording its (possibly narrower / column-missing) shape would
+    # silently drop previously-evolved columns from every read.
+    committed_schema = target_schema if target_schema is not None else latest.schema
     manifest["schema"] = json.loads(
-        _struct_without(latest.schema, {BUCKET_COL}).json()
+        _struct_without(
+            committed_schema, {BUCKET_COL, tombstone_col or ""}
+        ).json()
     )
     if tombstone_col is not None:
         # a bucket whose every key was deleted wrote ZERO rows — no
@@ -375,6 +495,26 @@ def upsert_parquet_bucketed(
                 shutil.rmtree(os.path.join(bucket_dir, entry), ignore_errors=True)
 
 
+def _leaf_reader(spark, final: str, manifest: dict | None):
+    """Reader for committed leaves. When the manifest records a schema
+    (it does since schema evolution landed), read through it EXPLICITLY:
+    buckets rewritten after an evolution carry wider/extra columns than
+    untouched ones, and an explicit schema both up-casts narrow files
+    and nulls absent columns — a bare parquet read would pick one
+    file's schema and mis-read the rest."""
+    reader = spark.read.option("basePath", final)
+    if manifest and "schema" in manifest:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        st = StructType.fromJson(manifest["schema"])
+        reader = reader.schema(
+            StructType(
+                list(st.fields) + [StructField(BUCKET_COL, IntegerType(), True)]
+            )
+        )
+    return reader
+
+
 def read_upserted_as_of(
     spark, path: str, version: int, version_col: str = "_batch_id"
 ) -> DataFrame:
@@ -395,7 +535,9 @@ def read_upserted_as_of(
     with open(snap_path) as fh:
         snapshot = json.load(fh)
     leaves = _committed_leaves(final, snapshot["buckets"])
-    df = spark.read.option("basePath", final).parquet(*leaves)
+    # the snapshot embeds the schema AS OF that version — time travel
+    # across an evolution shows the old shape, as a table format would
+    df = _leaf_reader(spark, final, snapshot).parquet(*leaves)
     drop = [
         c for c in (version_col, BUCKET_COL, VERSION_DIR_COL) if c in df.columns
     ]
@@ -463,7 +605,7 @@ def read_upserted_keyed(
         base = read_upserted(spark, final, version_col=version_col)
         return base.limit(0)
     leaves = _committed_leaves(final, hit)
-    df = spark.read.option("basePath", final).parquet(*leaves)
+    df = _leaf_reader(spark, final, manifest).parquet(*leaves)
     drop = [
         c for c in (version_col, BUCKET_COL, VERSION_DIR_COL) if c in df.columns
     ]
@@ -484,7 +626,7 @@ def read_upserted(spark, path: str, version_col: str = "_batch_id") -> DataFrame
         if not leaves:
             # every key deleted: empty state, schema from the manifest
             return _empty_from_manifest(spark, manifest, version_col)
-        df = spark.read.option("basePath", final).parquet(*leaves)
+        df = _leaf_reader(spark, final, manifest).parquet(*leaves)
     else:
         if any(
             e.startswith(f"{BUCKET_COL}=") for e in os.listdir(final)

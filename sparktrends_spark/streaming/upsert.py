@@ -131,6 +131,34 @@ def merge_into_sql(
     )
 
 
+def evolution_ddl(table: str, stored, incoming_schema, keys: Sequence[str]) -> list[str]:
+    """ALTER TABLE statements evolving ``table`` to accept a batch —
+    the sql-merge strategy's side of the schema-evolution contract
+    (same rules as the parquet sinks, see sinks._evolved_schema):
+    added columns -> ADD COLUMNS, numeric widening -> ALTER COLUMN
+    TYPE, key retypes/incompatible changes -> raise. A batch MISSING a
+    column needs no DDL: the MERGE lists only source columns, so the
+    target fills NULL on insert and leaves the column alone on update."""
+    target = _sinks._evolved_schema(stored, incoming_schema, keys)
+    for ident in [table, *[f.name for f in target.fields]]:
+        if not ident.replace(".", "").replace("_", "").isalnum():
+            raise ValueError(f"unsafe SQL identifier: {ident!r}")
+    stored_by = {f.name: f.dataType for f in stored.fields}
+    out = []
+    for f in target.fields:
+        if f.name not in stored_by:
+            out.append(
+                f"ALTER TABLE {table} ADD COLUMNS "
+                f"({f.name} {f.dataType.simpleString()})"
+            )
+        elif f.dataType != stored_by[f.name]:
+            out.append(
+                f"ALTER TABLE {table} ALTER COLUMN {f.name} "
+                f"TYPE {f.dataType.simpleString()}"
+            )
+    return out
+
+
 class SqlMergeUpsertSink(UpsertSink):
     """Upsert via ``MERGE INTO`` on a catalog table — the strategy a
     real deployment points at Delta/Iceberg. ``path`` is interpreted
@@ -161,6 +189,11 @@ class SqlMergeUpsertSink(UpsertSink):
                 if not spark.catalog.tableExists(path):
                     src.writeTo(path).create()
                 else:
+                    # evolve the target first (add/widen columns) so the
+                    # MERGE can bind every source column
+                    stored = spark.table(path).schema
+                    for ddl in evolution_ddl(path, stored, src.schema, keys):
+                        spark.sql(ddl)
                     spark.sql(sql)
         finally:
             spark.catalog.dropTempView(view)

