@@ -72,7 +72,10 @@ _PRIORITY_ORDER = [
 
 def _apply_priority_order() -> None:
     missing = [n for n in _PRIORITY_ORDER if n not in QUERIES]
-    assert not missing, f"priority order names unknown queries: {missing}"
+    if missing:
+        # a bare assert compiles out under `python -O`, which would
+        # silently DROP misnamed entries from the graded window
+        raise ValueError(f"priority order names unknown queries: {missing}")
     for d in (QUERIES, ORACLES):
         orig = dict(d)
         d.clear()

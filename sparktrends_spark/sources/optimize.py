@@ -25,6 +25,7 @@ before/after file stats plus which indexes were refreshed.
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Sequence
 
@@ -44,11 +45,16 @@ def optimize_table(
     fpp: float = 0.01,
 ) -> dict:
     """Compact + (optionally) Z-order + refresh skip indexes. See
-    module docstring. The rewrite path is atomic (temp-dir + rename
-    swap); index refreshes are atomic per sidecar; a crash between
-    rewrite and refresh leaves stale sidecars, which both readers
-    treat as merely unhelpful (stats: live-footer fallback; bloom:
-    accept-the-file), never wrong."""
+    module docstring. The Z-order rewrite swaps via two renames
+    (path -> old, tmp -> path): NOT one atomic operation — a reader in
+    that window sees the path briefly missing and should retry. Any
+    failure after the first rename restores the original directory, so
+    the table is never left absent. Index refreshes are atomic per
+    sidecar; a crash between rewrite and refresh leaves stale sidecars,
+    which both readers treat as merely unhelpful (stats: live-footer
+    fallback; bloom: accept-the-file), never wrong. For a bucketed
+    UPSERT table with a live writer use ``optimize_upsert_table``,
+    which commits per bucket under the manifest lock instead."""
     n_before, bytes_before = dir_stats(path)
     if n_before == 0:
         raise ValueError(f"no parquet files under {path!r}")
@@ -61,10 +67,13 @@ def optimize_table(
         tmp = f"{path.rstrip('/')}__opt_{uuid.uuid4().hex[:8]}"
         old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
         zorder_write(df, list(zorder_cols), tmp, n_files=int(n_out))
+        os.rename(path, old)
         try:
-            os.rename(path, old)
+            # the non-atomic window: `path` is absent between the two
+            # renames. ANY failure from here on restores the original
+            # directory so the table is never left missing.
             os.rename(tmp, path)
-        except OSError:
+        except BaseException:
             if os.path.exists(old) and not os.path.exists(path):
                 os.rename(old, path)
             raise
@@ -84,3 +93,100 @@ def optimize_table(
     stats["stats_manifest"] = True
     stats["bloom_cols"] = list(bloom_cols)
     return stats
+
+
+def optimize_upsert_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    on_before_commit=None,
+) -> dict:
+    """Compact a BUCKETED UPSERT table (streaming/sinks layout) while a
+    live stream may be committing batches — the maintenance-vs-writer
+    race Delta/Iceberg solve with log-commit CAS, implemented here on
+    the manifest:
+
+    Per bucket: (1) read the committed leaf, (2) write a compacted
+    twin off to the side under ``_v=<old>_c<tag>`` (invisible — no
+    manifest pointer), (3) under the manifest lock, re-read the
+    manifest and flip the bucket's pointer ONLY IF it still points at
+    the leaf we compacted (compare-and-swap); if a stream batch
+    re-pointed the bucket in the meantime, its leaf is already freshly
+    written — discard ours and move on. The upsert commit side holds
+    the same lock and merge-commits only its touched buckets
+    (sinks.upsert_parquet_bucketed), so neither writer can dangle the
+    other's pointers. No committed row is ever lost: every pointer
+    flip is old-leaf -> byte-equal-rows compacted leaf, and losing a
+    CAS just wastes the compaction work.
+
+    The superseded old leaf is deleted post-CAS unless a retained
+    time-travel snapshot references it. A reader mid-scan of a leaf
+    deleted under it fails and retries with the new manifest — the
+    same single-writer-filesystem caveat the upsert GC documents;
+    snapshot-isolated readers are what a real table-format log adds.
+
+    ``on_before_commit(bucket)`` is a test seam invoked between (2)
+    and (3) to interleave a concurrent writer deterministically.
+
+    Returns {"compacted": [...buckets...], "skipped": [...lost CAS...]}.
+    """
+    import shutil
+    import uuid
+
+    from sparktrends_spark.streaming import sinks as _sinks
+
+    final = path.rstrip("/")
+    manifest = _sinks.read_manifest(final)
+    if manifest is None:
+        raise ValueError(f"{final}: not a bucketed upsert table (no manifest)")
+    snapshot_refs: set[tuple[str, str]] = set()
+    for s in _sinks.list_snapshots(final):
+        with open(_sinks._snapshot_path(final, s)) as fh:
+            for b, v in json.load(fh)["buckets"].items():
+                snapshot_refs.add((str(b), str(v)))
+    compacted, skipped = [], []
+    for b in sorted(manifest["buckets"], key=int):
+        # re-resolve the bucket's pointer fresh each iteration: a
+        # stream batch committed mid-run may have re-pointed (and GC'd)
+        # leaves our startup snapshot still referenced
+        current = _sinks.read_manifest(final) or {"buckets": {}}
+        v = current["buckets"].get(str(b))
+        leaf = f"{final}/{_sinks.BUCKET_COL}={b}/{_sinks.VERSION_DIR_COL}={v}"
+        if v is None or not os.path.isdir(leaf):
+            skipped.append(str(b))
+            continue
+        leaf_bytes = sum(
+            os.path.getsize(os.path.join(leaf, f))
+            for f in os.listdir(leaf)
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-leaf_bytes // target_file_bytes))
+        df = _sinks._leaf_reader(spark, final, manifest).parquet(leaf)
+        new_tag = f"{v}_c{uuid.uuid4().hex[:8]}"
+        new_leaf = f"{final}/{_sinks.BUCKET_COL}={b}/{_sinks.VERSION_DIR_COL}={new_tag}"
+        (
+            df.drop(_sinks.BUCKET_COL, _sinks.VERSION_DIR_COL)
+            .coalesce(int(n_files))
+            .write.parquet(new_leaf)
+        )
+        if on_before_commit is not None:
+            on_before_commit(b)
+        with _sinks._manifest_lock(final):
+            fresh = _sinks.read_manifest(final)
+            if fresh is not None and str(fresh["buckets"].get(str(b))) == str(v):
+                fresh["buckets"][str(b)] = new_tag
+                _sinks._write_manifest_atomic(final, fresh)
+                committed = True
+            else:
+                committed = False
+        if committed:
+            compacted.append(str(b))
+            if (str(b), str(v)) not in snapshot_refs:
+                shutil.rmtree(leaf, ignore_errors=True)
+        else:
+            # a stream batch re-pointed this bucket mid-compaction:
+            # its leaf is newer than our input — discard our twin
+            skipped.append(str(b))
+            shutil.rmtree(new_leaf, ignore_errors=True)
+    spark.catalog.refreshByPath(final)
+    return {"compacted": compacted, "skipped": skipped}

@@ -120,6 +120,46 @@ def read_manifest(final: str) -> dict | None:
         return json.load(fh)
 
 
+import contextlib
+import time
+
+
+# test seam: called right before an upsert batch enters its manifest
+# commit section (None in production). Lets a test interleave a
+# concurrent maintenance commit at the exact racy point.
+_pre_commit_hook = None
+
+
+@contextlib.contextmanager
+def _manifest_lock(final: str, timeout_s: float = 30.0):
+    """Mutual exclusion for manifest read-modify-write sections
+    (upsert commit vs OPTIMIZE commit). O_CREAT|O_EXCL lock file next
+    to the manifest — the local-filesystem stand-in for the table
+    format's log-commit conditional put. A crashed holder leaves a
+    stale lock; callers time out with the path in the error rather
+    than silently proceeding into a torn commit."""
+    lock_path = os.path.join(final, MANIFEST_NAME + ".lock")
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"{lock_path}: manifest lock held for >{timeout_s}s — "
+                    "a concurrent committer is stuck or crashed; remove the "
+                    "lock file after verifying no maintenance job is running"
+                ) from None
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        os.close(fd)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lock_path)
+
+
 def _write_manifest_atomic(final: str, manifest: dict) -> None:
     """Single atomic commit point: write-tmp + fsync + rename. A reader
     holding the old manifest (or re-reading it) sees either the entire
@@ -415,44 +455,61 @@ def upsert_parquet_bucketed(
         .parquet(final)
     )
     # ---- the commit point ----
-    for b in todo:
-        committed[str(b)] = int(version)
-    # record the row schema so a fully-emptied table (CDC deletes can
-    # legitimately remove every key) still reads back as an EMPTY
-    # frame with the right columns instead of failing on zero leaves.
-    # MUST be the EVOLVED schema, not this batch's: a batch touching
-    # only fresh buckets never unions with existing leaves, and
-    # recording its (possibly narrower / column-missing) shape would
-    # silently drop previously-evolved columns from every read.
-    committed_schema = target_schema if target_schema is not None else latest.schema
-    manifest["schema"] = json.loads(
-        _struct_without(
-            committed_schema, {BUCKET_COL, tombstone_col or ""}
-        ).json()
-    )
-    if tombstone_col is not None:
-        # a bucket whose every key was deleted wrote ZERO rows — no
-        # _v=version leaf exists. Drop it from the manifest (an absent
-        # bucket IS the empty state) instead of committing a pointer
-        # to a directory that was never created.
+    if _pre_commit_hook is not None:
+        _pre_commit_hook()
+    with _manifest_lock(final):
+        # MERGE-commit under the lock: re-read the manifest and apply
+        # only THIS batch's touched buckets onto it. A concurrent
+        # OPTIMIZE (optimize.optimize_upsert_table) may have re-pointed
+        # untouched buckets at compacted leaves since we read the
+        # manifest at batch start — overwriting with our stale view
+        # would dangle those pointers after its GC.
+        fresh = read_manifest(final)
+        if fresh is not None:
+            manifest["buckets"] = fresh["buckets"]
+        committed = manifest["buckets"]
         for b in todo:
-            leaf = os.path.join(
-                final, f"{BUCKET_COL}={b}", f"{VERSION_DIR_COL}={int(version)}"
-            )
-            if not os.path.isdir(leaf):
-                committed.pop(str(b), None)
-    _write_manifest_atomic(final, manifest)
-    if retain_history > 0:
-        # immutable per-batch snapshot (tmp+rename like the manifest)
-        tmp = _snapshot_path(final, version) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {**manifest, "version": int(version)},
-                fh, indent=0, sort_keys=True,
-            )
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, _snapshot_path(final, version))
+            committed[str(b)] = int(version)
+        # record the row schema so a fully-emptied table (CDC deletes
+        # can legitimately remove every key) still reads back as an
+        # EMPTY frame with the right columns instead of failing on
+        # zero leaves. MUST be the EVOLVED schema, not this batch's: a
+        # batch touching only fresh buckets never unions with existing
+        # leaves, and recording its (possibly narrower/column-missing)
+        # shape would silently drop previously-evolved columns.
+        committed_schema = (
+            target_schema if target_schema is not None else latest.schema
+        )
+        manifest["schema"] = json.loads(
+            _struct_without(
+                committed_schema, {BUCKET_COL, tombstone_col or ""}
+            ).json()
+        )
+        if tombstone_col is not None:
+            # a bucket whose every key was deleted wrote ZERO rows — no
+            # _v=version leaf exists. Drop it from the manifest (an
+            # absent bucket IS the empty state) instead of committing a
+            # pointer to a directory that was never created.
+            for b in todo:
+                leaf = os.path.join(
+                    final,
+                    f"{BUCKET_COL}={b}",
+                    f"{VERSION_DIR_COL}={int(version)}",
+                )
+                if not os.path.isdir(leaf):
+                    committed.pop(str(b), None)
+        _write_manifest_atomic(final, manifest)
+        if retain_history > 0:
+            # immutable per-batch snapshot (tmp+rename like the manifest)
+            tmp = _snapshot_path(final, version) + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {**manifest, "version": int(version)},
+                    fh, indent=0, sort_keys=True,
+                )
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, _snapshot_path(final, version))
     # ---- GC superseded leaves (post-commit; crash here is harmless —
     # orphans are re-collected by any later batch's GC) ----
     keep_per_bucket: dict[str, set[int]] = {
@@ -466,7 +523,8 @@ def upsert_parquet_bucketed(
         for s in retained:
             with open(_snapshot_path(final, s)) as fh:
                 for b, v in json.load(fh)["buckets"].items():
-                    keep_per_bucket.setdefault(b, set()).add(int(v))
+                    # v may be an int batch id or an OPTIMIZE leaf tag
+                    keep_per_bucket.setdefault(b, set()).add(v)
         # retained snapshots may reference buckets outside this batch's
         # touched set; GC every bucket dir so expired leaves anywhere go
         todo_gc = [

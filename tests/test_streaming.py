@@ -708,6 +708,126 @@ def test_upsert_time_travel_across_evolution(spark, tmp_path):
     assert [(r.k, r.v, r.note) for r in v1.collect()] == [(1, 11, "x")]
 
 
+def test_optimize_upsert_table_compacts_and_survives_concurrent_upsert(
+    spark, tmp_path
+):
+    """OPTIMIZE-vs-live-writer contract (manifest CAS): compaction
+    never loses a committed row. Schedule A: a stream batch commits a
+    bucket BETWEEN optimize's leaf rewrite and its CAS — optimize must
+    lose the CAS for that bucket (skipped) and the batch's row wins.
+    Quiet buckets compact (fewer files, same rows)."""
+    from sparktrends_spark.sources.optimize import optimize_upsert_table
+    from sparktrends_spark.streaming.sinks import (
+        read_upserted,
+        upsert_parquet_bucketed,
+    )
+
+    path = str(tmp_path / "t")
+    # 3 batches -> multi-file leaves worth compacting
+    for v in range(3):
+        upsert_parquet_bucketed(
+            spark.createDataFrame(
+                [(k, v * 100 + k) for k in range(40)], "k long, val long"
+            ),
+            path, keys=("k",), n_buckets=4, version=v,
+        )
+    before = read_upserted(spark, path)
+    before_rows = {r.k: r.val for r in before.collect()}
+    n_files_before = len(before.inputFiles())
+
+    # key -> bucket map (same hash the sink uses)
+    key_bucket = {
+        r.k: r.b
+        for r in spark.createDataFrame(
+            [(k,) for k in range(40)], "k long"
+        ).select("k", F.pmod(F.hash("k"), F.lit(4)).alias("b")).collect()
+    }
+    raced: list = []
+
+    def interleave(bucket):
+        # first bucket only: a concurrent batch updates a key IN the
+        # bucket optimize is about to CAS — optimize must lose
+        if raced:
+            return
+        victim = next(k for k, b in key_bucket.items() if str(b) == str(bucket))
+        raced.append((bucket, victim))
+        upsert_parquet_bucketed(
+            spark.createDataFrame([(victim, 9999)], "k long, val long"),
+            path, keys=("k",), n_buckets=4, version=7,
+        )
+
+    res = optimize_upsert_table(
+        spark, path, target_file_bytes=1 << 30, on_before_commit=interleave
+    )
+    # the raced bucket lost its CAS; the others compacted
+    raced_bucket, victim = str(raced[0][0]), raced[0][1]
+    assert raced_bucket in res["skipped"], res
+    assert len(res["compacted"]) == 3, res
+
+    after = read_upserted(spark, path)
+    got = {r.k: r.val for r in after.collect()}
+    expect = dict(before_rows)
+    expect[victim] = 9999  # the concurrent batch's write must survive
+    assert got == expect
+    # compacted leaves are single-file at the target size (the sink's
+    # per-batch bucket rewrite already yields small leaf counts, so
+    # equality is the floor here)
+    assert len(after.inputFiles()) <= n_files_before
+    assert all("_c" in f or "_v=7" in f for f in after.inputFiles())
+    # idempotent second pass with no writer: everything compacts
+    res2 = optimize_upsert_table(spark, path, target_file_bytes=1 << 30)
+    assert res2["skipped"] == []
+    assert {r.k: r.val for r in read_upserted(spark, path).collect()} == expect
+
+
+def test_upsert_commit_merges_over_concurrent_optimize(spark, tmp_path):
+    """Schedule B (the reverse race): OPTIMIZE flips a pointer AFTER a
+    stream batch read the manifest but BEFORE its commit. The batch's
+    merge-commit must preserve optimize's pointer for buckets it did
+    not touch — a whole-manifest overwrite from the batch's stale view
+    would dangle the compacted leaf optimize just committed (and GC'd
+    the original of)."""
+    from sparktrends_spark.sources.optimize import optimize_upsert_table
+    from sparktrends_spark.streaming import sinks as _sinks
+
+    path = str(tmp_path / "t")
+    for v in range(2):
+        _sinks.upsert_parquet_bucketed(
+            spark.createDataFrame(
+                [(k, v * 100 + k) for k in range(40)], "k long, val long"
+            ),
+            path, keys=("k",), n_buckets=4, version=v,
+        )
+    before = {r.k: r.val for r in _sinks.read_upserted(spark, path).collect()}
+
+    fired: list = []
+
+    def run_optimize_mid_batch():
+        if not fired:
+            fired.append(1)
+            optimize_upsert_table(spark, path, target_file_bytes=1 << 30)
+
+    _sinks._pre_commit_hook = run_optimize_mid_batch
+    try:
+        # this batch touches ONLY key 0's bucket; optimize runs between
+        # its manifest read (batch start) and its commit
+        _sinks.upsert_parquet_bucketed(
+            spark.createDataFrame([(0, 4242)], "k long, val long"),
+            path, keys=("k",), n_buckets=4, version=5,
+        )
+    finally:
+        _sinks._pre_commit_hook = None
+    assert fired
+    got = {r.k: r.val for r in _sinks.read_upserted(spark, path).collect()}
+    expect = dict(before)
+    expect[0] = 4242
+    assert got == expect
+    # optimize's pointers survived in the merged manifest: at least one
+    # untouched bucket points at a compacted (_c-tagged) leaf
+    manifest = _sinks.read_manifest(path)
+    assert any("_c" in str(v) for v in manifest["buckets"].values()), manifest
+
+
 def test_sql_merge_evolution_ddl(spark):
     """sql-merge strategy: added columns emit ADD COLUMNS, widened
     numerics emit ALTER COLUMN TYPE, illegal changes raise — so the
