@@ -77,6 +77,21 @@ def corrupt_payloads(assets: DataFrame, mod: int = 5) -> DataFrame:
     )
 
 
+def deterministic_exif_tags(asset_id: int) -> dict:
+    """The Exif tag set spliced into image ``asset_id`` — one shared
+    derivation so the embed pass, the fused scrub-verify pass, and the
+    DuckDB oracles all restate the same values."""
+    a = int(asset_id)
+    return {
+        "make": "SparkTrends",
+        "model": "CamSim",
+        "orientation": 1 + a % 8,
+        "datetime": f"2026:01:{1 + a % 28:02d} 12:00:00",
+        "exposure_time": (1, 125 * (1 + a % 4)),
+        "iso": 100 * (1 + a % 16),
+    }
+
+
 def embed_exif_payloads(assets: DataFrame) -> DataFrame:
     """Splice a deterministic Exif APP1 into every image payload
     (JPEG-encoded upstream via ``encode_media_payloads``): orientation,
@@ -99,21 +114,8 @@ def embed_exif_payloads(assets: DataFrame) -> DataFrame:
                 if modality != "image":
                     out.append(raw)
                     continue
-                a = int(asset_id)
                 out.append(
-                    insert_exif(
-                        raw,
-                        {
-                            "make": "SparkTrends",
-                            "model": "CamSim",
-                            "orientation": 1 + a % 8,
-                            "datetime": (
-                                f"2026:01:{1 + a % 28:02d} 12:00:00"
-                            ),
-                            "exposure_time": (1, 125 * (1 + a % 4)),
-                            "iso": 100 * (1 + a % 16),
-                        },
-                    )
+                    insert_exif(raw, deterministic_exif_tags(int(asset_id)))
                 )
             pdf = pdf.copy()
             pdf["payload"] = out

@@ -505,6 +505,58 @@ def extract_features_arrow(assets: DataFrame) -> DataFrame:
     return assets.mapInArrow(featurize, FEATURE_SCHEMA)
 
 
+def exif_scrub_verify(assets: DataFrame) -> DataFrame:
+    """Fused embed→strip→reparse→decode verification for the Exif
+    scrub query: ONE Arrow pass per image (1) splices the
+    deterministic Exif APP1 (assets.deterministic_exif_tags — same
+    derivation as embed_exif_payloads), (2) strips it
+    (exif.strip_exif), (3) re-parses the stripped bytes (must find no
+    tags), (4) fully decodes the stripped JPEG (the scrub may not
+    touch pixel content). Replaces the 4-stage pipeline (embed, strip,
+    parse, decode — four mapInPandas passes shipping the payload bytes
+    through Arrow each time) with a single stage: the query plans as
+    exactly 2 MapInPandas (encode + this), halving Arrow transfer."""
+    out_schema = "asset_id long, has_exif boolean, mean_brightness double"
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparktrends_spark.multimodal.assets import deterministic_exif_tags
+        from sparktrends_spark.multimodal.exif import (
+            insert_exif,
+            parse_exif,
+            strip_exif,
+        )
+        from sparktrends_spark.multimodal.jpeg import decode_jpeg
+
+        # constant-color JPEG corpora repeat heavily; memoize decodes
+        cache: dict[bytes, float] = {}
+        for pdf in batches:
+            imgs = pdf[pdf["modality"] == "image"]
+            rows: dict[str, list] = {
+                "asset_id": [], "has_exif": [], "mean_brightness": []
+            }
+            for asset_id, payload in zip(imgs["asset_id"], imgs["payload"]):
+                a = int(asset_id)
+                stripped = strip_exif(
+                    insert_exif(bytes(payload), deterministic_exif_tags(a))
+                )
+                mean = cache.get(stripped)
+                if mean is None:
+                    mean = float(decode_jpeg(stripped).astype("float64").mean())
+                    cache[stripped] = mean
+                rows["asset_id"].append(a)
+                rows["has_exif"].append(bool(parse_exif(stripped)))
+                rows["mean_brightness"].append(mean)
+            yield pd.DataFrame(rows).astype(
+                {
+                    "asset_id": "int64",
+                    "has_exif": "bool",
+                    "mean_brightness": "float64",
+                }
+            )
+
+    return assets.mapInPandas(verify, out_schema)
+
+
 def image_exif_features(assets: DataFrame) -> DataFrame:
     """Extract Exif metadata from image payloads — the
     orientation/capture-time/camera mining pass a training pipeline

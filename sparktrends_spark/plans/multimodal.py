@@ -316,33 +316,17 @@ def q_asset_exif_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata AND with the pixel decoder that brightness is unchanged
     (the scrub may not touch image content). Oracle: exact image count,
     literal zero Exif survivors, and the constant-color mean restated
-    from md5(text) — averaging per-image integers, deterministic."""
-    from sparktrends_spark.multimodal.assets import embed_exif_payloads
-    from sparktrends_spark.multimodal.featurize import (
-        image_exif_features,
-        image_pixel_features,
-    )
+    from md5(text) — averaging per-image integers, deterministic.
 
-    media = embed_exif_payloads(
-        encode_media_payloads(_assets(spark, sf_dir), image_codec="jpeg")
-    )
+    Dataflow: encode + ONE fused embed→strip→reparse→decode stage
+    (featurize.exif_scrub_verify) — 2 MapInPandas total, plan-asserted;
+    the earlier 4-pass formulation (separate embed/strip/parse/decode)
+    shipped every payload through Arrow four times and ran ~2x slower."""
+    from sparktrends_spark.multimodal.featurize import exif_scrub_verify
 
-    def scrub(batches):
-        from sparktrends_spark.multimodal.exif import strip_exif
-
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["payload"] = [
-                strip_exif(bytes(p)) if m == "image" else bytes(p)
-                for p, m in zip(pdf["payload"], pdf["modality"])
-            ]
-            yield pdf
-
-    scrubbed = media.mapInPandas(scrub, media.schema)
-    exif = image_exif_features(scrubbed)
-    px = image_pixel_features(scrubbed, grid=4)
-    joined = exif.join(px.select("asset_id", "mean_brightness"), "asset_id")
-    return joined.agg(
+    media = encode_media_payloads(_assets(spark, sf_dir), image_codec="jpeg")
+    verified = exif_scrub_verify(media)
+    return verified.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_images"),
         F.coalesce(
             F.sum(F.when(F.col("has_exif"), 1)), F.lit(0)
