@@ -342,6 +342,7 @@ def _decode_mp4(data: bytes) -> Mp4Media:
 
     timescale = duration = None
     width = height = 0
+    video_track_id = None
     tables: dict[bytes, bytes] = {}
     for t, s, e in _iter_boxes(data, moov_s, moov_e):
         if t != b"trak":
@@ -356,6 +357,10 @@ def _decode_mp4(data: bytes) -> Mp4Media:
         tkhd = _find(data, s, e, b"tkhd")
         if tkhd is not None:
             ver = data[tkhd[0]]
+            # track_ID follows version/flags + creation/modification
+            # times (4+4 bytes at v0, 8+8 at v1)
+            tid_off = tkhd[0] + (20 if ver == 1 else 12)
+            (video_track_id,) = struct.unpack(">I", data[tid_off : tid_off + 4])
             # width/height are the last 8 bytes, 16.16 fixed point
             w_fx, h_fx = struct.unpack(">II", data[tkhd[1] - 8 : tkhd[1]])
             width, height = w_fx >> 16, h_fx >> 16
@@ -382,7 +387,8 @@ def _decode_mp4(data: bytes) -> Mp4Media:
         raise ValueError("MP4 has no video track")
     if fragmented:
         return _decode_fragments(
-            data, (moov_s, moov_e), timescale, width, height
+            data, (moov_s, moov_e), timescale, width, height,
+            video_track_id=video_track_id,
         )
     for need in (b"stts", b"stsz", b"stsc"):
         if need not in tables:
@@ -462,21 +468,36 @@ def _decode_mp4(data: bytes) -> Mp4Media:
 
 
 def _decode_fragments(
-    data: bytes, moov_span: tuple, timescale: int, width: int, height: int
+    data: bytes,
+    moov_span: tuple,
+    timescale: int,
+    width: int,
+    height: int,
+    video_track_id: int | None = None,
 ) -> Mp4Media:
     """Demux every ``moof``/``mdat`` fragment: tfhd defaults (falling
     back to mvex/trex movie defaults), tfdt base decode time, trun
     sample runs. Sample byte addressing honors base-data-offset when
     present and default-base-is-moof otherwise (also the spec default
-    for our own muxer's output)."""
+    for our own muxer's output).
+
+    Multi-track input (e.g. video+audio from an external muxer): only
+    trafs whose tfhd track_ID matches the moov's video track are
+    demuxed — interleaving every track's samples into one list would
+    corrupt both timestamps and bytes. trex defaults are likewise
+    selected per track."""
     trex_dur = trex_size = 0
     mvex = _find(data, *moov_span, b"mvex")
     if mvex is not None:
-        trex = _find(data, *mvex, b"trex")
-        if trex is not None:
-            _tid, _sdi, trex_dur, trex_size, _fl = struct.unpack(
-                ">IIIII", data[trex[0] + 4 : trex[0] + 24]
+        for tt, ts_, te_ in _iter_boxes(data, *mvex):
+            if tt != b"trex":
+                continue
+            _tid, _sdi, dur_, size_, _fl = struct.unpack(
+                ">IIIII", data[ts_ + 4 : ts_ + 24]
             )
+            if video_track_id is None or _tid == video_track_id:
+                trex_dur, trex_size = dur_, size_
+                break
 
     samples: list = []
     t_units = 0
@@ -502,6 +523,11 @@ def _decode_fragments(
                     raise ValueError("MP4 traf missing tfhd")
                 fl = struct.unpack(">I", data[tfhd[0] : tfhd[0] + 4])[0]
                 tf_flags = fl & 0xFFFFFF
+                (traf_tid,) = struct.unpack(
+                    ">I", data[tfhd[0] + 4 : tfhd[0] + 8]
+                )
+                if video_track_id is not None and traf_tid != video_track_id:
+                    continue  # another track's fragment (audio, ...)
                 p = tfhd[0] + 8  # skip version/flags + track_id
                 base_data_offset = None
                 if tf_flags & 0x1:

@@ -451,6 +451,41 @@ class TestMp4:
         assert [t for t, _ in media.samples] == [0, 100, 200, 300, 400]
         assert media.duration_ms == 500
 
+    def test_fmp4_multitrack_demuxes_only_the_video_track(self):
+        """An external muxer's fMP4 interleaves video AND audio
+        fragments (one traf per track, distinguished by tfhd
+        track_ID). The demuxer must take only trafs whose track_ID
+        matches moov's video track — mixing tracks would corrupt both
+        timestamps and sample bytes."""
+        from sparktrends_spark.multimodal.mp4 import _box, _full, encode_fmp4
+
+        frames = [b"VID%d" % i for i in range(6)]
+        video_only = encode_fmp4(
+            frames, 400, width=16, height=16, frames_per_fragment=3
+        )
+        # craft an AUDIO fragment (track_ID=2, same wire format)
+        payloads = [b"AUDIO%d" % i for i in range(3)]
+
+        def audio_moof(data_offset: int) -> bytes:
+            mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", 99))
+            tfhd = _full(b"tfhd", 0, 0x020008, struct.pack(">II", 2, 400))
+            tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", 0))
+            trun = _full(
+                b"trun", 0, 0x000201,
+                struct.pack(">I", len(payloads))
+                + struct.pack(">i", data_offset)
+                + b"".join(struct.pack(">I", len(p)) for p in payloads),
+            )
+            return _box(b"moof", mfhd + _box(b"traf", tfhd + tfdt + trun))
+
+        probe = audio_moof(0)
+        moof = audio_moof(len(probe) + 8)
+        multi = video_only + moof + _box(b"mdat", b"".join(payloads))
+        got = decode_mp4(multi)
+        want = decode_mp4(video_only)
+        assert got.samples == want.samples  # audio track invisible
+        assert all(b.startswith(b"VID") for _, b in got.samples)
+
     def test_fmp4_trun_per_sample_durations_override_tfhd_default(self):
         from sparktrends_spark.multimodal.mp4 import encode_fmp4
 
