@@ -1362,6 +1362,82 @@ def q_event_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_upsert_optimize_concurrent",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_updated,
+       CAST(sum(CAST(value AS DECIMAL(18,2))
+                + (CASE WHEN event_id % 97 = 0 THEN 1000 ELSE 0 END))
+            AS DOUBLE) AS total_value,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM events
+""",
+)
+def q_event_upsert_optimize_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance-vs-writer race graded end-to-end
+    (`sources/optimize.optimize_upsert_table` + the manifest-lock CAS
+    in `streaming/sinks.py`): load events into a bucketed upsert
+    table, then run OPTIMIZE while a concurrent batch (+1000 to every
+    event_id % 97 == 0 row) commits BETWEEN a bucket's compaction
+    rewrite and its CAS — the exact schedule that loses committed rows
+    without the CAS. The raced bucket's compaction is discarded, the
+    batch's writes win, remaining buckets compact. The oracle states
+    the final table in plain SQL over the source, so the graded row
+    proves no committed row (or update) was lost or duplicated.
+    Value discipline: decimal-exact sum, double once at the end."""
+    import os
+    import shutil
+
+    from sparktrends_spark.sources.optimize import optimize_upsert_table
+    from sparktrends_spark.streaming.sinks import (
+        read_upserted,
+        upsert_parquet_bucketed,
+    )
+
+    dest = os.path.join(
+        "/tmp/sparktrends_optimize",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "events_upsert",
+    )
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    upsert_parquet_bucketed(
+        events, dest, keys=("event_id",), n_buckets=16, version=0
+    )
+    update = events.filter(F.col("event_id") % 97 == 0).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    raced: list = []
+
+    def commit_update_mid_optimize(_bucket):
+        if not raced:
+            raced.append(_bucket)
+            upsert_parquet_bucketed(
+                update, dest, keys=("event_id",), n_buckets=16, version=1
+            )
+
+    optimize_upsert_table(
+        spark, dest, on_before_commit=commit_update_mid_optimize
+    )
+    return read_upserted(spark, dest).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("event_id") % 97 == 0, 1).otherwise(0)
+        ).cast("bigint").alias("n_updated"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.min("event_id").cast("bigint").alias("min_id"),
+        F.max("event_id").cast("bigint").alias("max_id"),
+    )
+
+
+@query(
     "event_bloom_point_lookup",
     oracle="""
 SELECT CAST(event_id AS BIGINT) AS event_id, user_id, event_type,

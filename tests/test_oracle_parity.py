@@ -15,7 +15,10 @@ from tests.oracle_utils import assert_query_matches_oracle
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, sf_dir, name):
-    assert_query_matches_oracle(spark, sf_dir, name)
+    # exact=True mirrors the driver's value hasher (stringified cells,
+    # bit-exact floats) — the tolerant comparison let 1-ULP
+    # aggregation-order drift hide until the driver flagged it (r7)
+    assert_query_matches_oracle(spark, sf_dir, name, exact=True)
 
 
 def test_approx_distinct_raw_estimate_within_3_sigma(spark, sf_dir):

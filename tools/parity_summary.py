@@ -29,10 +29,20 @@ def main() -> int:
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
+    # PARITY_MASTER / PARITY_SHUFFLE override the session shape so the
+    # exact sweep can be repeated under a DIFFERENT parallelism — any
+    # query whose output depends on addition order (the bug class the
+    # exact mode exists for) diverges between the two runs.
+    import os
+
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(os.environ.get("PARITY_MASTER", "local[8]"))
         .appName("parity-summary")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("PARITY_SHUFFLE", "200"),
+        )
         .getOrCreate()
     )
     import __spark_entry__ as entry
