@@ -1437,6 +1437,92 @@ def q_event_upsert_optimize_concurrent(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+_PR_N = 25  # TPC-H nation is fixed at 25 rows at every SF
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 5-iteration PageRank as chained CTEs — the SQL
+    restatement of operators/pagerank.py, ops in the identical IEEE
+    order (rank * (w/ow), round-12 per iteration) so ranks are
+    bit-identical."""
+    base = repr((1.0 - _PR_DAMPING) / _PR_N)
+    d = repr(_PR_DAMPING)
+    r0 = repr(1.0 / _PR_N)
+    steps = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+r{i} AS (
+  SELECT n.node,
+         round({base} + {d} * coalesce(s.s, 0.0), 12) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT ew.dst AS node,
+           sum(r.rank * ew.nw) AS s
+    FROM ew JOIN {prev} r ON r.node = ew.src
+    GROUP BY ew.dst) s USING (node)
+)""")
+        prev = f"r{i}"
+    chain = ",".join(steps)
+    return f"""
+WITH nodes AS (SELECT n_nationkey AS node FROM nation),
+e AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN supplier ON l_suppkey  = s_suppkey
+  GROUP BY 1, 2
+),
+ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+ew AS (
+  SELECT e.src, e.dst,
+         CAST(e.w AS DOUBLE) / CAST(ow.ow AS DOUBLE) AS nw
+  FROM e JOIN ow USING (src)
+),
+r0 AS (SELECT node, {r0} AS rank FROM nodes),{chain}
+SELECT node, round(rank, 6) AS rank FROM {prev}
+"""
+
+
+@query("nation_pagerank", oracle=_pagerank_oracle())
+def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph (customer-nation
+    -> supplier-nation edges weighted by lineitem count), 5 synchronous
+    iterations via operators/pagerank.py — the iterative-graph family
+    next to connected components, with a FULL value oracle (the
+    iterations unroll into chained CTEs). Per-iteration round-12 keeps
+    the addition-order-dependent contribution sums bit-identical
+    across engines; output rounds to 6. Scale shape: one dst-keyed
+    shuffle + one src equi-join per iteration, edges never collected,
+    lineage cut per step."""
+    from sparktrends_spark.operators.pagerank import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    ranks = pagerank(
+        nodes, edges, iterations=_PR_ITERS, damping=_PR_DAMPING
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 @query(
     "order_upsert_schema_evolution",
     oracle="""

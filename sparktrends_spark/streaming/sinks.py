@@ -193,11 +193,22 @@ def _evolved_schema(stored, incoming_schema, keys: Sequence[str]):
       widening or retyping a key is rejected.
     - Non-key columns may be ADDED (existing rows read NULL), be
       ABSENT from a batch (its rows store NULL), or WIDEN along
-      byte<short<int<long<float<double. Narrowing never happens (the
-      wider of the two types wins); incompatible retypes
-      (string<->numeric, ...) are rejected with a clear error.
+      byte<short<int<long<float<double — or, for decimals, to any
+      decimal whose integer AND fraction digit counts both cover the
+      stored type's (decimal(10,2) -> decimal(18,2) or (20,4), never
+      -> (18,0)). Narrowing never happens (the wider of the two types
+      wins); incompatible retypes (string<->numeric, ...) are rejected
+      with a clear error.
     """
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import DecimalType, StructField, StructType
+
+    def dec_covers(a, b) -> bool:
+        # a can hold every value of b: more (or equal) integer digits
+        # AND more (or equal) fraction digits
+        return (
+            a.precision - a.scale >= b.precision - b.scale
+            and a.scale >= b.scale
+        )
 
     stored_names = {f.name for f in stored.fields}
     in_by = {f.name: f for f in incoming_schema.fields}
@@ -209,9 +220,15 @@ def _evolved_schema(stored, incoming_schema, keys: Sequence[str]):
             continue
         s, i = f.dataType.typeName(), g.dataType.typeName()
         both_num = s in _NUM_WIDTH and i in _NUM_WIDTH
+        both_dec = isinstance(f.dataType, DecimalType) and isinstance(
+            g.dataType, DecimalType
+        )
         if f.name in keys:
             if both_num and _NUM_WIDTH[i] <= _NUM_WIDTH[s]:
                 out.append(f)  # ingest casts the batch key up to stored
+                continue
+            if both_dec and dec_covers(f.dataType, g.dataType):
+                out.append(f)
                 continue
             raise ValueError(
                 f"schema evolution: key column {f.name!r} is pinned to "
@@ -222,6 +239,19 @@ def _evolved_schema(stored, incoming_schema, keys: Sequence[str]):
             wide = f if _NUM_WIDTH[s] >= _NUM_WIDTH[i] else g
             out.append(StructField(f.name, wide.dataType, True))
             continue
+        if both_dec:
+            if dec_covers(f.dataType, g.dataType):
+                out.append(f)
+                continue
+            if dec_covers(g.dataType, f.dataType):
+                out.append(StructField(f.name, g.dataType, True))
+                continue
+            raise ValueError(
+                f"schema evolution: column {f.name!r} cannot change "
+                f"{f.dataType.simpleString()} -> {g.dataType.simpleString()}"
+                " — neither decimal covers the other (integer and fraction"
+                " digits must both be non-decreasing)"
+            )
         raise ValueError(
             f"schema evolution: column {f.name!r} cannot change "
             f"{f.dataType.simpleString()} -> {g.dataType.simpleString()} "

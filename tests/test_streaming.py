@@ -828,6 +828,42 @@ def test_upsert_commit_merges_over_concurrent_optimize(spark, tmp_path):
     assert any("_c" in str(v) for v in manifest["buckets"].values()), manifest
 
 
+def test_upsert_schema_evolution_decimal_widening(spark, tmp_path):
+    """Decimal columns widen when integer AND fraction digit counts
+    both cover the stored type; a decimal that covers neither
+    direction is rejected."""
+    import pytest as _pytest
+
+    from sparktrends_spark.streaming.sinks import (
+        read_upserted,
+        upsert_parquet_bucketed,
+    )
+
+    path = str(tmp_path / "dec")
+    upsert_parquet_bucketed(
+        spark.createDataFrame([(1, "10.25")], "k long, amt string").selectExpr(
+            "k", "CAST(amt AS DECIMAL(10,2)) AS amt"
+        ),
+        path, keys=("k",), n_buckets=4, version=0,
+    )
+    # widen to decimal(18,2): old leaf reads up-cast
+    upsert_parquet_bucketed(
+        spark.createDataFrame([(2, "9999999999999.99")], "k long, amt string")
+        .selectExpr("k", "CAST(amt AS DECIMAL(18,2)) AS amt"),
+        path, keys=("k",), n_buckets=4, version=1,
+    )
+    got = read_upserted(spark, path)
+    assert dict(got.dtypes)["amt"] == "decimal(18,2)"
+    assert {str(r.amt) for r in got.collect()} == {"10.25", "9999999999999.99"}
+    # scale-losing change decimal(18,2) -> decimal(18,0): rejected
+    with _pytest.raises(ValueError, match="neither decimal covers"):
+        upsert_parquet_bucketed(
+            spark.createDataFrame([(3, "5")], "k long, amt string")
+            .selectExpr("k", "CAST(amt AS DECIMAL(18,0)) AS amt"),
+            path, keys=("k",), n_buckets=4, version=2,
+        )
+
+
 def test_sql_merge_evolution_ddl(spark):
     """sql-merge strategy: added columns emit ADD COLUMNS, widened
     numerics emit ALTER COLUMN TYPE, illegal changes raise — so the
