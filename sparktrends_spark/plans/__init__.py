@@ -26,10 +26,13 @@ from sparktrends_spark.plans import skew  # noqa: E402,F401
 # representative cross-family slice — reference-parity market queries,
 # TPC-H-ish relational, joins/windows, sketch rollups, lake maintenance,
 # and the four LLM-pipeline north-star families (text dedup, text
-# analysis/curation, embedding similarity, multimodal) plus streaming
-# and skew handling — not whichever families happened to be imported
-# first. Queries not named here keep their registration order after the
-# prioritized block; nothing is added or removed.
+# analysis/curation, embedding similarity, multimodal) plus streaming,
+# skew handling, and iterative graph — not whichever families happened
+# to be imported first. Queries not named here keep their registration
+# order after the prioritized block; nothing is added or removed.
+# Displaced in round 8 (still swept + pytest-verified, families keep
+# >=2 driver rows each): priority_approx_distinct,
+# purchase_to_prior_view_asof, event_targeted_delete.
 _PRIORITY_ORDER = [
     # reference-parity market core
     "ohlcv_bars", "ohlcv_rollup_hourly", "vwap_metrics", "latest_metrics",
@@ -38,16 +41,19 @@ _PRIORITY_ORDER = [
     "ema_daily", "ema_daily_chunked",
     # relational / TPC-H dialect
     "q1_pricing_summary", "q5_region_revenue",
-    "status_cube", "returnflag_percentiles", "priority_approx_distinct",
+    "status_cube", "returnflag_percentiles",
+    # iterative graph
+    "nation_pagerank",
     # joins
-    "events_to_orders_asof", "purchase_to_prior_view_asof",
-    "event_window_range_join",
+    "events_to_orders_asof", "event_window_range_join",
     # windows / sessions
     "event_sessions", "sliding_event_counts",
     # mergeable sketch rollups
     "daily_user_sketch_rollup", "value_quantile_sketch_rollup",
-    # lake maintenance / quality
-    "event_zorder_rectangle", "event_targeted_delete",
+    # lake maintenance / quality (incl. round-8 schema evolution and
+    # the concurrent OPTIMIZE-vs-writer CAS, graded end-to-end)
+    "event_zorder_rectangle", "order_upsert_schema_evolution",
+    "event_upsert_optimize_concurrent",
     "events_quality_checks", "user_activity_snapshot_diff",
     # text dedup (north star)
     "doc_exact_dedup", "doc_minhash_pairs", "doc_minhash_dedup_keep",

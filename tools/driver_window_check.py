@@ -40,7 +40,10 @@ def main() -> int:
     failures = []
     for name in names:
         try:
-            assert_query_matches_oracle(spark, sf_dir, name)
+            # exact=True mirrors the driver's value hasher — the whole
+            # point of this simulation (tolerant mode let the round-7
+            # salted-agg hash failure through)
+            assert_query_matches_oracle(spark, sf_dir, name, exact=True)
             print(f"  OK   {name}")
         except Exception as exc:  # noqa: BLE001 - report and continue
             failures.append(name)
