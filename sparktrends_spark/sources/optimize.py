@@ -99,6 +99,7 @@ def optimize_upsert_table(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Sequence[str] | None = None,
     on_before_commit=None,
 ) -> dict:
     """Compact a BUCKETED UPSERT table (streaming/sinks layout) while a
@@ -124,6 +125,11 @@ def optimize_upsert_table(
     deleted under it fails and retries with the new manifest — the
     same single-writer-filesystem caveat the upsert GC documents;
     snapshot-isolated readers are what a real table-format log adds.
+
+    ``sort_cols`` clusters rows WITHIN each compacted leaf (sort before
+    write), tightening per-row-group min/max stats so a later filtered
+    scan skips row groups inside the bucket — the per-bucket analogue
+    of the flat lake's Z-order pass.
 
     ``on_before_commit(bucket)`` is a test seam invoked between (2)
     and (3) to interleave a concurrent writer deterministically.
@@ -164,11 +170,12 @@ def optimize_upsert_table(
         df = _sinks._leaf_reader(spark, final, manifest).parquet(leaf)
         new_tag = f"{v}_c{uuid.uuid4().hex[:8]}"
         new_leaf = f"{final}/{_sinks.BUCKET_COL}={b}/{_sinks.VERSION_DIR_COL}={new_tag}"
-        (
-            df.drop(_sinks.BUCKET_COL, _sinks.VERSION_DIR_COL)
-            .coalesce(int(n_files))
-            .write.parquet(new_leaf)
+        out = df.drop(_sinks.BUCKET_COL, _sinks.VERSION_DIR_COL).coalesce(
+            int(n_files)
         )
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        out.write.parquet(new_leaf)
         if on_before_commit is not None:
             on_before_commit(b)
         with _sinks._manifest_lock(final):

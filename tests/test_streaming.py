@@ -780,6 +780,56 @@ def test_optimize_upsert_table_compacts_and_survives_concurrent_upsert(
     assert {r.k: r.val for r in read_upserted(spark, path).collect()} == expect
 
 
+def test_manifest_lock_times_out_with_clear_error(tmp_path):
+    """A stale/contended manifest lock must fail loudly with the lock
+    path in the message, never proceed into a torn commit."""
+    import pytest as _pytest
+
+    from sparktrends_spark.streaming.sinks import _manifest_lock
+
+    final = str(tmp_path)
+    with _manifest_lock(final):
+        with _pytest.raises(TimeoutError, match="manifest lock"):
+            with _manifest_lock(final, timeout_s=0.3):
+                pass
+    # released: a fresh acquisition succeeds
+    with _manifest_lock(final, timeout_s=0.3):
+        pass
+
+
+def test_optimize_upsert_table_sort_cols_cluster_leaves(spark, tmp_path):
+    """sort_cols clusters rows within each compacted leaf: every
+    file's rows come out sorted by the column, and values are
+    unchanged."""
+    from sparktrends_spark.sources.optimize import optimize_upsert_table
+    from sparktrends_spark.streaming.sinks import (
+        read_upserted,
+        upsert_parquet_bucketed,
+    )
+
+    path = str(tmp_path / "t")
+    import random
+
+    rng = random.Random(7)
+    rows = [(k, float(rng.randrange(1000))) for k in range(200)]
+    upsert_parquet_bucketed(
+        spark.createDataFrame(rows, "k long, val double"),
+        path, keys=("k",), n_buckets=4, version=0,
+    )
+    optimize_upsert_table(
+        spark, path, target_file_bytes=1 << 30, sort_cols=["val"]
+    )
+    after = read_upserted(spark, path)
+    assert {(r.k, r.val) for r in after.collect()} == set(rows)
+    import pyarrow.parquet as pq
+
+    for f in after.inputFiles():
+        vals = pq.read_table(f.replace("file:", ""), columns=["val"])[
+            "val"
+        ].to_pylist()
+        assert vals == sorted(vals), f
+
+
 def test_upsert_commit_merges_over_concurrent_optimize(spark, tmp_path):
     """Schedule B (the reverse race): OPTIMIZE flips a pointer AFTER a
     stream batch read the manifest but BEFORE its commit. The batch's
