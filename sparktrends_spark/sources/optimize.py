@@ -150,6 +150,26 @@ def optimize_upsert_table(
         with open(_sinks._snapshot_path(final, s)) as fh:
             for b, v in json.load(fh)["buckets"].items():
                 snapshot_refs.add((str(b), str(v)))
+    # Sweep orphans from a previously CRASHED optimize: a kill between
+    # leaf rewrite and CAS leaves invisible ``_v=*_c*`` dirs no pointer
+    # references. They are only ever created by this function, so with
+    # the documented single-maintenance-job-at-a-time contract they are
+    # safe to delete under the lock (a live upsert stream never writes
+    # ``_c``-tagged leaves).
+    with _sinks._manifest_lock(final):
+        fresh = _sinks.read_manifest(final) or {"buckets": {}}
+        live = {
+            (str(b), str(v)) for b, v in fresh["buckets"].items()
+        } | snapshot_refs
+        for entry in os.listdir(final):
+            if not entry.startswith(f"{_sinks.BUCKET_COL}="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(final, entry)
+            for leaf in os.listdir(bdir):
+                v = leaf.split("=", 1)[1] if "=" in leaf else ""
+                if "_c" in v and (b, v) not in live:
+                    shutil.rmtree(os.path.join(bdir, leaf), ignore_errors=True)
     compacted, skipped = [], []
     for b in sorted(manifest["buckets"], key=int):
         # re-resolve the bucket's pointer fresh each iteration: a

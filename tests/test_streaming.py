@@ -830,6 +830,60 @@ def test_optimize_upsert_table_sort_cols_cluster_leaves(spark, tmp_path):
         assert vals == sorted(vals), f
 
 
+def test_optimize_crash_orphans_swept_on_next_run(spark, tmp_path):
+    """A kill between leaf rewrite and CAS leaves invisible _c-tagged
+    leaf dirs. The next optimize run sweeps them (they are only ever
+    written by optimize itself), then compacts normally — table rows
+    unchanged throughout."""
+    import os
+
+    from sparktrends_spark.sources.optimize import optimize_upsert_table
+    from sparktrends_spark.streaming.sinks import (
+        read_upserted,
+        upsert_parquet_bucketed,
+    )
+
+    path = str(tmp_path / "t")
+    upsert_parquet_bucketed(
+        spark.createDataFrame(
+            [(k, float(k)) for k in range(40)], "k long, val double"
+        ),
+        path, keys=("k",), n_buckets=4, version=0,
+    )
+    before = {r.k: r.val for r in read_upserted(spark, path).collect()}
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash(_bucket):
+        raise Boom()
+
+    import pytest as _pytest
+
+    with _pytest.raises(Boom):
+        optimize_upsert_table(
+            spark, path, target_file_bytes=1 << 30, on_before_commit=crash
+        )
+
+    def orphans():
+        out = []
+        for e in os.listdir(path):
+            if e.startswith("_bucket="):
+                out += [
+                    l for l in os.listdir(os.path.join(path, e)) if "_c" in l
+                ]
+        return out
+
+    assert orphans()  # the crashed run left an invisible leaf
+    # crashed leaf is invisible: reads unaffected
+    assert {r.k: r.val for r in read_upserted(spark, path).collect()} == before
+    res = optimize_upsert_table(spark, path, target_file_bytes=1 << 30)
+    assert len(res["compacted"]) == 4
+    # exactly the 4 committed compacted leaves remain; the orphan is gone
+    assert len(orphans()) == 4
+    assert {r.k: r.val for r in read_upserted(spark, path).collect()} == before
+
+
 def test_upsert_commit_merges_over_concurrent_optimize(spark, tmp_path):
     """Schedule B (the reverse race): OPTIMIZE flips a pointer AFTER a
     stream batch read the manifest but BEFORE its commit. The batch's

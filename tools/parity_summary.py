@@ -65,6 +65,8 @@ def main() -> int:
 
     summary = {
         "mode": "exact-string" if exact else "tolerant",
+        "master": os.environ.get("PARITY_MASTER", "local[8]"),
+        "shuffle_partitions": os.environ.get("PARITY_SHUFFLE", "200"),
         "sf_dir": sf_dir,
         "n_registered": len(queries),
         "n_oracled": len(oracles),
