@@ -156,3 +156,70 @@ def q_user_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(
         events, "user_id", k=20, capacity=512, count_col="n_events"
     )
+
+
+@query(
+    "user_cms_frequency",
+    oracle="""
+WITH cells AS (
+  SELECT t.i AS row,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), t.i*8+1, 8))
+              AS BIGINT) % 64 AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS i) t
+  GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0),
+est AS (
+  SELECT p.user_id, min(c.cnt) AS est_count
+  FROM probes p, (SELECT unnest([0, 1, 2, 3]) AS i) t
+  JOIN cells c
+    ON c.row = t.i
+   AND c.col = CAST(concat('0x', substr(md5(CAST(p.user_id AS VARCHAR)),
+                                        t.i*8+1, 8)) AS BIGINT) % 64
+  GROUP BY 1
+),
+truth AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_count
+  FROM events WHERE user_id % 7 = 0 GROUP BY 1
+)
+SELECT e.user_id, e.est_count, t.true_count,
+       e.est_count - t.true_count AS overestimate
+FROM est e JOIN truth t USING (user_id)
+""",
+)
+def q_user_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates (`operators/cms.py`) for
+    every 7th user, judged against the exact per-user counts: emits
+    (user_id, est_count, true_count, overestimate) with the CMS
+    guarantee overestimate >= 0 visible in the output. width=64 is
+    deliberately narrow so hash collisions actually occur at the
+    graded SF and the estimator (min over 4 independent md5-slice
+    rows) is exercised, not vacuous.
+
+    Scale contract: the sketch build shuffles at most depth*width
+    cells per task (map-side combine over a 256-cell domain) no
+    matter the user cardinality, and the probe join broadcasts the
+    <=256-row sketch — counting 10^9 keys costs the same shuffle as
+    150. The oracle restates the identical all-integer md5-slice
+    arithmetic, so values are bit-exact. true_count here is a plain
+    GROUP BY for grading only; at scale one keeps ONLY the sketch."""
+    from sparktrends_spark.operators.cms import cms_build, cms_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    sketch = cms_build(events, "user_id", depth=4, width=64)
+    probes = (
+        events.select("user_id").where(F.col("user_id") % 7 == 0).distinct()
+    )
+    est = cms_estimate(sketch, probes, "user_id", depth=4, width=64)
+    truth = (
+        events.where(F.col("user_id") % 7 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return est.join(truth, "user_id").select(
+        "user_id",
+        "est_count",
+        "true_count",
+        (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+    )

@@ -163,3 +163,74 @@ def test_snapshot_diff_covers_all_change_types(spark):
     assert counts == {
         "deleted": 1, "unchanged": 1, "updated": 1, "inserted": 1
     }
+
+
+def test_cms_never_underestimates_and_collides(spark):
+    """CMS one-sided guarantee on a high-cardinality input: for EVERY
+    key est >= true, and with a deliberately narrow width collisions
+    actually occur (some est > true) — the estimator is exercised,
+    not an exact count in disguise. An unseen key gets a finite
+    (possibly positive) estimate, never an error."""
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.operators.cms import cms_build, cms_estimate
+
+    # 500 keys, key k appears (k % 17) + 1 times
+    df = (
+        spark.range(500)
+        .selectExpr("id AS key", "CAST(id % 17 + 1 AS INT) AS reps")
+        .selectExpr("explode(sequence(1, reps))", "key")
+        .select("key")
+        .repartition(8)
+    )
+    depth, width = 4, 128
+    sketch = cms_build(df, "key", depth=depth, width=width)
+    cells = sketch.collect()
+    assert len(cells) <= depth * width
+    assert sketch.agg(F.sum("cnt")).first()[0] == df.count() * depth
+
+    probes = df.select("key").distinct()
+    est = cms_estimate(sketch, probes, "key", depth=depth, width=width)
+    true = df.groupBy("key").agg(F.count(F.lit(1)).alias("t"))
+    joined = est.join(true, "key").select("key", "est_count", "t").collect()
+    assert len(joined) == 500
+    assert all(r["est_count"] >= r["t"] for r in joined)
+    assert any(r["est_count"] > r["t"] for r in joined)  # width forced collisions
+
+    unseen = spark.range(1).selectExpr("987654321 AS key")
+    (r,) = cms_estimate(sketch, unseen, "key", depth=depth, width=width).collect()
+    assert r["est_count"] >= 0
+
+
+def test_cms_merge_is_cellwise_sum(spark):
+    """Mergeability (the streaming-upsert contract): sketch(A) +
+    sketch(B) merged cell-wise equals sketch(A union B) exactly."""
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.operators.cms import cms_build
+
+    a = spark.range(0, 300).selectExpr("id % 40 AS key")
+    b = spark.range(300, 700).selectExpr("id % 55 AS key")
+    merged = (
+        cms_build(a, "key", depth=3, width=32)
+        .unionAll(cms_build(b, "key", depth=3, width=32))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_build(a.unionAll(b), "key", depth=3, width=32)
+    m = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
+    d = {(r["row"], r["col"]): r["cnt"] for r in direct.collect()}
+    assert m == d
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    """The probe join must broadcast the <=depth*width-row sketch —
+    no shuffle of the probe side, no sort-merge join."""
+    from sparktrends_spark.operators.cms import cms_build, cms_estimate
+
+    df = spark.range(2000).selectExpr("id % 100 AS key")
+    sketch = cms_build(df, "key")
+    est = cms_estimate(sketch, df.select("key").distinct(), "key")
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
