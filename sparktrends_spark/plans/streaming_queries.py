@@ -988,3 +988,61 @@ def build_stream_value_histogram_sketch(
     return run_upsert_stream(
         sketch, keys=("day", "bucket"), ckpt_dir=ckpt_dir, table_dir=table_dir
     )
+
+
+@query(
+    "stream_user_cms_cells",
+    oracle="""
+SELECT t.i AS row,
+       CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), t.i*8+1, 8))
+            AS BIGINT) % 64 AS col,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events, (SELECT unnest([0, 1, 2, 3]) AS i) t
+GROUP BY 1, 2
+""",
+)
+def q_stream_user_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sketch MAINTAINED ON THE INGEST PATH: the
+    (row, col, cnt) cell table behind `user_cms_frequency` built as a
+    streaming update-mode aggregate landed through the idempotent
+    (row, col)-keyed upsert — any key's frequency estimate is then a
+    4-cell lookup against state that is O(depth x width) FOREVER,
+    regardless of stream volume or key cardinality. Mergeability
+    (cms cell-sum algebra) is exactly what makes the micro-batch
+    update correct; oracle = batch semantics of the same cells."""
+    return build_stream_user_cms_cells(spark, sf_dir)
+
+
+def build_stream_user_cms_cells(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+    table_dir: str | None = None,
+) -> DataFrame:
+    from sparktrends_spark.operators.cms import _cell_col
+
+    depth, width = 4, 64
+    ev = stream_events(spark, sf_dir, max_files_per_trigger)
+    key = F.col("user_id")
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cell_col(key, i, width).alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    sketch = (
+        cells.select("c.row", "c.col")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return run_upsert_stream(
+        sketch, keys=("row", "col"), ckpt_dir=ckpt_dir, table_dir=table_dir
+    )

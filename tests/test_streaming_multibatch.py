@@ -289,3 +289,20 @@ def test_multibatch_histogram_sketch_lands_on_oracle(
     ).toPandas()
     assert _n_batches(ckpt) >= N_SPLITS
     _assert_frames_equal(result, _oracle(sf_dir, "stream_value_histogram_sketch"))
+
+
+def test_multibatch_cms_cells_land_on_oracle(spark, sf_dir, split_dir, tmp_path):
+    """CMS maintenance across real micro-batches: cell-wise count
+    upserts over several batches must converge to exactly the
+    single-batch sketch (the mergeable-summaries algebra run through
+    the update-mode state store + keyed upsert sink)."""
+    from sparktrends_spark.plans.streaming_queries import (
+        build_stream_user_cms_cells,
+    )
+
+    ckpt = str(tmp_path / "ckpt_cms")
+    result = build_stream_user_cms_cells(
+        spark, split_dir, max_files_per_trigger=1, ckpt_dir=ckpt
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    _assert_frames_equal(result, _oracle(sf_dir, "stream_user_cms_cells"))
