@@ -2137,3 +2137,61 @@ def q_value_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         F.round("exact_val", 6).alias("exact_val"),
         (F.abs(F.col("est") - F.col("exact_val")) <= width).alias("in_bound"),
     )
+
+
+@query(
+    "part_triangle_top",
+    oracle="""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+m AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node AS partkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM m GROUP BY node
+ORDER BY n_triangles DESC, partkey
+LIMIT 20
+""",
+)
+def q_part_triangle_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle membership in the co-purchase graph
+    (parts co-occurring in an order are adjacent) via the
+    degree-oriented node-iterator (`operators/triangles.py`). The
+    oracle states the PLAIN semantics (a<b<c three-way self-join);
+    the graded plan must produce identical counts while bounding
+    wedge volume by orientation — each triangle enumerated exactly
+    once at its minimum-(degree, id) apex, O(m^1.5) worst-case wedge
+    work instead of sum(deg^2), no reducer ever owning a hot
+    vertex's full neighborhood pair set. All-integer: bit-exact."""
+    from sparktrends_spark.operators.triangles import triangle_participation
+
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = lp.withColumnsRenamed(
+        {"l_orderkey": "r_orderkey", "l_partkey": "r_partkey"}
+    )
+    edges = lp.join(
+        b,
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_partkey") < F.col("r_partkey")),
+    ).select(F.col("l_partkey").alias("u"), F.col("r_partkey").alias("v"))
+    part = triangle_participation(edges)
+    return (
+        part.select(F.col("node").alias("partkey"), "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), "partkey")
+        .limit(20)
+    )
