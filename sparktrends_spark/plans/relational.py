@@ -2195,3 +2195,84 @@ def q_part_triangle_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "partkey")
         .limit(20)
     )
+
+
+@query(
+    "part_association_rules",
+    oracle="""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lp),
+item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_x FROM lp GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, CAST(count(*) AS BIGINT) AS n_xy
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.x, p.y, p.n_xy,
+       round(CAST(p.n_xy AS DOUBLE) / ix.n_x, 6) AS confidence,
+       round(CAST(p.n_xy AS DOUBLE) * (SELECT n_orders FROM n)
+             / (ix.n_x * iy.n_x), 6) AS lift
+FROM pair p
+JOIN item ix ON ix.l_partkey = p.x
+JOIN item iy ON iy.l_partkey = p.y
+ORDER BY lift DESC, x, y
+LIMIT 20
+""",
+)
+def q_part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order co-occurrence:
+    top-20 part pairs by lift among pairs with support >= 2, with
+    confidence(x -> y). The a-priori discipline at scale: pair
+    generation is bounded per basket (k^2 for a k-item order, k small
+    and capped by the domain), the min-support HAVING prunes the long
+    tail BEFORE any join, and the per-item counts attach via KEYED
+    equi-joins — never a forced broadcast of the item-cardinality
+    table (the doc_bm25_terms vocabulary lesson: at 100 TB the item
+    table is catalog-sized). Ratios are quantized round-6 after
+    all-integer numerators, ties broken by (x, y): bit-exact."""
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = lp.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = lp.groupBy(F.col("l_partkey")).agg(F.count(F.lit(1)).alias("n_x"))
+    b = lp.withColumnsRenamed(
+        {"l_orderkey": "r_orderkey", "l_partkey": "r_partkey"}
+    )
+    pair = (
+        lp.join(
+            b,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_partkey") < F.col("r_partkey")),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("x"), F.col("r_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .where(F.col("n_xy") >= 2)
+    )
+    ix = item.withColumnsRenamed({"l_partkey": "x", "n_x": "nx"})
+    iy = item.withColumnsRenamed({"l_partkey": "y", "n_x": "ny"})
+    scored = (
+        pair.join(ix, "x")
+        .join(iy, "y")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            F.round(F.col("n_xy").cast("double") / F.col("nx"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_xy").cast("double")
+                * F.col("n_orders")
+                / (F.col("nx") * F.col("ny")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "x", "y").limit(20)

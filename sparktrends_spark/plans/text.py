@@ -2536,3 +2536,61 @@ def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@query(
+    "doc_weighted_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS weight,
+         round(
+           ln((CAST(concat('0x', substr(md5(concat('wsample|',
+                     CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1.0)
+              / 1152921504606846977.0)
+           / CAST(length(text) AS BIGINT), 6) AS priority
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, weight, priority
+FROM keyed
+ORDER BY priority DESC, doc_id
+LIMIT 100
+""",
+)
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement (top-100 by
+    length) via the Efraimidis-Spirakis exponential-key scheme: each
+    doc draws priority ln(u)/w (monotone in u^(1/w)) from a salted-md5
+    uniform and the sample is the global top-k — the one-pass,
+    shuffle-light way to draw a size-exact weighted sample at corpus
+    scale (Efraimidis & Spirakis, "Weighted random sampling with a
+    reservoir", IPL 2006 — public paper). Salt 'wsample|' keeps the
+    draw independent of the stratified/DSIR draws.
+
+    Scale shape: one map-side projection + a TakeOrderedAndProject —
+    per-partition top-k then a k-row merge at the driver-side sort;
+    no full shuffle, no rand() nondeterminism, identical sample on
+    any partitioning. Float discipline: priority is quantized to 6
+    decimals BEFORE ranking (the doc_importance_sample recipe) so
+    cross-engine ln() ULP drift cannot flip the cut; ties break by
+    doc_id in both engines."""
+    d = _docs(spark, sf_dir).where(F.length("text") > 0)
+    w = F.length("text").cast("long")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsample|"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # u in (0, 1]: (h + 1) / (16^15 + 1); ln(u) <= 0, so priority
+    # rises toward 0 as the weight grows — heavy docs win.
+    u = (h + F.lit(1.0)) / F.lit(float(16**15 + 1))
+    priority = F.round(F.log(u) / w, 6)
+    return (
+        d.select("doc_id", w.alias("weight"), priority.alias("priority"))
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(100)
+    )

@@ -291,3 +291,72 @@ def q_event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") / row_total.cast("double"), 6
         ).alias("p_next"),
     )
+
+
+@query(
+    "session_trigram_paths",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM seq
+),
+tri AS (
+  SELECT event_type AS step1,
+         lead(event_type, 1) OVER s AS step2,
+         lead(event_type, 2) OVER s AS step3
+  FROM sess
+  WINDOW s AS (PARTITION BY user_id, session_idx ORDER BY ts, event_id)
+)
+SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+FROM tri WHERE step3 IS NOT NULL
+GROUP BY step1, step2, step3
+ORDER BY n DESC, step1, step2, step3
+LIMIT 10
+""",
+)
+def q_session_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining over sessionized clickstreams: the
+    top-10 three-step event-type paths within 30-minute-gap sessions
+    — the n-gram path-frequency op behind funnel discovery and
+    next-action modeling, one level up from the single-step
+    `event_type_transitions` matrix.
+
+    Scale shape: ONE shuffle total — the trigram leads run over the
+    sessionizer's own (user_id | ts, event_id) window and trigrams
+    that cross a session boundary are filtered by comparing the led
+    session_idx, so Catalyst plans a single Exchange + Sort feeding
+    both Window stages (plan-asserted). Path counting is a
+    map-side-combined hash agg on a domain bounded by |event_type|^3;
+    the top-10 is a TakeOrderedAndProject. All strings/integers:
+    bit-exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(
+        ev, ["user_id"], "ts", gap_seconds=1800, tiebreak_col="event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = s.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+        F.col("session_idx").alias("s1"),
+        F.lead("session_idx", 2).over(w).alias("s3"),
+    ).where(F.col("s3") == F.col("s1"))
+    return (
+        tri.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "step1", "step2", "step3")
+        .limit(10)
+    )

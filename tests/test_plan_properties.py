@@ -252,6 +252,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "corpus_source_drift",     # corpus-total N: one broadcast count row
         "doc_importance_weights",  # smoothing constants: broadcast scalar rows
         "doc_importance_sample",   # same scoring dataflow + map-only sampler
+        "part_association_rules",  # corpus-total n_orders: one broadcast row
         "daily_user_sketch_rollup",  # one-row sketch union x broadcast exact row
         "value_quantile_sketch_rollup",  # 3 quantile rows x one broadcast sketch row
     }
@@ -321,3 +322,26 @@ def test_chunk_dup_payload_never_rides_join(spark, sf_dir):
     # past the md5 projection into any exchange
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "chunk#" not in m.group(1), m.group(0)
+
+
+def test_session_trigram_paths_single_window_exchange(spark):
+    """The trigram leads must ride the sessionizer's own
+    (user_id | ts, event_id) window: exactly one hashpartitioning
+    exchange feeds all Window stages (the second exchange in the plan
+    is the trigram-key aggregation, which moves only |event_type|^3
+    partials), and the final top-10 is a TakeOrderedAndProject."""
+    import re
+
+    from sparktrends_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["session_trigram_paths"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert sum(1 for e in exchanges if "user_id" in e) == 1, exchanges
+    assert sum(1 for e in exchanges if "step1" in e) == 1, exchanges
+    assert len(exchanges) == 2, exchanges
+    assert "TakeOrderedAndProject" in plan

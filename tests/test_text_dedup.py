@@ -377,3 +377,38 @@ def test_dup_spans_against_pure_python_reference(spark, tmp_path):
         for r in QUERIES["doc_dup_spans"](spark, str(tmp_path)).collect()
     }
     assert got == expected
+
+
+def test_weighted_sample_topk_plan_and_weight_dominance(spark):
+    """doc_weighted_sample must plan as per-partition top-k
+    (TakeOrderedAndProject) — no global sort shuffle — and the
+    exponential-key scheme must favor weight: a doc 10^6x heavier
+    than every other is always selected."""
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.plans import QUERIES
+
+    df = QUERIES["doc_weighted_sample"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+    # weight dominance on a constructed frame, via the same key math
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, F.lit(10**9)).otherwise(F.lit(3)).alias("w"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsample|"), F.col("doc_id").cast("string"))),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    u = (h + F.lit(1.0)) / F.lit(float(16**15 + 1))
+    pri = F.round(F.log(u) / F.col("w"), 6)
+    top = (
+        docs.select("doc_id", pri.alias("p"))
+        .orderBy(F.col("p").desc(), "doc_id")
+        .limit(10)
+    )
+    assert 7 in {r.doc_id for r in top.collect()}

@@ -79,6 +79,16 @@ HEAVY_QUERIES = (
     # round 7 (cont.): retrieval + fragmented-container dataflows
     "doc_bm25_terms",
     "asset_fmp4_frames",
+    # round 8: graph + basket ops over the replicated lineitem (orders
+    # AND parts shifted per replica — a bigger catalog with more
+    # orders, so edges/triangles/rules grow ~linearly; naive
+    # same-partkey replication would densify the co-purchase graph and
+    # grow triangles superlinearly, a different workload), plus the
+    # bounded-state CMS build and the one-pass weighted sampler
+    "part_triangle_top",
+    "part_association_rules",
+    "user_cms_frequency",
+    "doc_weighted_sample",
 )
 
 # Ops that define the plan's *strategy* — join algorithms, aggregate
@@ -125,9 +135,30 @@ def build_scaled_dir(spark: SparkSession, factor: int) -> str:
     # Small/static tables: byte-copy, they don't participate in the
     # heavy plans but keep the dir a complete sf layout.
     for name in (
-        "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+        "region", "nation", "customer", "supplier", "part", "orders",
     ):
         shutil.copy(f"{SRC_SF_DIR}/{name}.parquet", f"{out_dir}/{name}.parquet")
+
+    # lineitem: shift BOTH orderkey and partkey per replica — each
+    # replica is its own disjoint catalog+order universe, so basket
+    # sizes, co-purchase degree, and triangle density match the source
+    # exactly while edge/triangle/rule counts scale ~linearly.
+    li = spark.read.parquet(f"{SRC_SF_DIR}/lineitem.parquet")
+    _replicas(li, factor).select(
+        (F.col("l_orderkey") + F.col("rep").cast("long") * F.lit(10**9)).alias(
+            "l_orderkey"
+        ),
+        (F.col("l_partkey") + F.col("rep").cast("long") * F.lit(10**9)).alias(
+            "l_partkey"
+        ),
+        *[
+            c
+            for c in li.columns
+            if c not in ("l_orderkey", "l_partkey")
+        ],
+    ).repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
 
     events = spark.read.parquet(f"{SRC_SF_DIR}/events.parquet")
     _replicas(events, factor).select(
