@@ -505,3 +505,115 @@ def q_embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_index_topk(spark, idx, queries, k=3, nprobe=_IVF_NPROBE)
+
+
+_TEST_SPLIT_EXPR = (
+    "CAST(concat('0x', substr(md5(concat('esplit|', CAST({id} AS VARCHAR))),"
+    " 1, 8)) AS BIGINT) % 1000 < 150"
+)
+
+
+def _is_test(col: str):
+    """Deterministic 15% test split of vec_ids (salted-md5 bucket —
+    the doc_train_test_split discipline on the embeddings table)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("esplit|"), F.col(col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+        < 150
+    )
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label AS cl
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, vec_id, {_COS} AS cosine
+  FROM c, q WHERE vec_id != query_id AND cl <> ql
+)
+SELECT query_id, vec_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+""",
+)
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each query's
+    top-5 most-similar vectors with a DIFFERENT label — the
+    highest-value negatives precisely because the model is most
+    likely to confuse them. Same broadcast-queries x candidate-scan
+    shape as `embedding_topk` with the label-mismatch filter applied
+    BEFORE ranking (so negatives never compete with positives for the
+    k slots); cosines round-6 before rank, ties by candidate id."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return brute_force_topk(
+        queries, emb, k=5, exclude_label_col="label"
+    )
+
+
+@query(
+    "embedding_split_leakage",
+    oracle=_neardup_with()
+    + f"""
+SELECT CASE WHEN {_TEST_SPLIT_EXPR.format(id='id_a')} THEN id_a ELSE id_b END
+         AS test_id,
+       CASE WHEN {_TEST_SPLIT_EXPR.format(id='id_a')} THEN id_b ELSE id_a END
+         AS train_id,
+       cosine
+FROM scored
+WHERE cosine >= {_ND_THRESHOLD}
+  AND ({_TEST_SPLIT_EXPR.format(id='id_a')})
+      <> ({_TEST_SPLIT_EXPR.format(id='id_b')})
+""",
+)
+def q_embedding_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit in embedding space: near-dup
+    pairs (cosine >= 0.35) that CROSS a deterministic 15% test split
+    — the semantic-leakage report run before any benchmark claim,
+    catching paraphrase-level contamination that n-gram span
+    decontamination (`doc_span_decontaminate`) cannot see.
+
+    Scale shape: inherited wholesale from the LSH-bucketed
+    `neardup_pairs` (banded self-join, never all-pairs); the split
+    test is a map-side salted-md5 expression on the pair ids — zero
+    extra joins or shuffles on top of the graded near-dup plan."""
+    pairs = neardup_pairs(
+        _emb(spark, sf_dir),
+        threshold=_ND_THRESHOLD,
+        num_planes=_ND_PLANES,
+        num_tables=_ND_TABLES,
+        dim=_DIM,
+    )
+    a_test = _is_test("id_a")
+    b_test = _is_test("id_b")
+    return (
+        pairs.filter(a_test != b_test)
+        .select(
+            F.when(a_test, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "test_id"
+            ),
+            F.when(a_test, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "train_id"
+            ),
+            "cosine",
+        )
+    )

@@ -151,11 +151,15 @@ def brute_force_topk(
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast queries x scan candidates.
 
     Ties on the rounded cosine break by candidate id ascending.
-    """
+    ``exclude_label_col``: when set, both frames must carry that
+    column and pairs sharing its value are dropped BEFORE ranking —
+    hard-negative mining (nearest neighbors from a *different* class,
+    the contrastive-training counterexample harvest)."""
     from pyspark.sql import Window
 
     # Norms are per-vector (O(n+q)) — precomputed once instead of twice
@@ -166,16 +170,29 @@ def brute_force_topk(
         F.col(query_id),
         F.col(vec_col).alias("_qvec"),
         norm(F.col(vec_col)).alias("_nq"),
+        *(
+            [F.col(exclude_label_col).alias("_qlabel")]
+            if exclude_label_col
+            else []
+        ),
     )
     c = candidates.select(
         F.col(cand_id),
         F.col(vec_col).alias("_cvec"),
         norm(F.col(vec_col)).alias("_nc"),
+        *(
+            [F.col(exclude_label_col).alias("_clabel")]
+            if exclude_label_col
+            else []
+        ),
     )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col(cand_id) != F.col(query_id)
+    )
+    if exclude_label_col:
+        pairs = pairs.filter(F.col("_qlabel") != F.col("_clabel"))
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col(cand_id) != F.col(query_id))
-        .withColumn(
+        pairs.withColumn(
             "cosine",
             F.round(
                 dot(F.col("_qvec"), F.col("_cvec"))
