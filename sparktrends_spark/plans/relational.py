@@ -2276,3 +2276,92 @@ def q_part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("lift").desc(), "x", "y").limit(20)
+
+
+@query(
+    "part_clustering_coefficient",
+    oracle="""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT x AS node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+t AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node
+)
+SELECT d.node AS partkey, d.d AS degree,
+       coalesce(t.n_tri, 0) AS n_triangles,
+       round(2.0 * coalesce(t.n_tri, 0) / (d.d * (d.d - 1)), 6) AS coefficient
+FROM deg d LEFT JOIN t ON t.node = d.node
+WHERE d.d >= 2
+ORDER BY coefficient DESC, partkey
+LIMIT 20
+""",
+)
+def q_part_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by local clustering coefficient
+    2*T(v) / (deg(v)*(deg(v)-1)) over the co-purchase graph — the
+    neighborhood-density score (Watts-Strogatz) behind community
+    tightness and link-quality weighting, composed from the
+    degree-oriented triangle counts (`operators/triangles.py`) and
+    one degree aggregation; the ratio is quantized round-6 after
+    all-integer numerators, ties by partkey. Scale shape: the
+    triangle plan's three keyed shuffles plus one left join of two
+    node-sized aggregates."""
+    from sparktrends_spark.operators.triangles import triangle_participation
+
+    lp = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = lp.withColumnsRenamed(
+        {"l_orderkey": "r_orderkey", "l_partkey": "r_partkey"}
+    )
+    edges = lp.join(
+        b,
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_partkey") < F.col("r_partkey")),
+    ).select(F.col("l_partkey").alias("u"), F.col("r_partkey").alias("v"))
+    # the co-purchase graph is SIMPLE: a pair co-occurring in many
+    # orders is still one edge — dedup before degree counting (the
+    # triangle operator dedups internally)
+    edges = edges.distinct()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_participation(edges)
+    return (
+        deg.join(tri, "node", "left")
+        .where(F.col("degree") >= 2)
+        .select(
+            F.col("node").alias("partkey"),
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                6,
+            ).alias("coefficient"),
+        )
+        .orderBy(F.col("coefficient").desc(), "partkey")
+        .limit(20)
+    )
