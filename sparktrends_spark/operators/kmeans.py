@@ -1,0 +1,110 @@
+"""Lloyd's k-means over an embedding column — iterative clustering.
+
+Fourth member of the iterative family (connected components, PageRank,
+triangles): unsupervised corpus organization — topic bucketing,
+deduplication blocking, and diversity sampling all start from a
+k-means pass over document embeddings at training-data scale.
+
+Per iteration:
+  assign:  cluster(v) = argmin_c round6(||v - c||^2), ties by cluster
+  update:  c' = round9(mean of assigned vectors, per dimension);
+           an empty cluster keeps its previous centroid
+
+Scale shape: the assignment is a MAP-SIDE expression — centroids are
+k x dim doubles collected to the driver once per iteration (a bounded,
+documented collect, the same contract as MLlib's KMeans aggregation)
+and re-enter the plan as literals, so no join and no shuffle touches
+the corpus for assignment; the update is one groupBy(cluster, pos)
+average over the exploded assignment, k*dim output rows per
+iteration. Cost per iteration = one corpus scan + one k*dim-bounded
+shuffle, independent of k-means round count memory-wise.
+
+Float discipline (the exact-oracle gate): squared distances are
+computed as a SEQUENTIAL fold over dimensions (zip_with + aggregate —
+the same left-to-right order the oracle's list comprehension uses)
+and quantized round-6 BEFORE the argmin, so cross-engine ULP drift
+cannot flip an assignment; centroid means are quantized round-9
+before re-entering the next iteration (the PageRank per-iteration
+rounding discipline), so both engines iterate on bit-identical
+centroids.
+
+Reference scope note: SparkTrends has no clustering; engine extension
+(SURVEY §2 absent inventory, LLM-pipeline operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dist2(vec_col: F.Column, centroid: list[float]) -> F.Column:
+    """round6 squared L2 distance, sequential fold over dimensions."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    diffsq = F.zip_with(vec_col, lit, lambda a, b: (a - b) * (a - b))
+    return F.round(
+        F.aggregate(diffsq, F.lit(0.0), lambda acc, x: acc + x), 6
+    )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[dict[int, list[float]], DataFrame]:
+    """Run ``iterations`` Lloyd steps seeded with the vectors whose
+    ids are the ``k`` smallest (deterministic, engine-independent).
+
+    Returns ``(centroids, assigned)``: the final round-9 centroid
+    dict and the final assignment frame ``(id_col, cluster)`` (the
+    assignment AGAINST the final centroids, i.e. one extra assign
+    pass after the last update — the labeling a caller would persist).
+    """
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    seed_rows = v.orderBy(id_col).limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"kmeans_fit: need >= {k} vectors")
+    centroids = {
+        c: [round(x, 9) for x in row["_v"]]
+        for c, row in enumerate(seed_rows)
+    }
+
+    def assign(frame: DataFrame) -> DataFrame:
+        # argmin over k rounded distances: array_min on (dist, cluster)
+        # structs — struct ordering gives dist-asc then cluster-asc
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _dist2(F.col("_v"), centroids[c]).alias("d"),
+                        F.lit(c).alias("c"),
+                    )
+                    for c in range(k)
+                ]
+            )
+        )
+        return frame.withColumn("cluster", best["c"])
+
+    for _ in range(iterations):
+        assigned = assign(v)
+        stats = (
+            assigned.select(
+                "cluster", F.posexplode("_v").alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in stats:
+            new.setdefault(r["cluster"], [0.0] * len(centroids[0]))[
+                r["pos"]
+            ] = round(r["m"], 9)
+        # empty cluster: keep previous centroid
+        centroids = {c: new.get(c, centroids[c]) for c in range(k)}
+
+    return centroids, assign(v).select(id_col, "cluster")

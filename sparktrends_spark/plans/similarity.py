@@ -617,3 +617,96 @@ def q_embedding_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+_KM_K = 4
+_KM_ITERS = 3
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _DIM) -> str:
+    """Unrolled Lloyd's k-means as chained CTEs — the SQL restatement
+    of operators/kmeans.py: per-iteration round-6 distances before the
+    argmin and round-9 centroid means (sequential list_sum matches the
+    operator's zip_with+aggregate fold order), so both engines iterate
+    on bit-identical centroids."""
+    d2 = (
+        "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
+        " for z in list_zip(ve.v, c.m) ]), 6)"
+    )
+    steps = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT ve.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY ve.vec_id
+                              ORDER BY {d2} ASC, c.cluster ASC) AS rn
+    FROM ve, {prev} c)
+  WHERE rn = 1
+),
+u{i} AS (
+  SELECT p.cluster, list(round(p.mm, 9) ORDER BY p.pos) AS m FROM (
+    SELECT a.cluster, t.i AS pos, avg(ve.v[t.i]) AS mm
+    FROM a{i} a JOIN ve USING (vec_id), generate_series(1, {dim}) t(i)
+    GROUP BY a.cluster, t.i) p
+  GROUP BY p.cluster
+),
+c{i} AS (
+  SELECT c.cluster, coalesce(u.m, c.m) AS m
+  FROM {prev} c LEFT JOIN u{i} u USING (cluster)
+)""")
+        prev = f"c{i}"
+    chain = ",".join(steps)
+    return f"""
+WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS (
+  SELECT s.cluster, [round(x, 9) for x in ve.v] AS m
+  FROM seeds s JOIN ve ON ve.vec_id = s.vec_id
+),{chain},
+afin AS (
+  SELECT vec_id, cluster FROM (
+    SELECT ve.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY ve.vec_id
+                              ORDER BY {d2} ASC, c.cluster ASC) AS rn
+    FROM ve, {prev} c)
+  WHERE rn = 1
+),
+sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM afin GROUP BY cluster)
+SELECT c.cluster, t.i AS pos, round(c.m[t.i], 6) AS mean, s.n
+FROM {prev} c JOIN sizes s USING (cluster), generate_series(1, {dim}) t(i)
+"""
+
+
+@query("embedding_kmeans", oracle=_kmeans_oracle())
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus
+    (`operators/kmeans.py`): 3 synchronous iterations, k=4, seeded
+    with the 4 smallest vec_ids — final centroids in long form
+    (cluster, pos, mean) with the final-assignment cluster sizes, a
+    FULL value oracle (the iterations unroll into chained CTEs, the
+    PageRank discipline). Assignment is a map-side argmin over k
+    broadcast-literal centroids (no join, no shuffle on the corpus);
+    each update is one k*dim-bounded aggregation; distances round-6
+    before the argmin, means round-9 per iteration, so both engines
+    iterate on bit-identical centroids."""
+    from sparktrends_spark.operators.kmeans import kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    centroids, assigned = kmeans_fit(
+        emb, k=_KM_K, iterations=_KM_ITERS
+    )
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    rows = [
+        (c, pos + 1, round(m, 6))
+        for c, vec in centroids.items()
+        for pos, m in enumerate(vec)
+    ]
+    cent = emb.sparkSession.createDataFrame(
+        rows, "cluster int, pos bigint, mean double"
+    )
+    return cent.join(sizes, "cluster").select("cluster", "pos", "mean", "n")

@@ -335,3 +335,55 @@ def test_ivf_append_matches_legacy_float_index(spark, sf_dir, tmp_path):
     from sparktrends_spark.caching import release_persisted
 
     release_persisted()
+
+
+def test_kmeans_separates_tight_clusters(spark):
+    """Three well-separated blobs: every blob lands in one cluster and
+    each final centroid equals its blob's (rounded) mean."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.operators.kmeans import kmeans_fit
+
+    corners = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    # ids g + 3*j: the 3 smallest ids (0, 1, 2) are one seed per blob
+    rows = []
+    for g, corner in enumerate(corners):
+        for j in range(20):
+            rows.append(
+                (g + 3 * j, [c + 0.01 * ((j % 5) - 2) for c in corner])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assigned = kmeans_fit(df, k=3, iterations=3)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    # blob of a vec: original index i = vec_id % 1000, blob = i % 3...
+    # reconstruct blob from the vector instead: dominant axis
+    vecs = {vid: v for vid, v in rows}
+    by_blob = {}
+    for vid, cl in got.items():
+        blob = max(range(3), key=lambda a: vecs[vid][a])
+        by_blob.setdefault(blob, set()).add(cl)
+    assert all(len(cls) == 1 for cls in by_blob.values()), by_blob
+    assert len({next(iter(c)) for c in by_blob.values()}) == 3
+    for blob, cls in by_blob.items():
+        cl = next(iter(cls))
+        members = [vecs[vid] for vid in vecs
+                   if max(range(3), key=lambda a: vecs[vid][a]) == blob]
+        mean = [round(sum(m[i] for m in members) / len(members), 9)
+                for i in range(3)]
+        assert cents[cl] == mean
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """Identical seed vectors: every point ties to cluster 0, cluster 1
+    never receives members and must keep its seed centroid."""
+    from sparktrends_spark.operators.kmeans import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    cents, assigned = kmeans_fit(df, k=2, iterations=2)
+    assert {r["cluster"] for r in assigned.collect()} == {0}
+    assert cents[1] == [1.0, 2.0]
