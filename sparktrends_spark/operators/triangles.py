@@ -41,13 +41,18 @@ def triangles(
 ) -> DataFrame:
     """Enumerate each triangle of the undirected simple graph once.
 
-    ``edges`` must be distinct undirected pairs with ``u != v`` (any
-    per-edge canonical order is fine; both directions are normalized
-    away). Returns ``(a, b, c)`` with ``a < b < c`` by id — a
+    ``edges`` are undirected pairs (any per-edge order; duplicates,
+    reversed duplicates, and self-loops are normalized/dropped
+    map-side). Returns ``(a, b, c)`` with ``a < b < c`` by id — a
     deterministic canonical form independent of partitioning."""
-    e = edges.select(
-        F.least(u_col, v_col).alias("lo"), F.greatest(u_col, v_col).alias("hi")
-    ).distinct()
+    e = (
+        edges.where(F.col(u_col) != F.col(v_col))
+        .select(
+            F.least(u_col, v_col).alias("lo"),
+            F.greatest(u_col, v_col).alias("hi"),
+        )
+        .distinct()
+    )
     deg = (
         e.select(F.col("lo").alias("x"))
         .unionAll(e.select("hi"))

@@ -121,3 +121,11 @@ def test_part_triangle_top_plan_has_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangles_drop_self_loops(spark):
+    """Self-loops must not fabricate degenerate triangles: a triangle
+    plus loops on its vertices yields exactly that one triangle."""
+    assert _tri(
+        spark, [(0, 1), (1, 2), (2, 0), (0, 0), (1, 1), (2, 2)]
+    ) == {(0, 1, 2)}
