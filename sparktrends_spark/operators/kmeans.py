@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparktrends_spark.caching import persist_tracked
+
 
 def _dist2(vec_col: F.Column, centroid: list[float]) -> F.Column:
     """round6 squared L2 distance, sequential fold over dimensions."""
@@ -62,8 +64,13 @@ def kmeans_fit(
     assignment AGAINST the final centroids, i.e. one extra assign
     pass after the last update — the labeling a caller would persist).
     """
-    v = vectors.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    # every iteration re-reads the projected vectors (assign + update
+    # + the final labeling): persist once, released by the caller's
+    # release_persisted() like the CC loop
+    v = persist_tracked(
+        vectors.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
     )
     seed_rows = v.orderBy(id_col).limit(k).collect()
     if len(seed_rows) < k:

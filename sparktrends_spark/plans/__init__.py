@@ -32,39 +32,45 @@ from sparktrends_spark.plans import skew  # noqa: E402,F401
 # order after the prioritized block; nothing is added or removed.
 # Displaced in round 8 (still swept + pytest-verified, families keep
 # >=2 driver rows each): priority_approx_distinct,
-# purchase_to_prior_view_asof, event_targeted_delete.
+# purchase_to_prior_view_asof, event_targeted_delete; late round 8
+# (making room for the new graph/clustering/basket/CMS operator
+# families): ema_daily_chunked (ema_daily still grades the recursive
+# indicators), doc_minhash_dedup_keep (pairs + incremental + spans
+# still grade MinHash dedup), embedding_dedup_keep (five embedding
+# rows remain), value_quantile_sketch_rollup (daily_user_sketch_rollup
+# + user_cms_frequency grade mergeable sketches).
 _PRIORITY_ORDER = [
     # reference-parity market core
     "ohlcv_bars", "ohlcv_rollup_hourly", "vwap_metrics", "latest_metrics",
     "anomaly_last10",
-    # recursive indicators (pandas + chunked decomposition paths)
-    "ema_daily", "ema_daily_chunked",
+    # recursive indicators (chunked twin displaced late r8)
+    "ema_daily",
     # relational / TPC-H dialect
     "q1_pricing_summary", "q5_region_revenue",
     "status_cube", "returnflag_percentiles",
-    # iterative graph
-    "nation_pagerank",
+    # iterative graph + triangle analytics + basket mining (round 8)
+    "nation_pagerank", "part_triangle_top", "part_association_rules",
     # joins
     "events_to_orders_asof", "event_window_range_join",
     # windows / sessions
     "event_sessions", "sliding_event_counts",
-    # mergeable sketch rollups
-    "daily_user_sketch_rollup", "value_quantile_sketch_rollup",
+    # mergeable sketches: rollup + Count-Min point frequency (round 8)
+    "daily_user_sketch_rollup", "user_cms_frequency",
     # lake maintenance / quality (incl. round-8 schema evolution and
     # the concurrent OPTIMIZE-vs-writer CAS, graded end-to-end)
     "event_zorder_rectangle", "order_upsert_schema_evolution",
     "event_upsert_optimize_concurrent",
     "events_quality_checks", "user_activity_snapshot_diff",
     # text dedup (north star)
-    "doc_exact_dedup", "doc_minhash_pairs", "doc_minhash_dedup_keep",
+    "doc_exact_dedup", "doc_minhash_pairs",
     "doc_incremental_dedup", "doc_dup_spans",
     # text analysis / curation (north star)
     "doc_quality", "doc_lang_id", "doc_token_stats", "doc_pii_redact",
     "corpus_curation_pipeline", "doc_importance_sample",
-    # embedding similarity (north star)
+    # embedding similarity + clustering (north star; kmeans round 8)
     "embedding_topk", "embedding_lsh_topk", "embedding_ivf_topk",
     "embedding_ivf_index_topk", "embedding_neardup_topk",
-    "embedding_dedup_keep",
+    "embedding_kmeans",
     # streaming
     "stream_ohlcv_bars", "stream_doc_incremental_dedup",
     "stream_user_heavy_hitters", "stream_doc_pii_redact",
