@@ -49,6 +49,30 @@ def _dist2(vec_col: F.Column, centroid: list[float]) -> F.Column:
     )
 
 
+def assign_clusters(
+    frame: DataFrame,
+    centroids: dict[int, list[float]],
+    vec_col: str = "_v",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Map-side argmin assignment against literal centroids: array_min
+    over (round6 L2 distance, cluster) structs — dist-asc then
+    cluster-asc, the engine-exact tie-break both the Lloyd loop and
+    the IVF coarse quantizer share."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist2(F.col(vec_col), centroids[c]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in sorted(centroids)
+            ]
+        )
+    )
+    return frame.withColumn(out_col, best["c"])
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 4,
@@ -80,24 +104,8 @@ def kmeans_fit(
         for c, row in enumerate(seed_rows)
     }
 
-    def assign(frame: DataFrame) -> DataFrame:
-        # argmin over k rounded distances: array_min on (dist, cluster)
-        # structs — struct ordering gives dist-asc then cluster-asc
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _dist2(F.col("_v"), centroids[c]).alias("d"),
-                        F.lit(c).alias("c"),
-                    )
-                    for c in range(k)
-                ]
-            )
-        )
-        return frame.withColumn("cluster", best["c"])
-
     for _ in range(iterations):
-        assigned = assign(v)
+        assigned = assign_clusters(v, centroids)
         stats = (
             assigned.select(
                 "cluster", F.posexplode("_v").alias("pos", "val")
@@ -114,4 +122,4 @@ def kmeans_fit(
         # empty cluster: keep previous centroid
         centroids = {c: new.get(c, centroids[c]) for c in range(k)}
 
-    return centroids, assign(v).select(id_col, "cluster")
+    return centroids, assign_clusters(v, centroids).select(id_col, "cluster")

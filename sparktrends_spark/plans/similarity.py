@@ -623,16 +623,21 @@ _KM_K = 4
 _KM_ITERS = 3
 
 
-def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _DIM) -> str:
+_KM_D2 = (
+    "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
+    " for z in list_zip(ve.v, c.m) ]), 6)"
+)
+
+
+def _kmeans_chain(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _DIM) -> str:
     """Unrolled Lloyd's k-means as chained CTEs — the SQL restatement
     of operators/kmeans.py: per-iteration round-6 distances before the
     argmin and round-9 centroid means (sequential list_sum matches the
     operator's zip_with+aggregate fold order), so both engines iterate
-    on bit-identical centroids."""
-    d2 = (
-        "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
-        " for z in list_zip(ve.v, c.m) ]), 6)"
-    )
+    on bit-identical centroids. Exposes ``ve`` (vectors) and
+    ``c{iters}`` (final centroids); queries append their own tail
+    (the ``_neardup_with`` pattern)."""
+    d2 = _KM_D2
     steps = []
     prev = "c0"
     for i in range(1, iters + 1):
@@ -667,19 +672,26 @@ seeds AS (
 c0 AS (
   SELECT s.cluster, [round(x, 9) for x in ve.v] AS m
   FROM seeds s JOIN ve ON ve.vec_id = s.vec_id
-),{chain},
+),{chain}"""
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _DIM) -> str:
+    return (
+        _kmeans_chain(k, iters, dim)
+        + f""",
 afin AS (
   SELECT vec_id, cluster FROM (
     SELECT ve.vec_id, c.cluster,
            row_number() OVER (PARTITION BY ve.vec_id
-                              ORDER BY {d2} ASC, c.cluster ASC) AS rn
-    FROM ve, {prev} c)
+                              ORDER BY {_KM_D2} ASC, c.cluster ASC) AS rn
+    FROM ve, c{iters} c)
   WHERE rn = 1
 ),
 sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM afin GROUP BY cluster)
 SELECT c.cluster, t.i AS pos, round(c.m[t.i], 6) AS mean, s.n
-FROM {prev} c JOIN sizes s USING (cluster), generate_series(1, {dim}) t(i)
+FROM c{iters} c JOIN sizes s USING (cluster), generate_series(1, {dim}) t(i)
 """
+    )
 
 
 @query("embedding_kmeans", oracle=_kmeans_oracle())
@@ -710,3 +722,123 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "cluster int, pos bigint, mean double"
     )
     return cent.join(sizes, "cluster").select("cluster", "pos", "mean", "n")
+
+
+def _ivf_kmeans_oracle(iters: int = _KM_ITERS) -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    qd2 = (
+        "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
+        " for z in list_zip(q.qv, c.m) ]), 6)"
+    )
+    return (
+        _kmeans_chain()
+        + f""",
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT ve.vec_id, c.cluster AS cell,
+           row_number() OVER (PARTITION BY ve.vec_id
+                              ORDER BY {_KM_D2} ASC, c.cluster ASC) AS rn
+    FROM ve, c{iters} c)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM ve WHERE vec_id < {_N_QUERIES}),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cluster AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {qd2} ASC, c.cluster ASC) AS rn
+    FROM q, c{iters} c)
+  WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         {cos.format(a="q.qv", b="cv.v")} AS cosine
+  FROM asg a
+  JOIN probes p USING (cell)
+  JOIN q ON q.query_id = p.query_id
+  JOIN ve cv ON cv.vec_id = a.vec_id
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, vec_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+    )
+
+
+@query("embedding_ivf_kmeans_topk", oracle=_ivf_kmeans_oracle())
+def q_embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with an UNSUPERVISED coarse quantizer: the inverted
+    file's cells are Lloyd's k-means clusters (`operators/kmeans.py`)
+    instead of `embedding_ivf_topk`'s per-label shortcut — the
+    FAISS-style IVF construction, usable when no labels exist. Cell
+    assignment reuses the fitted model's final labeling; each query
+    probes its nprobe nearest centroids by the SAME round-6 L2
+    argmin discipline (broadcast-literal centroids, map-side), and
+    only vectors in probed cells are scored exactly (cosine round-6,
+    ties by id). Oracle = the unrolled kmeans chain + probe/score
+    restated in SQL."""
+    from pyspark.sql import Window
+
+    from sparktrends_spark.operators.kmeans import kmeans_fit
+    from sparktrends_spark.similarity.cosine import dot, norm
+
+    emb = _emb(spark, sf_dir)
+    centroids, assigned = kmeans_fit(emb, k=_KM_K, iterations=_KM_ITERS)
+    asg = assigned.withColumnRenamed("cluster", "cell")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_cv")
+    ).join(asg, "vec_id")
+
+    def d2(qv, cent):
+        lit = F.array(*[F.lit(float(x)) for x in cent])
+        diffsq = F.zip_with(qv, lit, lambda a, b: (a - b) * (a - b))
+        return F.round(
+            F.aggregate(diffsq, F.lit(0.0), lambda acc, x: acc + x), 6
+        )
+
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(
+                d2(F.col("_qv"), centroids[c]).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c in sorted(centroids)
+        ]
+    )
+    probes = queries.select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.slice(F.array_sort(probe_structs), 1, _IVF_NPROBE)
+        ).alias("_p"),
+    ).select("query_id", "_qv", F.col("_p.c").alias("cell"))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv"))
+                / (norm(F.col("_qv")) * norm(F.col("_cv"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )
