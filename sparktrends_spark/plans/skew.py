@@ -223,3 +223,108 @@ def q_user_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_count",
         (F.col("est_count") - F.col("true_count")).alias("overestimate"),
     )
+
+
+@query(
+    "user_cms_weekly_estimate",
+    oracle="""
+WITH win AS (
+  SELECT e.* FROM events e
+  WHERE CAST(e.ts AS DATE)
+        < (SELECT min(CAST(ts AS DATE)) FROM events) + INTERVAL 7 DAY
+),
+cells AS (
+  SELECT t.i AS row,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), t.i*8+1, 8))
+              AS BIGINT) % 64 AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM win, (SELECT unnest([0, 1, 2, 3]) AS i) t
+  GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 11 = 0),
+pc AS (
+  SELECT p.user_id, t.i AS row,
+         CAST(concat('0x', substr(md5(CAST(p.user_id AS VARCHAR)),
+                                  t.i*8+1, 8)) AS BIGINT) % 64 AS col
+  FROM probes p, (SELECT unnest([0, 1, 2, 3]) AS i) t
+),
+est AS (
+  SELECT pc.user_id, min(coalesce(c.cnt, 0)) AS est_count
+  FROM pc LEFT JOIN cells c ON c.row = pc.row AND c.col = pc.col
+  GROUP BY 1
+),
+truth AS (
+  SELECT p.user_id,
+         CAST(count(w.user_id) AS BIGINT) AS true_count
+  FROM probes p LEFT JOIN win w ON w.user_id = p.user_id
+  GROUP BY 1
+)
+SELECT e.user_id, e.est_count, t.true_count,
+       e.est_count - t.true_count AS overestimate
+FROM est e JOIN truth t USING (user_id)
+""",
+)
+def q_user_cms_weekly_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-ROLLUP answer path: Count-Min cells are kept
+    PER DAY (the shape `stream_user_cms_cells` maintains on ingest),
+    and a first-week range query is answered by cell-wise summing
+    just those days' sketches — never re-touching raw events. This is
+    why mergeability matters at 100 TB: a year of per-day sketches is
+    365 x depth x width counters, and ANY date range's frequency
+    estimate is a sum over <=365 tiny frames. Probes outside the
+    range correctly estimate >= 0 against the merged counters (left
+    join; absent cell -> 0). All-integer md5-slice arithmetic
+    restated in the oracle: bit-exact."""
+    from sparktrends_spark.operators.cms import cms_estimate, _cell_col
+
+    depth, width = 4, 64
+    events = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    lo = events.agg(F.min(day).alias("d0"))
+    daily = (
+        events.select(day.alias("day"), "user_id")
+        .select(
+            "day",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"),
+                            _cell_col(F.col("user_id"), i, width).alias("col"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .groupBy("day", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = (
+        daily.crossJoin(F.broadcast(lo))
+        .where(F.col("day") < F.date_add(F.col("d0"), 7))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    probes = (
+        events.select("user_id").where(F.col("user_id") % 11 == 0).distinct()
+    )
+    est = cms_estimate(merged, probes, "user_id", depth=depth, width=width)
+    win = events.crossJoin(F.broadcast(lo)).where(
+        day < F.date_add(F.col("d0"), 7)
+    )
+    truth = (
+        probes.join(
+            win.select("user_id").withColumn("_one", F.lit(1)),
+            "user_id",
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(F.count("_one").alias("true_count"))
+    )
+    return est.join(truth, "user_id").select(
+        "user_id",
+        "est_count",
+        "true_count",
+        (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+    )

@@ -253,6 +253,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "doc_importance_weights",  # smoothing constants: broadcast scalar rows
         "doc_importance_sample",   # same scoring dataflow + map-only sampler
         "part_association_rules",  # corpus-total n_orders: one broadcast row
+        "user_cms_weekly_estimate",  # range anchor min-day: one broadcast row
         "daily_user_sketch_rollup",  # one-row sketch union x broadcast exact row
         "value_quantile_sketch_rollup",  # 3 quantile rows x one broadcast sketch row
     }
