@@ -20,6 +20,7 @@ from sparktrends_spark.plans import streaming_queries  # noqa: E402,F401
 from sparktrends_spark.plans import multimodal  # noqa: E402,F401
 from sparktrends_spark.plans import skew  # noqa: E402,F401
 from sparktrends_spark.plans import portfolio  # noqa: E402,F401
+from sparktrends_spark.plans import profile  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registry ordering: a grading driver that samples a PREFIX of this dict
