@@ -84,13 +84,24 @@ def _stat_expr(field: T.StructField) -> tuple[Column, str] | None:
 
 
 def profile_columns(
-    df: DataFrame, cols: Iterable[str] | None = None
+    df: DataFrame,
+    cols: Iterable[str] | None = None,
+    include_distinct: bool = True,
 ) -> DataFrame:
     """Profile ``cols`` (default: every column) in one aggregate.
 
     Returns one row per column: ``col_name, n_rows, n_null,
     n_distinct, min_value, max_value, mean_value`` (the three value
     stats NULL for un-summarizable dtypes).
+
+    ``include_distinct=False`` drops the ``n_distinct`` column and
+    makes every remaining statistic MERGEABLE (counts, min/max, exact
+    decimal sums) — the profile can then be maintained incrementally
+    by Spark's streaming state store, or computed per shard and
+    merged, without ever re-reading history. Exact count-distinct is
+    the one statistic with no bounded merge state; the scale answer
+    is a sketch column (HLL), which has no cross-engine value oracle,
+    so the incremental profile simply omits it.
     """
     fields = {f.name: f for f in df.schema.fields}
     names = list(cols) if cols is not None else [f.name for f in df.schema.fields]
@@ -99,7 +110,8 @@ def profile_columns(
     for n in names:
         spec = _stat_expr(fields[n])
         aggs.append(F.count(F.col(n)).alias(f"nn_{n}"))
-        aggs.append(F.countDistinct(F.col(n)).alias(f"nd_{n}"))
+        if include_distinct:
+            aggs.append(F.countDistinct(F.col(n)).alias(f"nd_{n}"))
         if spec is not None:
             x, dec = spec
             aggs.append(F.min(x).alias(f"mn_{n}"))
@@ -111,25 +123,27 @@ def profile_columns(
     structs = []
     for n in names:
         has_stats = _stat_expr(fields[n]) is not None
-        structs.append(
-            F.struct(
-                F.lit(n).alias("col_name"),
-                F.col("n_rows").alias("n_rows"),
-                (F.col("n_rows") - F.col(f"nn_{n}")).alias("n_null"),
-                F.col(f"nd_{n}").alias("n_distinct"),
-                (F.col(f"mn_{n}") if has_stats else F.lit(None).cast("double")).alias(
-                    "min_value"
-                ),
-                (F.col(f"mx_{n}") if has_stats else F.lit(None).cast("double")).alias(
-                    "max_value"
-                ),
-                (
-                    F.col(f"sm_{n}").cast("double") / F.col(f"nn_{n}")
-                    if has_stats
-                    else F.lit(None).cast("double")
-                ).alias("mean_value"),
-            )
-        )
+        parts = [
+            F.lit(n).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{n}")).alias("n_null"),
+        ]
+        if include_distinct:
+            parts.append(F.col(f"nd_{n}").alias("n_distinct"))
+        parts += [
+            (F.col(f"mn_{n}") if has_stats else F.lit(None).cast("double")).alias(
+                "min_value"
+            ),
+            (F.col(f"mx_{n}") if has_stats else F.lit(None).cast("double")).alias(
+                "max_value"
+            ),
+            (
+                F.col(f"sm_{n}").cast("double") / F.col(f"nn_{n}")
+                if has_stats
+                else F.lit(None).cast("double")
+            ).alias("mean_value"),
+        ]
+        structs.append(F.struct(*parts))
     return wide.select(
         F.explode(F.array(*structs)).alias("p")
     ).select("p.*")

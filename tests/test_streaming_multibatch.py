@@ -306,3 +306,23 @@ def test_multibatch_cms_cells_land_on_oracle(spark, sf_dir, split_dir, tmp_path)
     ).toPandas()
     assert _n_batches(ckpt) >= N_SPLITS
     _assert_frames_equal(result, _oracle(sf_dir, "stream_user_cms_cells"))
+
+
+def test_multibatch_profile_lands_on_oracle(spark, sf_dir, split_dir, tmp_path):
+    from sparktrends_spark.operators.profile import profile_columns
+    from sparktrends_spark.plans.streaming_queries import (
+        run_upsert_stream,
+        stream_events,
+    )
+
+    ckpt = str(tmp_path / "ckpt_profile")
+    ev = stream_events(spark, split_dir, max_files_per_trigger=1)
+    prof = profile_columns(ev, include_distinct=False)
+    result = run_upsert_stream(
+        prof, keys=("col_name",), output_mode="complete", ckpt_dir=ckpt
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    # the profile's merge algebra (counts, min/max, exact decimal sums)
+    # must make the converged state independent of the batching — the
+    # multi-batch profile lands bit-exactly on the whole-table oracle
+    _assert_frames_equal(result, _oracle(sf_dir, "stream_events_profile"))
