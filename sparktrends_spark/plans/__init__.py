@@ -62,12 +62,18 @@ _PRIORITY_ORDER = [
     # the concurrent OPTIMIZE-vs-writer CAS, graded end-to-end)
     "event_zorder_rectangle", "order_upsert_schema_evolution",
     "event_upsert_optimize_concurrent",
-    "events_quality_checks", "user_activity_snapshot_diff",
+    "events_quality_checks",
+    # profiling + portfolio analytics (late round 8): the one-scan
+    # column profiler (quality-family cousin — displaces
+    # user_activity_snapshot_diff, lake/quality keeps 4 rows) and the
+    # broadcast-factor CAPM beta (displaces doc_token_stats, text
+    # analysis keeps doc_quality + doc_lang_id)
+    "events_column_profile", "symbol_market_beta",
     # text dedup (north star)
     "doc_exact_dedup", "doc_minhash_pairs",
     "doc_incremental_dedup", "doc_dup_spans",
     # text analysis / curation (north star)
-    "doc_quality", "doc_lang_id", "doc_token_stats", "doc_pii_redact",
+    "doc_quality", "doc_lang_id", "doc_pii_redact",
     "corpus_curation_pipeline", "doc_importance_sample",
     # embedding similarity + clustering (north star; kmeans round 8)
     "embedding_topk", "embedding_lsh_topk", "embedding_ivf_topk",
