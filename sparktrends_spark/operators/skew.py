@@ -67,3 +67,63 @@ def replicated_join(
     )
     out = salted_left.join(replicated_right, [*on, "_salt"], how)
     return out.drop("_salt")
+
+
+def join_key_skew_profile(
+    df: DataFrame, key_cols: Sequence[str], max_salt: int = 64
+) -> DataFrame:
+    """The advisor that tells you WHEN the two helpers above are
+    needed: per candidate join/aggregation key, the distribution
+    facts that predict a hot reducer — distinct-key count, the
+    heaviest key's row share, the max/mean skew factor, the key
+    entropy, and a suggested salt-bucket count.
+
+    One shuffle for ALL audited columns: the per-key counts come from
+    a single GROUPING SETS pass ((c1),(c2),...) — Spark expands each
+    row once per set map-side and aggregates every column's key space
+    in the same exchange, instead of one groupBy job per column. The
+    second-stage rollup input is one row per distinct key, tiny by
+    construction.
+
+    Float discipline: counts are exact; skew_factor and
+    suggested_salt derive from them with deterministic double
+    arithmetic; entropy (the one order-dependent sum) is rounded to 6
+    on both engines. NULL keys form a group like any other — a
+    NULL-heavy foreign key IS a hot key and must show up here.
+    """
+    key_cols = list(key_cols)
+    k = len(key_cols)
+    # grouping_id bit i (MSB-first over key_cols) set = column i was
+    # aggregated away; the single-column set {c_i} therefore has all
+    # bits set EXCEPT i.
+    gid_of = {
+        sum(1 << (k - 1 - j) for j in range(k) if j != i): c
+        for i, c in enumerate(key_cols)
+    }
+    cnts = df.groupingSets([[c] for c in key_cols], *key_cols).agg(
+        F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("gid")
+    )
+    name = F.lit(None).cast("string")
+    for gid, c in gid_of.items():
+        name = F.when(F.col("gid") == gid, F.lit(c)).otherwise(name)
+    cnts = cnts.select(name.alias("key_col"), "cnt")
+
+    total_d = F.sum("cnt").cast("double")
+    max_d = F.max("cnt").cast("double")
+    skew = max_d * F.count(F.lit(1)) / total_d
+    prof = cnts.groupBy("key_col").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        skew.alias("skew_factor"),
+        F.round(
+            F.log(total_d)
+            - F.sum(F.col("cnt") * F.log(F.col("cnt"))) / total_d,
+            6,
+        ).alias("entropy"),
+        F.least(
+            F.greatest(F.ceil(skew), F.lit(1).cast("long")),
+            F.lit(int(max_salt)).cast("long"),
+        ).alias("suggested_salt"),
+    )
+    return prof

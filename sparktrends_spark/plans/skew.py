@@ -328,3 +328,45 @@ def q_user_cms_weekly_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_count",
         (F.col("est_count") - F.col("true_count")).alias("overestimate"),
     )
+
+
+def _skew_profile_branch(col: str) -> str:
+    return f"""
+SELECT '{col}' AS key_col,
+       count(*) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS total_rows,
+       max(cnt) AS max_key_rows,
+       CAST(max(cnt) AS DOUBLE) * count(*) / CAST(sum(cnt) AS DOUBLE)
+         AS skew_factor,
+       round(ln(CAST(sum(cnt) AS DOUBLE))
+             - sum(cnt * ln(cnt)) / CAST(sum(cnt) AS DOUBLE), 6)
+         AS entropy,
+       CAST(least(greatest(ceil(
+         CAST(max(cnt) AS DOUBLE) * count(*) / CAST(sum(cnt) AS DOUBLE)
+       ), 1), 64) AS BIGINT) AS suggested_salt
+FROM (SELECT {col}, count(*) AS cnt FROM events GROUP BY {col})
+"""
+
+
+@query(
+    "event_key_skew_profile",
+    oracle="\nUNION ALL\n".join(
+        _skew_profile_branch(c) for c in ("user_id", "event_type")
+    ),
+)
+def q_event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew ADVISOR for the two mitigation helpers graded above:
+    per candidate join/agg key of the events table, distinct-key
+    count, the heaviest key's row count, the max/mean skew factor,
+    key entropy, and the salt-bucket count ``salted_agg`` /
+    ``replicated_join`` should use.
+
+    One GROUPING SETS pass profiles every audited column in a single
+    shuffle (the oracle's per-column GROUP BY branches restate it
+    declaratively); the second-stage rollup reads one row per
+    distinct key. See operators/skew.py:join_key_skew_profile.
+    """
+    from sparktrends_spark.operators.skew import join_key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return join_key_skew_profile(ev, ["user_id", "event_type"], max_salt=64)

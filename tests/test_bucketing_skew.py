@@ -234,3 +234,35 @@ def test_cms_estimate_broadcasts_sketch(spark):
     plan = est._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_join_key_skew_profile_values(spark):
+    from sparktrends_spark.operators.skew import join_key_skew_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (None, "a")], "u int, e string"
+    )
+    prof = {r.key_col: r for r in join_key_skew_profile(df, ["u", "e"]).collect()}
+    # u: keys {1(x2), 2, NULL} -> 3 keys, max 2, skew 2*3/4
+    assert prof["u"].n_keys == 3
+    assert prof["u"].max_key_rows == 2
+    assert prof["u"].skew_factor == 1.5
+    assert prof["u"].suggested_salt == 2
+    # e: keys {a(x3), b} -> NULL-free column, heavier head
+    assert prof["e"].n_keys == 2
+    assert prof["e"].max_key_rows == 3
+    assert prof["e"].total_rows == 4
+
+
+def test_skew_profile_single_pass_plan(spark, sf_dir):
+    from sparktrends_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["event_key_skew_profile"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # ALL audited columns ride ONE grouping-sets pass over ONE scan
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
