@@ -141,3 +141,55 @@ def q_symbol_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     set), ties broken by earliest day.
     """
     return max_drawdown(_daily(spark, sf_dir))
+
+
+@query(
+    "symbol_rolling_beta",
+    oracle=f"""
+WITH {_TRADES_CTE.strip()}, {_DAILY_BARS_CTE.strip()}, {_RETS_CTE.strip()},
+mkt AS (SELECT day, avg(ret) AS mkt_ret FROM r GROUP BY day),
+j AS (SELECT symbol, day, ret, mkt_ret FROM r JOIN mkt USING (day))
+SELECT symbol, day,
+       round(covar_samp(ret, mkt_ret) OVER w
+             / var_samp(mkt_ret) OVER w, 6) AS beta_30,
+       count(*) OVER w AS n_days
+FROM j
+WINDOW w AS (
+  PARTITION BY symbol ORDER BY day
+  ROWS BETWEEN 29 PRECEDING AND CURRENT ROW
+)
+""",
+)
+def q_symbol_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day rolling CAPM beta per symbol — the time-varying loading
+    a risk desk actually monitors (the static symbol_market_beta is
+    its full-history summary).
+
+    Same broadcast factor join, then BOTH co-moment window aggregates
+    (covar/var) ride ONE window pass on the symbol partition — no
+    extra exchange vs a single rolling stddev."""
+    from pyspark.sql import Window
+
+    from sparktrends_spark.caching import persist_tracked
+
+    rets = daily_returns(_daily(spark, sf_dir))
+    r = persist_tracked(
+        rets.where(F.col("ret").isNotNull()).select("symbol", "day", "ret")
+    )
+    mkt = r.groupBy("day").agg(F.avg("ret").alias("mkt_ret"))
+    j = r.join(F.broadcast(mkt), "day")
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("day")
+        .rowsBetween(-29, Window.currentRow)
+    )
+    return j.select(
+        "symbol",
+        "day",
+        F.round(
+            F.covar_samp("ret", "mkt_ret").over(w)
+            / F.var_samp("mkt_ret").over(w),
+            6,
+        ).alias("beta_30"),
+        F.count(F.lit(1)).over(w).alias("n_days"),
+    )
