@@ -89,6 +89,14 @@ HEAVY_QUERIES = (
     "part_association_rules",
     "user_cms_frequency",
     "doc_weighted_sample",
+    # late round 8: the date-keyed correlation self-join (output fixed
+    # at symbols^2 pairs — input grows, pair count doesn't), the
+    # broadcast-factor beta, the one-scan multi-distinct profiler, and
+    # the grouping-sets skew advisor (per-key state, bounded output)
+    "symbol_return_correlation",
+    "symbol_market_beta",
+    "events_column_profile",
+    "event_key_skew_profile",
 )
 
 # Ops that define the plan's *strategy* — join algorithms, aggregate
