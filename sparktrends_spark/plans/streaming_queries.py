@@ -1046,3 +1046,91 @@ def build_stream_user_cms_cells(
     return run_upsert_stream(
         sketch, keys=("row", "col"), ckpt_dir=ckpt_dir, table_dir=table_dir
     )
+
+
+@query(
+    "stream_order_status_ivm",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS DECIMAL(20,2)) AS VARCHAR) AS total_price
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)
+GROUP BY o_orderstatus
+""",
+)
+def q_stream_order_status_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance on a LIVE changefeed: the same
+    Debezium-shaped orders feed as stream_order_cdc_apply, but every
+    micro-batch ALSO advances the per-status (count, exact sum)
+    rollup via `streaming/ivm.maintain_agg_cdc` — counting algebra
+    over bucket-pruned point reads, never a base rescan, agg delta
+    committed before the base apply so checkpoint replay recovers a
+    crash between the two. The graded output is the AGGREGATE table;
+    the oracle recomputes it from the surviving rows, so the row
+    proves delta accumulation equals recomputation whatever the
+    micro-batching (deletes here target keys never inserted — the
+    absent-key tombstone no-op path)."""
+    return build_stream_order_status_ivm(spark, sf_dir)
+
+
+def build_stream_order_status_ivm(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+    table_dir: str | None = None,
+) -> DataFrame:
+    from sparktrends_spark.streaming.ivm import maintain_agg_cdc
+
+    _ensure_read_confs(spark)
+    base = sf_dir.rstrip("/")
+    schema = spark.read.parquet(f"{base}/orders.parquet").schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    changes = reader.parquet(f"{base}/orders*.parquet").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 10 == 0),
+            F.lit("d"),
+        )
+        .otherwise(F.lit("c"))
+        .alias("op"),
+    )
+    out_dir = table_dir or tempfile.mkdtemp(prefix="stream_ivm_out_")
+    ckpt = ckpt_dir or tempfile.mkdtemp(prefix="stream_ivm_ckpt_")
+    base_t = os.path.join(out_dir, "orders")
+    agg_t = os.path.join(out_dir, "status_agg")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        maintain_agg_cdc(
+            batch_df,
+            base_t,
+            agg_t,
+            keys=("o_orderkey",),
+            group_col="o_orderstatus",
+            value_col="o_totalprice",
+            version=batch_id,
+        )
+
+    q = (
+        changes.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_upserted(spark, agg_t).select(
+        "o_orderstatus",
+        F.col("n_rows").cast("bigint").alias("n_orders"),
+        F.col("total").cast("string").alias("total_price"),
+    )

@@ -326,3 +326,34 @@ def test_multibatch_profile_lands_on_oracle(spark, sf_dir, split_dir, tmp_path):
     # must make the converged state independent of the batching — the
     # multi-batch profile lands bit-exactly on the whole-table oracle
     _assert_frames_equal(result, _oracle(sf_dir, "stream_events_profile"))
+
+
+@pytest.fixture(scope="module")
+def orders_split_dir(sf_dir, tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("orders_split")
+    tbl = pq.read_table(f"{sf_dir}/orders.parquet")
+    n = len(tbl)
+    step = (n + N_SPLITS - 1) // N_SPLITS
+    base_mtime = 1_700_000_000
+    for i in range(N_SPLITS):
+        name = "orders.parquet" if i == 0 else f"orders_{i}.parquet"
+        path = str(out / name)
+        pq.write_table(tbl.slice(i * step, step), path)
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    return str(out)
+
+
+def test_multibatch_ivm_lands_on_oracle(spark, sf_dir, orders_split_dir, tmp_path):
+    from sparktrends_spark.plans.streaming_queries import (
+        build_stream_order_status_ivm,
+    )
+
+    ckpt = str(tmp_path / "ckpt_ivm")
+    result = build_stream_order_status_ivm(
+        spark, orders_split_dir, max_files_per_trigger=1, ckpt_dir=ckpt
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    # the rollup is advanced by per-batch deltas (keyed point reads,
+    # no base rescan) — accumulation across real micro-batches must
+    # land exactly on recomputation over the surviving rows
+    _assert_frames_equal(result, _oracle(sf_dir, "stream_order_status_ivm"))
