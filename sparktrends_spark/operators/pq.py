@@ -1,0 +1,155 @@
+"""Product quantization (PQ) — memory-bounded approximate nearest
+neighbor, the FAISS-style companion to the IVF operators.
+
+The embedding family already has brute-force, LSH, and IVF top-k;
+what none of them change is the PER-VECTOR MEMORY: every candidate is
+scored against its full float vector. PQ replaces each vector with m
+sub-space code IDs (here 2 x 1 byte instead of 64 doubles): train an
+independent k-means codebook per sub-space (`operators/kmeans.py`,
+reused verbatim per slice), encode every vector as its per-sub-space
+nearest-centroid ids, and answer queries by Asymmetric Distance
+Computation — a per-query lookup table of (sub-space, code) ->
+distance, so candidate scoring touches ONLY the code columns.
+
+Scale shape: training cost = m bounded k-means runs (each a map-side
+argmin + k*dim/m-bounded update per iteration); encoding is one
+map-side pass; the ADC query plan is two broadcast equi-joins of the
+code table against m x k-row LUT frames (never a nested-loop join,
+never the raw vectors) and a per-query top-k window. A billion-vector
+corpus scans bytes, not floats — the whole point of PQ.
+
+Float discipline: sub-space distances inherit kmeans' round-6-
+before-argmin rule, LUT entries are round-6, and the ADC score is a
+FIXED-ORDER expression sum of m rounded terms (not an aggregation) —
+deterministic in every engine, so the oracle matches bit-exact with
+no further rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparktrends_spark.operators.kmeans import (
+    _dist2,
+    assign_clusters,
+    kmeans_fit,
+)
+
+Codebooks = dict[int, dict[int, list[float]]]
+
+
+def _sub(vec_col: str, s: int, sub_len: int):
+    # F.slice is 1-based
+    return F.slice(
+        F.col(vec_col).cast("array<double>"), s * sub_len + 1, sub_len
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 2,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Codebooks:
+    """One independent k-means codebook per sub-space."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_len = dim // m
+    books: Codebooks = {}
+    for s in range(m):
+        sub = vectors.select(
+            F.col(id_col), _sub(vec_col, s, sub_len).alias("embedding")
+        )
+        books[s], _ = kmeans_fit(
+            sub, k=k, iterations=iterations, id_col=id_col
+        )
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books: Codebooks,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-side encoding: per sub-space nearest-codebook-centroid id
+    (round-6 distances, ties by code — the kmeans assignment rule).
+    Returns ``(id_col, code_0 .. code_{m-1})``."""
+    m = len(books)
+    sub_len = dim // m
+    out = vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+    for s in range(m):
+        out = assign_clusters(
+            out.withColumn("_s", _sub("_v", s, sub_len)),
+            books[s],
+            vec_col="_s",
+            out_col=f"code_{s}",
+        ).drop("_s")
+    return out.drop("_v")
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    books: Codebooks,
+    dim: int,
+    k_neighbors: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k: encode the corpus, build per-query (code -> round-6
+    sub-distance) LUT frames (m x k rows per query, broadcast), score
+    by two equi-joins on the code columns, keep the k best per query
+    (approx distance asc, id asc)."""
+    from pyspark.sql import Window
+
+    m = len(books)
+    sub_len = dim // m
+    codes = pq_encode(vectors, books, dim, id_col=id_col, vec_col=vec_col)
+
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    luts = []
+    for s in range(m):
+        qs = q.withColumn("_qs", _sub("_qv", s, sub_len))
+        rows = [
+            F.struct(
+                F.lit(c).alias("code"),
+                _dist2(F.col("_qs"), books[s][c]).alias("d"),
+            )
+            for c in sorted(books[s])
+        ]
+        luts.append(
+            qs.select(
+                query_id_col, F.explode(F.array(*rows)).alias("e")
+            ).select(query_id_col, F.col("e.code"), F.col("e.d").alias(f"d_{s}"))
+        )
+
+    scored = codes
+    approx = None
+    for s in range(m):
+        scored = scored.join(
+            F.broadcast(luts[s]),
+            on=[scored[f"code_{s}"] == luts[s]["code"]]
+            + ([scored[query_id_col] == luts[s][query_id_col]] if s else []),
+        ).drop(luts[s]["code"])
+        if s:
+            scored = scored.drop(luts[s][query_id_col])
+        term = F.col(f"d_{s}")
+        approx = term if approx is None else approx + term
+    scored = scored.where(F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col, id_col, approx.alias("approx_d2")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("approx_d2"), F.asc(id_col)
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k_neighbors
+    )

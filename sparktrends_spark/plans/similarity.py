@@ -842,3 +842,122 @@ def q_embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", "vec_id", "cosine", "rnk")
     )
+
+
+_PQ_M = 2
+_PQ_K = 4
+_PQ_SUB = _DIM // _PQ_M
+
+
+def _pq_sub_chain(s: int) -> str:
+    """The kmeans unrolled-CTE chain (see _kmeans_chain) over ONE PQ
+    sub-space: vectors sliced to [lo..hi], CTE names suffixed _{s}.
+    Exposes v{s} (sliced vectors), c{iters}_{s} (final codebook) and
+    codes{s} (per-vector nearest-code assignment)."""
+    lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+    d2 = (
+        "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
+        " for z in list_zip(t.v, c.m) ]), 6)"
+    )
+    steps = []
+    prev = f"c0_{s}"
+    for i in range(1, _KM_ITERS + 1):
+        steps.append(f"""
+a{i}_{s} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT t.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {d2} ASC, c.cluster ASC) AS rn
+    FROM v{s} t, {prev} c)
+  WHERE rn = 1
+),
+u{i}_{s} AS (
+  SELECT p.cluster, list(round(p.mm, 9) ORDER BY p.pos) AS m FROM (
+    SELECT a.cluster, t2.i AS pos, avg(t.v[t2.i]) AS mm
+    FROM a{i}_{s} a JOIN v{s} t USING (vec_id),
+         generate_series(1, {_PQ_SUB}) t2(i)
+    GROUP BY a.cluster, t2.i) p
+  GROUP BY p.cluster
+),
+c{i}_{s} AS (
+  SELECT c.cluster, coalesce(u.m, c.m) AS m
+  FROM {prev} c LEFT JOIN u{i}_{s} u USING (cluster)
+)""")
+        prev = f"c{i}_{s}"
+    chain = ",".join(steps)
+    return f"""
+v{s} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM ve),
+sd{s} AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+),
+c0_{s} AS (
+  SELECT sd.cluster, [round(x, 9) for x in t.v] AS m
+  FROM sd{s} sd JOIN v{s} t ON t.vec_id = sd.vec_id
+),{chain},
+codes{s} AS (
+  SELECT vec_id, cluster AS code FROM (
+    SELECT t.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY {d2} ASC, c.cluster ASC) AS rn
+    FROM v{s} t, {prev} c)
+  WHERE rn = 1
+)"""
+
+
+def _pq_oracle() -> str:
+    d2 = (
+        "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
+        " for z in list_zip(t.v, c.m) ]), 6)"
+    )
+    luts = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+        luts.append(f"""
+qs{s} AS (SELECT query_id, list_slice(v, {lo}, {hi}) AS v FROM q),
+lut{s} AS (
+  SELECT t.query_id, c.cluster AS code, {d2.replace("t.v", "t.v")} AS d
+  FROM qs{s} t, c{_KM_ITERS}_{s} c
+)""")
+    return f"""
+WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_pq_sub_chain(0).strip()},
+{_pq_sub_chain(1).strip()},
+q AS (SELECT vec_id AS query_id, v FROM ve WHERE vec_id < {_N_QUERIES}),
+{",".join(x.strip() for x in luts)},
+scored AS (
+  SELECT l0.query_id, cd0.vec_id, l0.d + l1.d AS approx_d2
+  FROM codes0 cd0
+  JOIN codes1 cd1 USING (vec_id)
+  JOIN lut0 l0 ON l0.code = cd0.code
+  JOIN lut1 l1 ON l1.code = cd1.code AND l1.query_id = l0.query_id
+  WHERE cd0.vec_id != l0.query_id
+)
+SELECT query_id, vec_id, approx_d2, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY approx_d2 ASC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+@query("embedding_pq_topk", oracle=_pq_oracle())
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (`operators/pq.py`): 2 sub-space
+    k-means codebooks (the kmeans operator reused per slice), every
+    vector encoded as 2 code ids, queries answered by Asymmetric
+    Distance Computation — per-query (code -> round-6 sub-distance)
+    LUTs broadcast onto the CODE table via equi-joins, top-3 by
+    approximate distance (ties by id). Candidate scoring never touches
+    the float vectors: at a billion vectors the scan is bytes of
+    codes, the memory story brute/LSH/IVF don't have. Oracle = the
+    per-sub-space unrolled kmeans chains + the same ADC restated in
+    SQL (fixed-order sum of rounded terms — engine-exact)."""
+    from sparktrends_spark.operators.pq import pq_topk, pq_train
+
+    emb = _emb(spark, sf_dir)
+    books = pq_train(emb, dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_KM_ITERS)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, books, dim=_DIM, k_neighbors=3)

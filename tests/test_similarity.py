@@ -387,3 +387,39 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     cents, assigned = kmeans_fit(df, k=2, iterations=2)
     assert {r["cluster"] for r in assigned.collect()} == {0}
     assert cents[1] == [1.0, 2.0]
+
+
+def test_pq_encode_is_deterministic_and_bounded(spark):
+    from sparktrends_spark.operators.pq import pq_encode, pq_train
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, dim=8, m=2, k=4, iterations=2)
+    assert set(books) == {0, 1}
+    assert all(len(cb) == 4 for cb in books.values())
+    assert all(len(v) == 4 for cb in books.values() for v in cb.values())
+    codes = pq_encode(df, books, dim=8).collect()
+    assert len(codes) == 20
+    for r in codes:
+        assert 0 <= r.code_0 < 4 and 0 <= r.code_1 < 4
+    # re-encoding yields identical codes (round-6 argmin determinism)
+    again = pq_encode(df, books, dim=8).collect()
+    assert sorted(map(tuple, codes)) == sorted(map(tuple, again))
+
+
+def test_pq_topk_plan_is_broadcast_equijoins(spark, sf_dir):
+    from sparktrends_spark.plans import QUERIES
+    from sparktrends_spark.caching import release_persisted
+
+    plan = (
+        QUERIES["embedding_pq_topk"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    release_persisted()
+    # ADC must be equi-joins of the code table against broadcast LUTs:
+    # never a nested-loop scoring join, never a shuffle join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
