@@ -961,3 +961,157 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_topk(emb, queries, books, dim=_DIM, k_neighbors=3)
+
+
+def _ivfpq_oracle() -> str:
+    d2 = (
+        "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
+        " for z in list_zip(t.v, c.m) ]), 6)"
+    )
+    qd2 = (
+        "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
+        " for z in list_zip(q.qv, c.m) ]), 6)"
+    )
+    luts = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+        luts.append(f"""
+qs{s} AS (SELECT query_id, list_slice(qv, {lo}, {hi}) AS v FROM q),
+lut{s} AS (
+  SELECT t.query_id, c.cluster AS code, {d2} AS d
+  FROM qs{s} t, c{_KM_ITERS}_{s} c
+)""")
+    return (
+        _kmeans_chain()
+        + ","
+        + _pq_sub_chain(0)
+        + ","
+        + _pq_sub_chain(1)
+        + f""",
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT ve.vec_id, c.cluster AS cell,
+           row_number() OVER (PARTITION BY ve.vec_id
+                              ORDER BY {_KM_D2} ASC, c.cluster ASC) AS rn
+    FROM ve, c{_KM_ITERS} c)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM ve WHERE vec_id < {_N_QUERIES}),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cluster AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {qd2} ASC, c.cluster ASC) AS rn
+    FROM q, c{_KM_ITERS} c)
+  WHERE rn <= {_IVF_NPROBE}
+),
+{",".join(x.strip() for x in luts)},
+scored AS (
+  SELECT p.query_id, a.vec_id, l0.d + l1.d AS approx_d2
+  FROM asg a
+  JOIN probes p USING (cell)
+  JOIN codes0 cd0 ON cd0.vec_id = a.vec_id
+  JOIN codes1 cd1 ON cd1.vec_id = a.vec_id
+  JOIN lut0 l0 ON l0.code = cd0.code AND l0.query_id = p.query_id
+  JOIN lut1 l1 ON l1.code = cd1.code AND l1.query_id = p.query_id
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, vec_id, approx_d2, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY approx_d2 ASC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+    )
+
+
+@query("embedding_ivfpq_topk", oracle=_ivfpq_oracle())
+def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN index composed end-to-end: the
+    unsupervised coarse quantizer prunes the corpus to each query's
+    nprobe nearest CELLS (embedding_ivf_kmeans_topk's machinery), and
+    candidates inside probed cells are scored by PQ Asymmetric
+    Distance Computation over code columns (embedding_pq_topk's
+    machinery) — so a query touches neither unprobed cells NOR any
+    float vector. Classical refinement not modeled here: encoding
+    residuals (v - cell centroid) instead of raw vectors, a recall
+    (not architecture) change. All joins are broadcast equi-joins;
+    the oracle composes the coarse-kmeans and per-sub-space chains."""
+    from pyspark.sql import Window
+
+    from sparktrends_spark.operators.kmeans import kmeans_fit
+    from sparktrends_spark.operators.pq import pq_encode, pq_train, _sub
+    from sparktrends_spark.operators.kmeans import _dist2
+
+    emb = _emb(spark, sf_dir)
+    cents, assigned = kmeans_fit(emb, k=_KM_K, iterations=_KM_ITERS)
+    asg = assigned.withColumnRenamed("cluster", "cell")
+    books = pq_train(emb, dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_KM_ITERS)
+    codes = pq_encode(emb, books, dim=_DIM).join(asg, "vec_id")
+
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(
+                _dist2(F.col("_qv"), cents[c]).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c in sorted(cents)
+        ]
+    )
+    probes = queries.select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.slice(F.array_sort(probe_structs), 1, _IVF_NPROBE)
+        ).alias("_p"),
+    ).select("query_id", "_qv", F.col("_p.c").alias("cell"))
+
+    luts = []
+    for s in range(_PQ_M):
+        qs = probes.select("query_id", "_qv").distinct().withColumn(
+            "_qs", _sub("_qv", s, _PQ_SUB)
+        )
+        rows = [
+            F.struct(
+                F.lit(c).alias("code"),
+                _dist2(F.col("_qs"), books[s][c]).alias("d"),
+            )
+            for c in sorted(books[s])
+        ]
+        luts.append(
+            qs.select("query_id", F.explode(F.array(*rows)).alias("e")).select(
+                F.col("query_id").alias(f"qid_{s}"),
+                F.col("e.code").alias(f"c_{s}"),
+                F.col("e.d").alias(f"d_{s}"),
+            )
+        )
+
+    scored = (
+        codes.join(F.broadcast(probes.select("query_id", "cell")), "cell")
+        .join(
+            F.broadcast(luts[0]),
+            (F.col("code_0") == F.col("c_0"))
+            & (F.col("query_id") == F.col("qid_0")),
+        )
+        .join(
+            F.broadcast(luts[1]),
+            (F.col("code_1") == F.col("c_1"))
+            & (F.col("query_id") == F.col("qid_1")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("d_0") + F.col("d_1")).alias("approx_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("vec_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 3
+    )

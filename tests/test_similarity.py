@@ -423,3 +423,20 @@ def test_pq_topk_plan_is_broadcast_equijoins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_ivfpq_plan_prunes_and_stays_equijoin(spark, sf_dir):
+    from sparktrends_spark.plans import QUERIES
+    from sparktrends_spark.caching import release_persisted
+
+    plan = (
+        QUERIES["embedding_ivfpq_topk"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    release_persisted()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    # cell-prune join + 2 LUT joins, all broadcast equi
+    assert plan.count("BroadcastHashJoin") >= 3
