@@ -228,6 +228,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     allowed_bnlj = {
         "q22_idle_balance",        # scalar subquery vs broadcast avg row
         "embedding_topk",          # corpus x broadcast query rows
+        "embedding_hard_negatives",  # same shape + non-equi label filter
         "doc_embedding_topk",      # same shape over hashed doc vectors
         "embedding_quantized_topk",  # same shape over int8 vectors
         "embedding_neardup",       # verify joins vs broadcast pairs
