@@ -43,13 +43,20 @@ from sparktrends_spark.plans import profile  # noqa: E402,F401
 # + user_cms_frequency grade mergeable sketches).
 _PRIORITY_ORDER = [
     # reference-parity market core
-    "ohlcv_bars", "ohlcv_rollup_hourly", "vwap_metrics", "latest_metrics",
+    # (ohlcv_rollup_hourly displaced late r8 for order_status_ivm —
+    # hierarchical rollup still benched + swept; bars/vwap/latest/
+    # anomaly keep the reference core at 5 driver rows with ema)
+    "ohlcv_bars", "vwap_metrics", "latest_metrics",
     "anomaly_last10",
     # recursive indicators (chunked twin displaced late r8)
     "ema_daily",
-    # relational / TPC-H dialect
+    # relational / TPC-H dialect; cube graded through its materialized
+    # aggregate-navigation form (late r8 — supersedes status_cube in
+    # the window: same CUBE semantics PLUS the serving slice; the
+    # plain form stays swept), plus CDC incremental view maintenance
     "q1_pricing_summary", "q5_region_revenue",
-    "status_cube", "returnflag_percentiles",
+    "order_priority_from_cube", "returnflag_percentiles",
+    "order_status_ivm",
     # iterative graph + triangle analytics + basket mining (round 8)
     "nation_pagerank", "part_triangle_top", "part_association_rules",
     # joins
@@ -76,9 +83,13 @@ _PRIORITY_ORDER = [
     "doc_quality", "doc_lang_id", "doc_pii_redact",
     "corpus_curation_pipeline", "doc_importance_sample",
     # embedding similarity + clustering (north star; kmeans round 8)
-    "embedding_topk", "embedding_lsh_topk", "embedding_ivf_topk",
+    "embedding_topk", "embedding_lsh_topk",
     "embedding_ivf_index_topk", "embedding_neardup_topk",
     "embedding_kmeans",
+    # IVF-PQ supersedes the label-shortcut embedding_ivf_topk in the
+    # window (late r8): coarse kmeans probe + PQ code scoring — the
+    # composed production ANN; the plain IVF form stays swept
+    "embedding_ivfpq_topk",
     # streaming
     "stream_ohlcv_bars", "stream_doc_incremental_dedup",
     "stream_user_heavy_hitters", "stream_doc_pii_redact",
