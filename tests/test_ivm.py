@@ -91,3 +91,16 @@ def test_ivm_crash_between_agg_and_base_recovers_on_replay(
     maintain_agg_cdc(b1, clean_base, clean_agg, ["k"], "g", "v", version=1)
     assert _agg_state(spark, agg) == _agg_state(spark, clean_agg)
     shutil.rmtree(clean_base, ignore_errors=True)
+
+
+def test_ivm_delete_only_first_batch_then_insert(spark, dirs):
+    # tombstones for keys that never existed: old-read finds nothing,
+    # zero delta -> the aggregate table is simply not created yet;
+    # the next real batch creates it and the algebra is unaffected
+    base, agg = dirs
+    d_only = spark.createDataFrame([(9, None, None, "d")], _SCHEMA)
+    maintain_agg_cdc(d_only, base, agg, ["k"], "g", "v", version=0)
+    assert read_upserted(spark, base).count() == 0
+    ins = spark.createDataFrame([(1, "A", 5.0, "c")], _SCHEMA)
+    maintain_agg_cdc(ins, base, agg, ["k"], "g", "v", version=1)
+    assert _agg_state(spark, agg) == {"A": (1, 5.0)}
