@@ -97,6 +97,11 @@ HEAVY_QUERIES = (
     "symbol_market_beta",
     "events_column_profile",
     "event_key_skew_profile",
+    # late round 8 (cont.): PQ/IVF-PQ ANN — training is m bounded
+    # kmeans runs, encoding map-side, scoring equi-joins over codes;
+    # output fixed at queries x 3
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
 )
 
 # Ops that define the plan's *strategy* — join algorithms, aggregate
