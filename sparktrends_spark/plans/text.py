@@ -2594,3 +2594,105 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(100)
     )
+
+
+_IDX_PROBES = ("query", "window", "merge")
+
+
+@query(
+    "doc_term_lookup_indexed",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+probe AS (
+  SELECT doc_id, term, tf FROM tf
+  WHERE term IN ('{_IDX_PROBES[0]}', '{_IDX_PROBES[1]}', '{_IDX_PROBES[2]}')
+),
+per AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM probe GROUP BY term
+),
+ad AS (
+  SELECT doc_id FROM probe GROUP BY doc_id HAVING count(DISTINCT term) = 3
+)
+SELECT * FROM per
+UNION ALL
+SELECT '__and__' AS term,
+       CAST((SELECT count(*) FROM ad) AS BIGINT) AS n_docs,
+       CAST((SELECT sum(p.tf) FROM probe p JOIN ad USING (doc_id)) AS BIGINT)
+         AS total_tf
+""",
+)
+def q_doc_term_lookup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index SERVING: materialize the inverted index (doc_id,
+    term, tf) PARTITIONED BY a term-hash bucket, then answer a
+    3-term lookup — per-term posting stats plus the AND-intersection
+    (docs containing all three) — from the index with PARTITION
+    PRUNING: the probe buckets are computed from the same hash, so
+    the scan opens only the probed terms' bucket directories, never
+    the full index. The oracle recomputes from raw documents, proving
+    the index round-trip is lossless. Completes the retrieval family:
+    BM25 scores, RRF fuses, this SERVES.
+
+    Scale shape: the index build is the tf shuffle the tfidf query
+    already pays, written once (partitionBy = one extra sort within
+    write tasks); every lookup after that is O(probed buckets) IO.
+    The two aggregates (per-term and intersection) re-read the PRUNED
+    index files, not the tokenization pipeline — re-reading an index
+    is exactly what an index is for, so no persist is needed."""
+    import os
+    import shutil
+
+    dest = os.path.join(
+        "/tmp/sparktrends_invidx",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        "terms",
+    )
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    d = _docs(spark, sf_dir)
+    terms = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(16))
+    ).write.partitionBy("term_bucket").mode("overwrite").parquet(dest)
+
+    # probe buckets via the same hash — a bounded 3-row collect
+    buckets = [
+        r.b
+        for r in spark.createDataFrame(
+            [(t,) for t in _IDX_PROBES], "term string"
+        )
+        .select(F.pmod(F.xxhash64("term"), F.lit(16)).alias("b"))
+        .collect()
+    ]
+    served = spark.read.parquet(dest)
+    probe = served.where(
+        F.col("term_bucket").isin(*buckets) & F.col("term").isin(*_IDX_PROBES)
+    )
+    per = probe.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    anddocs = (
+        probe.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("_nt"))
+        .where(F.col("_nt") == len(_IDX_PROBES))
+        .select("doc_id")
+    )
+    androw = (
+        probe.join(anddocs, "doc_id")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+        .select(F.lit("__and__").alias("term"), "n_docs", "total_tf")
+    )
+    return per.unionByName(androw)

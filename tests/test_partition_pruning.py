@@ -405,3 +405,20 @@ def test_incremental_index_maintenance_touches_only_new_files(spark, tmp_path):
             F.col("user_id").between(3, 9) & F.col("value").between(50.0, 250.0)
         ).count()
     )
+
+
+def test_term_lookup_prunes_index_partitions(spark, sf_dir):
+    from sparktrends_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["doc_term_lookup_indexed"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every index scan must carry the probe-bucket partition filter —
+    # the lookup opens only the probed terms' bucket directories
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[term_bucket#\d+ IN \([\d,]+\)\]", plan)
+    assert pf, plan
