@@ -1115,3 +1115,72 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= 3
     )
+
+
+_PI_ITERS = 3
+
+
+def _power_iteration_oracle(iters: int = _PI_ITERS, dim: int = _DIM) -> str:
+    """Unrolled power iteration (operators/pca.py) as chained CTEs —
+    the kmeans/PageRank discipline: round-6 scores, round-9 component
+    sums and normalized directions per iteration, so both engines
+    iterate on bit-identical state."""
+    sdot = (
+        "round(list_sum([ z[1]*z[2]"
+        " for z in list_zip(t.v, d.m) ]), 6)"
+    )
+    steps = []
+    prev = "d0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+s{i} AS (
+  SELECT t.vec_id, {sdot} AS s FROM ve t, {prev} d
+),
+w{i} AS (
+  SELECT g.i AS pos, round(sum(t.v[g.i] * s.s), 9) AS w
+  FROM s{i} s JOIN ve t USING (vec_id), generate_series(1, {dim}) g(i)
+  GROUP BY g.i
+),
+wl{i} AS (SELECT list(w ORDER BY pos) AS wv FROM w{i}),
+d{i} AS (
+  SELECT [round(x / sqrt(list_sum([y*y for y in wv])), 9) for x in wv] AS m
+  FROM wl{i}
+)""")
+        prev = f"d{i}"
+    chain = ",".join(steps)
+    return f"""
+WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x0 AS (SELECT v FROM ve ORDER BY vec_id LIMIT 1),
+d0 AS (
+  SELECT [round(x / sqrt(list_sum([y*y for y in v])), 9) for x in v] AS m
+  FROM x0
+),{chain},
+sf AS (
+  SELECT {sdot} AS s FROM ve t, {prev} d
+)
+SELECT g.i AS pos, d.m[g.i] AS loading,
+       (SELECT round(sum(s*s) / count(*), 6) FROM sf) AS lam
+FROM {prev} d, generate_series(1, {dim}) g(i)
+"""
+
+
+@query("embedding_top_direction", oracle=_power_iteration_oracle())
+def q_embedding_top_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by power
+    iteration (`operators/pca.py`) — the fifth iterative operator
+    (components, PageRank, triangles, k-means): 3 power steps, each
+    one corpus scan + one dim-bounded shuffle, direction re-entering
+    as literals (the bounded-collect contract). Output: the round-9
+    unit direction in long form plus the round-6 Rayleigh eigenvalue
+    estimate. Full value oracle: the loop unrolls into chained CTEs
+    with per-iteration quantization, so DuckDB walks the identical
+    trajectory."""
+    from sparktrends_spark.operators.pca import power_iteration
+
+    emb = _emb(spark, sf_dir)
+    direction, lam = power_iteration(emb, iterations=_PI_ITERS)
+    rows = [(i + 1, d) for i, d in enumerate(direction)]
+    return (
+        emb.sparkSession.createDataFrame(rows, "pos bigint, loading double")
+        .withColumn("lam", F.lit(lam))
+    )

@@ -440,3 +440,22 @@ def test_ivfpq_plan_prunes_and_stays_equijoin(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     # cell-prune join + 2 LUT joins, all broadcast equi
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_power_iteration_finds_dominant_axis(spark):
+    from sparktrends_spark.caching import release_persisted
+    from sparktrends_spark.operators.pca import power_iteration
+
+    # anisotropic cloud: variance 100x larger along axis 0
+    rows = [
+        (i, [10.0 * (1 if i % 2 else -1) * (1 + i % 5), 0.1 * (i % 3), 0.05 * (i % 7), 0.0])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    direction, lam = power_iteration(df, iterations=5)
+    release_persisted()
+    assert abs(abs(direction[0]) - 1.0) < 1e-2
+    assert all(abs(c) < 0.1 for c in direction[1:])
+    assert lam > 100.0  # dominant eigenvalue of X'X/n along axis 0
+    # unit norm (round-9 components)
+    assert abs(sum(c * c for c in direction) - 1.0) < 1e-6
