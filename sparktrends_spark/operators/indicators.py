@@ -553,3 +553,59 @@ def stochastic(
         F.round("_k", 6).alias("pct_k"),
         F.round(F.avg("_k").over(wd), 6).alias("pct_d"),
     )
+
+
+def cusum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_cols: Iterable[str],
+    slack: float = 1.0,
+    threshold: float = 25.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point statistic per key.
+
+    The textbook form is recursive (s+_i = max(0, s+_{i-1} + x_i - mu
+    - slack)) — but it has a CLOSED window form: with P_i the running
+    sum of (x_i - mu - slack), s+_i = P_i - min(0, running_min(P)).
+    So unlike EMA (genuinely recursive -> applyInPandas), CUSUM stays
+    pure JVM window functions: one exchange on the key, running sum +
+    running min, whole-stage codegen end-to-end.
+
+    mu is the key's full-history mean computed as an exact decimal
+    window sum over the (2-decimal) values divided by the count —
+    deterministic across engines; the running sums of doubles drift
+    ULPs between engines, so the emitted statistics round to 6 and the
+    alarm predicate is evaluated ON THE ROUNDED values (deterministic
+    by construction, unlike an unrounded-predicate boundary bet).
+    """
+    partition_cols = list(partition_cols)
+    w_all = Window.partitionBy(*partition_cols)
+    w_run = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col(value_col)
+    mu = (
+        F.sum(x.cast("decimal(18,2)")).over(w_all).cast("double")
+        / F.count(x).over(w_all)
+    )
+    d_pos = x - mu - F.lit(float(slack))
+    d_neg = -(x - mu) - F.lit(float(slack))
+    p_pos = F.sum(d_pos).over(w_run)
+    p_neg = F.sum(d_neg).over(w_run)
+    s_pos = F.round(p_pos - F.least(F.lit(0.0), F.min(p_pos).over(w_run)), 6)
+    s_neg = F.round(p_neg - F.least(F.lit(0.0), F.min(p_neg).over(w_run)), 6)
+    out = df.select(
+        *partition_cols,
+        order_col,
+        value_col,
+        s_pos.alias("cusum_pos"),
+        s_neg.alias("cusum_neg"),
+    )
+    return out.withColumn(
+        "is_alarm",
+        (F.col("cusum_pos") > F.lit(float(threshold)))
+        | (F.col("cusum_neg") > F.lit(float(threshold))),
+    )

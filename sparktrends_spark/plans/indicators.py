@@ -402,3 +402,60 @@ def q_stochastic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=14,
         d=3,
     )
+
+
+@query(
+    "cusum_daily",
+    oracle=f"""
+WITH {_TRADES_CTE.strip()}, {_DAILY_BARS_CTE.strip()},
+m AS (
+  SELECT symbol, day, close,
+         CAST(sum(CAST(close AS DECIMAL(18,2))) OVER ws AS DOUBLE)
+           / count(close) OVER ws AS mu
+  FROM daily
+  WINDOW ws AS (PARTITION BY symbol)
+),
+p AS (
+  SELECT symbol, day, close,
+         sum(close - mu - 1.0) OVER wr AS p_pos,
+         sum(-(close - mu) - 1.0) OVER wr AS p_neg
+  FROM m
+  WINDOW wr AS (
+    PARTITION BY symbol ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )
+),
+s AS (
+  SELECT symbol, day, close,
+         round(p_pos - least(0.0, min(p_pos) OVER wr), 6) AS cusum_pos,
+         round(p_neg - least(0.0, min(p_neg) OVER wr), 6) AS cusum_neg
+  FROM p
+  WINDOW wr AS (
+    PARTITION BY symbol ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )
+)
+SELECT symbol, day, close, cusum_pos, cusum_neg,
+       (cusum_pos > 25.0 OR cusum_neg > 25.0) AS is_alarm
+FROM s
+""",
+)
+def q_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point statistic over daily closes —
+    completes the indicator family with regime-shift DETECTION (EMA/
+    MACD/RSI/Bollinger/stochastic describe; CUSUM alarms). The
+    textbook recursion is restated in its closed window form (running
+    sum minus clamped running min), so unlike EMA it stays pure JVM
+    window functions on one symbol exchange. Alarm evaluated on the
+    round-6 statistics — deterministic across engines by
+    construction. See operators/indicators.py:cusum."""
+    from sparktrends_spark.operators.indicators import cusum
+
+    return cusum(
+        _daily(spark, sf_dir),
+        value_col="close",
+        order_col="day",
+        partition_cols=["symbol"],
+        slack=1.0,
+        threshold=25.0,
+    )

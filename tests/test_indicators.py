@@ -252,3 +252,29 @@ def test_macd_chunked_matches_sequential(spark):
     for k in want:
         for a, b in zip(want[k], got[k]):
             assert math.isclose(a, b, rel_tol=1e-10, abs_tol=1e-10), (k, a, b)
+
+
+def test_cusum_detects_step_change(spark):
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.operators.indicators import cusum
+
+    # flat at 100 for 10 days, steps to 110: positive CUSUM must climb
+    # after the shift and alarm; the pre-shift side stays near zero
+    rows = [("A", d, 100.0) for d in range(1, 11)] + [
+        ("A", d, 110.0) for d in range(11, 21)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, day int, close double")
+    out = {
+        r.day: r
+        for r in cusum(
+            df, "close", "day", ["symbol"], slack=1.0, threshold=20.0
+        ).collect()
+    }
+    # mu = 105; pre-shift drift is negative-side, post-shift positive
+    assert out[1].cusum_pos == 0.0
+    assert not out[5].is_alarm
+    assert out[20].cusum_pos > 20.0
+    assert out[20].is_alarm
+    # negative side alarms on the early (below-mean) regime
+    assert out[10].cusum_neg > 20.0
