@@ -102,6 +102,10 @@ HEAVY_QUERIES = (
     # output fixed at queries x 3
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
+    # index build + partition-pruned serve; fixed 4-row output
+    "doc_term_lookup_indexed",
+    # iterative power steps: 3 corpus scans + dim-bounded shuffles
+    "embedding_top_direction",
 )
 
 # Ops that define the plan's *strategy* — join algorithms, aggregate
@@ -275,7 +279,13 @@ def main() -> None:
         nN = spark.read.parquet(f"{scaled_dir}/{t}.parquet").count()
         print(json.dumps({"table": t, "rows_1x": n1, f"rows_{factor}x": nN}))
 
-    for name in HEAVY_QUERIES:
+    # SLOPE_ONLY=name1,name2 restricts the run (iterating on one op's
+    # slope without re-timing the whole list)
+    only = os.environ.get("SLOPE_ONLY")
+    names = (
+        [n for n in only.split(",") if n] if only else list(HEAVY_QUERIES)
+    )
+    for name in names:
         # Warm: compile/JIT both plans once outside the timed region.
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
