@@ -79,9 +79,20 @@ def maintain_agg_cdc(
         if f.name != op_col
     )
 
+    # the batch feeds THREE consumers (key probe, +new contributions,
+    # the base apply) — pin it so its upstream plan runs once per
+    # call, not per consumer (in foreachBatch the micro-batch is
+    # already materialized and this is a no-op-cost cache; in batch
+    # replays of a changefeed it saves two source re-reads)
+    batch = batch.persist()
+
     # -old: current contributions of every touched key (bucket-pruned
-    # point read; semi-join drops co-bucketed rows of other keys)
-    probe = batch.select(*keys).distinct()
+    # point read; semi-join drops co-bucketed rows of other keys).
+    # No .distinct(): the batch is key-compacted by contract, the
+    # bucket-id collection dedups internally, and left-semi semantics
+    # ignore probe duplicates — a distinct here is one wasted
+    # O(batch) shuffle per call.
+    probe = batch.select(*keys)
     old = _read_keyed_or_empty(spark, base_dir, probe, base_schema).join(
         probe, keys, "left_semi"
     )
@@ -97,11 +108,15 @@ def maintain_agg_cdc(
         F.lit(1).cast("long").alias("dn"),
         F.col(value_col).cast("decimal(18,2)").alias("dv"),
     )
+    # touched-groups-sized (tiny), but its upstream includes the old
+    # point-read AND the batch scan — pin it: it feeds the agg-table
+    # probe, the merge join, and (twice) the merged projection
     delta = (
         neg.unionByName(pos)
         .groupBy("grp")
         .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
         .where((F.col("dn") != 0) | (F.col("dv") != 0))
+        .persist()
     )
 
     # merge with the touched groups' current partials; count-0 groups
@@ -129,9 +144,17 @@ def maintain_agg_cdc(
         F.when(F.col("n_rows") == 0, F.lit("d")).otherwise(F.lit("u")).alias("op"),
     )
     # aggregate delta FIRST, base apply second (see crash-safety note)
-    apply_cdc_bucketed(
-        changes, agg_dir, keys=(group_col,), n_buckets=n_buckets, version=version
-    )
-    apply_cdc_bucketed(
-        batch, base_dir, keys=keys, n_buckets=n_buckets, version=version
-    )
+    try:
+        apply_cdc_bucketed(
+            changes,
+            agg_dir,
+            keys=(group_col,),
+            n_buckets=n_buckets,
+            version=version,
+        )
+        apply_cdc_bucketed(
+            batch, base_dir, keys=keys, n_buckets=n_buckets, version=version
+        )
+    finally:
+        delta.unpersist()
+        batch.unpersist()
