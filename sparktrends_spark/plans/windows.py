@@ -360,3 +360,77 @@ def q_session_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "step1", "step2", "step3")
         .limit(10)
     )
+
+
+@query(
+    "user_scd2_versions",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+dominant AS (
+  SELECT user_id, day, event_type FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, day ORDER BY n DESC, event_type ASC) AS rn
+    FROM daily) WHERE rn = 1
+),
+changes AS (
+  SELECT user_id, day, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY day) AS prev
+  FROM dominant
+),
+versions AS (
+  SELECT user_id, day AS valid_from, event_type
+  FROM changes WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS BIGINT) AS version_n
+FROM versions
+""",
+)
+def q_user_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 construction — the warehouse
+    verb the CDC apply/IVM queries consume downstream: derive each
+    user's daily dominant event_type (deterministic argmax: count
+    desc, type asc), collapse consecutive repeats (lag), and emit
+    versioned validity intervals (valid_from, valid_to=next change,
+    NULL = current) with a per-user version number.
+
+    Three window passes ALL on the user_id partitioning — one
+    exchange end-to-end after the daily aggregate; no floats anywhere,
+    so the oracle is exact by construction. The interval output is
+    as-of-joinable (operators/joins.py) for point-in-time enrichment.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_day = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    dominant = (
+        daily.withColumn("rn", F.row_number().over(w_day))
+        .where(F.col("rn") == 1)
+        .select("user_id", "day", "event_type")
+    )
+    w_u = Window.partitionBy("user_id").orderBy("day")
+    changes = dominant.withColumn(
+        "prev", F.lag("event_type").over(w_u)
+    ).where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w_v = Window.partitionBy("user_id").orderBy("day")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("day").alias("valid_from"),
+        F.lead("day").over(w_v).alias("valid_to"),
+        F.row_number().over(w_v).cast("bigint").alias("version_n"),
+    )
