@@ -1134,3 +1134,56 @@ def build_stream_order_status_ivm(
         F.col("n_rows").cast("bigint").alias("n_orders"),
         F.col("total").cast("string").alias("total_price"),
     )
+
+
+@query(
+    "stream_symbol_max_drawdown",
+    oracle=f"""
+WITH {_TRADES_CTE.strip()},
+dd AS (
+  SELECT symbol, ts, event_id, price,
+         max(price) OVER (
+           PARTITION BY symbol ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS peak
+  FROM trades
+),
+dd2 AS (SELECT *, price / peak - 1.0 AS drawdown FROM dd),
+m AS (
+  SELECT *, min(drawdown) OVER (PARTITION BY symbol) AS mdd FROM dd2
+),
+trough AS (
+  SELECT symbol, ts, price, peak, drawdown FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY symbol ORDER BY ts, event_id) AS rn
+    FROM m WHERE drawdown = mdd) WHERE rn = 1
+),
+cnt AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_trades
+        FROM trades GROUP BY symbol)
+SELECT t.symbol, t.ts AS trough_ts, t.price AS trough_price,
+       t.peak AS peak_price, round(t.drawdown, 6) AS max_drawdown,
+       c.n_trades
+FROM trough t JOIN cnt c ON c.symbol = t.symbol
+""",
+)
+def q_stream_symbol_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown maintained STATEFULLY on the ingest path: six
+    scalars per symbol in the state store (running peak + worst
+    drawdown with its first trough row), updated per micro-batch by
+    `streaming/stateful.py:running_symbol_drawdown` — no history
+    re-scan, per-batch cost O(batch). The oracle restates the batch
+    window form (running max -> ratio -> partition min, earliest
+    trough); the fold performs the identical IEEE ops in the identical
+    (ts, event_id) order, so the converged table matches bit-exactly
+    however the feed is micro-batched."""
+    from sparktrends_spark.plans.market import trades_projection
+    from sparktrends_spark.streaming.stateful import (
+        running_symbol_drawdown,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    out = running_symbol_drawdown(trades_projection(ev))
+    out = out.withColumn(
+        "trough_ts", F.col("trough_ts").cast("timestamp_ntz")
+    )
+    return run_upsert_stream(out, keys=("symbol",), output_mode="update")

@@ -142,3 +142,81 @@ def running_symbol_stats(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DRAWDOWN_STATE_SCHEMA = StructType(
+    [
+        StructField("peak", DoubleType()),
+        StructField("mdd", DoubleType()),
+        StructField("trough_us", LongType()),
+        StructField("trough_price", DoubleType()),
+        StructField("peak_price", DoubleType()),
+        StructField("n_trades", LongType()),
+    ]
+)
+
+DRAWDOWN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType(), False),
+        StructField("trough_ts", TimestampType(), True),
+        StructField("trough_price", DoubleType(), True),
+        StructField("peak_price", DoubleType(), True),
+        StructField("max_drawdown", DoubleType(), True),
+        StructField("n_trades", LongType(), False),
+    ]
+)
+
+
+def _drawdown_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """O(1)-state running max-drawdown per symbol: fold the batch's
+    trades in (ts, event_id) order, carrying (running peak, worst
+    drawdown + its first-occurrence trough row). Strictly-less update
+    keeps the EARLIEST trough — the batch operator's tie rule — and
+    every float op (division, subtraction, comparisons) is the same
+    IEEE sequence the batch window form produces, so the converged
+    table matches the batch oracle bit-exactly however history is
+    micro-batched."""
+    if state.exists:
+        peak, mdd, t_us, t_price, p_price, n = state.get
+    else:
+        peak, mdd, t_us, t_price, p_price, n = (
+            float("-inf"), 0.0, None, None, None, 0,
+        )
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts_v, price in zip(pdf["ts"], pdf["price"]):
+            price = float(price)
+            n += 1
+            if price > peak:
+                peak = price
+            dd = price / peak - 1.0
+            if t_us is None or dd < mdd:
+                mdd = dd
+                t_us = int(ts_v.value // 1_000)  # pandas ns -> us
+                t_price = price
+                p_price = peak
+    state.update((peak, mdd, t_us, t_price, p_price, n))
+    yield pd.DataFrame(
+        {
+            "symbol": [key[0]],
+            "trough_ts": [pd.Timestamp(t_us * 1_000) if t_us is not None else None],
+            "trough_price": [t_price],
+            "peak_price": [p_price],
+            "max_drawdown": [round(mdd, 6)],
+            "n_trades": [n],
+        }
+    )
+
+
+def running_symbol_drawdown(trades: DataFrame) -> DataFrame:
+    """Streaming max-drawdown per symbol over raw trade prices —
+    state is SIX scalars per symbol however long the history."""
+    return trades.groupBy("symbol").applyInPandasWithState(
+        _drawdown_update,
+        outputStructType=DRAWDOWN_OUTPUT_SCHEMA,
+        stateStructType=DRAWDOWN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -357,3 +357,28 @@ def test_multibatch_ivm_lands_on_oracle(spark, sf_dir, orders_split_dir, tmp_pat
     # no base rescan) — accumulation across real micro-batches must
     # land exactly on recomputation over the surviving rows
     _assert_frames_equal(result, _oracle(sf_dir, "stream_order_status_ivm"))
+
+
+def test_multibatch_drawdown_state_carries(spark, sf_dir, split_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.plans.market import trades_projection
+    from sparktrends_spark.plans.streaming_queries import (
+        run_upsert_stream,
+        stream_events,
+    )
+    from sparktrends_spark.streaming.stateful import running_symbol_drawdown
+
+    ckpt = str(tmp_path / "ckpt_dd")
+    ev = stream_events(spark, split_dir, max_files_per_trigger=1)
+    out = running_symbol_drawdown(trades_projection(ev)).withColumn(
+        "trough_ts", F.col("trough_ts").cast("timestamp_ntz")
+    )
+    result = run_upsert_stream(
+        out, keys=("symbol",), output_mode="update", ckpt_dir=ckpt
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    # the six-scalar state must fold across REAL micro-batches to the
+    # same answer as the batch window form (incl. peaks set in an
+    # earlier batch bounding drawdowns in a later one)
+    _assert_frames_equal(result, _oracle(sf_dir, "stream_symbol_max_drawdown"))
