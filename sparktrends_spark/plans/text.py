@@ -2696,3 +2696,99 @@ def q_doc_term_lookup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("__and__").alias("term"), "n_docs", "total_tf")
     )
     return per.unionByName(androw)
+
+
+@query(
+    "doc_bigram_pmi",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+uni AS (
+  SELECT unnest(t) AS w FROM toks
+),
+ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_tokens FROM uni),
+big AS (
+  SELECT z[1] AS w1, z[2] AS w2
+  FROM toks, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(z)
+),
+bcnt AS (SELECT w1, w2, count(*) AS c_xy FROM big GROUP BY w1, w2),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS n_bigrams FROM big),
+scored AS (
+  SELECT b.w1, b.w2, b.c_xy,
+         round(ln(CAST(b.c_xy AS DOUBLE) * n.n_tokens * n.n_tokens
+                  / (m.n_bigrams * CAST(u1.c AS DOUBLE)
+                     * CAST(u2.c AS DOUBLE))), 6) AS pmi
+  FROM bcnt b
+  JOIN ucnt u1 ON u1.w = b.w1
+  JOIN ucnt u2 ON u2.w = b.w2
+  CROSS JOIN n CROSS JOIN m
+  WHERE b.c_xy >= 20
+)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy, pmi,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk
+  FROM scored
+) WHERE rnk <= 20
+""",
+)
+def q_doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 corpus bigrams by pointwise mutual
+    information (min count 20) — the statistic behind phrase
+    detection in tokenizer/embedding pipelines (word2vec's phrase
+    pass). Counts are exact integers; the PMI expression is ONE fixed
+    shape both engines evaluate identically on exact double-converted
+    counts (round-6 before rank, ties by the bigram itself). The
+    unigram table joins by key — no broadcast hint: the vocabulary is
+    the one frame that grows with corpus text diversity (the BM25
+    lesson), so AQE picks the strategy by measured size."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    big = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+            )
+        ).alias("z")
+    ).select(F.col("z.0").alias("w1"), F.col("z.1").alias("w2"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.count(F.lit(1)).cast("double").alias("n_tokens"))
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    m = big.agg(F.count(F.lit(1)).cast("double").alias("n_bigrams"))
+    scored = (
+        bcnt.where(F.col("c_xy") >= 20)
+        .join(ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.round(
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.col("n_tokens")
+                    * F.col("n_tokens")
+                    / (
+                        F.col("n_bigrams")
+                        * F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 20)
+    )
