@@ -2516,3 +2516,62 @@ def q_order_priority_from_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("total_price").cast("string").alias("total_price"),
     )
+
+
+@query(
+    "events_k_anonymity",
+    oracle="""
+WITH qi AS (
+  SELECT event_type,
+         date_trunc('day', ts) AS day,
+         CASE WHEN value < 0 THEN 0
+              WHEN value >= 500 THEN 11
+              ELSE CAST(floor(value / 50.0) AS BIGINT) + 1 END AS value_bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT CAST(5 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(sum(n) AS DOUBLE), 6) AS at_risk_rate
+FROM qi
+""",
+)
+def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the privacy check that complements regex
+    PII redaction (doc_pii_redact) and Exif scrubbing
+    (asset_exif_scrubbed): bucket rows by their quasi-identifier
+    tuple (event type, day, coarse value decile) and report how many
+    equivalence classes — and what fraction of rows — fall below
+    k=5, i.e. are re-identifiable by the QI combination alone. One
+    hash aggregate on the QI tuple + one summary aggregate; counts
+    exact, the single rate a deterministic division rounded on both
+    sides. At 100 TB this is the same one-shuffle shape as any
+    group-by (the QI space, not the row count, bounds the second
+    stage)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = 5
+    qi = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.when(F.col("value") < 0, F.lit(0))
+        .when(F.col("value") >= 500, F.lit(11))
+        .otherwise((F.floor(F.col("value") / 50.0) + 1).cast("bigint"))
+        .alias("value_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    viol = F.when(F.col("n") < k, F.col("n")).otherwise(F.lit(0))
+    return qi.agg(
+        F.lit(k).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.sum(viol).cast("bigint").alias("n_rows_at_risk"),
+        F.round(
+            F.sum(viol).cast("double") / F.sum("n").cast("double"), 6
+        ).alias("at_risk_rate"),
+    )
