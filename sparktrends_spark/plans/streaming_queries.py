@@ -1182,7 +1182,11 @@ def q_stream_symbol_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = stream_events(spark, sf_dir)
-    out = running_symbol_drawdown(trades_projection(ev))
+    # the fold needs (symbol, price, ts, event_id) only — dropping the
+    # projection's per-row JSON volume parse before the stateful op
+    # (column pruning does not reach through applyInPandasWithState)
+    trades = trades_projection(ev).select("symbol", "price", "ts", "event_id")
+    out = running_symbol_drawdown(trades)
     out = out.withColumn(
         "trough_ts", F.col("trough_ts").cast("timestamp_ntz")
     )

@@ -178,6 +178,8 @@ def _drawdown_update(
     IEEE sequence the batch window form produces, so the converged
     table matches the batch oracle bit-exactly however history is
     micro-batched."""
+    import numpy as np
+
     if state.exists:
         peak, mdd, t_us, t_price, p_price, n = state.get
     else:
@@ -185,18 +187,24 @@ def _drawdown_update(
             float("-inf"), 0.0, None, None, None, 0,
         )
     for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
         pdf = pdf.sort_values(["ts", "event_id"])
-        for ts_v, price in zip(pdf["ts"], pdf["price"]):
-            price = float(price)
-            n += 1
-            if price > peak:
-                peak = price
-            dd = price / peak - 1.0
-            if t_us is None or dd < mdd:
-                mdd = dd
-                t_us = int(ts_v.value // 1_000)  # pandas ns -> us
-                t_price = price
-                p_price = peak
+        prices = pdf["price"].to_numpy(dtype="float64")
+        # vectorized fold: running max seeded with the carried peak,
+        # per-element division (the identical IEEE op sequence the
+        # scalar loop and the batch window form perform), argmin keeps
+        # the FIRST minimum — the earliest-trough tie rule
+        peaks = np.maximum(np.maximum.accumulate(prices), peak)
+        dds = prices / peaks - 1.0
+        i = int(np.argmin(dds))
+        n += len(prices)
+        if t_us is None or dds[i] < mdd:
+            mdd = float(dds[i])
+            t_us = int(pdf["ts"].iloc[i].value // 1_000)  # ns -> us
+            t_price = float(prices[i])
+            p_price = float(peaks[i])
+        peak = float(peaks[-1])
     state.update((peak, mdd, t_us, t_price, p_price, n))
     yield pd.DataFrame(
         {
