@@ -2575,3 +2575,101 @@ def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(viol).cast("double") / F.sum("n").cast("double"), 6
         ).alias("at_risk_rate"),
     )
+
+
+@query(
+    "event_ab_test_ztest",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id, user_id % 2 AS variant FROM events
+),
+n AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM u
+),
+conv AS (
+  SELECT event_type,
+         CAST(count(DISTINCT CASE WHEN user_id % 2 = 0
+                             THEN user_id END) AS BIGINT) AS c_a,
+         CAST(count(DISTINCT CASE WHEN user_id % 2 = 1
+                             THEN user_id END) AS BIGINT) AS c_b
+  FROM events GROUP BY event_type
+)
+, den AS (
+  SELECT event_type, c_a, c_b, n_a, n_b,
+         CAST(c_a AS DOUBLE) / n_a AS ra,
+         CAST(c_b AS DOUBLE) / n_b AS rb,
+         sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+              * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+              * (1.0 / n_a + 1.0 / n_b)) AS d
+  FROM conv CROSS JOIN n
+)
+SELECT event_type, c_a, c_b, n_a, n_b,
+       round(ra, 6) AS rate_a,
+       round(rb, 6) AS rate_b,
+       round(CASE WHEN d > 0 THEN (ra - rb) / d END, 6) AS z_score,
+       CASE WHEN d > 0 THEN abs((ra - rb) / d) > 1.96
+            ELSE FALSE END AS significant
+FROM den
+""",
+)
+def q_event_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: a two-proportion z-test per metric.
+    Users split into variants by a deterministic hash (user_id parity
+    stands in for the bucketing fn); for each event_type the per-
+    variant user-conversion rates, the pooled-proportion z statistic,
+    and the |z| > 1.96 verdict. Exact distinct-user counts (one
+    Expand pass for both conditional distincts), then a fixed-shape
+    expression over double-converted counts — engine-deterministic;
+    the significance predicate is evaluated on the UNROUNDED z (both
+    engines compute the identical double). The two-row denominator
+    frame broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = (F.col("user_id") % 2).alias("variant")
+    n = (
+        ev.select("user_id").distinct()
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+    )
+    conv = ev.groupBy("event_type").agg(
+        F.count_distinct(
+            F.when(F.col("user_id") % 2 == 0, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("c_a"),
+        F.count_distinct(
+            F.when(F.col("user_id") % 2 == 1, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    j = conv.crossJoin(F.broadcast(n))
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    p = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    # the pooled variance is 0 when every (or no) user converts in
+    # both variants — z is undefined there (NULL, not significant),
+    # and the guard also keeps ANSI mode from raising DIVIDE_BY_ZERO
+    den = F.sqrt(
+        p * (F.lit(1.0) - p)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    z = F.when(den > 0, (ra - rb) / den)
+    return j.select(
+        "event_type", "c_a", "c_b", "n_a", "n_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        F.when(den > 0, F.abs((ra - rb) / den) > F.lit(1.96))
+        .otherwise(F.lit(False))
+        .alias("significant"),
+    )
