@@ -2673,3 +2673,105 @@ def q_event_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("significant"),
     )
+
+
+@query(
+    "user_activity_gini",
+    oracle="""
+WITH cnt AS (
+  SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM cnt
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(x) AS BIGINT) AS total_events,
+       round(2.0 * CAST(sum(i * x) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+             - (CAST(count(*) AS DOUBLE) + 1.0)
+               / CAST(count(*) AS DOUBLE), 6) AS gini
+FROM ranked
+""",
+)
+def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration of activity across users — the Gini coefficient
+    of per-user event counts, the single-number companion to the
+    per-key skew advisor (event_key_skew_profile): 0 = uniform load,
+    ->1 = one user generates everything. Computed from EXACT integer
+    sums (rank-weighted count sum, both bigint) through one fixed
+    double expression — engine-exact; the global rank is the one full
+    sort, over the USER aggregate (|users| rows), never the fact
+    table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    ranked = cnt.withColumn(
+        "i", F.row_number().over(Window.orderBy(F.asc("x"), F.asc("user_id")))
+    )
+    n = F.count(F.lit(1)).cast("double")
+    s0 = F.sum("x").cast("double")
+    s1 = F.sum(F.col("i") * F.col("x")).cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("total_events"),
+        F.round(
+            F.lit(2.0) * s1 / (n * s0) - (n + F.lit(1.0)) / n, 6
+        ).alias("gini"),
+    )
+
+
+@query(
+    "event_type_weekday_chi2",
+    oracle="""
+WITH o AS (
+  SELECT event_type, dayofweek(ts) AS wd, CAST(count(*) AS DOUBLE) AS obs
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM events),
+rt AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS r FROM events GROUP BY 1),
+ct AS (SELECT dayofweek(ts) AS wd, CAST(count(*) AS DOUBLE) AS c
+       FROM events GROUP BY 1)
+SELECT round(sum((o.obs - rt.r * ct.c / tot.n)
+              * (o.obs - rt.r * ct.c / tot.n)
+              / (rt.r * ct.c / tot.n)), 6) AS chi2,
+       CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+         * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
+       CAST(sum(o.obs) AS BIGINT) AS n_events
+FROM o JOIN rt USING (event_type) JOIN ct USING (wd) CROSS JOIN tot
+""",
+)
+def q_event_type_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is event type independent of
+    weekday? Observed vs expected over the (type x weekday)
+    contingency table — all counts exact; each cell's contribution is
+    one fixed double expression and the 35-cell sum rounds to 6 (the
+    only order-dependent step). Completes the statistical-testing
+    pair with the A/B z-test. One scan builds all three margins via
+    separate aggregates over the same cached-size table; the margins
+    broadcast onto the cells."""
+    ev = load_table(spark, sf_dir, "events")
+    wd = F.dayofweek("ts").alias("wd")
+    o = ev.groupBy("event_type", wd).agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    rt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("r")
+    )
+    ct = ev.groupBy(wd).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = ev.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    exp = F.col("r") * F.col("c") / F.col("n")
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "wd")
+        .crossJoin(F.broadcast(tot))
+    )
+    n_rt = rt.count()
+    n_ct = ct.count()
+    return cells.agg(
+        F.round(
+            F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp), 6
+        ).alias("chi2"),
+        F.lit((n_rt - 1) * (n_ct - 1)).cast("bigint").alias("dof"),
+        F.sum("obs").cast("bigint").alias("n_events"),
+    )
