@@ -278,3 +278,28 @@ def test_cusum_detects_step_change(spark):
     assert out[20].is_alarm
     # negative side alarms on the early (below-mean) regime
     assert out[10].cusum_neg > 20.0
+
+
+def test_cusum_closed_form_matches_textbook_recursion(spark):
+    """The window restatement (running sum minus clamped running min)
+    must equal the textbook recursion s+ = max(0, s+ + x - mu - k) on
+    a randomized series (seeded), to float tolerance."""
+    import random
+
+    from sparktrends_spark.operators.indicators import cusum
+
+    rng = random.Random(42)
+    xs = [round(rng.uniform(50, 150), 2) for _ in range(200)]
+    rows = [("A", d, x) for d, x in enumerate(xs, start=1)]
+    df = spark.createDataFrame(rows, "symbol string, day int, close double")
+    out = {
+        r.day: (r.cusum_pos, r.cusum_neg)
+        for r in cusum(df, "close", "day", ["symbol"], slack=1.0).collect()
+    }
+    mu = sum(xs) / len(xs)  # 2-decimal inputs -> exact decimal mean path
+    sp = sn = 0.0
+    for d, x in enumerate(xs, start=1):
+        sp = max(0.0, sp + (x - mu - 1.0))
+        sn = max(0.0, sn + (mu - x - 1.0))
+        assert abs(out[d][0] - sp) < 1e-6, d
+        assert abs(out[d][1] - sn) < 1e-6, d

@@ -104,3 +104,40 @@ def test_ivm_delete_only_first_batch_then_insert(spark, dirs):
     ins = spark.createDataFrame([(1, "A", 5.0, "c")], _SCHEMA)
     maintain_agg_cdc(ins, base, agg, ["k"], "g", "v", version=1)
     assert _agg_state(spark, agg) == {"A": (1, 5.0)}
+
+
+def test_ivm_random_op_sequences_match_recompute(spark, tmp_path):
+    """Dict-model property (the CDC apply test's pattern): random
+    batched op sequences through maintain_agg_cdc must leave the
+    aggregate table equal to recomputing count/sum over the surviving
+    rows. Deterministic seed — hypothesis' function-scoped fixture
+    health check doesn't fit a Spark session fixture, and one seeded
+    30-batch randomized run exercises the same space."""
+    import random
+
+    rng = random.Random(8)
+    base, agg = str(tmp_path / "rb"), str(tmp_path / "ra")
+    live: dict[int, tuple[str, float]] = {}
+    keys = list(range(12))
+    groups = ["A", "B", "C"]
+    for version in range(30):
+        batch_rows = []
+        for k in rng.sample(keys, rng.randint(1, 4)):
+            op = rng.choice(["c", "u", "d"])
+            if op == "d":
+                batch_rows.append((k, None, None, "d"))
+                live.pop(k, None)
+            else:
+                g = rng.choice(groups)
+                v = round(rng.uniform(1, 100), 2)
+                batch_rows.append((k, g, v, op))
+                live[k] = (g, v)
+        b = spark.createDataFrame(batch_rows, _SCHEMA)
+        maintain_agg_cdc(b, base, agg, ["k"], "g", "v", version=version)
+
+    expect: dict[str, tuple[int, float]] = {}
+    for g, v in live.values():
+        n, s = expect.get(g, (0, 0.0))
+        expect[g] = (n + 1, round(s + v, 2))
+    got = _agg_state(spark, agg)
+    assert got == expect, (got, expect)
