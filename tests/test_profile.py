@@ -73,3 +73,34 @@ def test_profile_queries_scan_table_once(spark, sf_dir):
         )
         assert plan.count("FileScan parquet") == 1, name
         assert "Expand" in plan  # the multi-distinct single-pass shape
+
+
+def test_profile_statistics_merge_across_shards(spark):
+    """The mergeable-profile claim behind stream_events_profile:
+    combining two shards' profiles with the stat algebra (counts add,
+    min/min, max/max, exact sums add -> mean recomputed) must equal
+    profiling the union directly."""
+    rows_a = [(i, float(i)) for i in range(1, 8)]
+    rows_b = [(i, float(2 * i)) for i in range(8, 20)]
+    schema = "k bigint, v double"
+    a = spark.createDataFrame(rows_a, schema)
+    b = spark.createDataFrame(rows_b, schema)
+
+    def prof(df):
+        return {
+            r.col_name: r
+            for r in profile_columns(df, include_distinct=False).collect()
+        }
+
+    pa, pb, pu = prof(a), prof(b), prof(a.unionAll(b))
+    for c in ("k", "v"):
+        n = pa[c].n_rows + pb[c].n_rows
+        nn = n - (pa[c].n_null + pb[c].n_null)
+        assert pu[c].n_rows == n
+        assert pu[c].min_value == min(pa[c].min_value, pb[c].min_value)
+        assert pu[c].max_value == max(pa[c].max_value, pb[c].max_value)
+        merged_mean = (
+            pa[c].mean_value * (pa[c].n_rows - pa[c].n_null)
+            + pb[c].mean_value * (pb[c].n_rows - pb[c].n_null)
+        ) / nn
+        assert abs(pu[c].mean_value - merged_mean) < 1e-9
