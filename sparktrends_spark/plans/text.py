@@ -2792,3 +2792,49 @@ def q_doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= 20)
     )
+
+
+@query(
+    "doc_length_quantile_norm",
+    oracle="""
+WITH q AS (
+  SELECT doc_id, source, n_chars,
+         ntile(10) OVER (PARTITION BY source
+                         ORDER BY n_chars, doc_id) AS qrank
+  FROM documents
+),
+ref AS (
+  SELECT qrank,
+         CAST(sum(CAST(n_chars AS DECIMAL(27,0))) AS DOUBLE)
+           / count(n_chars) AS norm_value
+  FROM q GROUP BY qrank
+)
+SELECT q.doc_id, q.source, q.n_chars, CAST(q.qrank AS BIGINT) AS qrank,
+       ref.norm_value
+FROM q JOIN ref USING (qrank)
+""",
+)
+def q_doc_length_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources — the batch-effect
+    correction a mixed-provenance training corpus needs before
+    length-based curation thresholds can be shared: each document's
+    length maps to the GLOBAL mean of its within-source decile, so
+    every source's length distribution becomes comparable. Determinism:
+    ntile over a total order (n_chars, doc_id); reference values are
+    exact decimal-sum means (one deterministic division). The deciles
+    frame is 10 rows — broadcast back onto the docs; one window
+    exchange on source end-to-end."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    q = d.withColumn("qrank", F.ntile(10).over(w).cast("bigint"))
+    ref = q.groupBy("qrank").agg(
+        (
+            F.sum(F.col("n_chars").cast("decimal(27,0)")).cast("double")
+            / F.count("n_chars")
+        ).alias("norm_value")
+    )
+    return q.join(F.broadcast(ref), "qrank").select(
+        "doc_id", "source", "n_chars", "qrank", "norm_value"
+    )
