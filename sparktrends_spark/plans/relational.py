@@ -2775,3 +2775,78 @@ def q_event_type_weekday_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit((n_rt - 1) * (n_ct - 1)).cast("bigint").alias("dof"),
         F.sum("obs").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "purchase_latency_percentiles",
+    oracle="""
+WITH q AS (
+  SELECT event_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+),
+m AS (
+  SELECT q.event_id, q.ts, s.ts AS view_ts
+  FROM q ASOF LEFT JOIN s
+    ON q.user_id = s.user_id AND s.ts <= q.ts
+),
+lat AS (
+  SELECT date_diff('second', view_ts, ts) AS latency_s
+  FROM m
+  WHERE view_ts IS NOT NULL AND date_diff('second', view_ts, ts) <= 3600
+)
+SELECT CAST(count(*) AS BIGINT) AS n_attributed,
+       round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+       round(quantile_cont(latency_s, 0.9), 4) AS p90_s,
+       round(quantile_cont(latency_s, 0.99), 4) AS p99_s,
+       CAST(max(latency_s) AS BIGINT) AS max_s
+FROM lat
+""",
+)
+def q_purchase_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for purchases attributed to a
+    prior view within the hour (the bounded as-of join), the
+    view-to-purchase delay percentiles — the product metric behind
+    attribution windows. Latencies are exact integer seconds out of
+    the as-of match (the view timestamp rides the join as a value
+    column); percentiles are Spark's exact linear interpolation =
+    DuckDB quantile_cont, round-4 (the returnflag_percentiles
+    discipline)."""
+    from sparktrends_spark.operators.joins import as_of_join
+
+    events = _t(spark, sf_dir, "events")
+    q = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    s = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    m = as_of_join(
+        q,
+        s,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["view_ts"],
+        tolerance_seconds=3600,
+    )
+    lat = m.where(F.col("asof_view_ts").isNotNull()).select(
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("asof_view_ts").cast("timestamp"))
+        ).alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_attributed"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 4).alias("p90_s"),
+        F.round(F.expr("percentile(latency_s, 0.99)"), 4).alias("p99_s"),
+        F.max("latency_s").cast("bigint").alias("max_s"),
+    )
