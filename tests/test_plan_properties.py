@@ -257,6 +257,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "user_cms_weekly_estimate",  # range anchor min-day: one broadcast row
         "daily_user_sketch_rollup",  # one-row sketch union x broadcast exact row
         "value_quantile_sketch_rollup",  # 3 quantile rows x one broadcast sketch row
+        "doc_bigram_pmi",          # corpus totals: two broadcast one-row frames
+        "event_ab_test_ztest",     # variant denominators: one broadcast row
+        "event_type_weekday_chi2",  # contingency total: one broadcast row
     }
     # Arrow-batched python is the sanctioned slow path; row-at-a-time
     # BatchEvalPython is never acceptable in a registered plan.
