@@ -106,6 +106,19 @@ HEAVY_QUERIES = (
     "doc_term_lookup_indexed",
     # iterative power steps: 3 corpus scans + dim-bounded shuffles
     "embedding_top_direction",
+    # late round 8 wave 2: window-form change-point detection, SCD2
+    # interval construction, collocations, as-of latency percentiles,
+    # QI-keyed privacy audit, rank-weighted Gini, quantile norm,
+    # window drawdown + rolling co-moment beta
+    "cusum_daily",
+    "user_scd2_versions",
+    "doc_bigram_pmi",
+    "purchase_latency_percentiles",
+    "events_k_anonymity",
+    "user_activity_gini",
+    "doc_length_quantile_norm",
+    "symbol_max_drawdown",
+    "symbol_rolling_beta",
 )
 
 # Ops that define the plan's *strategy* — join algorithms, aggregate
