@@ -434,3 +434,76 @@ def q_user_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("day").over(w_v).alias("valid_to"),
         F.row_number().over(w_v).cast("bigint").alias("version_n"),
     )
+
+
+@query(
+    "session_engagement_summary",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(sum(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS session_idx
+  FROM seq
+),
+per AS (
+  SELECT user_id, session_idx, count(*) AS depth,
+         CAST(floor(epoch(max(ts))) AS BIGINT)
+           - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+  FROM sess GROUP BY user_id, session_idx
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       round(CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS bounce_rate,
+       round(CAST(sum(depth) AS DOUBLE) / count(*), 6) AS avg_depth,
+       round(quantile_cont(depth, 0.9), 4) AS p90_depth,
+       round(quantile_cont(duration_s, 0.5), 4) AS p50_duration_s
+FROM per
+""",
+)
+def q_session_engagement_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement rollup over the gap sessionizer: session count,
+    bounce rate (single-event sessions), average depth, p90 depth and
+    median duration — the dashboard row a product team reads daily.
+    All inputs exact integers (depths, floor-epoch durations); rates
+    are deterministic divisions round-6; percentiles exact linear
+    interpolation round-4. Same single user-keyed exchange as the
+    graded event_sessions, one extra global aggregate over the
+    per-session frame (|sessions| rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(
+        ev, ["user_id"], "ts", gap_seconds=1800, tiebreak_col="event_id"
+    )
+    per = s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("depth"),
+        (
+            F.unix_timestamp(F.max("ts").cast("timestamp"))
+            - F.unix_timestamp(F.min("ts").cast("timestamp"))
+        ).alias("duration_s"),
+    )
+    bounce = F.sum(F.when(F.col("depth") == 1, 1).otherwise(0))
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounces"),
+        F.round(bounce.cast("double") / F.count(F.lit(1)), 6).alias(
+            "bounce_rate"
+        ),
+        F.round(
+            F.sum("depth").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_depth"),
+        F.round(F.expr("percentile(depth, 0.9)"), 4).alias("p90_depth"),
+        F.round(F.expr("percentile(duration_s, 0.5)"), 4).alias(
+            "p50_duration_s"
+        ),
+    )
