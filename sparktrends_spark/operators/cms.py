@@ -88,6 +88,36 @@ def cms_build(
     )
 
 
+def cms_check_params(sketch: DataFrame, depth: int, width: int) -> None:
+    """Assert a sketch frame is consistent with (depth, width): every
+    populated row id must be < depth, every column < width, and ALL
+    ``depth`` hash rows must be populated (a sketch built shallower
+    leaves its top rows absent — a probe would min() in a phantom 0).
+    One bounded aggregation over the <= depth*width-cell frame; run it
+    once before probing a persisted or caller-supplied sketch, so a
+    parameter mismatch fails loudly instead of silently
+    underestimating."""
+    row = sketch.agg(
+        F.max("row").alias("mr"),
+        F.min("row").alias("nr"),
+        F.countDistinct("row").alias("dr"),
+        F.max("col").alias("mc"),
+        F.min("col").alias("nc"),
+    ).collect()[0]
+    if row["mr"] is None:
+        return  # empty sketch: nothing was ever inserted — est 0 is true
+    if row["nr"] < 0 or row["mr"] >= depth or row["dr"] != depth:
+        raise ValueError(
+            f"cms_check_params: sketch rows span [{row['nr']}, {row['mr']}] "
+            f"({row['dr']} distinct) — not a depth={depth} sketch"
+        )
+    if row["nc"] < 0 or row["mc"] >= width:
+        raise ValueError(
+            f"cms_check_params: sketch cols span [{row['nc']}, {row['mc']}] "
+            f"— exceeds width={width}"
+        )
+
+
 def cms_estimate(
     sketch: DataFrame,
     probes: DataFrame,
@@ -101,7 +131,22 @@ def cms_estimate(
     (absent cell -> 0; only possible for keys never inserted).
 
     The sketch side is at most depth*width rows — broadcast it, so
-    probing N keys is a map-side join, no shuffle of the probe side."""
+    probing N keys is a map-side join, no shuffle of the probe side.
+
+    ``depth``/``width`` MUST match the build parameters: probing with
+    a different shape silently takes the min over wrong or absent
+    cells and UNDERESTIMATES — breaking the one-sided est >= true
+    guarantee. The bounds that can be checked without touching the
+    sketch fail loudly here (mirroring ``cms_build``); to assert a
+    persisted/foreign sketch actually matches, run
+    ``cms_check_params`` once before probing."""
+    if not 1 <= depth <= 4:
+        raise ValueError(
+            "cms_estimate: depth must be in 1..4 (md5 slices) and equal "
+            "the build depth"
+        )
+    if width < 1:
+        raise ValueError("cms_estimate: width must be >= 1")
     key = F.col(key_col)
     probed = probes.select(
         key_col,

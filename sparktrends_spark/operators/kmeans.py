@@ -7,7 +7,7 @@ k-means pass over document embeddings at training-data scale.
 
 Per iteration:
   assign:  cluster(v) = argmin_c round6(||v - c||^2), ties by cluster
-  update:  c' = round9(mean of assigned vectors, per dimension);
+  update:  c' = round9(decimal-sum(round6(values)) / n, per dimension);
            an empty cluster keeps its previous centroid
 
 Scale shape: the assignment is a MAP-SIDE expression — centroids are
@@ -23,10 +23,12 @@ Float discipline (the exact-oracle gate): squared distances are
 computed as a SEQUENTIAL fold over dimensions (zip_with + aggregate —
 the same left-to-right order the oracle's list comprehension uses)
 and quantized round-6 BEFORE the argmin, so cross-engine ULP drift
-cannot flip an assignment; centroid means are quantized round-9
-before re-entering the next iteration (the PageRank per-iteration
-rounding discipline), so both engines iterate on bit-identical
-centroids.
+cannot flip an assignment; centroid updates sum round-6-quantized
+values as EXACT decimals (partition/merge-order independent — a raw
+double avg can land within a ULP of the round-9 grid and flip across
+engines or parallelism), divide once, and quantize round-9 before
+re-entering the next iteration (the PageRank per-iteration rounding
+discipline), so both engines iterate on bit-identical centroids.
 
 Reference scope note: SparkTrends has no clustering; engine extension
 (SURVEY §2 absent inventory, LLM-pipeline operators).
@@ -38,6 +40,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparktrends_spark.caching import persist_tracked
+
+
+def _round9_mean(s, n: int) -> float:
+    """round-9 of the exact rational mean ``s/n`` (``s`` a scale-6
+    Decimal sum), HALF AWAY FROM ZERO, in pure integer arithmetic.
+
+    The mean of 6-decimal-quantized values is a small-denominator
+    rational, so it lands EXACTLY on 1e-9-grid halves routinely (e.g.
+    n=2000 -> k/2e9, half for every odd k) — where double-based
+    round() primitives disagree across engines (Python rounds the
+    binary value's true decimal expansion; DuckDB rounds the scaled
+    product, which can manufacture or miss the tie). Integer floor
+    division with an explicit away-from-zero rule is tie-exact in any
+    engine; the final /1e9 is one correctly-rounded int->double
+    conversion everywhere. The oracle restates the identical formula
+    (plans/similarity.py _kmeans_chain)."""
+    su = int(s * (10**6))  # exact: s is a scale-6 decimal
+    n = int(n)
+    if su >= 0:
+        u9 = (2000 * su + n) // (2 * n)
+    else:
+        u9 = -((2000 * -su + n) // (2 * n))
+    return u9 / 1e9
 
 
 def _dist2(vec_col: F.Column, centroid: list[float]) -> F.Column:
@@ -111,14 +136,21 @@ def kmeans_fit(
                 "cluster", F.posexplode("_v").alias("pos", "val")
             )
             .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                # exact decimal sum of round-6-quantized values: the
+                # mean is then independent of partition/merge order
+                F.sum(
+                    F.round(F.col("val"), 6).cast("decimal(38,6)")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         new: dict[int, list[float]] = {}
         for r in stats:
             new.setdefault(r["cluster"], [0.0] * len(centroids[0]))[
                 r["pos"]
-            ] = round(r["m"], 9)
+            ] = _round9_mean(r["s"], r["n"])
         # empty cluster: keep previous centroid
         centroids = {c: new.get(c, centroids[c]) for c in range(k)}
 

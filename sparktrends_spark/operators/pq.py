@@ -102,11 +102,18 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC top-k: encode the corpus, build per-query (code -> round-6
     sub-distance) LUT frames (m x k rows per query, broadcast), score
     by two equi-joins on the code columns, keep the k best per query
-    (approx distance asc, id asc)."""
+    (approx distance asc, id asc).
+
+    ``exclude_self`` drops candidates whose id equals the probing
+    query's id — correct ONLY when query ids are drawn from the corpus
+    id space (self-search). Pass False when query ids are a separate
+    namespace: there, an id collision is an unrelated vector and must
+    stay eligible."""
     from pyspark.sql import Window
 
     m = len(books)
@@ -144,7 +151,9 @@ def pq_topk(
             scored = scored.drop(luts[s][query_id_col])
         term = F.col(f"d_{s}")
         approx = term if approx is None else approx + term
-    scored = scored.where(F.col(id_col) != F.col(query_id_col)).select(
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(query_id_col))
+    scored = scored.select(
         query_id_col, id_col, approx.alias("approx_d2")
     )
     w = Window.partitionBy(query_id_col).orderBy(

@@ -2699,15 +2699,17 @@ def q_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key skew advisor (event_key_skew_profile): 0 = uniform load,
     ->1 = one user generates everything. Computed from EXACT integer
     sums (rank-weighted count sum, both bigint) through one fixed
-    double expression — engine-exact; the global rank is the one full
-    sort, over the USER aggregate (|users| rows), never the fact
-    table."""
-    from pyspark.sql import Window
+    double expression — engine-exact. The global rank over the user
+    aggregate uses the DISTRIBUTED two-phase rank (operators/rank.py:
+    range partition + local row_number + broadcast offsets) — users
+    are the one entity that reaches 10^8-10^9 in the target
+    deployment, so no single-partition window anywhere in the plan."""
+    from sparktrends_spark.operators.rank import with_global_rank
 
     ev = load_table(spark, sf_dir, "events")
     cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
-    ranked = cnt.withColumn(
-        "i", F.row_number().over(Window.orderBy(F.asc("x"), F.asc("user_id")))
+    ranked = with_global_rank(
+        cnt, [F.asc("x"), F.asc("user_id")], rank_col="i"
     )
     n = F.count(F.lit(1)).cast("double")
     s0 = F.sum("x").cast("double")

@@ -632,9 +632,11 @@ _KM_D2 = (
 def _kmeans_chain(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _DIM) -> str:
     """Unrolled Lloyd's k-means as chained CTEs — the SQL restatement
     of operators/kmeans.py: per-iteration round-6 distances before the
-    argmin and round-9 centroid means (sequential list_sum matches the
-    operator's zip_with+aggregate fold order), so both engines iterate
-    on bit-identical centroids. Exposes ``ve`` (vectors) and
+    argmin (sequential list_sum matches the operator's
+    zip_with+aggregate fold order) and round-9 centroid means over
+    EXACT decimal sums of round-6-quantized values (order-independent,
+    mirroring the operator), so both engines iterate on bit-identical
+    centroids. Exposes ``ve`` (vectors) and
     ``c{iters}`` (final centroids); queries append their own tail
     (the ``_neardup_with`` pattern)."""
     d2 = _KM_D2
@@ -651,8 +653,13 @@ a{i} AS (
   WHERE rn = 1
 ),
 u{i} AS (
-  SELECT p.cluster, list(round(p.mm, 9) ORDER BY p.pos) AS m FROM (
-    SELECT a.cluster, t.i AS pos, avg(ve.v[t.i]) AS mm
+  SELECT p.cluster, list(
+           CAST(CASE WHEN p.su >= 0 THEN (2000 * p.su + p.cnt) // (2 * p.cnt)
+                     ELSE -((2000 * -p.su + p.cnt) // (2 * p.cnt)) END
+                AS DOUBLE) / 1000000000 ORDER BY p.pos) AS m FROM (
+    SELECT a.cluster, t.i AS pos,
+           sum(CAST(round(ve.v[t.i], 6) * 1000000 AS BIGINT)) AS su,
+           count(*) AS cnt
     FROM a{i} a JOIN ve USING (vec_id), generate_series(1, {dim}) t(i)
     GROUP BY a.cluster, t.i) p
   GROUP BY p.cluster
@@ -688,8 +695,16 @@ afin AS (
   WHERE rn = 1
 ),
 sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM afin GROUP BY cluster)
-SELECT c.cluster, t.i AS pos, round(c.m[t.i], 6) AS mean, s.n
-FROM c{iters} c JOIN sizes s USING (cluster), generate_series(1, {dim}) t(i)
+SELECT q.cluster, q.pos,
+       CAST(CASE WHEN q.u9 >= 0 THEN (q.u9 + 500) // 1000
+                 ELSE -((-q.u9 + 500) // 1000) END AS DOUBLE)
+         / 1000000 AS mean,
+       s.n
+FROM (
+  SELECT c.cluster, t.i AS pos,
+         CAST(round(c.m[t.i] * 1000000000, 0) AS BIGINT) AS u9
+  FROM c{iters} c, generate_series(1, {dim}) t(i)
+) q JOIN sizes s USING (cluster)
 """
     )
 
@@ -704,8 +719,11 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank discipline). Assignment is a map-side argmin over k
     broadcast-literal centroids (no join, no shuffle on the corpus);
     each update is one k*dim-bounded aggregation; distances round-6
-    before the argmin, means round-9 per iteration, so both engines
-    iterate on bit-identical centroids."""
+    before the argmin, means round-9 per iteration via exact integer
+    half-away rounding (means of quantized values land exactly on grid
+    halves, where double round() primitives diverge across engines),
+    so both engines iterate on bit-identical centroids. The reported
+    round-6 mean uses the same integer tie rule."""
     from sparktrends_spark.operators.kmeans import kmeans_fit
 
     emb = _emb(spark, sf_dir)
@@ -713,8 +731,14 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=_KM_K, iterations=_KM_ITERS
     )
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+    def _mean6(m: float) -> float:
+        u9 = int(round(m * 1e9))  # recover the exact 1e-9-grid integer
+        u6 = (u9 + 500) // 1000 if u9 >= 0 else -((-u9 + 500) // 1000)
+        return u6 / 1e6
+
     rows = [
-        (c, pos + 1, round(m, 6))
+        (c, pos + 1, _mean6(m))
         for c, vec in centroids.items()
         for pos, m in enumerate(vec)
     ]
@@ -872,8 +896,13 @@ a{i}_{s} AS (
   WHERE rn = 1
 ),
 u{i}_{s} AS (
-  SELECT p.cluster, list(round(p.mm, 9) ORDER BY p.pos) AS m FROM (
-    SELECT a.cluster, t2.i AS pos, avg(t.v[t2.i]) AS mm
+  SELECT p.cluster, list(
+           CAST(CASE WHEN p.su >= 0 THEN (2000 * p.su + p.cnt) // (2 * p.cnt)
+                     ELSE -((2000 * -p.su + p.cnt) // (2 * p.cnt)) END
+                AS DOUBLE) / 1000000000 ORDER BY p.pos) AS m FROM (
+    SELECT a.cluster, t2.i AS pos,
+           sum(CAST(round(t.v[t2.i], 6) * 1000000 AS BIGINT)) AS su,
+           count(*) AS cnt
     FROM a{i}_{s} a JOIN v{s} t USING (vec_id),
          generate_series(1, {_PQ_SUB}) t2(i)
     GROUP BY a.cluster, t2.i) p

@@ -2744,9 +2744,12 @@ def q_doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (round-6 before rank, ties by the bigram itself). The
     unigram table joins by key — no broadcast hint: the vocabulary is
     the one frame that grows with corpus text diversity (the BM25
-    lesson), so AQE picks the strategy by measured size."""
-    from pyspark.sql import Window
-
+    lesson), so AQE picks the strategy by measured size. The top-20 is
+    orderBy().limit() — TakeOrderedAndProject, a per-partition top-k
+    merged on the driver — NOT a global row_number window, which would
+    move every surviving bigram (unbounded in corpus diversity) into
+    one task; rank is derived INSIDE the 20-row result by one
+    sort_array pass, so no WindowExec appears anywhere in the plan."""
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
     big = toks.select(
@@ -2787,10 +2790,32 @@ def q_doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rnk") <= 20)
+    top = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(20)
+    # rank within the 20-row result: one single-row aggregate +
+    # posexplode (collect_list order is nondeterministic — sort_array
+    # re-establishes the total order; pmi negated for the descending
+    # leg, ties impossible past (w1, w2))
+    ranked = top.groupBy().agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("pmi")).alias("np"),
+                    F.col("w1"),
+                    F.col("w2"),
+                    F.col("c_xy"),
+                    F.col("pmi"),
+                )
+            )
+        ).alias("a")
+    )
+    return ranked.select(
+        F.posexplode("a").alias("pos", "s")
+    ).select(
+        F.col("s.w1").alias("w1"),
+        F.col("s.w2").alias("w2"),
+        F.col("s.c_xy").alias("c_xy"),
+        F.col("s.pmi").alias("pmi"),
+        (F.col("pos") + 1).cast("bigint").alias("rnk"),
     )
 
 

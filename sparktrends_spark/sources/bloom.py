@@ -44,44 +44,64 @@ def _bloom_path(path: str, col: str) -> str:
 # Hash-input canonicalization version; sidecars carry it so an index
 # built under a different scheme is never trusted (treated as stale —
 # files accepted, never skipped).
-_HASH_SCHEME = "canon-v2"
+_HASH_SCHEME = "canon-v3"
 
 
-def _canon(value) -> bytes:
-    """Canonical hash key: numerically equal values map to one byte
-    string regardless of Python/Arrow type — 1, 1.0, Decimal('1.00')
-    and '1' all become b'1'. Spark's exact `isin` filter COERCES types
-    (probing 1 matches a double column's 1.0), so hashing raw
-    `str(value)` made a type-mismatched probe skip a file that
-    contains the row — a false negative breaking the module's
-    zero-false-negative guarantee. Unification can only add false
-    POSITIVES (e.g. the string '1' vs the int 1), which just cost a
-    scan; the exact filter still decides."""
+def _canon_forms(value) -> list[bytes]:
+    """Canonical hash keys: numerically equal values map to the same
+    byte string regardless of Python/Arrow type — 1, 1.0,
+    Decimal('1.00') and '1' all become b'1'. Spark's exact `isin`
+    filter COERCES types (probing 1 matches a double column's 1.0), so
+    hashing raw `str(value)` made a type-mismatched probe skip a file
+    that contains the row — a false negative breaking the module's
+    zero-false-negative guarantee.
+
+    Integral magnitudes >= 2^53 need MORE than one form: the exact
+    integer and its nearest double can differ (canon-v2 hashed the int
+    as its decimal string but the equal float as repr() scientific
+    notation — numerically equal, different bits, a false negative for
+    a type-coerced probe). So integral doubles always hash as their
+    EXACT integer string (every integral double IS an exact integer,
+    at any magnitude), and big ints additionally emit their
+    nearest-double integer string: builds insert every form, probes
+    accept on any, so int-vs-double coercion in either direction still
+    finds the file. Extra forms can only add false POSITIVES, which
+    just cost a scan; the exact filter still decides."""
     import decimal
 
     if isinstance(value, bool):
+        value = int(value)
+    if isinstance(value, decimal.Decimal) and value == value.to_integral_value():
         value = int(value)
     if not isinstance(value, (int, float, decimal.Decimal)):
         s = str(value)
         try:
             value = float(s)
         except ValueError:
-            return s.encode()
+            return [s.encode()]
     if isinstance(value, int):
-        return str(value).encode()
+        forms = [str(value).encode()]
+        if abs(value) >= 2**53:
+            try:
+                nearest = str(int(float(value))).encode()
+            except OverflowError:
+                return forms
+            if nearest != forms[0]:
+                forms.append(nearest)
+        return forms
     f = float(value)
-    if f.is_integer() and abs(f) < 2.0**53:
-        return str(int(f)).encode()
-    return repr(f).encode()
+    if f.is_integer():
+        return [str(int(f)).encode()]
+    return [repr(f).encode()]
 
 
-def _hashes(value, n_bits: int, k: int) -> list[int]:
-    """k deterministic bit positions for a value: md5(canon||seed),
-    engine- and run-stable (no PYTHONHASHSEED dependence)."""
+def _hashes(form: bytes, n_bits: int, k: int) -> list[int]:
+    """k deterministic bit positions for one canonical form:
+    md5(form||seed), engine- and run-stable (no PYTHONHASHSEED
+    dependence)."""
     out = []
-    v = _canon(value)
     for seed in range(k):
-        h = hashlib.md5(v + b"|" + str(seed).encode()).digest()
+        h = hashlib.md5(form + b"|" + str(seed).encode()).digest()
         out.append(int.from_bytes(h[:8], "big") % n_bits)
     return out
 
@@ -140,8 +160,9 @@ def build_bloom_index(
         n_bits, k = _size_for(len(uniq), fpp)
         bits = bytearray((n_bits + 7) // 8)
         for v in uniq:
-            for pos in _hashes(v, n_bits, k):
-                bits[pos >> 3] |= 1 << (pos & 7)
+            for form in _canon_forms(v):
+                for pos in _hashes(form, n_bits, k):
+                    bits[pos >> 3] |= 1 << (pos & 7)
         entries[rel] = {
             "size": st.st_size,
             "mtime_ns": st.st_mtime_ns,
@@ -161,9 +182,12 @@ def _accepts(entry: dict, values) -> bool:
     bits = base64.b64decode(entry["bits"])
     n_bits, k = entry["n_bits"], entry["k"]
     for v in values:
-        if all(
-            bits[pos >> 3] & (1 << (pos & 7))
-            for pos in _hashes(v, n_bits, k)
+        if any(
+            all(
+                bits[pos >> 3] & (1 << (pos & 7))
+                for pos in _hashes(form, n_bits, k)
+            )
+            for form in _canon_forms(v)
         ):
             return True
     return False

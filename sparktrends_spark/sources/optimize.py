@@ -95,6 +95,18 @@ def optimize_table(
     return stats
 
 
+def _snapshot_references(final: str, _sinks, bucket: str, version: str) -> bool:
+    """True if any retained time-travel snapshot's manifest points
+    ``bucket`` at ``version``. Call under the manifest lock: snapshots
+    are only ever written under it, so the answer cannot go stale
+    between check and the caller's delete."""
+    for s in _sinks.list_snapshots(final):
+        with open(_sinks._snapshot_path(final, s)) as fh:
+            if str(json.load(fh)["buckets"].get(bucket)) == version:
+                return True
+    return False
+
+
 def optimize_upsert_table(
     spark: SparkSession,
     path: str,
@@ -145,18 +157,20 @@ def optimize_upsert_table(
     manifest = _sinks.read_manifest(final)
     if manifest is None:
         raise ValueError(f"{final}: not a bucketed upsert table (no manifest)")
-    snapshot_refs: set[tuple[str, str]] = set()
-    for s in _sinks.list_snapshots(final):
-        with open(_sinks._snapshot_path(final, s)) as fh:
-            for b, v in json.load(fh)["buckets"].items():
-                snapshot_refs.add((str(b), str(v)))
     # Sweep orphans from a previously CRASHED optimize: a kill between
     # leaf rewrite and CAS leaves invisible ``_v=*_c*`` dirs no pointer
     # references. They are only ever created by this function, so with
     # the documented single-maintenance-job-at-a-time contract they are
     # safe to delete under the lock (a live upsert stream never writes
-    # ``_c``-tagged leaves).
+    # ``_c``-tagged leaves). Snapshot refs are read UNDER the lock —
+    # snapshots are only written under it, so the live set cannot miss
+    # a concurrently-committed snapshot.
     with _sinks._manifest_lock(final):
+        snapshot_refs: set[tuple[str, str]] = set()
+        for s in _sinks.list_snapshots(final):
+            with open(_sinks._snapshot_path(final, s)) as fh:
+                for b, v in json.load(fh)["buckets"].items():
+                    snapshot_refs.add((str(b), str(v)))
         fresh = _sinks.read_manifest(final) or {"buckets": {}}
         live = {
             (str(b), str(v)) for b, v in fresh["buckets"].items()
@@ -198,17 +212,29 @@ def optimize_upsert_table(
         out.write.parquet(new_leaf)
         if on_before_commit is not None:
             on_before_commit(b)
+        referenced = True
         with _sinks._manifest_lock(final):
             fresh = _sinks.read_manifest(final)
             if fresh is not None and str(fresh["buckets"].get(str(b))) == str(v):
                 fresh["buckets"][str(b)] = new_tag
                 _sinks._write_manifest_atomic(final, fresh)
                 committed = True
+                # decide the old leaf's fate UNDER the same lock the
+                # upsert commit writes snapshots under: a concurrent
+                # batch (retain_history > 0) may have committed a NEW
+                # snapshot since our startup scan that still references
+                # this bucket's old leaf — deleting it would break
+                # read_upserted_as_of for that snapshot. Any snapshot
+                # written AFTER this CAS captures the post-CAS manifest
+                # (new_tag), so checking here is race-free.
+                referenced = _snapshot_references(
+                    final, _sinks, str(b), str(v)
+                )
             else:
                 committed = False
         if committed:
             compacted.append(str(b))
-            if (str(b), str(v)) not in snapshot_refs:
+            if not referenced:
                 shutil.rmtree(leaf, ignore_errors=True)
         else:
             # a stream batch re-pointed this bucket mid-compaction:

@@ -329,6 +329,42 @@ def test_bloom_probe_type_mismatch_never_false_negative(spark, tmp_path):
     assert got.count() == full.count() and got.count() >= 3
 
 
+def test_bloom_large_integral_cross_type_probe(spark, tmp_path):
+    """Integral magnitudes >= 2^53: the exact int and its nearest
+    double are distinct decimal strings (canon-v2 hashed the float via
+    repr() scientific notation — numerically equal value, different
+    bits, false negative under isin's type coercion). canon-v3 hashes
+    both forms, so a bigint column probed with equal doubles — and a
+    double column probed with big ints — never skips a matching file."""
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.sources.bloom import build_bloom_index, scan_bloom
+
+    big = 2**60
+    # bigint column probed with an equal double: Spark coerces the
+    # column to double, every value within the double's ULP matches
+    ints = str(tmp_path / "big_ints")
+    spark.createDataFrame(
+        [(big + i, i) for i in range(8)], "k long, payload int"
+    ).repartition(4).write.parquet(ints)
+    build_bloom_index(ints, "k", fpp=0.01)
+    probe = [float(big)]
+    got = scan_bloom(spark, ints, "k", probe)
+    full = spark.read.parquet(ints).filter(F.col("k").isin(probe))
+    assert got.count() == full.count() and full.count() >= 1
+
+    # double column probed with a big int not exactly representable
+    dbls = str(tmp_path / "big_dbls")
+    spark.createDataFrame(
+        [(float(big), 0), (float(big) + 4096.0, 1)], "k double, payload int"
+    ).repartition(2).write.parquet(dbls)
+    build_bloom_index(dbls, "k", fpp=0.01)
+    int_probe = [big + 1]  # rounds to float(big) under coercion
+    got = scan_bloom(spark, dbls, "k", int_probe)
+    full = spark.read.parquet(dbls).filter(F.col("k").isin(int_probe))
+    assert got.count() == full.count() and full.count() >= 1
+
+
 def test_incremental_index_maintenance_touches_only_new_files(spark, tmp_path):
     """Append workload: incremental refresh keeps current entries
     byte-identical (no re-read — proven by preserving a poisoned

@@ -261,6 +261,35 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "event_ab_test_ztest",     # variant denominators: one broadcast row
         "event_type_weekday_chi2",  # contingency total: one broadcast row
     }
+    # An UNPARTITIONED window (row_number/ntile over a global order)
+    # funnels its whole input into one task — acceptable ONLY over
+    # frames bounded by an entity whose cardinality stays catalog-like
+    # at 100 TB. Everything else must use orderBy().limit() (top-k) or
+    # operators/rank.with_global_rank (two-phase distributed rank).
+    allowed_global_window = {
+        "customer_ntiles",            # per-customer aggregate (catalog)
+        "customer_rfm_segments",      # 3 ntiles over the customer frame
+        "customer_spend_distribution",  # same customer frame
+        "event_weekday_hour_heatmap",  # 7x24 = 168-row grid
+        "lang_mixture_budget",        # one row per language
+        "lang_temperature_mixture",   # one row per language
+        "value_quantile_sketch_rollup",  # <= histogram-bucket rows
+    }
+
+    def _unpartitioned_windows(df) -> int:
+        def walk(node) -> int:
+            n = 0
+            if (
+                node.getClass().getSimpleName() == "Window"
+                and node.partitionSpec().isEmpty()
+            ):
+                n += 1
+            for i in range(node.children().size()):
+                n += walk(node.children().apply(i))
+            return n
+
+        return walk(df._jdf.queryExecution().optimizedPlan())
+
     # Arrow-batched python is the sanctioned slow path; row-at-a-time
     # BatchEvalPython is never acceptable in a registered plan.
     failures = []
@@ -268,7 +297,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         if name.startswith("stream_"):
             continue
         try:
-            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            n_global = _unpartitioned_windows(df)
         finally:
             release_persisted()
         if "CartesianProduct" in plan:
@@ -283,6 +314,11 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
             # ObjectHashAggregate for collect_list) — a SortAggregate
             # regression means full sorts of the fact table returned
             failures.append(f"{name}: SortAggregate")
+        if n_global and name not in allowed_global_window:
+            failures.append(
+                f"{name}: {n_global} unpartitioned Window node(s) — "
+                "single-partition global sort"
+            )
     assert not failures, failures
 
 

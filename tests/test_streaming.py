@@ -780,6 +780,66 @@ def test_optimize_upsert_table_compacts_and_survives_concurrent_upsert(
     assert {r.k: r.val for r in read_upserted(spark, path).collect()} == expect
 
 
+def test_optimize_keeps_leaf_referenced_by_concurrent_snapshot(spark, tmp_path):
+    """A concurrent upsert (retain_history > 0) committing MID-optimize
+    writes a new time-travel snapshot that references an UNTOUCHED
+    bucket's old leaf. Optimize's CAS on that bucket still succeeds
+    (its pointer never moved) — deleting the superseded leaf would
+    break read_upserted_as_of for the new snapshot. The reference
+    check re-reads the snapshot list under the CAS lock, so the leaf
+    survives."""
+    from sparktrends_spark.sources.optimize import optimize_upsert_table
+    from sparktrends_spark.streaming.sinks import (
+        read_upserted,
+        read_upserted_as_of,
+        upsert_parquet_bucketed,
+    )
+
+    path = str(tmp_path / "t")
+    for v in range(2):  # retain_history=0: no snapshots at startup
+        upsert_parquet_bucketed(
+            spark.createDataFrame(
+                [(k, v * 100 + k) for k in range(20)], "k long, val long"
+            ),
+            path, keys=("k",), n_buckets=2, version=v,
+        )
+    key_bucket = {
+        r.k: int(r.b)
+        for r in spark.createDataFrame([(k,) for k in range(20)], "k long")
+        .select("k", F.pmod(F.hash("k"), F.lit(2)).alias("b"))
+        .collect()
+    }
+    fired: list = []
+
+    def interleave(bucket):
+        if fired:
+            return
+        fired.append(str(bucket))
+        # touch ONLY the other bucket, with history retention: the
+        # snapshot this commit writes references `bucket`'s OLD leaf
+        other = next(
+            k for k, b in key_bucket.items() if str(b) != str(bucket)
+        )
+        upsert_parquet_bucketed(
+            spark.createDataFrame([(other, 9999)], "k long, val long"),
+            path, keys=("k",), n_buckets=2, version=7, retain_history=4,
+        )
+
+    res = optimize_upsert_table(
+        spark, path, target_file_bytes=1 << 30, on_before_commit=interleave
+    )
+    assert fired and fired[0] in res["compacted"], res
+    # the mid-run snapshot still reads back in full — the old leaf it
+    # references was NOT deleted by the winning CAS
+    other = next(k for k, b in key_bucket.items() if str(b) != fired[0])
+    expect = {k: 100 + k for k in range(20)}
+    expect[other] = 9999
+    snap = read_upserted_as_of(spark, path, 7)
+    assert {r.k: r.val for r in snap.collect()} == expect
+    # the live table is the compacted + concurrently-updated state
+    assert {r.k: r.val for r in read_upserted(spark, path).collect()} == expect
+
+
 def test_manifest_lock_times_out_with_clear_error(tmp_path):
     """A stale/contended manifest lock must fail loudly with the lock
     path in the message, never proceed into a torn commit."""
