@@ -41,6 +41,13 @@ from sparktrends_spark.plans import profile  # noqa: E402,F401
 # still grade MinHash dedup), embedding_dedup_keep (five embedding
 # rows remain), value_quantile_sketch_rollup (daily_user_sketch_rollup
 # + user_cms_frequency grade mergeable sketches).
+# Round 9 (recall audit + persisted serve + IVM design-point):
+# embedding_ivfpq_topk -> embedding_ivfpq_index_topk (the persisted,
+# residual-encoded successor; in-query form stays swept),
+# order_status_ivm -> order_status_ivm_small_batches (same counting
+# algebra against a table>>batch fixture — the O(delta) shape),
+# embedding_lsh_topk -> embedding_ann_recall (the recall audit grades
+# every ANN family INCLUDING lsh as exact hit counts; lsh stays swept).
 _PRIORITY_ORDER = [
     # reference-parity market core
     # (ohlcv_rollup_hourly displaced late r8 for order_status_ivm —
@@ -56,7 +63,7 @@ _PRIORITY_ORDER = [
     # plain form stays swept), plus CDC incremental view maintenance
     "q1_pricing_summary", "q5_region_revenue",
     "order_priority_from_cube", "returnflag_percentiles",
-    "order_status_ivm",
+    "order_status_ivm_small_batches",
     # iterative graph + triangle analytics + basket mining (round 8)
     "nation_pagerank", "part_triangle_top", "part_association_rules",
     # joins
@@ -83,13 +90,14 @@ _PRIORITY_ORDER = [
     "doc_quality", "doc_lang_id", "doc_pii_redact",
     "corpus_curation_pipeline", "doc_importance_sample",
     # embedding similarity + clustering (north star; kmeans round 8)
-    "embedding_topk", "embedding_lsh_topk",
+    "embedding_topk",
     "embedding_ivf_index_topk", "embedding_neardup_topk",
     "embedding_kmeans",
-    # IVF-PQ supersedes the label-shortcut embedding_ivf_topk in the
-    # window (late r8): coarse kmeans probe + PQ code scoring — the
-    # composed production ANN; the plain IVF form stays swept
-    "embedding_ivfpq_topk",
+    # round 9: the persisted residual-encoded IVF-PQ index (probe-
+    # pruned serve — supersedes the in-query embedding_ivfpq_topk in
+    # the window) and the per-family recall@10 audit (exact integer
+    # hit counts vs brute force, incl. the lsh row)
+    "embedding_ivfpq_index_topk", "embedding_ann_recall",
     # streaming
     "stream_ohlcv_bars", "stream_doc_incremental_dedup",
     "stream_user_heavy_hitters", "stream_doc_pii_redact",

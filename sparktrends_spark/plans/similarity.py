@@ -37,7 +37,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_topk",
     oracle=f"""
-WITH q AS (
+WITH q AS MATERIALIZED (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
   FROM embeddings WHERE vec_id < {_N_QUERIES}
 ),
@@ -98,7 +98,7 @@ def _lsh_oracle() -> str:
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 b AS (SELECT vec_id, v, {bits} AS bucket FROM e),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < {_N_QUERIES}),
+q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < {_N_QUERIES}),
 c AS (SELECT vec_id, v AS cv, bucket FROM b),
 scored AS (
   SELECT query_id, vec_id, {_COS} AS cosine
@@ -142,7 +142,7 @@ cent_long AS (
   GROUP BY cell, i
 ),
 cent AS (SELECT cell, list(m ORDER BY pos) AS cvec FROM cent_long GROUP BY cell),
-asg AS (
+asg AS MATERIALIZED (
   SELECT vec_id, v, cell FROM (
     SELECT e.vec_id, e.v, c.cell,
            row_number() OVER (
@@ -150,8 +150,8 @@ asg AS (
              ORDER BY {cos.format(a="e.v", b="c.cvec")} DESC, c.cell) AS rn
     FROM e CROSS JOIN cent c) WHERE rn = 1
 ),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
-probes AS (
+q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+probes AS MATERIALIZED (
   SELECT query_id, cell FROM (
     SELECT q.query_id, c.cell,
            row_number() OVER (
@@ -534,7 +534,7 @@ def _is_test(col: str):
 @query(
     "embedding_hard_negatives",
     oracle=f"""
-WITH q AS (
+WITH q AS MATERIALIZED (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
   FROM embeddings WHERE vec_id < {_N_QUERIES}
 ),
@@ -644,7 +644,7 @@ def _kmeans_chain(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _DIM) -> st
     prev = "c0"
     for i in range(1, iters + 1):
         steps.append(f"""
-a{i} AS (
+a{i} AS MATERIALIZED (
   SELECT vec_id, cluster FROM (
     SELECT ve.vec_id, c.cluster,
            row_number() OVER (PARTITION BY ve.vec_id
@@ -652,7 +652,7 @@ a{i} AS (
     FROM ve, {prev} c)
   WHERE rn = 1
 ),
-u{i} AS (
+u{i} AS MATERIALIZED (
   SELECT p.cluster, list(
            CAST(CASE WHEN p.su >= 0 THEN (2000 * p.su + p.cnt) // (2 * p.cnt)
                      ELSE -((2000 * -p.su + p.cnt) // (2 * p.cnt)) END
@@ -664,19 +664,19 @@ u{i} AS (
     GROUP BY a.cluster, t.i) p
   GROUP BY p.cluster
 ),
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT c.cluster, coalesce(u.m, c.m) AS m
   FROM {prev} c LEFT JOIN u{i} u USING (cluster)
 )""")
         prev = f"c{i}"
     chain = ",".join(steps)
     return f"""
-WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-seeds AS (
+WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS MATERIALIZED (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
 ),
-c0 AS (
+c0 AS MATERIALIZED (
   SELECT s.cluster, [round(x, 9) for x in ve.v] AS m
   FROM seeds s JOIN ve ON ve.vec_id = s.vec_id
 ),{chain}"""
@@ -686,7 +686,7 @@ def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _DIM) -> s
     return (
         _kmeans_chain(k, iters, dim)
         + f""",
-afin AS (
+afin AS MATERIALIZED (
   SELECT vec_id, cluster FROM (
     SELECT ve.vec_id, c.cluster,
            row_number() OVER (PARTITION BY ve.vec_id
@@ -694,7 +694,7 @@ afin AS (
     FROM ve, c{iters} c)
   WHERE rn = 1
 ),
-sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM afin GROUP BY cluster)
+sizes AS MATERIALIZED (SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM afin GROUP BY cluster)
 SELECT q.cluster, q.pos,
        CAST(CASE WHEN q.u9 >= 0 THEN (q.u9 + 500) // 1000
                  ELSE -((-q.u9 + 500) // 1000) END AS DOUBLE)
@@ -760,7 +760,7 @@ def _ivf_kmeans_oracle(iters: int = _KM_ITERS) -> str:
     return (
         _kmeans_chain()
         + f""",
-asg AS (
+asg AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT ve.vec_id, c.cluster AS cell,
            row_number() OVER (PARTITION BY ve.vec_id
@@ -768,8 +768,8 @@ asg AS (
     FROM ve, c{iters} c)
   WHERE rn = 1
 ),
-q AS (SELECT vec_id AS query_id, v AS qv FROM ve WHERE vec_id < {_N_QUERIES}),
-probes AS (
+q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM ve WHERE vec_id < {_N_QUERIES}),
+probes AS MATERIALIZED (
   SELECT query_id, cell FROM (
     SELECT q.query_id, c.cluster AS cell,
            row_number() OVER (PARTITION BY q.query_id
@@ -873,29 +873,32 @@ _PQ_K = 4
 _PQ_SUB = _DIM // _PQ_M
 
 
-def _pq_sub_chain(s: int) -> str:
+def _pq_sub_chain(s: int, src: str = "ve", tag: str = "") -> str:
     """The kmeans unrolled-CTE chain (see _kmeans_chain) over ONE PQ
-    sub-space: vectors sliced to [lo..hi], CTE names suffixed _{s}.
-    Exposes v{s} (sliced vectors), c{iters}_{s} (final codebook) and
-    codes{s} (per-vector nearest-code assignment)."""
+    sub-space: vectors sliced to [lo..hi], CTE names suffixed
+    ``{tag}_{s}``. ``src`` is the (vec_id, v DOUBLE[]) frame the
+    sub-space slices from — ``ve`` for raw-vector codebooks, a
+    residual CTE for IVF-PQ residual encoding. Exposes v{tag}{s}
+    (sliced vectors), c{iters}{tag}_{s} (final codebook) and
+    codes{tag}{s} (per-vector nearest-code assignment)."""
     lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
     d2 = (
         "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
         " for z in list_zip(t.v, c.m) ]), 6)"
     )
     steps = []
-    prev = f"c0_{s}"
+    prev = f"c0{tag}_{s}"
     for i in range(1, _KM_ITERS + 1):
         steps.append(f"""
-a{i}_{s} AS (
+a{i}{tag}_{s} AS MATERIALIZED (
   SELECT vec_id, cluster FROM (
     SELECT t.vec_id, c.cluster,
            row_number() OVER (PARTITION BY t.vec_id
                               ORDER BY {d2} ASC, c.cluster ASC) AS rn
-    FROM v{s} t, {prev} c)
+    FROM v{tag}{s} t, {prev} c)
   WHERE rn = 1
 ),
-u{i}_{s} AS (
+u{i}{tag}_{s} AS MATERIALIZED (
   SELECT p.cluster, list(
            CAST(CASE WHEN p.su >= 0 THEN (2000 * p.su + p.cnt) // (2 * p.cnt)
                      ELSE -((2000 * -p.su + p.cnt) // (2 * p.cnt)) END
@@ -903,33 +906,33 @@ u{i}_{s} AS (
     SELECT a.cluster, t2.i AS pos,
            sum(CAST(round(t.v[t2.i], 6) * 1000000 AS BIGINT)) AS su,
            count(*) AS cnt
-    FROM a{i}_{s} a JOIN v{s} t USING (vec_id),
+    FROM a{i}{tag}_{s} a JOIN v{tag}{s} t USING (vec_id),
          generate_series(1, {_PQ_SUB}) t2(i)
     GROUP BY a.cluster, t2.i) p
   GROUP BY p.cluster
 ),
-c{i}_{s} AS (
+c{i}{tag}_{s} AS MATERIALIZED (
   SELECT c.cluster, coalesce(u.m, c.m) AS m
-  FROM {prev} c LEFT JOIN u{i}_{s} u USING (cluster)
+  FROM {prev} c LEFT JOIN u{i}{tag}_{s} u USING (cluster)
 )""")
-        prev = f"c{i}_{s}"
+        prev = f"c{i}{tag}_{s}"
     chain = ",".join(steps)
     return f"""
-v{s} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM ve),
-sd{s} AS (
+v{tag}{s} AS MATERIALIZED (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM {src}),
+sd{tag}{s} AS MATERIALIZED (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
 ),
-c0_{s} AS (
+c0{tag}_{s} AS MATERIALIZED (
   SELECT sd.cluster, [round(x, 9) for x in t.v] AS m
-  FROM sd{s} sd JOIN v{s} t ON t.vec_id = sd.vec_id
+  FROM sd{tag}{s} sd JOIN v{tag}{s} t ON t.vec_id = sd.vec_id
 ),{chain},
-codes{s} AS (
+codes{tag}{s} AS MATERIALIZED (
   SELECT vec_id, cluster AS code FROM (
     SELECT t.vec_id, c.cluster,
            row_number() OVER (PARTITION BY t.vec_id
                               ORDER BY {d2} ASC, c.cluster ASC) AS rn
-    FROM v{s} t, {prev} c)
+    FROM v{tag}{s} t, {prev} c)
   WHERE rn = 1
 )"""
 
@@ -949,10 +952,10 @@ lut{s} AS (
   FROM qs{s} t, c{_KM_ITERS}_{s} c
 )""")
     return f"""
-WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 {_pq_sub_chain(0).strip()},
 {_pq_sub_chain(1).strip()},
-q AS (SELECT vec_id AS query_id, v FROM ve WHERE vec_id < {_N_QUERIES}),
+q AS MATERIALIZED (SELECT vec_id AS query_id, v FROM ve WHERE vec_id < {_N_QUERIES}),
 {",".join(x.strip() for x in luts)},
 scored AS (
   SELECT l0.query_id, cd0.vec_id, l0.d + l1.d AS approx_d2
@@ -1017,7 +1020,7 @@ lut{s} AS (
         + ","
         + _pq_sub_chain(1)
         + f""",
-asg AS (
+asg AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT ve.vec_id, c.cluster AS cell,
            row_number() OVER (PARTITION BY ve.vec_id
@@ -1025,8 +1028,8 @@ asg AS (
     FROM ve, c{_KM_ITERS} c)
   WHERE rn = 1
 ),
-q AS (SELECT vec_id AS query_id, v AS qv FROM ve WHERE vec_id < {_N_QUERIES}),
-probes AS (
+q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM ve WHERE vec_id < {_N_QUERIES}),
+probes AS MATERIALIZED (
   SELECT query_id, cell FROM (
     SELECT q.query_id, c.cluster AS cell,
            row_number() OVER (PARTITION BY q.query_id
@@ -1064,15 +1067,24 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery) — so a query touches neither unprobed cells NOR any
     float vector. Classical refinement not modeled here: encoding
     residuals (v - cell centroid) instead of raw vectors, a recall
-    (not architecture) change. All joins are broadcast equi-joins;
-    the oracle composes the coarse-kmeans and per-sub-space chains."""
+    (not architecture) change — shipped as the PERSISTED index
+    (embedding_ivfpq_index_topk) and measured in embedding_ann_recall.
+    All joins are broadcast equi-joins; the oracle composes the
+    coarse-kmeans and per-sub-space chains."""
+    return _ivfpq_topk_frame(spark, _emb(spark, sf_dir), k_neighbors=3)
+
+
+def _ivfpq_topk_frame(
+    spark: SparkSession, emb: DataFrame, k_neighbors: int
+) -> DataFrame:
+    """In-query IVF-PQ (raw-vector codebooks, kmeans coarse cells,
+    nprobe cell pruning + ADC scoring) at an arbitrary k — shared by
+    embedding_ivfpq_topk (k=3) and the recall audit (k=10)."""
     from pyspark.sql import Window
 
     from sparktrends_spark.operators.kmeans import kmeans_fit
     from sparktrends_spark.operators.pq import pq_encode, pq_train, _sub
     from sparktrends_spark.operators.kmeans import _dist2
-
-    emb = _emb(spark, sf_dir)
     cents, assigned = kmeans_fit(emb, k=_KM_K, iterations=_KM_ITERS)
     asg = assigned.withColumnRenamed("cluster", "cell")
     books = pq_train(emb, dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_KM_ITERS)
@@ -1142,8 +1154,385 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.asc("approx_d2"), F.asc("vec_id")
     )
     return scored.withColumn("rnk", F.row_number().over(w)).where(
-        F.col("rnk") <= 3
+        F.col("rnk") <= k_neighbors
     )
+
+
+def _ivfpq_residual_with() -> str:
+    """Shared WITH-chain for the persisted residual-encoded IVF-PQ:
+    coarse kmeans (c{iters}), per-vector cell assignment (asg),
+    residuals (rve), residual-trained sub-space chains (tag 'r'), and
+    per-(query, cell) residual LUTs. Queries append their own tails
+    (the _neardup_with pattern)."""
+    qd2 = (
+        "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
+        " for z in list_zip(q.qv, c.m) ]), 6)"
+    )
+    d2 = (
+        "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
+        " for z in list_zip(t.v, c.m) ]), 6)"
+    )
+    ci = f"c{_KM_ITERS}"
+    return (
+        _kmeans_chain()
+        + f""",
+asg AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT ve.vec_id, c.cluster AS cell,
+           row_number() OVER (PARTITION BY ve.vec_id
+                              ORDER BY {_KM_D2} ASC, c.cluster ASC) AS rn
+    FROM ve, {ci} c)
+  WHERE rn = 1
+),
+rve AS MATERIALIZED (
+  SELECT ve.vec_id, [z[1] - z[2] for z in list_zip(ve.v, c.m)] AS v
+  FROM ve JOIN asg USING (vec_id) JOIN {ci} c ON c.cluster = asg.cell
+),"""
+        + _pq_sub_chain(0, src="rve", tag="r")
+        + ","
+        + _pq_sub_chain(1, src="rve", tag="r")
+        + f""",
+q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM ve WHERE vec_id < {_N_QUERIES}),
+probes AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cluster AS cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {qd2} ASC, c.cluster ASC) AS rn
+    FROM q, {ci} c)
+  WHERE rn <= {_IVF_NPROBE}
+),
+rq AS MATERIALIZED (
+  SELECT p.query_id, p.cell,
+         [z[1] - z[2] for z in list_zip(q.qv, c.m)] AS rv
+  FROM probes p JOIN q USING (query_id) JOIN {ci} c ON c.cluster = p.cell
+),
+rqs0 AS MATERIALIZED (SELECT query_id, cell, list_slice(rv, 1, {_PQ_SUB}) AS v FROM rq),
+rqs1 AS MATERIALIZED (SELECT query_id, cell,
+                list_slice(rv, {_PQ_SUB + 1}, {2 * _PQ_SUB}) AS v FROM rq),
+rlut0 AS MATERIALIZED (
+  SELECT t.query_id, t.cell, c.cluster AS code, {d2} AS d
+  FROM rqs0 t, c{_KM_ITERS}r_0 c
+),
+rlut1 AS MATERIALIZED (
+  SELECT t.query_id, t.cell, c.cluster AS code, {d2} AS d
+  FROM rqs1 t, c{_KM_ITERS}r_1 c
+),
+res_scored AS MATERIALIZED (
+  SELECT l0.query_id, a.vec_id, l0.d + l1.d AS approx_d2
+  FROM asg a
+  JOIN codesr0 cd0 ON cd0.vec_id = a.vec_id
+  JOIN codesr1 cd1 ON cd1.vec_id = a.vec_id
+  JOIN rlut0 l0 ON l0.cell = a.cell AND l0.code = cd0.code
+  JOIN rlut1 l1 ON l1.cell = a.cell AND l1.code = cd1.code
+                AND l1.query_id = l0.query_id
+  WHERE a.vec_id != l0.query_id
+)"""
+    )
+
+
+def _ivfpq_index_oracle() -> str:
+    return (
+        _ivfpq_residual_with()
+        + """
+SELECT query_id, vec_id, approx_d2, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY approx_d2 ASC, vec_id ASC) AS rnk
+  FROM res_scored
+) WHERE rnk <= 3
+"""
+    )
+
+
+@query("embedding_ivfpq_index_topk", oracle=_ivfpq_index_oracle())
+def q_embedding_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ through a PERSISTED, RESIDUAL-ENCODED index
+    (`similarity/ivfpq_index.py`) — the production serve shape the
+    in-query embedding_ivfpq_topk lacks: coarse centroids + codebooks
+    + a cell-partitioned CODE table built once on disk, queries
+    opening only probed cell directories (static partition filter,
+    asserted in tests) and scoring bytes, never floats. Residuals
+    (v - cell centroid) are what the codebooks quantize — the
+    classical recall refinement, measured as the ivfpq vs ivfpq_res
+    delta in embedding_ann_recall. Oracle = coarse chain + residual
+    sub-space chains + the same residual-ADC restated in SQL."""
+    import os
+
+    from sparktrends_spark.similarity.ivfpq_index import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = os.path.join(
+        "/tmp/sparktrends_ivfpq_index",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    build_ivfpq_index(
+        emb, idx, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
+        k_codes=_PQ_K, iterations=_KM_ITERS,
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_index_topk(
+        spark, idx, queries, dim=_DIM, k_neighbors=3, nprobe=_IVF_NPROBE
+    )
+
+
+_RECALL_K = 10
+
+
+def _ann_recall_oracle() -> str:
+    """Every ANN family's top-10 vs the brute-force ground truth under
+    its own metric, as exact integer hit counts — composed from the
+    already-proven chains: coarse kmeans + residual sub-space chains
+    (_ivfpq_residual_with), raw sub-space chains (_pq_sub_chain),
+    label-centroid IVF (_ivf_oracle's CTEs), hyperplane LSH
+    (_lsh_oracle's bits)."""
+    planes = hyperplanes(_N_PLANES, _DIM)
+    bits = " || ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(f"{x:.1f}" for x in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for plane in planes
+    )
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    d2 = (
+        "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
+        " for z in list_zip(t.v, c.m) ]), 6)"
+    )
+    K = _RECALL_K
+
+    def fam(fam_name, metric, top_cte, gt_cte):
+        h = f"(SELECT count(*) FROM {top_cte} JOIN {gt_cte} USING (query_id, vec_id))"
+        t = f"(SELECT count(*) FROM {gt_cte})"
+        return f"""
+  SELECT '{fam_name}' AS family, '{metric}' AS metric,
+         CAST({h} AS BIGINT) AS hits, CAST({t} AS BIGINT) AS total,
+         CAST({h} AS DOUBLE) / {t} AS recall"""
+
+    tails = " UNION ALL ".join(
+        [
+            fam("lsh", "cosine", "lsh_top", "bf_cos"),
+            fam("ivf", "cosine", "ivf_top", "bf_cos"),
+            fam("pq", "l2", "pq_top", "bf_l2"),
+            fam("ivfpq", "l2", "ipq_top", "bf_l2"),
+            fam("ivfpq_res", "l2", "res_top", "bf_l2"),
+        ]
+    )
+    return (
+        _ivfpq_residual_with()
+        + ","
+        + _pq_sub_chain(0)
+        + ","
+        + _pq_sub_chain(1)
+        + f""",
+bf_cos AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos.format(a="q.qv", b="c.v")} DESC, c.vec_id) AS rn
+    FROM ve c, q WHERE c.vec_id != q.query_id)
+  WHERE rn <= {K}
+),
+bf_l2 AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_sum([ (z[1]-z[2])*(z[1]-z[2])
+                       for z in list_zip(c.v, q.qv) ]), 6) ASC,
+                      c.vec_id) AS rn
+    FROM ve c, q WHERE c.vec_id != q.query_id)
+  WHERE rn <= {K}
+),
+lb AS MATERIALIZED (SELECT vec_id, v, {bits} AS bucket FROM ve),
+lq AS MATERIALIZED (SELECT q.query_id, q.qv, b.bucket FROM q JOIN lb b ON b.vec_id = q.query_id),
+lsh_top AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT t.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY t.query_id
+             ORDER BY {cos.format(a="t.qv", b="c.v")} DESC, c.vec_id) AS rn
+    FROM lb c JOIN lq t USING (bucket) WHERE c.vec_id != t.query_id)
+  WHERE rn <= {K}
+),
+lve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+icent_long AS MATERIALIZED (
+  SELECT label AS cell, i AS pos, avg(lve.v[i]) AS m
+  FROM lve, generate_series(1, {_DIM}) AS t(i)
+  GROUP BY cell, i
+),
+icent AS MATERIALIZED (SELECT cell, list(m ORDER BY pos) AS cvec FROM icent_long GROUP BY cell),
+iasg AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT lve.vec_id, lve.v, c.cell,
+           row_number() OVER (PARTITION BY lve.vec_id
+             ORDER BY {cos.format(a="lve.v", b="c.cvec")} DESC, c.cell) AS rn
+    FROM lve CROSS JOIN icent c) WHERE rn = 1
+),
+iprobes AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos.format(a="q.qv", b="c.cvec")} DESC, c.cell) AS rn
+    FROM q CROSS JOIN icent c) WHERE rn <= {_IVF_NPROBE}
+),
+ivf_top AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY {cos.format(a="q.qv", b="a.v")} DESC, a.vec_id) AS rn
+    FROM iasg a JOIN iprobes p USING (cell) JOIN q ON q.query_id = p.query_id
+    WHERE a.vec_id != p.query_id)
+  WHERE rn <= {K}
+),
+qs0 AS MATERIALIZED (SELECT query_id, list_slice(qv, 1, {_PQ_SUB}) AS v FROM q),
+qs1 AS MATERIALIZED (SELECT query_id, list_slice(qv, {_PQ_SUB + 1}, {2 * _PQ_SUB}) AS v FROM q),
+lut0 AS MATERIALIZED (SELECT t.query_id, c.cluster AS code, {d2} AS d
+         FROM qs0 t, c{_KM_ITERS}_0 c),
+lut1 AS MATERIALIZED (SELECT t.query_id, c.cluster AS code, {d2} AS d
+         FROM qs1 t, c{_KM_ITERS}_1 c),
+pq_top AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT l0.query_id, cd0.vec_id,
+           row_number() OVER (PARTITION BY l0.query_id
+             ORDER BY l0.d + l1.d ASC, cd0.vec_id ASC) AS rn
+    FROM codes0 cd0
+    JOIN codes1 cd1 USING (vec_id)
+    JOIN lut0 l0 ON l0.code = cd0.code
+    JOIN lut1 l1 ON l1.code = cd1.code AND l1.query_id = l0.query_id
+    WHERE cd0.vec_id != l0.query_id)
+  WHERE rn <= {K}
+),
+ipq_top AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY l0.d + l1.d ASC, a.vec_id ASC) AS rn
+    FROM asg a
+    JOIN probes p USING (cell)
+    JOIN codes0 cd0 ON cd0.vec_id = a.vec_id
+    JOIN codes1 cd1 ON cd1.vec_id = a.vec_id
+    JOIN lut0 l0 ON l0.code = cd0.code AND l0.query_id = p.query_id
+    JOIN lut1 l1 ON l1.code = cd1.code AND l1.query_id = p.query_id
+    WHERE a.vec_id != p.query_id)
+  WHERE rn <= {K}
+),
+res_top AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_d2 ASC, vec_id ASC) AS rn
+    FROM res_scored)
+  WHERE rn <= {K}
+)
+SELECT family, metric, hits, total, recall FROM ({tails})
+"""
+    )
+
+
+@query("embedding_ann_recall", oracle=_ann_recall_oracle())
+def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit for EVERY ANN family against the brute-force
+    ground truth under the family's own metric (cosine for LSH and
+    label-IVF, squared L2 for the quantized families) — exact integer
+    hit counts, so the statistic itself is value-oracled: both engines
+    compute identical top-10 sets, identical intersections, identical
+    ratios. The ivfpq vs ivfpq_res rows measure the residual-encoding
+    refinement of the persisted index directly. One row per family:
+    (family, metric, hits, total, recall)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from sparktrends_spark.caching import persist_tracked
+    from sparktrends_spark.operators.pq import pq_topk, pq_train
+    from sparktrends_spark.similarity.cosine import ivf_topk
+    from sparktrends_spark.similarity.ivfpq_index import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    K = _RECALL_K
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # ground truths (each consumed by >= 2 union branches: persist)
+    gt_cos = persist_tracked(
+        brute_force_topk(queries, emb, k=K).select("query_id", "vec_id")
+    )
+    qv = queries.select(
+        "query_id", F.col("embedding").cast("array<double>").alias("_qv")
+    )
+    cv = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_cv")
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("_cv"), F.col("_qv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    wl2 = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("vec_id"))
+    gt_l2 = persist_tracked(
+        cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_d2", l2)
+        .withColumn("rn", F.row_number().over(wl2))
+        .where(F.col("rn") <= K)
+        .select("query_id", "vec_id")
+    )
+
+    books = pq_train(emb, dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_KM_ITERS)
+    idx = os.path.join(
+        "/tmp/sparktrends_ivfpq_index",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    build_ivfpq_index(
+        emb, idx, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
+        k_codes=_PQ_K, iterations=_KM_ITERS,
+    )
+    fams = [
+        ("lsh", "cosine",
+         lsh_topk(queries, emb, num_planes=_N_PLANES, dim=_DIM, k=K),
+         gt_cos),
+        ("ivf", "cosine",
+         ivf_topk(emb, queries, k=K, nprobe=_IVF_NPROBE), gt_cos),
+        ("pq", "l2",
+         pq_topk(emb, queries, books, dim=_DIM, k_neighbors=K), gt_l2),
+        ("ivfpq", "l2", _ivfpq_topk_frame(spark, emb, K), gt_l2),
+        ("ivfpq_res", "l2",
+         ivfpq_index_topk(
+             spark, idx, queries, dim=_DIM,
+             k_neighbors=K, nprobe=_IVF_NPROBE,
+         ),
+         gt_l2),
+    ]
+    out = None
+    for fam_name, metric, frame, gt in fams:
+        hits = (
+            frame.select("query_id", "vec_id")
+            .join(gt, ["query_id", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        tot = gt.agg(F.count(F.lit(1)).alias("total"))
+        row = hits.crossJoin(F.broadcast(tot)).select(
+            F.lit(fam_name).alias("family"),
+            F.lit(metric).alias("metric"),
+            F.col("hits").cast("bigint").alias("hits"),
+            F.col("total").cast("bigint").alias("total"),
+            (F.col("hits").cast("double") / F.col("total")).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 _PI_ITERS = 3
@@ -1178,7 +1567,7 @@ d{i} AS (
         prev = f"d{i}"
     chain = ",".join(steps)
     return f"""
-WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 x0 AS (SELECT v FROM ve ORDER BY vec_id LIMIT 1),
 d0 AS (
   SELECT [round(x / sqrt(list_sum([y*y for y in v])), 9) for x in v] AS m

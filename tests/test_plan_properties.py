@@ -258,6 +258,8 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "daily_user_sketch_rollup",  # one-row sketch union x broadcast exact row
         "value_quantile_sketch_rollup",  # 3 quantile rows x one broadcast sketch row
         "doc_bigram_pmi",          # corpus totals: two broadcast one-row frames
+        "embedding_ann_recall",    # brute ground truths (corpus x broadcast
+                                   # queries) + 1-row hits x totals joins
         "event_ab_test_ztest",     # variant denominators: one broadcast row
         "event_type_weekday_chi2",  # contingency total: one broadcast row
     }
