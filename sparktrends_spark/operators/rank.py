@@ -43,12 +43,18 @@ def with_global_rank(
     order_cols,
     rank_col: str = "rnk",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Append ``rank_col`` = global 1-based row_number under
     ``order_cols`` (strings or asc()/desc() Columns forming a total
     order) with no single-partition window. The input frame is
     persisted (it is scanned twice: counts + rank); callers release
-    via ``release_persisted()`` like every other multi-branch plan."""
+    via ``release_persisted()`` like every other multi-branch plan.
+
+    ``total_col``: also attach the total row count as a bigint literal
+    column — free (the two-phase rank already collected per-partition
+    counts), and exactly what percent_rank / cume_dist / ntile
+    restatements need alongside the rank."""
     spark = df.sparkSession
     n = int(
         num_partitions
@@ -74,7 +80,7 @@ def with_global_rank(
     from pyspark.sql import Window
 
     w = Window.partitionBy("_pid").orderBy(*cols)
-    return (
+    out = (
         part.join(F.broadcast(offs), "_pid")
         .withColumn("_local", F.row_number().over(w))
         .withColumn(
@@ -82,3 +88,25 @@ def with_global_rank(
         )
         .drop("_pid", "_off", "_local")
     )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc).cast("bigint"))
+    return out
+
+
+def ntile_from_rank(i: F.Column, n: F.Column, tiles: int) -> F.Column:
+    """ANSI ntile(tiles) from a global 1-based rank ``i`` and total
+    count ``n``: the first (n % tiles) tiles hold ceil(n/tiles) rows,
+    the rest floor(n/tiles) — the closed form both Spark's and
+    DuckDB's window functions implement, so a rank-derived tile is
+    value-identical to the built-in without the single-partition
+    window. Integer-safe: the double divisions' operands stay far
+    below 2^53 and true non-integer quotients sit >= 1/n from any
+    integer, so floor() is exact."""
+    q = F.floor(n / tiles).cast("long")
+    r = (n % tiles).cast("long")
+    big = r * (q + 1)
+    return (
+        F.when(q == F.lit(0), i)
+        .when(i <= big, F.floor((i - 1) / (q + 1)) + 1)
+        .otherwise(r + 1 + F.floor((i - big - 1) / q))
+    ).cast("int")

@@ -517,15 +517,33 @@ WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 """,
 )
 def q_customer_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4) wealth quartiles per market segment (§2.6): equal-depth
-    bucketing inside each partition."""
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return _t(spark, sf_dir, "customer").select(
+    """ntile(4) wealth quartiles + distribution positions (§2.6),
+    restated over the DISTRIBUTED two-phase rank (operators/rank.py)
+    instead of unpartitioned windows: ntile/percent_rank/cume_dist are
+    all closed forms of (global rank, total count) under a total order
+    — (c_acctbal, c_custkey) has no ties — so the plan has no
+    single-partition WindowExec and scales to any customer count."""
+    from sparktrends_spark.operators.rank import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = with_global_rank(
+        cust,
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+        rank_col="_i",
+        total_col="_n",
+    )
+    i, n = F.col("_i"), F.col("_n")
+    return ranked.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        ntile_from_rank(i, n, 4).alias("quartile"),
+        F.when(n == 1, F.lit(0.0))
+        .otherwise((i - 1) / (n - 1))
+        .alias("pct_rank"),
+        (i / n).alias("cume"),
     )
 
 
@@ -1071,11 +1089,17 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic marketing-analytics operator: per-customer order stats
     scored into quintiles and bucketed into named segments.
 
-    The ntile windows are global (unpartitioned) BUT run over the
-    per-customer aggregate, never raw orders — one row per customer,
-    which at 100 TB still needs a range-partitioned sort, the same
-    shape as any global ranking; ties break on custkey so both engines
-    assign identical quintiles."""
+    Each quintile is the DISTRIBUTED two-phase rank + the closed-form
+    ntile (operators/rank.py) over the per-customer aggregate — three
+    range-partitioned rank passes, zero single-partition windows, so
+    the segmentation scales to any customer count; ties break on
+    custkey so both engines assign identical quintiles."""
+    from sparktrends_spark.caching import persist_tracked
+    from sparktrends_spark.operators.rank import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
     o = _t(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("anchor"))
     rfm = (
@@ -1093,17 +1117,21 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r = Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
-    f = Window.orderBy(F.asc("frequency"), F.asc("custkey"))
-    m = Window.orderBy(F.asc("monetary"), F.asc("custkey"))
-    scored = rfm.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(r).alias("r_score"),
-        F.ntile(5).over(f).alias("f_score"),
-        F.ntile(5).over(m).alias("m_score"),
+    # three rank passes over the SAME customer frame: persist it once
+    scored = persist_tracked(rfm)
+    for out_col, order in [
+        ("r_score", [F.desc("recency_days"), F.asc("custkey")]),
+        ("f_score", [F.asc("frequency"), F.asc("custkey")]),
+        ("m_score", [F.asc("monetary"), F.asc("custkey")]),
+    ]:
+        scored = with_global_rank(
+            scored, order, rank_col="_i", total_col="_n"
+        ).withColumn(
+            out_col, ntile_from_rank(F.col("_i"), F.col("_n"), 5)
+        ).drop("_i", "_n")
+    scored = scored.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")

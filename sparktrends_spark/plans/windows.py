@@ -208,34 +208,43 @@ FROM spend
 """,
 )
 def q_customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-position windows (percent_rank / cume_dist) over
-    per-customer spend — where each customer sits in the spend CDF,
-    the ranking marketing segmentations are built from. percent_rank
-    orders tie-break on custkey for determinism; cume_dist is
-    tie-stable by definition (ties share a value).
+    """Distribution-position statistics (percent_rank / cume_dist)
+    over per-customer spend — where each customer sits in the spend
+    CDF, the ranking marketing segmentations are built from — restated
+    over the DISTRIBUTED two-phase rank (operators/rank.py):
+    percent_rank = (rank-1)/(n-1) under the custkey-tiebroken total
+    order, cume_dist = (max rank within the tied spend value)/n (ties
+    share a value by definition — a keyed max + join, still parallel).
+    No single-partition WindowExec anywhere; the per-customer
+    aggregate and every rank pass stay keyed and partitioned."""
+    from sparktrends_spark.operators.rank import with_global_rank
 
-    Scale shape: the per-customer aggregate is keyed and parallel; the
-    global distribution windows are a single-partition sort over the
-    ALREADY-AGGREGATED frame (one row per customer) — the same
-    deliberate trade as customer_ntiles, fine at dimension scale,
-    never applied to the fact table."""
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 6).alias("total_spend"),
     )
-    from pyspark.sql import Window
-
-    by_spend = Window.orderBy("total_spend", "custkey")
-    by_spend_val = Window.orderBy("total_spend")
-    by_orders = Window.orderBy("n_orders", "custkey")
-    return spend.select(
+    ranked = with_global_rank(
+        spend,
+        [F.asc("total_spend"), F.asc("custkey")],
+        rank_col="_is",
+        total_col="_n",
+    )
+    mx = ranked.groupBy("total_spend").agg(F.max("_is").alias("_mx"))
+    ranked = with_global_rank(
+        ranked.join(mx, "total_spend"),
+        [F.asc("n_orders"), F.asc("custkey")],
+        rank_col="_io",
+    )
+    n = F.col("_n")
+    pct = lambda i: F.when(n == 1, F.lit(0.0)).otherwise((i - 1) / (n - 1))  # noqa: E731
+    return ranked.select(
         "custkey",
         "n_orders",
         "total_spend",
-        F.round(F.percent_rank().over(by_spend), 6).alias("spend_pct_rank"),
-        F.round(F.cume_dist().over(by_spend_val), 6).alias("spend_cume_dist"),
-        F.round(F.percent_rank().over(by_orders), 6).alias("orders_pct_rank"),
+        F.round(pct(F.col("_is")), 6).alias("spend_pct_rank"),
+        F.round(F.col("_mx") / n, 6).alias("spend_cume_dist"),
+        F.round(pct(F.col("_io")), 6).alias("orders_pct_rank"),
     )
 
 

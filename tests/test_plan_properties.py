@@ -268,10 +268,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # frames bounded by an entity whose cardinality stays catalog-like
     # at 100 TB. Everything else must use orderBy().limit() (top-k) or
     # operators/rank.with_global_rank (two-phase distributed rank).
+    # (the customer ntile/percent_rank family was converted to the
+    # distributed two-phase rank in round 9 — only frames bounded by
+    # construction remain)
     allowed_global_window = {
-        "customer_ntiles",            # per-customer aggregate (catalog)
-        "customer_rfm_segments",      # 3 ntiles over the customer frame
-        "customer_spend_distribution",  # same customer frame
         "event_weekday_hour_heatmap",  # 7x24 = 168-row grid
         "lang_mixture_budget",        # one row per language
         "lang_temperature_mixture",   # one row per language

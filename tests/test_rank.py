@@ -68,6 +68,39 @@ def test_empty_and_single_row(spark):
     assert [(r["id"], r["rnk"]) for r in rows] == [(1, 1)]
 
 
+def test_ntile_from_rank_matches_builtin(spark):
+    """Property: the closed-form tile assignment from (rank, total)
+    equals F.ntile for every tile count and ragged division, including
+    n < tiles."""
+    import random
+
+    from sparktrends_spark.operators.rank import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    rng = random.Random(11)
+    for n_rows, tiles in [(503, 4), (500, 5), (7, 10), (1, 3), (97, 8)]:
+        rows = [(i, rng.randrange(40)) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "id long, x long")
+        order = [F.asc("x"), F.asc("id")]
+        got = {
+            r["id"]: r["t"]
+            for r in with_global_rank(
+                df, order, rank_col="_i", total_col="_n", num_partitions=6
+            )
+            .withColumn("t", ntile_from_rank(F.col("_i"), F.col("_n"), tiles))
+            .collect()
+        }
+        release_persisted()
+        w = Window.orderBy(*order)
+        exp = {
+            r["id"]: r["t"]
+            for r in df.withColumn("t", F.ntile(tiles).over(w)).collect()
+        }
+        assert got == exp, (n_rows, tiles)
+
+
 def test_no_unpartitioned_window_in_plan(spark):
     """The whole point: every WindowExec in the physical plan is
     partitioned (by _pid), so no stage funnels the frame into one
