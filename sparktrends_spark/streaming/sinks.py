@@ -580,6 +580,16 @@ def upsert_parquet_bucketed(
         }
         for entry in os.listdir(bucket_dir):
             if entry.startswith(f"{VERSION_DIR_COL}=") and entry not in keep:
+                if "_c" in entry.split("=", 1)[1]:
+                    # an OPTIMIZE compaction twin: possibly IN-FLIGHT
+                    # (written but not yet CAS'd into the manifest —
+                    # deleting it here would dangle the pointer the
+                    # CAS is about to commit). Whether in-flight,
+                    # orphaned by a crashed optimize, or superseded
+                    # later, ``_c`` leaves are reclaimed exclusively
+                    # by optimize_upsert_table's startup sweep under
+                    # the manifest lock — never by this batch GC.
+                    continue
                 shutil.rmtree(os.path.join(bucket_dir, entry), ignore_errors=True)
 
 
