@@ -1279,7 +1279,74 @@ def q_embedding_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_RERANK_C = 20
+
+
+def _ivfpq_rerank_oracle() -> str:
+    return (
+        _ivfpq_residual_with()
+        + f""",
+cand AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_d2 ASC, vec_id ASC) AS rn
+    FROM res_scored)
+  WHERE rn <= {_IVFPQ_RERANK_C}
+),
+rr AS MATERIALIZED (
+  SELECT c.query_id, c.vec_id,
+         round(list_sum([ (z[1]-z[2])*(z[1]-z[2])
+               for z in list_zip(v.v, q.qv) ]), 6) AS d2
+  FROM cand c JOIN ve v ON v.vec_id = c.vec_id JOIN q USING (query_id)
+)
+SELECT query_id, vec_id, d2, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY d2 ASC, vec_id ASC) AS rnk
+  FROM rr
+) WHERE rnk <= 3
+"""
+    )
+
+
+@query("embedding_ivfpq_rerank_topk", oracle=_ivfpq_rerank_oracle())
+def q_embedding_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage search through the persisted IVF-PQ index: ADC
+    shortlists the best {C} candidates per query on CODE columns alone
+    (probed cells only), then only that shortlist re-ranks by exact
+    round-6 squared L2 against raw vectors read from the probed cells
+    of the refinement sidecar (store_vectors=True) — the classical
+    IVFPQ+refine serving shape: recall approaches the probed-cell
+    ceiling while the scan stays code-first and the exact reads stay
+    O(queries x refine_k). Measured in embedding_ann_recall's
+    ivfpq_rerank row."""
+    import os
+
+    from sparktrends_spark.similarity.ivfpq_index import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = os.path.join(
+        "/tmp/sparktrends_ivfpq_rerank",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    build_ivfpq_index(
+        emb, idx, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
+        k_codes=_PQ_K, iterations=_KM_ITERS, store_vectors=True,
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_index_topk(
+        spark, idx, queries, dim=_DIM, k_neighbors=3,
+        nprobe=_IVF_NPROBE, refine_k=_IVFPQ_RERANK_C,
+    )
+
+
 _RECALL_K = 10
+_RECALL_RERANK_C = 50
 
 
 def _ann_recall_oracle() -> str:
@@ -1321,6 +1388,7 @@ def _ann_recall_oracle() -> str:
             fam("pq", "l2", "pq_top", "bf_l2"),
             fam("ivfpq", "l2", "ipq_top", "bf_l2"),
             fam("ivfpq_res", "l2", "res_top", "bf_l2"),
+            fam("ivfpq_rerank", "l2", "rerank_top", "bf_l2"),
         ]
     )
     return (
@@ -1427,6 +1495,24 @@ res_top AS MATERIALIZED (
              ORDER BY approx_d2 ASC, vec_id ASC) AS rn
     FROM res_scored)
   WHERE rn <= {K}
+),
+rcand AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_d2 ASC, vec_id ASC) AS rn
+    FROM res_scored)
+  WHERE rn <= {_RECALL_RERANK_C}
+),
+rerank_top AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY c.query_id
+             ORDER BY round(list_sum([ (z[1]-z[2])*(z[1]-z[2])
+                       for z in list_zip(v.v, q.qv) ]), 6) ASC,
+                      c.vec_id ASC) AS rn
+    FROM rcand c JOIN ve v ON v.vec_id = c.vec_id JOIN q USING (query_id))
+  WHERE rn <= {K}
 )
 SELECT family, metric, hits, total, recall FROM ({tails})
 """
@@ -1440,9 +1526,10 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-IVF, squared L2 for the quantized families) — exact integer
     hit counts, so the statistic itself is value-oracled: both engines
     compute identical top-10 sets, identical intersections, identical
-    ratios. The ivfpq vs ivfpq_res rows measure the residual-encoding
-    refinement of the persisted index directly. One row per family:
-    (family, metric, hits, total, recall)."""
+    ratios. The ivfpq -> ivfpq_res -> ivfpq_rerank rows trace the two
+    classical refinements of the persisted index directly: residual
+    encoding, then exact re-ranking of the ADC top-{C} shortlist. One
+    row per family: (family, metric, hits, total, recall)."""
     import os
 
     from pyspark.sql import Window
@@ -1498,7 +1585,7 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     build_ivfpq_index(
         emb, idx, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
-        k_codes=_PQ_K, iterations=_KM_ITERS,
+        k_codes=_PQ_K, iterations=_KM_ITERS, store_vectors=True,
     )
     fams = [
         ("lsh", "cosine",
@@ -1513,6 +1600,12 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
          ivfpq_index_topk(
              spark, idx, queries, dim=_DIM,
              k_neighbors=K, nprobe=_IVF_NPROBE,
+         ),
+         gt_l2),
+        ("ivfpq_rerank", "l2",
+         ivfpq_index_topk(
+             spark, idx, queries, dim=_DIM, k_neighbors=K,
+             nprobe=_IVF_NPROBE, refine_k=_RECALL_RERANK_C,
          ),
          gt_l2),
     ]

@@ -85,10 +85,17 @@ def build_ivfpq_index(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    store_vectors: bool = False,
 ) -> None:
     """Train and persist the index (see module docstring). Vector
     element type canonicalizes to double on disk-adjacent frames (the
-    IVF index lesson); the code table itself carries no vectors."""
+    IVF index lesson); the code table itself carries no vectors.
+
+    ``store_vectors``: additionally persist a ``path/vectors`` sidecar
+    (raw vectors, cell-partitioned like the codes) enabling two-stage
+    search (``refine_k`` in ``ivfpq_index_topk``) — ADC shortlists on
+    bytes, the shortlist re-ranks on exact distances read from ONLY
+    the probed cells. The classical IVFPQ+refine storage trade."""
     spark = vectors.sparkSession
     emb = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
@@ -116,6 +123,10 @@ def build_ivfpq_index(
     _encode(resid, books, dim, id_col).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/codes")
+    if store_vectors:
+        asg.select(id_col, "cell", F.col("_v").alias("_cv")).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{path}/vectors")
 
 
 def _encode(resid: DataFrame, books: Codebooks, dim: int, id_col: str) -> DataFrame:
@@ -160,6 +171,8 @@ def append_ivfpq_index(
     to the cell partitions. Batches must be id-disjoint from the index
     (the caller's ingest contract, same as the IVF index append)."""
     spark = new_vectors.sparkSession
+    import os
+
     cents = _load_coarse(spark, path)
     books = _load_books(spark, path)
     emb = new_vectors.select(
@@ -171,6 +184,12 @@ def append_ivfpq_index(
         "cell"
     ).parquet(f"{path}/codes")
     spark.catalog.refreshByPath(f"{path}/codes")
+    if os.path.isdir(f"{path}/vectors"):
+        # index was built with the refinement sidecar: keep it complete
+        asg.select(id_col, "cell", F.col("_v").alias("_cv")).write.mode(
+            "append"
+        ).partitionBy("cell").parquet(f"{path}/vectors")
+        spark.catalog.refreshByPath(f"{path}/vectors")
 
 
 def ivfpq_index_topk(
@@ -184,6 +203,7 @@ def ivfpq_index_topk(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    refine_k: int | None = None,
 ) -> DataFrame:
     """Serve top-k from the persisted index. The probed cell set
     (<= |queries| * nprobe small ints — bounded collect) is applied as
@@ -192,7 +212,15 @@ def ivfpq_index_topk(
     (query, cell) lookup tables of round-6 sub-space distances between
     the query's residual and each codebook entry, summed in fixed
     order over the m code columns. ``exclude_self`` as in
-    ``pq_topk`` (requires a shared id space)."""
+    ``pq_topk`` (requires a shared id space).
+
+    ``refine_k`` (requires an index built with ``store_vectors=True``):
+    two-stage search — ADC shortlists the best ``refine_k`` candidates
+    per query on code columns alone, then ONLY those ids re-rank by
+    exact round-6 squared L2 against raw vectors read from the probed
+    cells of the ``vectors`` sidecar. Output column is the exact
+    ``d2`` instead of ``approx_d2``; recall approaches the probed-cell
+    ceiling at a per-query vector-read cost of refine_k rows."""
     from pyspark.sql import Window
 
     cents = _load_coarse(spark, path)
@@ -266,6 +294,34 @@ def ivfpq_index_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.asc("approx_d2"), F.asc(id_col)
     )
-    return scored.withColumn("rnk", F.row_number().over(w)).where(
+    if refine_k is None:
+        return scored.withColumn("rnk", F.row_number().over(w)).where(
+            F.col("rnk") <= k_neighbors
+        )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= refine_k)
+        .select(query_id_col, id_col)
+    )
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin([int(c) for c in cells])
+    ).select(id_col, "_cv")
+    # exact round-6 L2, identical fold shape to the brute-force ground
+    # truth (zip_with(candidate, query) left-to-right)
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("_cv"), F.col("_qv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    rr = (
+        cand.join(vecs, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(query_id_col, id_col, d2.alias("d2"))
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.asc("d2"), F.asc(id_col))
+    return rr.withColumn("rnk", F.row_number().over(w2)).where(
         F.col("rnk") <= k_neighbors
     )

@@ -186,7 +186,9 @@ def test_ann_recall_floors(spark, sf_dir):
         r["family"]: r
         for r in QUERIES["embedding_ann_recall"](spark, sf_dir).collect()
     }
-    assert set(rows) == {"lsh", "ivf", "pq", "ivfpq", "ivfpq_res"}
+    assert set(rows) == {
+        "lsh", "ivf", "pq", "ivfpq", "ivfpq_res", "ivfpq_rerank"
+    }
     for fam, r in rows.items():
         assert r["total"] > 0 and 0 <= r["hits"] <= r["total"], (fam, r)
         assert abs(r["recall"] - r["hits"] / r["total"]) < 1e-12
@@ -197,3 +199,11 @@ def test_ann_recall_floors(spark, sf_dir):
     assert rows["ivfpq"]["recall"] >= 0.05, rows["ivfpq"]
     # residual refinement: strictly better at the same code budget
     assert rows["ivfpq_res"]["recall"] > rows["ivfpq"]["recall"], rows
+    # exact re-ranking of the ADC top-50 shortlist: the big jump
+    # (0.16 -> 0.42 at sf0.001, 0.15 -> 0.44 at sf0.01) — recall is
+    # then bounded by the probed-cell ceiling (nprobe=2 of 4 cells),
+    # not by quantization
+    assert (
+        rows["ivfpq_rerank"]["recall"] >= rows["ivfpq_res"]["recall"]
+    ), rows
+    assert rows["ivfpq_rerank"]["recall"] >= 0.35, rows["ivfpq_rerank"]
