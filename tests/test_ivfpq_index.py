@@ -102,6 +102,47 @@ def test_ivfpq_index_append_flow(spark, sf_dir, tmp_path):
     assert 900000 in got
 
 
+def test_ivfpq_append_batching_invariance(spark, sf_dir, tmp_path):
+    """The index ingest path is batch-boundary-invariant: appending the
+    odd half in 1 batch vs 4 micro-batches yields identical code
+    tables and identical serve results (quantizers are fixed at build,
+    so encoding is pure per-row) — the property a foreachBatch ingest
+    stream relies on. The refinement sidecar stays complete too."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    one, four = str(tmp_path / "one"), str(tmp_path / "four")
+    for idx in (one, four):
+        build_ivfpq_index(
+            emb.filter("vec_id % 2 = 0"), idx, dim=_DIM, store_vectors=True
+        )
+    odd = emb.filter("vec_id % 2 = 1")
+    append_ivfpq_index(odd, one, dim=_DIM)
+    for b in range(4):
+        append_ivfpq_index(odd.filter(f"vec_id % 8 = {2 * b + 1}"), four, dim=_DIM)
+
+    def codes(idx):
+        return sorted(
+            map(tuple, spark.read.parquet(f"{idx}/codes").collect())
+        )
+
+    assert codes(one) == codes(four)
+    for idx in (one, four):
+        n = spark.read.parquet(f"{idx}/vectors").count()
+        assert n == emb.count()
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    serve = lambda idx: sorted(  # noqa: E731
+        map(
+            tuple,
+            ivfpq_index_topk(
+                spark, idx, queries, dim=_DIM,
+                k_neighbors=5, nprobe=2, refine_k=20,
+            ).collect(),
+        )
+    )
+    assert serve(one) == serve(four)
+
+
 def test_ivfpq_production_budget_recall(spark, sf_dir):
     """Recall scales with code budget: k=16 codebooks per sub-space
     (8 bits/vector) must beat the registered toy k=4 budget
