@@ -629,14 +629,19 @@ _KM_D2 = (
 )
 
 
-def _kmeans_chain(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _DIM) -> str:
+def _kmeans_chain(
+    k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _DIM,
+    where: str = "",
+) -> str:
     """Unrolled Lloyd's k-means as chained CTEs — the SQL restatement
     of operators/kmeans.py: per-iteration round-6 distances before the
     argmin (sequential list_sum matches the operator's
     zip_with+aggregate fold order) and round-9 centroid means over
     EXACT decimal sums of round-6-quantized values (order-independent,
     mirroring the operator), so both engines iterate on bit-identical
-    centroids. Exposes ``ve`` (vectors) and
+    centroids. ``where`` (a ' WHERE ...' suffix) restricts the
+    TRAINING set — seeds and updates alike — for oracles mirroring an
+    index built on a subset. Exposes ``ve`` (vectors) and
     ``c{iters}`` (final centroids); queries append their own tail
     (the ``_neardup_with`` pattern)."""
     d2 = _KM_D2
@@ -671,10 +676,11 @@ c{i} AS MATERIALIZED (
         prev = f"c{i}"
     chain = ",".join(steps)
     return f"""
-WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings{where}),
 seeds AS MATERIALIZED (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id FROM embeddings{where} ORDER BY vec_id LIMIT {k})
 ),
 c0 AS MATERIALIZED (
   SELECT s.cluster, [round(x, 9) for x in ve.v] AS m
@@ -873,14 +879,24 @@ _PQ_K = 4
 _PQ_SUB = _DIM // _PQ_M
 
 
-def _pq_sub_chain(s: int, src: str = "ve", tag: str = "") -> str:
+def _pq_sub_chain(
+    s: int,
+    src: str = "ve",
+    tag: str = "",
+    encode_src: str | None = None,
+    where: str = "",
+) -> str:
     """The kmeans unrolled-CTE chain (see _kmeans_chain) over ONE PQ
     sub-space: vectors sliced to [lo..hi], CTE names suffixed
     ``{tag}_{s}``. ``src`` is the (vec_id, v DOUBLE[]) frame the
-    sub-space slices from — ``ve`` for raw-vector codebooks, a
-    residual CTE for IVF-PQ residual encoding. Exposes v{tag}{s}
-    (sliced vectors), c{iters}{tag}_{s} (final codebook) and
-    codes{tag}{s} (per-vector nearest-code assignment)."""
+    sub-space TRAINS on — ``ve`` for raw-vector codebooks, a residual
+    CTE for IVF-PQ residual encoding; ``encode_src`` (default: src) is
+    the frame the final codes{tag}{s} ENCODES — pass a superset when
+    an index trained on a subset encodes everything (the append
+    ingest shape). ``where`` restricts the seed ids to the training
+    subset (mirrors kmeans_fit seeding on the frame it receives).
+    Exposes v{tag}{s} (sliced training vectors), c{iters}{tag}_{s}
+    (final codebook) and codes{tag}{s}."""
     lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
     d2 = (
         "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
@@ -917,11 +933,19 @@ c{i}{tag}_{s} AS MATERIALIZED (
 )""")
         prev = f"c{i}{tag}_{s}"
     chain = ",".join(steps)
+    enc = f"ev{tag}{s}" if encode_src else f"v{tag}{s}"
+    enc_cte = (
+        f"""
+ev{tag}{s} AS MATERIALIZED (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v
+                            FROM {encode_src}),"""
+        if encode_src
+        else ""
+    )
     return f"""
-v{tag}{s} AS MATERIALIZED (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM {src}),
+v{tag}{s} AS MATERIALIZED (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM {src}),{enc_cte}
 sd{tag}{s} AS MATERIALIZED (
   SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+  FROM (SELECT vec_id FROM embeddings{where} ORDER BY vec_id LIMIT {_PQ_K})
 ),
 c0{tag}_{s} AS MATERIALIZED (
   SELECT sd.cluster, [round(x, 9) for x in t.v] AS m
@@ -932,7 +956,7 @@ codes{tag}{s} AS MATERIALIZED (
     SELECT t.vec_id, c.cluster,
            row_number() OVER (PARTITION BY t.vec_id
                               ORDER BY {d2} ASC, c.cluster ASC) AS rn
-    FROM v{tag}{s} t, {prev} c)
+    FROM {enc} t, {prev} c)
   WHERE rn = 1
 )"""
 
@@ -1158,12 +1182,15 @@ def _ivfpq_topk_frame(
     )
 
 
-def _ivfpq_residual_with() -> str:
+def _ivfpq_residual_with(train_where: str = "") -> str:
     """Shared WITH-chain for the persisted residual-encoded IVF-PQ:
-    coarse kmeans (c{iters}), per-vector cell assignment (asg),
-    residuals (rve), residual-trained sub-space chains (tag 'r'), and
-    per-(query, cell) residual LUTs. Queries append their own tails
-    (the _neardup_with pattern)."""
+    coarse kmeans (c{iters}) trained on the ``train_where`` subset
+    (default: everything), per-vector cell assignment (asg) and
+    residual ENCODING over ALL vectors (ave), residual-trained
+    sub-space chains (tag 'r'), and per-(query, cell) residual LUTs.
+    ``train_where`` mirrors an index BUILT on a subset then APPENDED
+    to (the ingest shape: quantizers fixed, encoding pure per-row).
+    Queries append their own tails (the _neardup_with pattern)."""
     qd2 = (
         "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
         " for z in list_zip(q.qv, c.m) ]), 6)"
@@ -1172,27 +1199,34 @@ def _ivfpq_residual_with() -> str:
         "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
         " for z in list_zip(t.v, c.m) ]), 6)"
     )
+    akd2 = _KM_D2.replace("ve.v", "ave.v")
     ci = f"c{_KM_ITERS}"
     return (
-        _kmeans_chain()
+        _kmeans_chain(where=train_where)
         + f""",
+ave AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
 asg AS MATERIALIZED (
   SELECT vec_id, cell FROM (
-    SELECT ve.vec_id, c.cluster AS cell,
-           row_number() OVER (PARTITION BY ve.vec_id
-                              ORDER BY {_KM_D2} ASC, c.cluster ASC) AS rn
-    FROM ve, {ci} c)
+    SELECT ave.vec_id, c.cluster AS cell,
+           row_number() OVER (PARTITION BY ave.vec_id
+                              ORDER BY {akd2} ASC, c.cluster ASC) AS rn
+    FROM ave, {ci} c)
   WHERE rn = 1
 ),
 rve AS MATERIALIZED (
   SELECT ve.vec_id, [z[1] - z[2] for z in list_zip(ve.v, c.m)] AS v
   FROM ve JOIN asg USING (vec_id) JOIN {ci} c ON c.cluster = asg.cell
+),
+arve AS MATERIALIZED (
+  SELECT ave.vec_id, [z[1] - z[2] for z in list_zip(ave.v, c.m)] AS v
+  FROM ave JOIN asg USING (vec_id) JOIN {ci} c ON c.cluster = asg.cell
 ),"""
-        + _pq_sub_chain(0, src="rve", tag="r")
+        + _pq_sub_chain(0, src="rve", tag="r", encode_src="arve", where=train_where)
         + ","
-        + _pq_sub_chain(1, src="rve", tag="r")
+        + _pq_sub_chain(1, src="rve", tag="r", encode_src="arve", where=train_where)
         + f""",
-q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM ve WHERE vec_id < {_N_QUERIES}),
+q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM ave WHERE vec_id < {_N_QUERIES}),
 probes AS MATERIALIZED (
   SELECT query_id, cell FROM (
     SELECT q.query_id, c.cluster AS cell,
@@ -1270,6 +1304,85 @@ def q_embedding_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ivfpq_index(
         emb, idx, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
         k_codes=_PQ_K, iterations=_KM_ITERS,
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_index_topk(
+        spark, idx, queries, dim=_DIM, k_neighbors=3, nprobe=_IVF_NPROBE
+    )
+
+
+def _ivfpq_stream_oracle() -> str:
+    return (
+        _ivfpq_residual_with(train_where=" WHERE vec_id % 2 = 0")
+        + """
+SELECT query_id, vec_id, approx_d2, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY approx_d2 ASC, vec_id ASC) AS rnk
+  FROM res_scored
+) WHERE rnk <= 3
+"""
+    )
+
+
+@query("stream_embedding_ivfpq_append", oracle=_ivfpq_stream_oracle())
+def q_stream_embedding_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index INGEST path: the even-vec half trains and builds
+    the persisted residual IVF-PQ index once; the odd half ARRIVES AS
+    A STREAM and every micro-batch appends through the FIXED
+    quantizers inside foreachBatch (`append_ivfpq_index` — coarse
+    assignment + residual encoding are pure per-row maps, so batch
+    boundaries cannot change any code: proven batching-invariant in
+    test_ivfpq_append_batching_invariance). After the bounded stream
+    drains, the standard queries serve over the grown index. Oracle =
+    the residual chains TRAINED on the even subset, encoding
+    everything — exactly what build+append materialize. Ingest
+    contract: availableNow exactly-once per run; an at-least-once
+    deployment routes appends through the keyed upsert sink instead
+    of raw parquet append."""
+    import os
+    import shutil
+    import tempfile
+
+    from sparktrends_spark.similarity.ivfpq_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    base = sf_dir.rstrip("/")
+    idx = os.path.join(
+        "/tmp/sparktrends_ivfpq_stream", os.path.basename(base) or "sf"
+    )
+    if os.path.isdir(idx):
+        shutil.rmtree(idx)
+    emb = _emb(spark, sf_dir)
+    build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, dim=_DIM,
+        n_cells=_KM_K, m=_PQ_M, k_codes=_PQ_K, iterations=_KM_ITERS,
+    )
+    stream = (
+        spark.readStream.schema(
+            "vec_id bigint, embedding array<float>, label int"
+        )
+        .parquet(f"{base}/embeddings*.parquet")
+        .filter(F.col("vec_id") % 2 == 1)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_ivfpq_index(batch_df, idx, dim=_DIM)
+
+    ckpt = tempfile.mkdtemp(prefix="ivfpq_stream_ckpt_")
+    (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
     )
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
