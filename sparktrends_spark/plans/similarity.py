@@ -1099,19 +1099,37 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_topk_frame(
-    spark: SparkSession, emb: DataFrame, k_neighbors: int
+    spark: SparkSession,
+    emb: DataFrame,
+    k_neighbors: int,
+    cents=None,
+    books=None,
 ) -> DataFrame:
     """In-query IVF-PQ (raw-vector codebooks, kmeans coarse cells,
     nprobe cell pruning + ADC scoring) at an arbitrary k — shared by
-    embedding_ivfpq_topk (k=3) and the recall audit (k=10)."""
+    embedding_ivfpq_topk (k=3) and the recall audit (k=10, which
+    passes its already-trained ``cents``/``books`` so the audit never
+    trains the same deterministic quantizers twice)."""
     from pyspark.sql import Window
 
     from sparktrends_spark.operators.kmeans import kmeans_fit
     from sparktrends_spark.operators.pq import pq_encode, pq_train, _sub
-    from sparktrends_spark.operators.kmeans import _dist2
-    cents, assigned = kmeans_fit(emb, k=_KM_K, iterations=_KM_ITERS)
-    asg = assigned.withColumnRenamed("cluster", "cell")
-    books = pq_train(emb, dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_KM_ITERS)
+    from sparktrends_spark.operators.kmeans import _dist2, assign_clusters
+
+    if cents is None:
+        cents, _ = kmeans_fit(emb, k=_KM_K, iterations=_KM_ITERS)
+    asg = assign_clusters(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+        ),
+        cents,
+        vec_col="_v",
+        out_col="cell",
+    ).select("vec_id", "cell")
+    if books is None:
+        books = pq_train(
+            emb, dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_KM_ITERS
+        )
     codes = pq_encode(emb, books, dim=_DIM).join(asg, "vec_id")
 
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -1691,6 +1709,11 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
 
+    from sparktrends_spark.operators.kmeans import kmeans_fit
+
+    # one deterministic training each: coarse cells + raw codebooks
+    # are shared by the pq / ivfpq / persisted-index families
+    cents, _ = kmeans_fit(emb, k=_KM_K, iterations=_KM_ITERS)
     books = pq_train(emb, dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_KM_ITERS)
     idx = os.path.join(
         "/tmp/sparktrends_ivfpq_index",
@@ -1699,6 +1722,7 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ivfpq_index(
         emb, idx, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
         k_codes=_PQ_K, iterations=_KM_ITERS, store_vectors=True,
+        coarse=cents,
     )
     fams = [
         ("lsh", "cosine",
@@ -1708,7 +1732,9 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
          ivf_topk(emb, queries, k=K, nprobe=_IVF_NPROBE), gt_cos),
         ("pq", "l2",
          pq_topk(emb, queries, books, dim=_DIM, k_neighbors=K), gt_l2),
-        ("ivfpq", "l2", _ivfpq_topk_frame(spark, emb, K), gt_l2),
+        ("ivfpq", "l2",
+         _ivfpq_topk_frame(spark, emb, K, cents=cents, books=books),
+         gt_l2),
         ("ivfpq_res", "l2",
          ivfpq_index_topk(
              spark, idx, queries, dim=_DIM,

@@ -86,6 +86,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     store_vectors: bool = False,
+    coarse: dict[int, list[float]] | None = None,
 ) -> None:
     """Train and persist the index (see module docstring). Vector
     element type canonicalizes to double on disk-adjacent frames (the
@@ -95,15 +96,22 @@ def build_ivfpq_index(
     (raw vectors, cell-partitioned like the codes) enabling two-stage
     search (``refine_k`` in ``ivfpq_index_topk``) — ADC shortlists on
     bytes, the shortlist re-ranks on exact distances read from ONLY
-    the probed cells. The classical IVFPQ+refine storage trade."""
+    the probed cells. The classical IVFPQ+refine storage trade.
+
+    ``coarse``: pre-trained coarse centroids (skips the coarse k-means
+    — kmeans_fit is deterministic, so a caller that already trained on
+    the same frame passes them instead of paying the training twice;
+    the recall audit does)."""
     spark = vectors.sparkSession
     emb = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    cents, _ = kmeans_fit(
-        vectors, k=n_cells, iterations=iterations,
-        id_col=id_col, vec_col=vec_col,
-    )
+    cents = coarse
+    if cents is None:
+        cents, _ = kmeans_fit(
+            vectors, k=n_cells, iterations=iterations,
+            id_col=id_col, vec_col=vec_col,
+        )
     spark.createDataFrame(
         [(c, cents[c]) for c in sorted(cents)],
         "cell int, cvec array<double>",
