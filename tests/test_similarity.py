@@ -407,6 +407,39 @@ def test_pq_encode_is_deterministic_and_bounded(spark):
     assert sorted(map(tuple, codes)) == sorted(map(tuple, again))
 
 
+def test_round9_mean_is_exact_half_away():
+    """Property: the integer-division mean quantizer equals exact
+    Decimal ROUND_HALF_UP arithmetic for every (sum, count) — the tie
+    rule both engines restate (means of 6-decimal-quantized values
+    land EXACTLY on 1e-9-grid halves, where double-based round()
+    primitives disagree across engines)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sparktrends_spark.operators.kmeans import _round9_mean
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        su=st.integers(min_value=-10**12, max_value=10**12),
+        n=st.integers(min_value=1, max_value=10**6),
+    )
+    def check(su: int, n: int) -> None:
+        s = Decimal(su).scaleb(-6)  # a scale-6 decimal sum
+        got = _round9_mean(s, n)
+        want = float(
+            (s / n).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+        )
+        assert got == want, (su, n, got, want)
+
+    check()
+    # the motivating tie: n=2000, odd scaled sum -> mean exactly on a
+    # 1e-9-grid half (su/2 in 1e-9 units); half-away resolves it
+    assert _round9_mean(Decimal("-0.053021"), 2000) == -2.6511e-05
+    assert _round9_mean(Decimal("0.053021"), 2000) == 2.6511e-05
+
+
 def test_pq_topk_plan_is_broadcast_equijoins(spark, sf_dir):
     from sparktrends_spark.plans import QUERIES
     from sparktrends_spark.caching import release_persisted
