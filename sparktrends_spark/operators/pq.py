@@ -13,10 +13,11 @@ distance, so candidate scoring touches ONLY the code columns.
 
 Scale shape: training cost = m bounded k-means runs (each a map-side
 argmin + k*dim/m-bounded update per iteration); encoding is one
-map-side pass; the ADC query plan is two broadcast equi-joins of the
-code table against m x k-row LUT frames (never a nested-loop join,
-never the raw vectors) and a per-query top-k window. A billion-vector
-corpus scans bytes, not floats — the whole point of PQ.
+map-side pass; the ADC query plan is ONE broadcast equi-join of the
+code table against per-query LUT rows carrying the full m x k
+sub-distance array (never a nested-loop join, never the raw vectors)
+and a per-query top-k window. A billion-vector corpus scans bytes,
+not floats — the whole point of PQ.
 
 Float discipline: sub-space distances inherit kmeans' round-6-
 before-argmin rule, LUT entries are round-6, and the ADC score is a
@@ -104,9 +105,10 @@ def pq_topk(
     query_id_col: str = "query_id",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """ADC top-k: encode the corpus, build per-query (code -> round-6
-    sub-distance) LUT frames (m x k rows per query, broadcast), score
-    by two equi-joins on the code columns, keep the k best per query
+    """ADC top-k: encode the corpus, build per-query round-6
+    sub-distance LUT rows (k rows per query, each carrying the full
+    m x k array, broadcast), score by ONE equi-join on the code_0
+    column + element_at lookups, keep the k best per query
     (approx distance asc, id asc).
 
     ``exclude_self`` drops candidates whose id equals the probing
@@ -123,33 +125,42 @@ def pq_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
     )
-    luts = []
+    # fused ADC (round 10, the ivfpq_index_topk shape): ONE broadcast
+    # equi-join instead of m. Each query contributes k LUT rows keyed
+    # by the code_0 value (keeping the join an equi-join — never a
+    # nested loop), every row carrying the full m x k round-6
+    # sub-distance array; scoring is the same fixed-order sum of the
+    # same terms via element_at — byte-identical, m-1 fewer exchanges.
     for s in range(m):
-        qs = q.withColumn("_qs", _sub("_qv", s, sub_len))
-        rows = [
-            F.struct(
-                F.lit(c).alias("code"),
-                _dist2(F.col("_qs"), books[s][c]).alias("d"),
+        # element_at positions rely on code ids being 0..k-1 (the
+        # kmeans_fit contract: fixed k, cluster ids never dropped)
+        assert sorted(books[s]) == list(range(len(books[s])))
+    lut_arr = F.array(
+        *[
+            F.array(
+                *[
+                    _dist2(_sub("_qv", s, sub_len), books[s][c])
+                    for c in sorted(books[s])
+                ]
             )
-            for c in sorted(books[s])
+            for s in range(m)
         ]
-        luts.append(
-            qs.select(
-                query_id_col, F.explode(F.array(*rows)).alias("e")
-            ).select(query_id_col, F.col("e.code"), F.col("e.d").alias(f"d_{s}"))
-        )
-
-    scored = codes
+    )
+    lut = q.select(query_id_col, lut_arr.alias("_lut")).select(
+        query_id_col,
+        "_lut",
+        F.explode(
+            F.array(*[F.lit(c) for c in sorted(books[0])])
+        ).alias("_c0"),
+    )
+    scored = codes.join(
+        F.broadcast(lut), codes["code_0"] == lut["_c0"]
+    ).drop("_c0")
     approx = None
     for s in range(m):
-        scored = scored.join(
-            F.broadcast(luts[s]),
-            on=[scored[f"code_{s}"] == luts[s]["code"]]
-            + ([scored[query_id_col] == luts[s][query_id_col]] if s else []),
-        ).drop(luts[s]["code"])
-        if s:
-            scored = scored.drop(luts[s][query_id_col])
-        term = F.col(f"d_{s}")
+        term = F.element_at(
+            F.element_at(F.col("_lut"), s + 1), F.col(f"code_{s}") + 1
+        )
         approx = term if approx is None else approx + term
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.col(query_id_col))

@@ -54,7 +54,16 @@ def with_global_rank(
     ``total_col``: also attach the total row count as a bigint literal
     column — free (the two-phase rank already collected per-partition
     counts), and exactly what percent_rank / cume_dist / ntile
-    restatements need alongside the rank."""
+    restatements need alongside the rank.
+
+    Determinism contract: the input must recompute identically if the
+    persisted blocks are evicted (every registered caller reads
+    immutable parquet through deterministic plans). The two passes
+    (driver-side counts collect, then the window/join execution) see
+    the same partition assignment only under that contract; as a
+    guard, the rank expression itself verifies each row's partition
+    was counted and its local rank stays within the counted size, and
+    RAISES (rather than silently corrupting ranks) on drift."""
     spark = df.sparkSession
     n = int(
         num_partitions
@@ -74,19 +83,39 @@ def with_global_rank(
     }
     offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets.append((pid, acc))
+        offsets.append((pid, acc, counts[pid]))
         acc += counts[pid]
-    offs = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off bigint")
+    offs = spark.createDataFrame(
+        offsets or [(0, 0, 0)], "_pid int, _off bigint, _cnt bigint"
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("_pid").orderBy(*cols)
+    # LEFT join + in-expression guard: if cached blocks were evicted
+    # and a non-deterministic input recomputed into DIFFERENT partition
+    # assignments than the collected counts, rows would land in an
+    # uncounted pid (null _off after the left join) or overflow a
+    # counted one (_local > _cnt) — both must fail loudly, never ship
+    # a silently corrupted rank. Zero-cost: the check rides the
+    # existing broadcast join.
+    drifted = F.raise_error(
+        F.lit(
+            "with_global_rank: partition assignment drifted between the"
+            " count and rank passes — input recomputed"
+            " non-deterministically after cache eviction?"
+        )
+    )
+    valid = F.col("_off").isNotNull() & (F.col("_local") <= F.col("_cnt"))
     out = (
-        part.join(F.broadcast(offs), "_pid")
+        part.join(F.broadcast(offs), "_pid", "left")
         .withColumn("_local", F.row_number().over(w))
         .withColumn(
-            rank_col, (F.col("_off") + F.col("_local")).cast("bigint")
+            rank_col,
+            F.when(valid, F.col("_off") + F.col("_local"))
+            .otherwise(drifted.cast("bigint"))
+            .cast("bigint"),
         )
-        .drop("_pid", "_off", "_local")
+        .drop("_pid", "_off", "_cnt", "_local")
     )
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(acc).cast("bigint"))

@@ -2273,13 +2273,19 @@ def q_value_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     reaches ceil(p·n) — never re-scanning raw history. Guarantee:
     the rank-target value lies inside the chosen bucket, so
     |estimate − exact| <= bucket width (5.0); the query self-grades
-    that bound per quantile, and the exact disc-quantile (global
-    row_number — grading machinery only, not part of the sketch path)
-    is emitted for the oracle's value hash.
+    that bound per quantile, and the exact disc-quantile (grading
+    machinery only, not part of the sketch path) is emitted for the
+    oracle's value hash via the two-phase distributed rank
+    (`operators/rank.with_global_rank`) — ranking by value alone is
+    sufficient because the VALUE at a given rank is tie-independent
+    even where the rank permutation is not.
 
     Scale shape: the sketch table is O(days × 102) rows, map-side
-    combined; the rollup and quantile walk touch ~102 rows. At 100 TB
-    only the grading column costs a sort — a deployment drops it."""
+    combined; the rollup collapses to ONE row whose cumulative counts
+    are a <=102-element fold (no window at all), and the quantile walk
+    is an array filter over that row. The grading column costs a
+    range-partitioned rank, never a single-task global sort — zero
+    unpartitioned windows anywhere in the plan."""
     events = _t(spark, sf_dir, "events")
     nb, width, hi_dom = 100, 5.0, 500.0
     v = F.col("value")
@@ -2294,20 +2300,39 @@ def q_value_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n"))
     )
     h = daily.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("n"))
-    wcum = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = h.withColumn("cum", F.sum("n").over(wcum).cast("bigint"))
     # collapse the (<= 102-row) merged sketch to ONE broadcast row so
     # the cum >= target walk is an array filter, not a non-equi join
     # (a BroadcastNestedLoopJoin — forbidden by the plan-hygiene gate
     # even when both sides are tiny); broadcast-singleton crossJoin is
-    # the sanctioned pattern.
-    sketch_row = c.agg(
-        F.array_sort(
-            F.collect_list(F.struct("bucket", "n", "cum"))
-        ).alias("_cs"),
+    # the sanctioned pattern. Cumulative counts are a fold over the
+    # sorted <=102-element array (O(len²) array_append copies of tiny
+    # structs), NOT a global window — the plan carries zero
+    # unpartitioned Window nodes.
+    cum_t = "array<struct<bucket:bigint,n:bigint,cum:bigint>>"
+    sketch_row = h.agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "n"))).alias("_bn"),
         F.sum("n").cast("bigint").alias("total"),
+    ).select(
+        F.aggregate(
+            "_bn",
+            F.struct(
+                F.lit(0).cast("bigint").alias("c"),
+                F.array().cast(cum_t).alias("a"),
+            ),
+            lambda acc, s: F.struct(
+                (acc["c"] + s["n"]).alias("c"),
+                F.array_append(
+                    acc["a"],
+                    F.struct(
+                        s["bucket"].alias("bucket"),
+                        s["n"].alias("n"),
+                        (acc["c"] + s["n"]).alias("cum"),
+                    ),
+                ).alias("a"),
+            ),
+            lambda acc: acc["a"],
+        ).alias("_cs"),
+        "total",
     )
     ps = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
     tgt = ps.crossJoin(F.broadcast(sketch_row)).select(
@@ -2333,11 +2358,12 @@ def q_value_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .alias("est"),
     )
-    ranked = events.select("value").withColumn(
-        "rn", F.row_number().over(Window.orderBy("value"))
-    )
-    exact = tgt.join(
-        ranked, ranked["rn"] == tgt["target"]
+    from sparktrends_spark.operators.rank import with_global_rank
+
+    ranked = with_global_rank(events.select("value"), ["value"], "rn")
+    exact = ranked.join(
+        F.broadcast(tgt.select("p", "target")),
+        ranked["rn"] == F.col("target"),
     ).select("p", F.col("value").alias("exact_val"))
     return est.join(exact, "p").select(
         "p",

@@ -34,6 +34,25 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_parallel(load_table(spark, sf_dir, "embeddings"))
 
 
+def _idx_path(name: str, sf_dir: str) -> str:
+    """Per-query, per-user, per-PROCESS persisted-index root. Distinct
+    queries never share an on-disk index (one query's build-overwrite
+    racing another query's serve in a concurrent sweep is the r9
+    ADVICE hazard), concurrent driver/sweep processes on one host
+    never share one either (two simultaneous overwrite-builds clobber
+    each other's _temporary dirs), and the predictable world-writable
+    /tmp root is uid-suffixed so it is not shared across users. Stable
+    within a process (repeat builds are idempotent overwrites), which
+    the repeat-run sweeps rely on; the artifacts are kilobyte-scale."""
+    import os
+
+    return os.path.join(
+        f"/tmp/sparktrends_idx_u{os.getuid()}_p{os.getpid()}",
+        name,
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+
+
 @query(
     "embedding_topk",
     oracle=f"""
@@ -488,18 +507,13 @@ def q_embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-plan embedding_ivf_topk; the difference is the 100 TB shape:
     build cost is paid once, and each query's IO is ~nprobe/n_cells
     of the corpus instead of a full re-scan + re-assignment."""
-    import os
-
     from sparktrends_spark.similarity.cosine import (
         build_ivf_index,
         ivf_index_topk,
     )
 
     emb = _emb(spark, sf_dir)
-    idx = os.path.join(
-        "/tmp/sparktrends_ivf_index",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
-    )
+    idx = _idx_path("ivf_index", sf_dir)
     build_ivf_index(emb, idx)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1153,44 +1167,37 @@ def _ivfpq_topk_frame(
         ).alias("_p"),
     ).select("query_id", "_qv", F.col("_p.c").alias("cell"))
 
-    luts = []
+    # fused ADC (the ivfpq_index_topk round-10 shape): ONE broadcast
+    # join on the cell key carrying a per-(query, cell) m x k LUT
+    # array; scoring is the same fixed-order sum of the same round-6
+    # terms via element_at — byte-identical, m fewer exchanges.
     for s in range(_PQ_M):
-        qs = probes.select("query_id", "_qv").distinct().withColumn(
-            "_qs", _sub("_qv", s, _PQ_SUB)
+        assert sorted(books[s]) == list(range(len(books[s])))
+    lut = probes.select(
+        "query_id",
+        "cell",
+        F.array(
+            *[
+                F.array(
+                    *[
+                        _dist2(_sub("_qv", s, _PQ_SUB), books[s][c])
+                        for c in sorted(books[s])
+                    ]
+                )
+                for s in range(_PQ_M)
+            ]
+        ).alias("_lut"),
+    )
+    approx = None
+    for s in range(_PQ_M):
+        term = F.element_at(
+            F.element_at(F.col("_lut"), s + 1), F.col(f"code_{s}") + 1
         )
-        rows = [
-            F.struct(
-                F.lit(c).alias("code"),
-                _dist2(F.col("_qs"), books[s][c]).alias("d"),
-            )
-            for c in sorted(books[s])
-        ]
-        luts.append(
-            qs.select("query_id", F.explode(F.array(*rows)).alias("e")).select(
-                F.col("query_id").alias(f"qid_{s}"),
-                F.col("e.code").alias(f"c_{s}"),
-                F.col("e.d").alias(f"d_{s}"),
-            )
-        )
-
+        approx = term if approx is None else approx + term
     scored = (
-        codes.join(F.broadcast(probes.select("query_id", "cell")), "cell")
-        .join(
-            F.broadcast(luts[0]),
-            (F.col("code_0") == F.col("c_0"))
-            & (F.col("query_id") == F.col("qid_0")),
-        )
-        .join(
-            F.broadcast(luts[1]),
-            (F.col("code_1") == F.col("c_1"))
-            & (F.col("query_id") == F.col("qid_1")),
-        )
+        codes.join(F.broadcast(lut), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            (F.col("d_0") + F.col("d_1")).alias("approx_d2"),
-        )
+        .select("query_id", "vec_id", approx.alias("approx_d2"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_d2"), F.asc("vec_id")
@@ -1307,18 +1314,13 @@ def q_embedding_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     classical recall refinement, measured as the ivfpq vs ivfpq_res
     delta in embedding_ann_recall. Oracle = coarse chain + residual
     sub-space chains + the same residual-ADC restated in SQL."""
-    import os
-
     from sparktrends_spark.similarity.ivfpq_index import (
         build_ivfpq_index,
         ivfpq_index_topk,
     )
 
     emb = _emb(spark, sf_dir)
-    idx = os.path.join(
-        "/tmp/sparktrends_ivfpq_index",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
-    )
+    idx = _idx_path("ivfpq_index", sf_dir)
     build_ivfpq_index(
         emb, idx, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
         k_codes=_PQ_K, iterations=_KM_ITERS,
@@ -1370,9 +1372,7 @@ def q_stream_embedding_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     base = sf_dir.rstrip("/")
-    idx = os.path.join(
-        "/tmp/sparktrends_ivfpq_stream", os.path.basename(base) or "sf"
-    )
+    idx = _idx_path("ivfpq_stream", sf_dir)
     if os.path.isdir(idx):
         shutil.rmtree(idx)
     emb = _emb(spark, sf_dir)
@@ -1451,18 +1451,13 @@ def q_embedding_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     ceiling while the scan stays code-first and the exact reads stay
     O(queries x refine_k). Measured in embedding_ann_recall's
     ivfpq_rerank row."""
-    import os
-
     from sparktrends_spark.similarity.ivfpq_index import (
         build_ivfpq_index,
         ivfpq_index_topk,
     )
 
     emb = _emb(spark, sf_dir)
-    idx = os.path.join(
-        "/tmp/sparktrends_ivfpq_rerank",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
-    )
+    idx = _idx_path("ivfpq_rerank", sf_dir)
     build_ivfpq_index(
         emb, idx, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
         k_codes=_PQ_K, iterations=_KM_ITERS, store_vectors=True,
@@ -1661,8 +1656,6 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     classical refinements of the persisted index directly: residual
     encoding, then exact re-ranking of the ADC top-{C} shortlist. One
     row per family: (family, metric, hits, total, recall)."""
-    import os
-
     from pyspark.sql import Window
 
     from sparktrends_spark.caching import persist_tracked
@@ -1715,10 +1708,7 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are shared by the pq / ivfpq / persisted-index families
     cents, _ = kmeans_fit(emb, k=_KM_K, iterations=_KM_ITERS)
     books = pq_train(emb, dim=_DIM, m=_PQ_M, k=_PQ_K, iterations=_KM_ITERS)
-    idx = os.path.join(
-        "/tmp/sparktrends_ivfpq_index",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
-    )
+    idx = _idx_path("ann_recall", sf_dir)
     build_ivfpq_index(
         emb, idx, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
         k_codes=_PQ_K, iterations=_KM_ITERS, store_vectors=True,

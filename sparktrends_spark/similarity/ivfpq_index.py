@@ -21,6 +21,17 @@ the production serve shape, mirroring the plain-IVF persisted index
   PartitionFilters in the plan, asserted in tests), score candidates
   by Asymmetric Distance Computation against per-(query, cell)
   residual lookup tables, top-k per query.
+- ``ivfpq_index_staleness`` / ``retrain_ivfpq_index``: the index
+  maintenance twins of the table OPTIMIZE discipline. Appends encode
+  with FROZEN quantizers — correct and O(batch), but as appended data
+  drifts off the training distribution, recall silently decays. The
+  staleness probe reports per-cell size growth/skew vs the persisted
+  build-time ``meta`` and (with the vectors sidecar) quantization-
+  error growth; retrain re-trains coarse + codebooks on the CURRENT
+  corpus and re-encodes into a NEW GENERATION directory, promoted by
+  an atomic ``CURRENT`` pointer rename (readers pin a generation at
+  serve start and never observe a half-written index; the previous
+  generation is retained for in-flight readers, older ones GC'd).
 
 Residual encoding is the classical recall refinement: within a probed
 cell the residuals are centered near zero, so the same codebook budget
@@ -32,7 +43,9 @@ Scale shape: everything collected is bounded (n_cells coarse rows,
 m*k codebook rows, <= |queries|*nprobe probed cell ids — the
 documented bounded-collect contract); the corpus-sized artifact is the
 code table, scanned only at probed cells and carrying bytes, not
-floats. All scoring joins are broadcast equi-joins on (cell, code).
+floats. ADC scoring is ONE broadcast equi-join on the cell key
+against per-(query, cell) m x k LUT rows, scored via fixed-order
+element_at lookups (round 10: fused from m per-sub-space joins).
 
 Float discipline: distances quantize round-6 BEFORE every argmin (the
 kmeans rule) and the ADC score is a fixed-order sum of m rounded
@@ -135,6 +148,18 @@ def build_ivfpq_index(
         asg.select(id_col, "cell", F.col("_v").alias("_cv")).write.mode(
             "overwrite"
         ).partitionBy("cell").parquet(f"{path}/vectors")
+    else:
+        # A rebuild over different data must not leave a prior build's
+        # refinement sidecar behind: append_ivfpq_index would keep it
+        # growing and refine_k would silently re-rank against vectors
+        # from the WRONG corpus instead of failing. Local-path rm is
+        # the deployment seam (object stores: delete the prefix).
+        import os
+        import shutil
+
+        if os.path.isdir(f"{path}/vectors"):
+            shutil.rmtree(f"{path}/vectors")
+            spark.catalog.refreshByPath(f"{path}/vectors")
 
 
 def _encode(resid: DataFrame, books: Codebooks, dim: int, id_col: str) -> DataFrame:
@@ -262,40 +287,43 @@ def ivfpq_index_topk(
     )
 
     pr = probes.withColumn("_rq", _residual("_qv", "cell", cents))
-    scored = codes
-    approx = None
+    # ONE broadcast LUT row per (query, probed cell): an m x k nested
+    # array of round-6 sub-space distances indexed by (sub-space,
+    # code). A single broadcast equi-join on the cell key replaces the
+    # former m per-sub-space joins (m BroadcastExchanges -> 1, plan-
+    # asserted in tests); the ADC score is the SAME fixed-order sum of
+    # the SAME round-6 terms, now element_at lookups — byte-identical
+    # output with m-1 fewer exchanges.
     for s in range(m):
-        qs = pr.select(
-            query_id_col, "cell", _sub("_rq", s, sub_len).alias("_qs")
+        # element_at positions rely on code ids being 0..k-1 (the
+        # kmeans_fit contract: fixed k, cluster ids never dropped)
+        assert sorted(books[s]) == list(range(len(books[s]))), sorted(
+            books[s]
         )
-        rows = [
-            F.struct(
-                F.lit(c).alias("code"),
-                _dist2(F.col("_qs"), books[s][c]).alias("d"),
-            )
-            for c in sorted(books[s])
-        ]
-        lut = qs.select(
-            query_id_col, "cell", F.explode(F.array(*rows)).alias("e")
-        ).select(
-            F.col(query_id_col).alias(f"qid_{s}"),
-            F.col("cell").alias(f"cell_{s}"),
-            F.col("e.code").alias(f"c_{s}"),
-            F.col("e.d").alias(f"d_{s}"),
-        )
-        cond = (F.col("cell") == F.col(f"cell_{s}")) & (
-            F.col(f"code_{s}") == F.col(f"c_{s}")
-        )
-        if s:
-            cond = cond & (F.col(f"qid_0") == F.col(f"qid_{s}"))
-        scored = scored.join(F.broadcast(lut), cond).drop(
-            f"cell_{s}", f"c_{s}"
-        )
-        term = F.col(f"d_{s}")
-        approx = term if approx is None else approx + term
-    scored = scored.withColumnRenamed("qid_0", query_id_col)
+    lut = pr.select(
+        query_id_col,
+        "cell",
+        F.array(
+            *[
+                F.array(
+                    *[
+                        _dist2(_sub("_rq", s, sub_len), books[s][c])
+                        for c in sorted(books[s])
+                    ]
+                )
+                for s in range(m)
+            ]
+        ).alias("_lut"),
+    )
+    scored = codes.join(F.broadcast(lut), "cell")
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.col(query_id_col))
+    approx = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("_lut"), s + 1), F.col(f"code_{s}") + 1
+        )
+        approx = term if approx is None else approx + term
     scored = scored.select(
         query_id_col, id_col, approx.alias("approx_d2")
     )

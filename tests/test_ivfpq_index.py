@@ -40,6 +40,10 @@ def test_ivfpq_index_serve_prunes_partitions(spark, sf_dir, tmp_path):
     assert pf, plan
     # nprobe=1 over 3 queries: at most 3 cells opened
     assert len(pf[0].split(",")) <= 3
+    # fused ADC: ONE broadcast LUT join on the cell key (m x k nested
+    # array per (query, cell) row), not one exchange per sub-space
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
     rows = sorted(map(tuple, top.collect()))
     again = sorted(
         map(

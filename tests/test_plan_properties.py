@@ -269,13 +269,14 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     # at 100 TB. Everything else must use orderBy().limit() (top-k) or
     # operators/rank.with_global_rank (two-phase distributed rank).
     # (the customer ntile/percent_rank family was converted to the
-    # distributed two-phase rank in round 9 — only frames bounded by
-    # construction remain)
+    # distributed two-phase rank in round 9; round 10 restated
+    # value_quantile_sketch_rollup's grading-only full-table rank via
+    # with_global_rank and its <=102-row cum window as an array fold —
+    # only frames bounded by construction remain)
     allowed_global_window = {
         "event_weekday_hour_heatmap",  # 7x24 = 168-row grid
         "lang_mixture_budget",        # one row per language
         "lang_temperature_mixture",   # one row per language
-        "value_quantile_sketch_rollup",  # <= histogram-bucket rows
     }
 
     def _unpartitioned_windows(df) -> int:

@@ -451,11 +451,13 @@ def test_pq_topk_plan_is_broadcast_equijoins(spark, sf_dir):
         .toString()
     )
     release_persisted()
-    # ADC must be equi-joins of the code table against broadcast LUTs:
-    # never a nested-loop scoring join, never a shuffle join
+    # ADC must be ONE equi-join of the code table against the fused
+    # broadcast LUT (m x k array per row, element_at scoring — round
+    # 10): never a nested-loop scoring join, never a shuffle join,
+    # never one exchange per sub-space
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") == 1, plan
 
 
 def test_ivfpq_plan_prunes_and_stays_equijoin(spark, sf_dir):
@@ -471,8 +473,11 @@ def test_ivfpq_plan_prunes_and_stays_equijoin(spark, sf_dir):
     release_persisted()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
-    # cell-prune join + 2 LUT joins, all broadcast equi
-    assert plan.count("BroadcastHashJoin") >= 3
+    # ONE fused cell-prune + LUT broadcast equi-join (round 10): the
+    # per-(query, cell) LUT row carries the m x k distance array, so
+    # the cell join IS the scoring join. The only other join is the
+    # encode ⋈ cell-assignment assembly on vec_id.
+    assert plan.count("BroadcastHashJoin") == 2, plan
 
 
 def test_power_iteration_finds_dominant_axis(spark):
