@@ -48,6 +48,13 @@ from sparktrends_spark.plans import profile  # noqa: E402,F401
 # algebra against a table>>batch fixture — the O(delta) shape),
 # embedding_lsh_topk -> embedding_ann_recall (the recall audit grades
 # every ANN family INCLUDING lsh as exact hit counts; lsh stays swept).
+# Round 10 (index maintenance lifecycle): embedding_ivf_index_topk ->
+# embedding_ivfpq_retrain_topk (build + frozen-quantizer append +
+# staleness probe + atomic generation retrain + serve, value-hashed
+# against the fresh-build-on-full-corpus chain). The plain persisted
+# IVF serve stays swept + plan-asserted, its serve architecture is
+# graded through the IVF-PQ persisted row, and its output quality
+# through the recall audit's ivf row; similarity keeps 6 driver rows.
 _PRIORITY_ORDER = [
     # reference-parity market core
     # (ohlcv_rollup_hourly displaced late r8 for order_status_ivm —
@@ -91,13 +98,16 @@ _PRIORITY_ORDER = [
     "corpus_curation_pipeline", "doc_importance_sample",
     # embedding similarity + clustering (north star; kmeans round 8)
     "embedding_topk",
-    "embedding_ivf_index_topk", "embedding_neardup_topk",
+    "embedding_neardup_topk",
     "embedding_kmeans",
     # round 9: the persisted residual-encoded IVF-PQ index (probe-
     # pruned serve — supersedes the in-query embedding_ivfpq_topk in
     # the window) and the per-family recall@10 audit (exact integer
-    # hit counts vs brute force, incl. the lsh row)
-    "embedding_ivfpq_index_topk", "embedding_ann_recall",
+    # hit counts vs brute force, incl. the lsh row); round 10: the
+    # index maintenance lifecycle (append-drift staleness + atomic
+    # generation retrain, displacing embedding_ivf_index_topk)
+    "embedding_ivfpq_index_topk", "embedding_ivfpq_retrain_topk",
+    "embedding_ann_recall",
     # streaming
     "stream_ohlcv_bars", "stream_doc_incremental_dedup",
     "stream_user_heavy_hitters", "stream_doc_pii_redact",

@@ -1471,6 +1471,71 @@ def q_embedding_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _ivfpq_retrain_oracle() -> str:
+    return (
+        _ivfpq_residual_with()
+        + """
+SELECT query_id, vec_id, approx_d2, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY approx_d2 ASC, vec_id ASC) AS rnk
+  FROM res_scored
+) WHERE rnk <= 3
+"""
+    )
+
+
+@query("embedding_ivfpq_retrain_topk", oracle=_ivfpq_retrain_oracle())
+def q_embedding_ivfpq_retrain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index MAINTENANCE lifecycle, end-to-end (the index twin
+    of table OPTIMIZE — `similarity/ivfpq_index.py` staleness +
+    retrain): build the persisted residual IVF-PQ index on the even
+    half, APPEND the odd half through the frozen quantizers (the
+    standard fast-ingest trade — quantizers drift off the grown
+    corpus), probe staleness (size_ratio ~2 vs the build-time meta
+    baseline), then RETRAIN: re-train coarse centroids + codebooks on
+    the current corpus from the vectors sidecar, re-encode into a new
+    generation, promote via one atomic CURRENT-pointer rename, GC
+    beyond-retention generations. Serve afterwards.
+
+    The oracle is the residual chain trained on the FULL corpus —
+    exactly what a FRESH build over all vectors produces. kmeans_fit
+    is deterministic and order-independent, so retrain landing
+    bit-identical to fresh-build is the correctness CLAIM of the
+    maintenance path, value-hashed here (the same discipline as the
+    IVM maintenance-equals-recompute fixture). Audit-class cost, like
+    embedding_ann_recall: two quantizer trainings (half + full corpus)
+    per run is the price of grading the lifecycle, not a serving
+    path."""
+    from sparktrends_spark.similarity.ivfpq_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_index_staleness,
+        ivfpq_index_topk,
+        retrain_ivfpq_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = _idx_path("ivfpq_retrain", sf_dir)
+    build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, dim=_DIM,
+        n_cells=_KM_K, m=_PQ_M, k_codes=_PQ_K, iterations=_KM_ITERS,
+        store_vectors=True,
+    )
+    append_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), idx, dim=_DIM)
+    st = ivfpq_index_staleness(spark, idx)
+    # the appended half doubled the corpus under frozen quantizers —
+    # exactly the regime the probe exists to flag
+    assert st["size_ratio"] > 1.5, st
+    info = retrain_ivfpq_index(spark, idx, dim=_DIM, iterations=_KM_ITERS)
+    assert info["n_vectors"] == st["n_now"], (info, st)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_index_topk(
+        spark, idx, queries, dim=_DIM, k_neighbors=3, nprobe=_IVF_NPROBE
+    )
+
+
 _RECALL_K = 10
 _RECALL_RERANK_C = 50
 

@@ -58,6 +58,11 @@ Reference scope note: SparkTrends has no ANN surface; engine extension
 
 from __future__ import annotations
 
+import json
+import os
+import re
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -67,6 +72,47 @@ from sparktrends_spark.operators.kmeans import (
     kmeans_fit,
 )
 from sparktrends_spark.operators.pq import Codebooks, _sub, pq_train
+
+_GEN_RE = re.compile(r"^g(\d{6})$")
+_FLAT_ARTIFACTS = ("coarse", "books", "codes", "vectors", "meta")
+
+
+def _generations(path: str) -> list[str]:
+    """Existing generation directory names under ``path``, oldest
+    first (names are zero-padded so lexicographic == numeric)."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(d for d in os.listdir(path) if _GEN_RE.match(d))
+
+
+def _read_current(path: str) -> str | None:
+    f = os.path.join(path, "CURRENT")
+    if not os.path.isfile(f):
+        return None
+    with open(f) as fh:
+        return json.load(fh)["generation"]
+
+
+def _write_current(path: str, generation: str) -> None:
+    """Atomic pointer promotion (the manifest-CAS discipline): the new
+    generation is fully written BEFORE this single rename, so a reader
+    resolving CURRENT sees either the old complete index or the new
+    complete index, never a half-written one."""
+    tmp = os.path.join(path, ".CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"generation": generation}, fh)
+    os.replace(tmp, os.path.join(path, "CURRENT"))
+
+
+def resolve_index_root(path: str) -> str:
+    """Directory holding this index's coarse/books/codes[/vectors/meta]
+    artifacts: ``path/<generation>`` once a retrain has promoted a
+    generation pointer, ``path`` itself for an index that has only
+    ever been built (legacy flat layout). Serve and append resolve
+    this ONCE per call, pinning a consistent generation for the whole
+    operation even if a retrain lands concurrently."""
+    gen = _read_current(path)
+    return os.path.join(path, gen) if gen else path
 
 
 def _cent_array(cents: dict[int, list[float]]) -> F.Column:
@@ -86,6 +132,27 @@ def _residual(vec_col: str, cell_col: str, cents: dict[int, list[float]]) -> F.C
         F.element_at(_cent_array(cents), F.col(cell_col) + 1),
         lambda a, b: a - b,
     )
+
+
+def _quant_err(books: Codebooks, dim: int, resid_col: str = "_r") -> F.Column:
+    """Per-row quantization error: sum over sub-spaces of the round-6
+    distance to the NEAREST codebook entry (identical to the ADC
+    self-distance of the row's own codes, since encoding is the same
+    argmin) — the statistic the staleness probe tracks."""
+    m = len(books)
+    sub_len = dim // m
+    total = None
+    for s in range(m):
+        d = F.array_min(
+            F.array(
+                *[
+                    _dist2(_sub(resid_col, s, sub_len), books[s][c])
+                    for c in sorted(books[s])
+                ]
+            )
+        )
+        total = d if total is None else total + d
+    return total
 
 
 def build_ivfpq_index(
@@ -116,6 +183,14 @@ def build_ivfpq_index(
     the same frame passes them instead of paying the training twice;
     the recall audit does)."""
     spark = vectors.sparkSession
+    # An overwrite-build resets the index identity: any generation
+    # pointer + generation directories from a previous retrain history
+    # must go first, or readers would keep resolving to the stale
+    # promoted generation instead of this build's flat artifacts.
+    if _read_current(path) is not None:
+        os.remove(os.path.join(path, "CURRENT"))
+    for g in _generations(path):
+        shutil.rmtree(os.path.join(path, g))
     emb = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
@@ -144,6 +219,17 @@ def build_ivfpq_index(
     _encode(resid, books, dim, id_col).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/codes")
+    # build-time staleness baseline: per-cell row count and mean
+    # quantization error (n_cells tiny rows — one extra corpus pass,
+    # marginal next to the kmeans training scans). Appends encode with
+    # frozen quantizers and deliberately do NOT touch this: the
+    # staleness probe measures drift AGAINST it.
+    resid.select(
+        "cell", _quant_err(books, dim).alias("_e")
+    ).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_e").alias("mean_err"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     if store_vectors:
         asg.select(id_col, "cell", F.col("_v").alias("_cv")).write.mode(
             "overwrite"
@@ -154,9 +240,6 @@ def build_ivfpq_index(
         # growing and refine_k would silently re-rank against vectors
         # from the WRONG corpus instead of failing. Local-path rm is
         # the deployment seam (object stores: delete the prefix).
-        import os
-        import shutil
-
         if os.path.isdir(f"{path}/vectors"):
             shutil.rmtree(f"{path}/vectors")
             spark.catalog.refreshByPath(f"{path}/vectors")
@@ -201,13 +284,15 @@ def append_ivfpq_index(
     vec_col: str = "embedding",
 ) -> None:
     """Encode a batch with the index's EXISTING quantizers and append
-    to the cell partitions. Batches must be id-disjoint from the index
-    (the caller's ingest contract, same as the IVF index append)."""
+    to the cell partitions of the CURRENT generation. Batches must be
+    id-disjoint from the index (the caller's ingest contract, same as
+    the IVF index append). The build-time ``meta`` baseline is
+    deliberately untouched — ``ivfpq_index_staleness`` measures how
+    far appended data has drifted from it."""
     spark = new_vectors.sparkSession
-    import os
-
-    cents = _load_coarse(spark, path)
-    books = _load_books(spark, path)
+    root = resolve_index_root(path)
+    cents = _load_coarse(spark, root)
+    books = _load_books(spark, root)
     emb = new_vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
@@ -215,14 +300,14 @@ def append_ivfpq_index(
     resid = asg.withColumn("_r", _residual("_v", "cell", cents))
     _encode(resid, books, dim, id_col).write.mode("append").partitionBy(
         "cell"
-    ).parquet(f"{path}/codes")
-    spark.catalog.refreshByPath(f"{path}/codes")
-    if os.path.isdir(f"{path}/vectors"):
+    ).parquet(f"{root}/codes")
+    spark.catalog.refreshByPath(f"{root}/codes")
+    if os.path.isdir(f"{root}/vectors"):
         # index was built with the refinement sidecar: keep it complete
         asg.select(id_col, "cell", F.col("_v").alias("_cv")).write.mode(
             "append"
-        ).partitionBy("cell").parquet(f"{path}/vectors")
-        spark.catalog.refreshByPath(f"{path}/vectors")
+        ).partitionBy("cell").parquet(f"{root}/vectors")
+        spark.catalog.refreshByPath(f"{root}/vectors")
 
 
 def ivfpq_index_topk(
@@ -256,8 +341,12 @@ def ivfpq_index_topk(
     ceiling at a per-query vector-read cost of refine_k rows."""
     from pyspark.sql import Window
 
-    cents = _load_coarse(spark, path)
-    books = _load_books(spark, path)
+    # pin ONE generation for the whole serve: a retrain promoting a
+    # new CURRENT mid-query cannot mix quantizer generations (the old
+    # generation's directories are retained until GC)
+    root = resolve_index_root(path)
+    cents = _load_coarse(spark, root)
+    books = _load_books(spark, root)
     m = len(books)
     sub_len = dim // m
 
@@ -282,7 +371,7 @@ def ivfpq_index_topk(
     cells = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )  # bounded: <= |queries| * nprobe
-    codes = spark.read.parquet(f"{path}/codes").filter(
+    codes = spark.read.parquet(f"{root}/codes").filter(
         F.col("cell").isin([int(c) for c in cells])
     )
 
@@ -339,7 +428,7 @@ def ivfpq_index_topk(
         .where(F.col("_rn") <= refine_k)
         .select(query_id_col, id_col)
     )
-    vecs = spark.read.parquet(f"{path}/vectors").filter(
+    vecs = spark.read.parquet(f"{root}/vectors").filter(
         F.col("cell").isin([int(c) for c in cells])
     ).select(id_col, "_cv")
     # exact round-6 L2, identical fold shape to the brute-force ground
@@ -361,3 +450,189 @@ def ivfpq_index_topk(
     return rr.withColumn("rnk", F.row_number().over(w2)).where(
         F.col("rnk") <= k_neighbors
     )
+
+
+def ivfpq_index_staleness(spark, path: str, check_error: bool = True) -> dict:
+    """Cheap maintenance probe: how far has the index drifted from its
+    quantizers' training distribution? Appends encode with FROZEN
+    coarse centroids and codebooks (correct, O(batch)), so recall
+    decays silently as appended data drifts — this is the signal a
+    maintainer watches to schedule ``retrain_ivfpq_index``, the same
+    role the stats manifest plays for table OPTIMIZE.
+
+    Reads the build-time ``meta`` baseline (per-cell count + mean
+    quantization error) and compares:
+
+    - ``size_ratio``: total rows now / at train (growth since train);
+    - ``max_cell_growth``: worst per-cell growth factor — appended
+      mass concentrating in few cells means the coarse partitioning
+      no longer balances the corpus;
+    - ``cell_skew``: max/mean of current cell sizes (serve-cost skew:
+      probing a hot cell reads disproportionate candidates);
+    - ``err_growth`` (``check_error=True``, requires the vectors
+      sidecar): mean quantization error of the CURRENT corpus under
+      the FROZEN quantizers / mean at train — the direct recall-decay
+      proxy. Costs one pass over the sidecar (no joins, no shuffle
+      beyond the n_cells-row agg); counts-only probing is
+      metadata-cheap.
+
+    Returns ``{generation, n_train, n_now, size_ratio,
+    max_cell_growth, cell_skew, err_train, err_now, err_growth,
+    cells}`` (err_* None when not checked)."""
+    root = resolve_index_root(path)
+    if not os.path.isdir(f"{root}/meta"):
+        raise ValueError(
+            f"no staleness baseline at {root}/meta — the index predates"
+            " the meta artifact; rebuild or retrain to create one"
+        )
+    meta = {
+        int(r["cell"]): (int(r["n"]), float(r["mean_err"]))
+        for r in spark.read.parquet(f"{root}/meta").collect()  # n_cells
+    }
+    now = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.read.parquet(f"{root}/codes")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # n_cells rows
+    }
+    n_train = sum(n for n, _ in meta.values())
+    n_now = sum(now.values())
+    growth = {
+        c: now.get(c, 0) / max(meta.get(c, (1, 0.0))[0], 1) for c in now
+    }
+    mean_now = n_now / max(len(now), 1)
+    out = {
+        "generation": _read_current(path) or "",
+        "n_train": n_train,
+        "n_now": n_now,
+        "size_ratio": n_now / max(n_train, 1),
+        "max_cell_growth": max(growth.values(), default=1.0),
+        "cell_skew": max(now.values(), default=0) / max(mean_now, 1e-12),
+        "err_train": None,
+        "err_now": None,
+        "err_growth": None,
+        "cells": {
+            c: {
+                "n_train": meta.get(c, (0, None))[0],
+                "n_now": now.get(c, 0),
+                "err_train": meta.get(c, (0, None))[1],
+            }
+            for c in sorted(set(meta) | set(now))
+        },
+    }
+    if check_error and os.path.isdir(f"{root}/vectors"):
+        cents = _load_coarse(spark, root)
+        books = _load_books(spark, root)
+        dim = len(next(iter(cents.values())))
+        resid = (
+            spark.read.parquet(f"{root}/vectors")
+            .withColumn("_r", _residual("_cv", "cell", cents))
+        )
+        err_now = resid.agg(
+            F.avg(_quant_err(books, dim)).alias("e")
+        ).collect()[0]["e"]
+        err_train = (
+            sum(n * e for n, e in meta.values()) / max(n_train, 1)
+        )
+        out["err_train"] = err_train
+        out["err_now"] = float(err_now)
+        out["err_growth"] = float(err_now) / max(err_train, 1e-12)
+    return out
+
+
+def retrain_ivfpq_index(
+    spark,
+    path: str,
+    dim: int,
+    iterations: int = 3,
+    n_cells: int | None = None,
+    m: int | None = None,
+    k_codes: int | None = None,
+    keep_generations: int = 2,
+    id_col: str = "vec_id",
+) -> dict:
+    """Re-train the coarse quantizer and codebooks on the CURRENT
+    corpus (read from the vectors sidecar — requires an index built
+    with ``store_vectors=True``), re-encode every vector, and promote
+    the result as a NEW GENERATION — the index twin of table OPTIMIZE:
+
+    1. train + encode + write into ``path/g<N+1>/`` (an ordinary
+       ``build_ivfpq_index`` with the sidecar as corpus — kmeans_fit
+       is deterministic and order-independent, so the result is
+       bit-identical to a fresh build over the same vectors);
+    2. atomically promote via a single ``CURRENT`` pointer rename
+       (``_write_current``): concurrent readers resolve either the old
+       complete generation or the new complete one, never a mix and
+       never a half-written index;
+    3. GC generations older than the newest ``keep_generations``
+       (default 2: current + previous, so in-flight readers pinned to
+       the pre-promotion generation finish safely — the same retention
+       contract as OPTIMIZE's ``_c`` twins).
+
+    Hyper-parameters default to the existing index's (cells / m / k
+    read from the artifacts). Single-maintainer contract (like
+    append); concurrent READERS are always safe. Returns
+    ``{generation, previous_root, n_vectors, n_cells, m, k_codes,
+    gc_removed}``."""
+    root = resolve_index_root(path)
+    if not os.path.isdir(f"{root}/vectors"):
+        raise ValueError(
+            "retrain_ivfpq_index requires the vectors sidecar "
+            f"({root}/vectors missing) — build with store_vectors=True"
+        )
+    old_coarse = _load_coarse(spark, root)
+    old_books = _load_books(spark, root)
+    n_cells = n_cells or len(old_coarse)
+    m = m or len(old_books)
+    k_codes = k_codes or len(old_books[0])
+
+    corpus = spark.read.parquet(f"{root}/vectors").select(
+        F.col(id_col), F.col("_cv").alias("embedding")
+    )
+    n_vectors = corpus.count()
+    gens = _generations(path)
+    new_gen = f"g{(int(gens[-1][1:]) if gens else 0) + 1:06d}"
+    build_ivfpq_index(
+        corpus,
+        os.path.join(path, new_gen),
+        dim=dim,
+        n_cells=n_cells,
+        m=m,
+        k_codes=k_codes,
+        iterations=iterations,
+        id_col=id_col,
+        store_vectors=True,
+    )
+    _write_current(path, new_gen)
+
+    # retention: newest keep_generations roots survive (the legacy
+    # flat layout counts as the oldest root); everything older is
+    # reclaimed — readers pinned to a reclaimed generation would fail
+    # loudly on scan, never read wrong data.
+    roots: list[str | None] = []
+    if any(os.path.isdir(os.path.join(path, a)) for a in _FLAT_ARTIFACTS):
+        roots.append(None)  # flat layout pseudo-generation
+    roots.extend(_generations(path))
+    removed = []
+    for r in roots[: -keep_generations] if keep_generations > 0 else roots:
+        if r is None:
+            for a in _FLAT_ARTIFACTS:
+                d = os.path.join(path, a)
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+            removed.append("<flat>")
+        else:
+            shutil.rmtree(os.path.join(path, r))
+            removed.append(r)
+    for sub in ("codes", "vectors", "coarse", "books", "meta"):
+        spark.catalog.refreshByPath(os.path.join(path, new_gen, sub))
+    return {
+        "generation": new_gen,
+        "previous_root": root,
+        "n_vectors": int(n_vectors),
+        "n_cells": n_cells,
+        "m": m,
+        "k_codes": k_codes,
+        "gc_removed": removed,
+    }

@@ -1,0 +1,248 @@
+"""IVF-PQ index maintenance (similarity/ivfpq_index retrain/staleness)
+and clustered-regime recall floors.
+
+The driver's synthetic embeddings are near-uniform random — PQ's
+documented WORST case (neighbor gaps below quantization error;
+tests/test_ivfpq_index.py keeps those as the adversarial ordering
+tests). Real embedding corpora are clustered with low intrinsic
+dimension; the fixture here models that favorable regime directly —
+a mixture of Gaussians whose within-cluster covariance is low-rank —
+and asserts real engineering floors at a documented production budget,
+plus the maintenance story: recall decays when appends drift off the
+frozen quantizers, staleness flags it, retrain restores it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparktrends_spark.caching import release_persisted
+from sparktrends_spark.similarity.ivfpq_index import (
+    append_ivfpq_index,
+    build_ivfpq_index,
+    ivfpq_index_staleness,
+    ivfpq_index_topk,
+    resolve_index_root,
+    retrain_ivfpq_index,
+)
+from sparktrends_spark.sources.tables import load_table
+
+_DIM, _NC, _N, _RANK = 16, 8, 1200, 3
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_persisted()
+
+
+def _mog(seed: int = 7):
+    """Deterministic clustered corpus: 8 Gaussian clusters in R^16,
+    within-cluster covariance of rank 3 (+ tiny isotropic noise) —
+    the low-intrinsic-dimension shape real embedding corpora have,
+    which is exactly where product quantization earns its keep."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-1, 1, size=(_NC, _DIM))
+    factors = rng.normal(0, 0.08, size=(_NC, _DIM, _RANK))
+    ids = np.arange(_N)
+    lab = ids % _NC
+    z = rng.normal(0, 1, size=(_N, _RANK))
+    x = (
+        centers[lab]
+        + np.einsum("ndr,nr->nd", factors[lab], z)
+        + rng.normal(0, 0.005, size=(_N, _DIM))
+    )
+    return x, lab
+
+
+def _frame(spark, x, lab, keep=None):
+    rows = [
+        (int(i), [float(v) for v in x[i]], int(lab[i]))
+        for i in range(len(x))
+        if keep is None or keep(i)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+
+
+def _ground_truth(x, qids, pool=None):
+    """Exact top-10 neighbor sets (squared L2, self excluded) over the
+    candidate pool — driver-side numpy, test-only."""
+    pool = np.arange(len(x)) if pool is None else np.asarray(pool)
+    gt = {}
+    for q in qids:
+        d2 = ((x[pool] - x[q]) ** 2).sum(-1)
+        order = pool[np.argsort(d2, kind="stable")]
+        gt[q] = set(int(j) for j in order if j != q)
+        gt[q] = set([int(j) for j in order if j != q][:10])
+    return gt
+
+
+def _recall(spark, idx, x, qids, gt, nprobe=2, **serve_kwargs) -> float:
+    queries = spark.createDataFrame(
+        [(int(q), [float(v) for v in x[q]]) for q in qids],
+        "query_id bigint, embedding array<double>",
+    )
+    got: dict[int, set[int]] = {}
+    for r in ivfpq_index_topk(
+        spark, idx, queries, dim=_DIM, k_neighbors=10, nprobe=nprobe,
+        **serve_kwargs,
+    ).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    release_persisted()
+    return sum(len(got.get(q, set()) & gt[q]) for q in qids) / (10 * len(qids))
+
+
+def test_clustered_recall_floors(spark, tmp_path):
+    """Production-budget engineering floors in the favorable regime
+    (r9 VERDICT ask): at m=8 sub-spaces x k=32 codes (40 bits/vector),
+    nprobe=2 of 8 cells, the residual-encoded persisted index delivers
+    recall@10 >= 0.8 on ADC scores alone and ~1.0 after exact re-rank
+    of the top-50 shortlist (measured 0.856 / 1.000 on this fixture).
+    The uniform-corpus tests in test_ivfpq_index.py remain the
+    adversarial case (floors 0.1-0.4 by design); the budget ladder is
+    recorded in BENCH_NOTES.md."""
+    x, lab = _mog()
+    df = _frame(spark, x, lab)
+    qids = list(range(16))
+    gt = _ground_truth(x, qids)
+    idx = str(tmp_path / "prod")
+    build_ivfpq_index(
+        df, idx, dim=_DIM, n_cells=_NC, m=8, k_codes=32, iterations=3,
+        store_vectors=True,
+    )
+    res = _recall(spark, idx, x, qids, gt)
+    rerank = _recall(spark, idx, x, qids, gt, refine_k=50)
+    assert res >= 0.80, res
+    assert rerank >= 0.95, rerank
+    assert rerank >= res
+
+
+def test_recall_decay_staleness_and_retrain_restore(spark, tmp_path):
+    """The maintenance lifecycle end-to-end: build on clusters 0-5
+    only, append clusters 6-7 through the FROZEN quantizers (the
+    drifted-ingest regime — new regions have no coarse cell and huge
+    residuals), and observe (a) recall for drifted-region queries
+    decays well below the fresh-build level, (b) the staleness probe
+    flags it (size growth concentrated in few cells + quantization-
+    error growth), (c) retrain restores recall to the
+    trained-on-everything level and resets the staleness baseline."""
+    x, lab = _mog()
+    df_old = _frame(spark, x, lab, keep=lambda i: lab[i] < 6)
+    df_new = _frame(spark, x, lab, keep=lambda i: lab[i] >= 6)
+    # queries from the drifted region, ground truth over the FULL corpus
+    qids = [int(i) for i in np.where(lab >= 6)[0][:12]]
+    gt = _ground_truth(x, qids)
+
+    idx = str(tmp_path / "drift")
+    build_ivfpq_index(
+        df_old, idx, dim=_DIM, n_cells=_NC, m=4, k_codes=16, iterations=3,
+        store_vectors=True,
+    )
+    st0 = ivfpq_index_staleness(spark, idx)
+    assert 0.99 <= st0["size_ratio"] <= 1.01, st0
+    assert 0.9 <= st0["err_growth"] <= 1.1, st0
+
+    append_ivfpq_index(df_new, idx, dim=_DIM)
+    stale = ivfpq_index_staleness(spark, idx)
+    # a third of the corpus arrived after training, concentrated in
+    # the (few) cells nearest the unseen clusters, quantized with
+    # residuals the codebooks never saw
+    assert stale["size_ratio"] > 1.2, stale
+    assert stale["max_cell_growth"] > stale["size_ratio"], stale
+    assert stale["err_growth"] > 1.5, stale
+    decayed = _recall(spark, idx, x, qids, gt)
+
+    info = retrain_ivfpq_index(spark, idx, dim=_DIM, iterations=3)
+    assert info["generation"] == "g000001"
+    assert info["n_vectors"] == _N
+    restored = _recall(spark, idx, x, qids, gt)
+    assert restored > decayed + 0.2, (decayed, restored)
+    st1 = ivfpq_index_staleness(spark, idx)
+    assert 0.99 <= st1["size_ratio"] <= 1.01, st1
+    assert 0.9 <= st1["err_growth"] <= 1.1, st1
+
+    # retrain == fresh build over the same corpus (kmeans_fit is
+    # deterministic and order-independent)
+    fresh = str(tmp_path / "fresh")
+    build_ivfpq_index(
+        _frame(spark, x, lab), fresh, dim=_DIM, n_cells=_NC, m=4,
+        k_codes=16, iterations=3, store_vectors=True,
+    )
+    assert abs(_recall(spark, fresh, x, qids, gt) - restored) < 1e-12
+
+
+def test_retrain_generations_pin_readers_and_gc(spark, sf_dir, tmp_path):
+    """Atomic promotion + retention: a serve plan built BEFORE a
+    retrain stays pinned to its generation — its FIRST execution after
+    the promotion still reads its own (retained) complete generation;
+    new serves resolve the new generation; a second retrain GCs the
+    oldest root; an overwrite-build resets the generation history."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "gen")
+    build_ivfpq_index(emb, idx, dim=64, store_vectors=True)
+    assert resolve_index_root(idx) == idx  # legacy flat layout
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = sorted(
+        map(
+            tuple,
+            ivfpq_index_topk(
+                spark, idx, queries, dim=64, k_neighbors=3
+            ).collect(),
+        )
+    )
+    release_persisted()
+    # pinned plan: resolves the flat root NOW, first executed only
+    # AFTER the retrain below promotes g000001 — its scan must read
+    # the retained flat generation, not error and not mix generations
+    pinned = ivfpq_index_topk(spark, idx, queries, dim=64, k_neighbors=3)
+
+    info1 = retrain_ivfpq_index(spark, idx, dim=64)
+    assert info1["generation"] == "g000001"
+    assert resolve_index_root(idx) == os.path.join(idx, "g000001")
+    # flat root retained (keep_generations=2)
+    assert os.path.isdir(os.path.join(idx, "codes"))
+    assert sorted(map(tuple, pinned.collect())) == before
+    release_persisted()
+    # the retrained corpus is unchanged, so the new generation serves
+    # the same answers (deterministic quantizers)
+    after = sorted(
+        map(
+            tuple,
+            ivfpq_index_topk(
+                spark, idx, queries, dim=64, k_neighbors=3
+            ).collect(),
+        )
+    )
+    assert after == before
+    release_persisted()
+
+    info2 = retrain_ivfpq_index(spark, idx, dim=64)
+    assert info2["generation"] == "g000002"
+    assert info2["gc_removed"] == ["<flat>"]
+    assert not os.path.isdir(os.path.join(idx, "codes"))
+    assert os.path.isdir(os.path.join(idx, "g000001"))
+    assert os.path.isdir(os.path.join(idx, "g000002"))
+    # a reclaimed root is GONE — a reader trying to re-list it fails
+    # loudly rather than silently reading stale or mixed data
+    with pytest.raises(Exception):
+        spark.read.parquet(os.path.join(idx, "codes")).collect()
+    release_persisted()
+
+    # a fresh OVERWRITE build resets the generation history entirely
+    build_ivfpq_index(emb, idx, dim=64)
+    assert resolve_index_root(idx) == idx
+    assert not os.path.exists(os.path.join(idx, "CURRENT"))
+    assert not os.path.isdir(os.path.join(idx, "g000001"))
+    rows = ivfpq_index_topk(
+        spark, idx, queries, dim=64, k_neighbors=3
+    ).collect()
+    release_persisted()
+    assert len(rows) == 9
