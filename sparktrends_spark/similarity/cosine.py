@@ -588,7 +588,17 @@ def build_ivf_index(
     vectors carry a different element type (e.g. float built, double
     appended) would land mixed-typed parquet files in the same cell
     directories, and whether a later read survives depends on which
-    file schema-inference picks — a silently poisoned index."""
+    file schema-inference picks — a silently poisoned index.
+
+    Also persists ``path/meta`` — per-cell row count and mean round-6
+    cosine to the assigned centroid at BUILD time, the staleness
+    baseline ``ivf_index_staleness`` compares against (appends through
+    the frozen centroids deliberately do not touch it)."""
+    from sparktrends_spark.similarity.generations import reset_generations
+
+    # an overwrite-build resets any previous retrain history (pointer
+    # + generation dirs), or readers would resolve a stale generation
+    reset_generations(path)
     cent = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
     cent_n = cent.select(
         "cell",
@@ -607,10 +617,14 @@ def build_ivf_index(
         F.col("_v").cast("array<double>").alias("_cv"),
         F.col("_nv").alias("_nc"),
         _best_cell()["cell"].alias("cell"),
+        _best_cell()["sim"].alias("_sim"),
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/vectors"
-    )
+    assigned.drop("_sim").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/vectors")
+    assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("_sim").alias("mean_sim")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def append_ivf_index(
@@ -635,13 +649,16 @@ def append_ivf_index(
     so a batch with a different element type — e.g. an index receiving
     vectors promoted to double by an upstream transform — can never
     land mixed-typed files in a cell directory."""
+    from sparktrends_spark.similarity.generations import resolve_root
+
     spark = new_vectors.sparkSession
+    root = resolve_root(path)
     try:
-        stored = spark.read.parquet(f"{path}/vectors").schema["_cv"].dataType
+        stored = spark.read.parquet(f"{root}/vectors").schema["_cv"].dataType
         elem = stored.elementType.simpleString()
     except Exception:
         elem = "double"
-    cent_row = spark.read.parquet(f"{path}/centroids").agg(
+    cent_row = spark.read.parquet(f"{root}/centroids").agg(
         F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents")
     )
     assigned = _with_cell_sims(
@@ -653,9 +670,9 @@ def append_ivf_index(
         _best_cell()["cell"].alias("cell"),
     )
     assigned.write.mode("append").partitionBy("cell").parquet(
-        f"{path}/vectors"
+        f"{root}/vectors"
     )
-    spark.catalog.refreshByPath(f"{path}/vectors")
+    spark.catalog.refreshByPath(f"{root}/vectors")
 
 
 def ivf_index_topk(
@@ -675,8 +692,13 @@ def ivf_index_topk(
     as a STATIC partition filter, so the scan provably touches only
     probed cell directories (PartitionFilters in the plan, asserted in
     tests); the per-query probe join then restricts scoring within
-    them. Results are identical to ivf_topk over the same corpus."""
-    cent_row = spark.read.parquet(f"{path}/centroids").agg(
+    them. Results are identical to ivf_topk over the same corpus.
+    Resolves the generation pointer ONCE, pinning a consistent
+    generation for the whole serve (see similarity/generations.py)."""
+    from sparktrends_spark.similarity.generations import resolve_root
+
+    root = resolve_root(path)
+    cent_row = spark.read.parquet(f"{root}/centroids").agg(
         F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents")
     )
     probe_cells = sorted(
@@ -689,13 +711,142 @@ def ivf_index_topk(
         .distinct()
         .collect()
     )
-    assigned = spark.read.parquet(f"{path}/vectors").filter(
+    assigned = spark.read.parquet(f"{root}/vectors").filter(
         F.col("cell").isin(probe_cells)
     )
     return _rank_probed(
         assigned, queries, cent_row, k, nprobe,
         query_id, cand_id, vec_col, round_digits,
     )
+
+
+def ivf_index_staleness(spark, path: str, check_sim: bool = True) -> dict:
+    """Staleness probe for the persisted IVF index — the counts-and-
+    similarity twin of ``ivfpq_index_staleness``: per-cell size growth
+    and skew vs the build-time ``meta`` baseline, plus (``check_sim``)
+    the drop in mean cosine-to-assigned-centroid — appended vectors
+    assigned through FROZEN centroids sit farther from them as the
+    distribution drifts, which is exactly when probing nprobe cells
+    starts missing true neighbors. ``sim_drop`` is an absolute
+    difference (cosine means can sit near zero, where ratios
+    mislead). Counts are metadata-cheap; the sim check is one pass
+    over the stored vectors (no joins)."""
+    from sparktrends_spark.similarity.generations import (
+        read_current,
+        resolve_root,
+    )
+
+    root = resolve_root(path)
+    import os
+
+    if not os.path.isdir(f"{root}/meta"):
+        raise ValueError(
+            f"no staleness baseline at {root}/meta — rebuild or retrain"
+            " to create one"
+        )
+    meta = {
+        int(r["cell"]): (int(r["n"]), float(r["mean_sim"]))
+        for r in spark.read.parquet(f"{root}/meta").collect()  # n_cells
+    }
+    now = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.read.parquet(f"{root}/vectors")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # n_cells rows
+    }
+    n_train = sum(n for n, _ in meta.values())
+    n_now = sum(now.values())
+    growth = {
+        c: now.get(c, 0) / max(meta.get(c, (1, 0.0))[0], 1) for c in now
+    }
+    out = {
+        "generation": read_current(path) or "",
+        "n_train": n_train,
+        "n_now": n_now,
+        "size_ratio": n_now / max(n_train, 1),
+        "max_cell_growth": max(growth.values(), default=1.0),
+        "cell_skew": max(now.values(), default=0)
+        / max(n_now / max(len(now), 1), 1e-12),
+        "sim_train": None,
+        "sim_now": None,
+        "sim_drop": None,
+    }
+    if check_sim:
+        cent_row = spark.read.parquet(f"{root}/centroids").agg(
+            F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents")
+        )
+        stored = spark.read.parquet(f"{root}/vectors").select(
+            F.col("cell").alias("_acell"), F.col("_cv").alias("embedding")
+        )
+        sims = _with_cell_sims(stored, "_acell", cent_row, "embedding", 6)
+        sim_now = sims.select(
+            F.avg(
+                F.filter(
+                    "_sims", lambda s: s["cell"] == F.col("_acell")
+                )[0]["sim"]
+            ).alias("s")
+        ).collect()[0]["s"]
+        sim_train = sum(n * s for n, s in meta.values()) / max(n_train, 1)
+        out["sim_train"] = sim_train
+        out["sim_now"] = float(sim_now)
+        out["sim_drop"] = sim_train - float(sim_now)
+    return out
+
+
+def retrain_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    label_col: str = "label",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    keep_generations: int = 2,
+) -> dict:
+    """Rebuild the persisted IVF index on the CURRENT corpus without
+    disrupting readers — the generation-pointer discipline shared with
+    ``retrain_ivfpq_index`` (similarity/generations.py): build a
+    complete new index under ``path/g<N+1>/``, promote it with one
+    atomic CURRENT rename, retain the previous root for in-flight
+    readers, GC older ones.
+
+    Unlike the IVF-PQ retrain, the corpus comes from the CALLER: this
+    index's coarse quantizer is label-supervised (``label_centroids``)
+    and the stored sidecar carries assignments, not labels — so the
+    maintainer hands in the labeled source of truth, exactly as at
+    build time. Deterministic: serving the retrained index over an
+    unchanged corpus is bit-identical to serving a fresh build."""
+    import os
+
+    from sparktrends_spark.similarity.generations import (
+        gc_generations,
+        next_generation,
+        resolve_root,
+        write_current,
+    )
+
+    spark = vectors.sparkSession
+    previous = resolve_root(path)
+    new_gen = next_generation(path)
+    build_ivf_index(
+        vectors,
+        os.path.join(path, new_gen),
+        label_col=label_col,
+        cand_id=cand_id,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    )
+    write_current(path, new_gen)
+    removed = gc_generations(
+        path, ("centroids", "vectors", "meta"), keep_generations
+    )
+    for sub in ("centroids", "vectors", "meta"):
+        spark.catalog.refreshByPath(os.path.join(path, new_gen, sub))
+    return {
+        "generation": new_gen,
+        "previous_root": previous,
+        "gc_removed": removed,
+    }
 
 
 def lsh_topk(

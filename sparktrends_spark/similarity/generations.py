@@ -1,0 +1,104 @@
+"""Generation-pointer layout for persisted ANN indexes — the
+manifest-CAS discipline (sources/optimize.py) applied to index
+maintenance, shared by the IVF (similarity/cosine.py) and IVF-PQ
+(similarity/ivfpq_index.py) persisted indexes.
+
+An index lives at ``path``. A freshly built index is FLAT: artifact
+directories (centroids/codes/vectors/...) sit directly under ``path``.
+A retrain writes a complete new index into ``path/g<NNNNNN>/`` and
+then promotes it with ONE atomic rename of the ``CURRENT`` pointer
+file — readers resolve the pointer once per operation, pinning a
+consistent generation for the whole serve even if a retrain lands
+concurrently; they can never observe a half-written index or mix
+quantizer generations. Retention keeps the newest N roots (default 2:
+current + previous, so in-flight readers pinned pre-promotion finish
+safely); older roots are reclaimed — a reader pinned to a reclaimed
+root fails loudly on scan, never reads stale data silently.
+
+Single-maintainer contract (like append); concurrent readers are
+always safe. Local-filesystem rename is the deployment seam — on an
+object store the pointer becomes a conditional-put manifest object.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+_GEN_RE = re.compile(r"^g(\d{6})$")
+
+
+def generations(path: str) -> list[str]:
+    """Existing generation directory names under ``path``, oldest
+    first (names are zero-padded so lexicographic == numeric)."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(d for d in os.listdir(path) if _GEN_RE.match(d))
+
+
+def read_current(path: str) -> str | None:
+    f = os.path.join(path, "CURRENT")
+    if not os.path.isfile(f):
+        return None
+    with open(f) as fh:
+        return json.load(fh)["generation"]
+
+
+def write_current(path: str, generation: str) -> None:
+    """Atomic pointer promotion: the new generation is fully written
+    BEFORE this single rename, so a reader resolving CURRENT sees
+    either the old complete index or the new complete one."""
+    tmp = os.path.join(path, ".CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"generation": generation}, fh)
+    os.replace(tmp, os.path.join(path, "CURRENT"))
+
+
+def resolve_root(path: str) -> str:
+    """Directory holding the index artifacts for the CURRENT
+    generation: ``path/<generation>`` once a retrain has promoted a
+    pointer, ``path`` itself for a flat (only-ever-built) index."""
+    gen = read_current(path)
+    return os.path.join(path, gen) if gen else path
+
+
+def next_generation(path: str) -> str:
+    gens = generations(path)
+    return f"g{(int(gens[-1][1:]) if gens else 0) + 1:06d}"
+
+
+def reset_generations(path: str) -> None:
+    """An overwrite-build resets the index identity: drop the pointer
+    and every generation directory so readers resolve the fresh flat
+    artifacts, not a stale promoted generation."""
+    if read_current(path) is not None:
+        os.remove(os.path.join(path, "CURRENT"))
+    for g in generations(path):
+        shutil.rmtree(os.path.join(path, g))
+
+
+def gc_generations(
+    path: str, flat_artifacts: tuple[str, ...], keep: int
+) -> list[str]:
+    """Reclaim roots older than the newest ``keep`` (the legacy flat
+    layout counts as the oldest root). Returns what was removed
+    (``"<flat>"`` for the flat artifacts)."""
+    roots: list[str | None] = []
+    if any(os.path.isdir(os.path.join(path, a)) for a in flat_artifacts):
+        roots.append(None)
+    roots.extend(generations(path))
+    removed: list[str] = []
+    doomed = roots[:-keep] if keep > 0 else roots
+    for r in doomed:
+        if r is None:
+            for a in flat_artifacts:
+                d = os.path.join(path, a)
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+            removed.append("<flat>")
+        else:
+            shutil.rmtree(os.path.join(path, r))
+            removed.append(r)
+    return removed

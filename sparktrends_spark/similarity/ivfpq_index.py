@@ -58,9 +58,7 @@ Reference scope note: SparkTrends has no ANN surface; engine extension
 
 from __future__ import annotations
 
-import json
 import os
-import re
 import shutil
 
 from pyspark.sql import DataFrame
@@ -72,47 +70,16 @@ from sparktrends_spark.operators.kmeans import (
     kmeans_fit,
 )
 from sparktrends_spark.operators.pq import Codebooks, _sub, pq_train
+from sparktrends_spark.similarity.generations import (
+    gc_generations,
+    next_generation,
+    read_current as _read_current,
+    reset_generations,
+    resolve_root as resolve_index_root,
+    write_current as _write_current,
+)
 
-_GEN_RE = re.compile(r"^g(\d{6})$")
 _FLAT_ARTIFACTS = ("coarse", "books", "codes", "vectors", "meta")
-
-
-def _generations(path: str) -> list[str]:
-    """Existing generation directory names under ``path``, oldest
-    first (names are zero-padded so lexicographic == numeric)."""
-    if not os.path.isdir(path):
-        return []
-    return sorted(d for d in os.listdir(path) if _GEN_RE.match(d))
-
-
-def _read_current(path: str) -> str | None:
-    f = os.path.join(path, "CURRENT")
-    if not os.path.isfile(f):
-        return None
-    with open(f) as fh:
-        return json.load(fh)["generation"]
-
-
-def _write_current(path: str, generation: str) -> None:
-    """Atomic pointer promotion (the manifest-CAS discipline): the new
-    generation is fully written BEFORE this single rename, so a reader
-    resolving CURRENT sees either the old complete index or the new
-    complete index, never a half-written one."""
-    tmp = os.path.join(path, ".CURRENT.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"generation": generation}, fh)
-    os.replace(tmp, os.path.join(path, "CURRENT"))
-
-
-def resolve_index_root(path: str) -> str:
-    """Directory holding this index's coarse/books/codes[/vectors/meta]
-    artifacts: ``path/<generation>`` once a retrain has promoted a
-    generation pointer, ``path`` itself for an index that has only
-    ever been built (legacy flat layout). Serve and append resolve
-    this ONCE per call, pinning a consistent generation for the whole
-    operation even if a retrain lands concurrently."""
-    gen = _read_current(path)
-    return os.path.join(path, gen) if gen else path
 
 
 def _cent_array(cents: dict[int, list[float]]) -> F.Column:
@@ -187,10 +154,7 @@ def build_ivfpq_index(
     # pointer + generation directories from a previous retrain history
     # must go first, or readers would keep resolving to the stale
     # promoted generation instead of this build's flat artifacts.
-    if _read_current(path) is not None:
-        os.remove(os.path.join(path, "CURRENT"))
-    for g in _generations(path):
-        shutil.rmtree(os.path.join(path, g))
+    reset_generations(path)
     emb = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
@@ -591,8 +555,7 @@ def retrain_ivfpq_index(
         F.col(id_col), F.col("_cv").alias("embedding")
     )
     n_vectors = corpus.count()
-    gens = _generations(path)
-    new_gen = f"g{(int(gens[-1][1:]) if gens else 0) + 1:06d}"
+    new_gen = next_generation(path)
     build_ivfpq_index(
         corpus,
         os.path.join(path, new_gen),
@@ -610,21 +573,7 @@ def retrain_ivfpq_index(
     # flat layout counts as the oldest root); everything older is
     # reclaimed — readers pinned to a reclaimed generation would fail
     # loudly on scan, never read wrong data.
-    roots: list[str | None] = []
-    if any(os.path.isdir(os.path.join(path, a)) for a in _FLAT_ARTIFACTS):
-        roots.append(None)  # flat layout pseudo-generation
-    roots.extend(_generations(path))
-    removed = []
-    for r in roots[: -keep_generations] if keep_generations > 0 else roots:
-        if r is None:
-            for a in _FLAT_ARTIFACTS:
-                d = os.path.join(path, a)
-                if os.path.isdir(d):
-                    shutil.rmtree(d)
-            removed.append("<flat>")
-        else:
-            shutil.rmtree(os.path.join(path, r))
-            removed.append(r)
+    removed = gc_generations(path, _FLAT_ARTIFACTS, keep_generations)
     for sub in ("codes", "vectors", "coarse", "books", "meta"):
         spark.catalog.refreshByPath(os.path.join(path, new_gen, sub))
     return {

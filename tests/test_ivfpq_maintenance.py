@@ -177,6 +177,57 @@ def test_recall_decay_staleness_and_retrain_restore(spark, tmp_path):
     assert abs(_recall(spark, fresh, x, qids, gt) - restored) < 1e-12
 
 
+def test_ivf_index_retrain_and_staleness(spark, sf_dir, tmp_path):
+    """The plain persisted IVF index gets the same maintenance story
+    (shared similarity/generations.py): counts+similarity staleness
+    probe against the build-time meta, and a caller-supplied-corpus
+    retrain (its coarse quantizer is label-supervised — the sidecar
+    carries assignments, not labels) promoted by the atomic CURRENT
+    pointer. Retrained serve == fresh-build serve bit-exactly."""
+    from sparktrends_spark.similarity.cosine import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_staleness,
+        ivf_index_topk,
+        retrain_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter("vec_id % 2 = 0"), idx)
+    st0 = ivf_index_staleness(spark, idx)
+    assert 0.99 <= st0["size_ratio"] <= 1.01, st0
+    assert abs(st0["sim_drop"]) < 1e-6, st0
+
+    append_ivf_index(emb.filter("vec_id % 2 = 1"), idx)
+    st1 = ivf_index_staleness(spark, idx)
+    # the corpus doubled through frozen centroids; even same-
+    # distribution appends sit measurably farther from centroids
+    # trained without them
+    assert st1["size_ratio"] > 1.9, st1
+    assert st1["sim_drop"] > 0, st1
+
+    info = retrain_ivf_index(emb, idx)
+    assert info["generation"] == "g000001"
+    assert resolve_index_root(idx) == os.path.join(idx, "g000001")
+    served = sorted(
+        map(tuple, ivf_index_topk(spark, idx, q, k=3, nprobe=1).collect())
+    )
+    release_persisted()
+    fresh = str(tmp_path / "fresh")
+    build_ivf_index(emb, fresh)
+    assert served == sorted(
+        map(tuple, ivf_index_topk(spark, fresh, q, k=3, nprobe=1).collect())
+    )
+    release_persisted()
+    st2 = ivf_index_staleness(spark, idx)
+    assert 0.99 <= st2["size_ratio"] <= 1.01, st2
+    assert abs(st2["sim_drop"]) < 1e-6, st2
+
+
 def test_retrain_generations_pin_readers_and_gc(spark, sf_dir, tmp_path):
     """Atomic promotion + retention: a serve plan built BEFORE a
     retrain stays pinned to its generation — its FIRST execution after
