@@ -648,11 +648,27 @@ def append_ivf_index(
     ``build_ivf_index``; whatever a legacy index carries otherwise),
     so a batch with a different element type — e.g. an index receiving
     vectors promoted to double by an upstream transform — can never
-    land mixed-typed files in a cell directory."""
-    from sparktrends_spark.similarity.generations import resolve_root
+    land mixed-typed files in a cell directory.
+
+    Holds the index maintenance lock for the whole append (an append
+    racing a retrain promotion would land in the superseded generation
+    and be lost at GC — see ``generations.maintenance_lock``)."""
+    from sparktrends_spark.similarity.generations import (
+        maintenance_lock,
+        resolve_root,
+    )
 
     spark = new_vectors.sparkSession
-    root = resolve_root(path)
+    with maintenance_lock(path):
+        _append_ivf_locked(
+            spark, new_vectors, resolve_root(path), cand_id, vec_col,
+            round_digits,
+        )
+
+
+def _append_ivf_locked(
+    spark, new_vectors, root, cand_id, vec_col, round_digits
+) -> None:
     try:
         stored = spark.read.parquet(f"{root}/vectors").schema["_cv"].dataType
         elem = stored.elementType.simpleString()
@@ -815,31 +831,36 @@ def retrain_ivf_index(
     and the stored sidecar carries assignments, not labels — so the
     maintainer hands in the labeled source of truth, exactly as at
     build time. Deterministic: serving the retrained index over an
-    unchanged corpus is bit-identical to serving a fresh build."""
+    unchanged corpus is bit-identical to serving a fresh build. Holds
+    the index maintenance lock (serializes against concurrent appends,
+    which would otherwise land in the superseded generation and be
+    lost at GC); readers never take it."""
     import os
 
     from sparktrends_spark.similarity.generations import (
         gc_generations,
+        maintenance_lock,
         next_generation,
         resolve_root,
         write_current,
     )
 
     spark = vectors.sparkSession
-    previous = resolve_root(path)
-    new_gen = next_generation(path)
-    build_ivf_index(
-        vectors,
-        os.path.join(path, new_gen),
-        label_col=label_col,
-        cand_id=cand_id,
-        vec_col=vec_col,
-        round_digits=round_digits,
-    )
-    write_current(path, new_gen)
-    removed = gc_generations(
-        path, ("centroids", "vectors", "meta"), keep_generations
-    )
+    with maintenance_lock(path):
+        previous = resolve_root(path)
+        new_gen = next_generation(path)
+        build_ivf_index(
+            vectors,
+            os.path.join(path, new_gen),
+            label_col=label_col,
+            cand_id=cand_id,
+            vec_col=vec_col,
+            round_digits=round_digits,
+        )
+        write_current(path, new_gen)
+        removed = gc_generations(
+            path, ("centroids", "vectors", "meta"), keep_generations
+        )
     for sub in ("centroids", "vectors", "meta"):
         spark.catalog.refreshByPath(os.path.join(path, new_gen, sub))
     return {

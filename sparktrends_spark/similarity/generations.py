@@ -22,12 +22,54 @@ object store the pointer becomes a conditional-put manifest object.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
 import shutil
+import time
 
 _GEN_RE = re.compile(r"^g(\d{6})$")
+
+
+@contextlib.contextmanager
+def maintenance_lock(path: str, timeout_s: float = 600.0):
+    """Mutual exclusion for index WRITERS (append vs retrain — the
+    manifest-lock discipline from streaming/sinks.py applied to the
+    index): an append that resolves the root and then races a retrain
+    promotion would land its batch in the SUPERSEDED generation —
+    correct at write time but silently lost once that root is GC'd.
+    Serializing the two writers closes that window; READERS never take
+    the lock (generation pinning already makes them safe).
+
+    O_CREAT|O_EXCL lock file under ``path`` — the local-filesystem
+    stand-in for a log-commit conditional put. A crashed holder leaves
+    a stale lock; callers time out with the path in the error rather
+    than silently proceeding into a lost-batch interleaving. The
+    default timeout is retrain-sized (quantizer training takes
+    minutes at scale)."""
+    os.makedirs(path, exist_ok=True)
+    lock_path = os.path.join(path, ".maintenance.lock")
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"{lock_path}: index maintenance lock held for"
+                    f" >{timeout_s}s — a concurrent append/retrain is"
+                    " stuck or crashed; remove the lock file after"
+                    " verifying no maintenance job is running"
+                ) from None
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        os.close(fd)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lock_path)
 
 
 def generations(path: str) -> list[str]:

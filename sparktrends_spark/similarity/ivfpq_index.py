@@ -72,6 +72,7 @@ from sparktrends_spark.operators.kmeans import (
 from sparktrends_spark.operators.pq import Codebooks, _sub, pq_train
 from sparktrends_spark.similarity.generations import (
     gc_generations,
+    maintenance_lock,
     next_generation,
     read_current as _read_current,
     reset_generations,
@@ -246,32 +247,39 @@ def append_ivfpq_index(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lock_timeout_s: float = 600.0,
 ) -> None:
     """Encode a batch with the index's EXISTING quantizers and append
     to the cell partitions of the CURRENT generation. Batches must be
     id-disjoint from the index (the caller's ingest contract, same as
     the IVF index append). The build-time ``meta`` baseline is
     deliberately untouched — ``ivfpq_index_staleness`` measures how
-    far appended data has drifted from it."""
+    far appended data has drifted from it.
+
+    Holds the index maintenance lock for the whole append: an append
+    racing a retrain promotion would land its batch in the superseded
+    generation and silently lose it at GC (see
+    ``generations.maintenance_lock``)."""
     spark = new_vectors.sparkSession
-    root = resolve_index_root(path)
-    cents = _load_coarse(spark, root)
-    books = _load_books(spark, root)
-    emb = new_vectors.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    )
-    asg = assign_clusters(emb, cents, vec_col="_v", out_col="cell")
-    resid = asg.withColumn("_r", _residual("_v", "cell", cents))
-    _encode(resid, books, dim, id_col).write.mode("append").partitionBy(
-        "cell"
-    ).parquet(f"{root}/codes")
-    spark.catalog.refreshByPath(f"{root}/codes")
-    if os.path.isdir(f"{root}/vectors"):
-        # index was built with the refinement sidecar: keep it complete
-        asg.select(id_col, "cell", F.col("_v").alias("_cv")).write.mode(
-            "append"
-        ).partitionBy("cell").parquet(f"{root}/vectors")
-        spark.catalog.refreshByPath(f"{root}/vectors")
+    with maintenance_lock(path, lock_timeout_s):
+        root = resolve_index_root(path)
+        cents = _load_coarse(spark, root)
+        books = _load_books(spark, root)
+        emb = new_vectors.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        asg = assign_clusters(emb, cents, vec_col="_v", out_col="cell")
+        resid = asg.withColumn("_r", _residual("_v", "cell", cents))
+        _encode(resid, books, dim, id_col).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(f"{root}/codes")
+        spark.catalog.refreshByPath(f"{root}/codes")
+        if os.path.isdir(f"{root}/vectors"):
+            # built with the refinement sidecar: keep it complete
+            asg.select(id_col, "cell", F.col("_v").alias("_cv")).write.mode(
+                "append"
+            ).partitionBy("cell").parquet(f"{root}/vectors")
+            spark.catalog.refreshByPath(f"{root}/vectors")
 
 
 def ivfpq_index_topk(
@@ -515,6 +523,7 @@ def retrain_ivfpq_index(
     k_codes: int | None = None,
     keep_generations: int = 2,
     id_col: str = "vec_id",
+    lock_timeout_s: float = 600.0,
 ) -> dict:
     """Re-train the coarse quantizer and codebooks on the CURRENT
     corpus (read from the vectors sidecar — requires an index built
@@ -535,10 +544,23 @@ def retrain_ivfpq_index(
        contract as OPTIMIZE's ``_c`` twins).
 
     Hyper-parameters default to the existing index's (cells / m / k
-    read from the artifacts). Single-maintainer contract (like
-    append); concurrent READERS are always safe. Returns
-    ``{generation, previous_root, n_vectors, n_cells, m, k_codes,
-    gc_removed}``."""
+    read from the artifacts). Holds the index maintenance lock for the
+    whole retrain — serializing against concurrent appends, whose
+    batches would otherwise land in the superseded generation and be
+    silently lost at GC; concurrent READERS are always safe and never
+    take the lock. Returns ``{generation, previous_root, n_vectors,
+    n_cells, m, k_codes, gc_removed}``."""
+    with maintenance_lock(path, lock_timeout_s):
+        return _retrain_ivfpq_locked(
+            spark, path, dim, iterations, n_cells, m, k_codes,
+            keep_generations, id_col,
+        )
+
+
+def _retrain_ivfpq_locked(
+    spark, path, dim, iterations, n_cells, m, k_codes,
+    keep_generations, id_col,
+) -> dict:
     root = resolve_index_root(path)
     if not os.path.isdir(f"{root}/vectors"):
         raise ValueError(

@@ -177,6 +177,47 @@ def test_recall_decay_staleness_and_retrain_restore(spark, tmp_path):
     assert abs(_recall(spark, fresh, x, qids, gt) - restored) < 1e-12
 
 
+def test_maintenance_lock_serializes_writers(spark, sf_dir, tmp_path):
+    """Append vs retrain must serialize: an append that resolves the
+    root and then races a retrain promotion lands its batch in the
+    superseded generation — correct at write time, silently LOST once
+    that root is GC'd. Both writers take the index maintenance lock
+    (generations.maintenance_lock); a blocked writer times out loudly
+    instead of proceeding into the lost-batch interleaving. Readers
+    never take it."""
+    from sparktrends_spark.similarity.generations import maintenance_lock
+
+    p = str(tmp_path / "lk")
+    with maintenance_lock(p):
+        with pytest.raises(TimeoutError):
+            with maintenance_lock(p, timeout_s=0.2):
+                pass
+    with maintenance_lock(p, timeout_s=0.2):
+        pass  # released -> reacquirable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(emb.filter("vec_id % 2 = 0"), idx, dim=64)
+    with maintenance_lock(idx):
+        with pytest.raises(TimeoutError):
+            append_ivfpq_index(
+                emb.filter("vec_id % 2 = 1"), idx, dim=64,
+                lock_timeout_s=0.2,
+            )
+    # lock released: the same append succeeds and nothing was lost
+    append_ivfpq_index(emb.filter("vec_id % 2 = 1"), idx, dim=64)
+    assert spark.read.parquet(f"{idx}/codes").count() == emb.count()
+    # serving never takes the lock: serve while a writer holds it
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with maintenance_lock(idx):
+        rows = ivfpq_index_topk(
+            spark, idx, q, dim=64, k_neighbors=3
+        ).collect()
+    assert len(rows) == 9
+
+
 def test_ivf_index_retrain_and_staleness(spark, sf_dir, tmp_path):
     """The plain persisted IVF index gets the same maintenance story
     (shared similarity/generations.py): counts+similarity staleness
