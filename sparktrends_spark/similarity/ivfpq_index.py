@@ -607,3 +607,47 @@ def _retrain_ivfpq_locked(
         "k_codes": k_codes,
         "gc_removed": removed,
     }
+
+
+def maybe_retrain_ivfpq_index(
+    spark,
+    path: str,
+    dim: int,
+    max_err_growth: float = 1.5,
+    max_size_ratio: float = 2.0,
+    max_cell_skew: float = 4.0,
+    **retrain_kwargs,
+) -> dict:
+    """The maintenance POLICY in one call — probe, compare against
+    thresholds, retrain only if stale (the cron-job body a deployment
+    schedules, mirroring auto-OPTIMIZE policies on table formats):
+
+    - ``max_err_growth``: quantization error under the frozen
+      quantizers vs the build-time baseline (the direct recall-decay
+      proxy; requires the vectors sidecar);
+    - ``max_size_ratio``: corpus growth since train — even
+      same-distribution appends eventually warrant re-balancing cells;
+    - ``max_cell_skew``: max/mean cell size — a hot cell makes every
+      probe of it disproportionately expensive.
+
+    Returns the staleness report plus ``{"retrained": bool,
+    "reasons": [...], "retrain": <retrain result or None>}``. The
+    probe is one sidecar pass; the retrain (when triggered) holds the
+    maintenance lock like any writer."""
+    st = ivfpq_index_staleness(spark, path)
+    reasons = []
+    if st["err_growth"] is not None and st["err_growth"] > max_err_growth:
+        reasons.append(f"err_growth {st['err_growth']:.2f} > {max_err_growth}")
+    if st["size_ratio"] > max_size_ratio:
+        reasons.append(f"size_ratio {st['size_ratio']:.2f} > {max_size_ratio}")
+    if st["cell_skew"] > max_cell_skew:
+        reasons.append(f"cell_skew {st['cell_skew']:.2f} > {max_cell_skew}")
+    out = dict(st)
+    out["retrained"] = bool(reasons)
+    out["reasons"] = reasons
+    out["retrain"] = (
+        retrain_ivfpq_index(spark, path, dim, **retrain_kwargs)
+        if reasons
+        else None
+    )
+    return out

@@ -26,6 +26,7 @@ from sparktrends_spark.similarity.ivfpq_index import (
     build_ivfpq_index,
     ivfpq_index_staleness,
     ivfpq_index_topk,
+    maybe_retrain_ivfpq_index,
     resolve_index_root,
     retrain_ivfpq_index,
 )
@@ -175,6 +176,29 @@ def test_recall_decay_staleness_and_retrain_restore(spark, tmp_path):
         k_codes=16, iterations=3, store_vectors=True,
     )
     assert abs(_recall(spark, fresh, x, qids, gt) - restored) < 1e-12
+
+
+def test_maybe_retrain_policy(spark, sf_dir, tmp_path):
+    """The one-call maintenance policy: fresh index -> no-op (report
+    only); corpus doubled through frozen quantizers -> size_ratio
+    threshold trips, retrain runs and the next probe is clean again."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "pol")
+    build_ivfpq_index(
+        emb.filter("vec_id % 2 = 0"), idx, dim=64, store_vectors=True
+    )
+    fresh = maybe_retrain_ivfpq_index(spark, idx, dim=64)
+    assert not fresh["retrained"] and fresh["retrain"] is None, fresh
+
+    append_ivfpq_index(emb.filter("vec_id % 2 = 1"), idx, dim=64)
+    stale = maybe_retrain_ivfpq_index(
+        spark, idx, dim=64, max_size_ratio=1.5
+    )
+    assert stale["retrained"], stale
+    assert any("size_ratio" in r for r in stale["reasons"]), stale
+    assert stale["retrain"]["generation"] == "g000001"
+    after = maybe_retrain_ivfpq_index(spark, idx, dim=64, max_size_ratio=1.5)
+    assert not after["retrained"], after
 
 
 def test_maintenance_lock_serializes_writers(spark, sf_dir, tmp_path):
