@@ -13,11 +13,12 @@ distance, so candidate scoring touches ONLY the code columns.
 
 Scale shape: training cost = m bounded k-means runs (each a map-side
 argmin + k*dim/m-bounded update per iteration); encoding is one
-map-side pass; the ADC query plan is ONE broadcast equi-join of the
-code table against per-query LUT rows carrying the full m x k
-sub-distance array (never a nested-loop join, never the raw vectors)
-and a per-query top-k window. A billion-vector corpus scans bytes,
-not floats — the whole point of PQ.
+map-side pass; the ADC query plan is TWO broadcast equi-joins of the
+code table — a tiny (query, code_0) key frame for the fan-out, then
+one m x k sub-distance LUT row per query — independent of m (never a
+nested-loop join, never the raw vectors) plus a per-query top-k
+window. A billion-vector corpus scans bytes, not floats — the whole
+point of PQ.
 
 Float discipline: sub-space distances inherit kmeans' round-6-
 before-argmin rule, LUT entries are round-6, and the ADC score is a
@@ -45,6 +46,51 @@ def _sub(vec_col: str, s: int, sub_len: int):
     return F.slice(
         F.col(vec_col).cast("array<double>"), s * sub_len + 1, sub_len
     )
+
+
+def adc_lut_array(books: Codebooks, dim: int, vec_col: str) -> F.Column:
+    """The fused-ADC lookup table as ONE nested m x k array column of
+    round-6 sub-space distances between ``vec_col``'s sub-vectors and
+    every codebook entry — shared by pq_topk, the in-query IVF-PQ
+    plan, and the persisted-index serve so the three stay
+    byte-identical by construction. Raises (never a bare assert —
+    ``python -O`` would compile that out into silently wrong
+    element_at lookups) if code ids are not contiguous 0..k-1, the
+    positional contract kmeans_fit guarantees."""
+    m = len(books)
+    sub_len = dim // m
+    for s in range(m):
+        if sorted(books[s]) != list(range(len(books[s]))):
+            raise ValueError(
+                f"codebook {s} ids {sorted(books[s])} not contiguous"
+                " 0..k-1 — element_at positional lookup would read the"
+                " wrong slot"
+            )
+    return F.array(
+        *[
+            F.array(
+                *[
+                    _dist2(_sub(vec_col, s, sub_len), books[s][c])
+                    for c in sorted(books[s])
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def adc_score(m: int, lut_col: str = "_lut", code_prefix: str = "code_") -> F.Column:
+    """The ADC distance: fixed-order (s = 0..m-1) sum of element_at
+    lookups into the fused LUT — the same left-to-right addition order
+    as the unrolled oracle chains, so scores are engine-exact."""
+    approx = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col(lut_col), s + 1),
+            F.col(f"{code_prefix}{s}") + 1,
+        )
+        approx = term if approx is None else approx + term
+    return approx
 
 
 def pq_train(
@@ -105,10 +151,10 @@ def pq_topk(
     query_id_col: str = "query_id",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """ADC top-k: encode the corpus, build per-query round-6
-    sub-distance LUT rows (k rows per query, each carrying the full
-    m x k array, broadcast), score by ONE equi-join on the code_0
-    column + element_at lookups, keep the k best per query
+    """ADC top-k: encode the corpus, fan out queries via a broadcast
+    (query, code_0) key join, attach each query's m x k round-6
+    sub-distance LUT row with a second broadcast join, score via
+    fixed-order element_at lookups, keep the k best per query
     (approx distance asc, id asc).
 
     ``exclude_self`` drops candidates whose id equals the probing
@@ -119,49 +165,37 @@ def pq_topk(
     from pyspark.sql import Window
 
     m = len(books)
-    sub_len = dim // m
     codes = pq_encode(vectors, books, dim, id_col=id_col, vec_col=vec_col)
 
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
     )
-    # fused ADC (round 10, the ivfpq_index_topk shape): ONE broadcast
-    # equi-join instead of m. Each query contributes k LUT rows keyed
-    # by the code_0 value (keeping the join an equi-join — never a
-    # nested loop), every row carrying the full m x k round-6
-    # sub-distance array; scoring is the same fixed-order sum of the
-    # same terms via element_at — byte-identical, m-1 fewer exchanges.
-    for s in range(m):
-        # element_at positions rely on code ids being 0..k-1 (the
-        # kmeans_fit contract: fixed k, cluster ids never dropped)
-        assert sorted(books[s]) == list(range(len(books[s])))
-    lut_arr = F.array(
-        *[
-            F.array(
-                *[
-                    _dist2(_sub("_qv", s, sub_len), books[s][c])
-                    for c in sorted(books[s])
-                ]
-            )
-            for s in range(m)
-        ]
-    )
-    lut = q.select(query_id_col, lut_arr.alias("_lut")).select(
+    # fused ADC (round 10): TWO broadcast equi-joins independent of m
+    # (the old form used one join PER sub-space). Exhaustive PQ has no
+    # natural equi key between corpus codes and queries, so the query
+    # fan-out is disguised as an equi-join on the code_0 value: a tiny
+    # (query, c0) KEY frame joins first (every corpus row matches
+    # exactly one row per query), then the m x k LUT PAYLOAD joins by
+    # query id — one payload row per query, so the broadcast stays
+    # O(|q| * (k + m*k)) doubles, the same total as the old m frames
+    # (duplicating the payload onto the k key rows instead would blow
+    # the broadcast up k-fold: k=256 classical budgets -> MBs/query).
+    # Scoring is the same fixed-order element_at sum — byte-identical.
+    lut_keys = q.select(query_id_col).select(
         query_id_col,
-        "_lut",
         F.explode(
             F.array(*[F.lit(c) for c in sorted(books[0])])
         ).alias("_c0"),
     )
-    scored = codes.join(
-        F.broadcast(lut), codes["code_0"] == lut["_c0"]
-    ).drop("_c0")
-    approx = None
-    for s in range(m):
-        term = F.element_at(
-            F.element_at(F.col("_lut"), s + 1), F.col(f"code_{s}") + 1
-        )
-        approx = term if approx is None else approx + term
+    lut_payload = q.select(
+        query_id_col, adc_lut_array(books, dim, "_qv").alias("_lut")
+    )
+    scored = (
+        codes.join(F.broadcast(lut_keys), codes["code_0"] == F.col("_c0"))
+        .drop("_c0")
+        .join(F.broadcast(lut_payload), query_id_col)
+    )
+    approx = adc_score(m)
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.col(query_id_col))
     scored = scored.select(

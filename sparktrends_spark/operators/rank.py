@@ -60,10 +60,16 @@ def with_global_rank(
     persisted blocks are evicted (every registered caller reads
     immutable parquet through deterministic plans). The two passes
     (driver-side counts collect, then the window/join execution) see
-    the same partition assignment only under that contract; as a
-    guard, the rank expression itself verifies each row's partition
+    the same partition assignment only under that contract. As a
+    partial guard, the rank expression verifies each row's partition
     was counted and its local rank stays within the counted size, and
-    RAISES (rather than silently corrupting ranks) on drift."""
+    RAISES on those drift shapes (rows landing in an uncounted
+    partition, or a partition growing past its counted size — by
+    pigeonhole, any row MOVEMENT under a fixed total trips one of
+    them). A recompute that silently DROPS rows shrinks partitions
+    without tripping the guard and yields gapped ranks — only the
+    determinism contract covers that case, which is why it is a
+    contract and not merely a hint."""
     spark = df.sparkSession
     n = int(
         num_partitions

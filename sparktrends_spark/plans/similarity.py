@@ -43,14 +43,26 @@ def _idx_path(name: str, sf_dir: str) -> str:
     each other's _temporary dirs), and the predictable world-writable
     /tmp root is uid-suffixed so it is not shared across users. Stable
     within a process (repeat builds are idempotent overwrites), which
-    the repeat-run sweeps rely on; the artifacts are kilobyte-scale."""
+    the repeat-run sweeps rely on; an atexit hook removes the whole
+    per-process root so repeated sweep/bench/pytest runs don't
+    accumulate index trees (PIDs recycle too rarely for the old
+    self-overwriting fixed paths' boundedness to carry over)."""
     import os
 
+    root = f"/tmp/sparktrends_idx_u{os.getuid()}_p{os.getpid()}"
+    global _IDX_CLEANUP_REGISTERED
+    if not _IDX_CLEANUP_REGISTERED:
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _IDX_CLEANUP_REGISTERED = True
     return os.path.join(
-        f"/tmp/sparktrends_idx_u{os.getuid()}_p{os.getpid()}",
-        name,
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
+        root, name, os.path.basename(sf_dir.rstrip("/")) or "sf"
     )
+
+
+_IDX_CLEANUP_REGISTERED = False
 
 
 @query(
@@ -1127,7 +1139,7 @@ def _ivfpq_topk_frame(
     from pyspark.sql import Window
 
     from sparktrends_spark.operators.kmeans import kmeans_fit
-    from sparktrends_spark.operators.pq import pq_encode, pq_train, _sub
+    from sparktrends_spark.operators.pq import pq_encode, pq_train
     from sparktrends_spark.operators.kmeans import _dist2, assign_clusters
 
     if cents is None:
@@ -1169,35 +1181,21 @@ def _ivfpq_topk_frame(
 
     # fused ADC (the ivfpq_index_topk round-10 shape): ONE broadcast
     # join on the cell key carrying a per-(query, cell) m x k LUT
-    # array; scoring is the same fixed-order sum of the same round-6
-    # terms via element_at — byte-identical, m fewer exchanges.
-    for s in range(_PQ_M):
-        assert sorted(books[s]) == list(range(len(books[s])))
+    # array (operators/pq.adc_lut_array — the contract-validated
+    # helper all three ADC call sites share); scoring is the same
+    # fixed-order sum of the same round-6 terms via element_at —
+    # byte-identical, m fewer exchanges.
+    from sparktrends_spark.operators.pq import adc_lut_array, adc_score
+
     lut = probes.select(
         "query_id",
         "cell",
-        F.array(
-            *[
-                F.array(
-                    *[
-                        _dist2(_sub("_qv", s, _PQ_SUB), books[s][c])
-                        for c in sorted(books[s])
-                    ]
-                )
-                for s in range(_PQ_M)
-            ]
-        ).alias("_lut"),
+        adc_lut_array(books, _DIM, "_qv").alias("_lut"),
     )
-    approx = None
-    for s in range(_PQ_M):
-        term = F.element_at(
-            F.element_at(F.col("_lut"), s + 1), F.col(f"code_{s}") + 1
-        )
-        approx = term if approx is None else approx + term
     scored = (
         codes.join(F.broadcast(lut), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", approx.alias("approx_d2"))
+        .select("query_id", "vec_id", adc_score(_PQ_M).alias("approx_d2"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_d2"), F.asc("vec_id")

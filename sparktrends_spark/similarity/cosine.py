@@ -593,12 +593,29 @@ def build_ivf_index(
     Also persists ``path/meta`` — per-cell row count and mean round-6
     cosine to the assigned centroid at BUILD time, the staleness
     baseline ``ivf_index_staleness`` compares against (appends through
-    the frozen centroids deliberately do not touch it)."""
-    from sparktrends_spark.similarity.generations import reset_generations
+    the frozen centroids deliberately do not touch it).
 
-    # an overwrite-build resets any previous retrain history (pointer
-    # + generation dirs), or readers would resolve a stale generation
-    reset_generations(path)
+    Holds the index maintenance lock: an overwrite-build racing a
+    locked append/retrain would reset the generation history under the
+    other writer. (Retrain's internal build targets the fresh
+    generation directory — a distinct lock, no self-deadlock.)"""
+    from sparktrends_spark.similarity.generations import (
+        maintenance_lock,
+        reset_generations,
+    )
+
+    with maintenance_lock(path):
+        # an overwrite-build resets any previous retrain history
+        # (pointer + generation dirs), or readers would resolve a
+        # stale generation
+        reset_generations(path)
+        _build_ivf_locked(vectors, path, label_col, cand_id, vec_col,
+                          round_digits)
+
+
+def _build_ivf_locked(
+    vectors, path, label_col, cand_id, vec_col, round_digits
+) -> None:
     cent = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
     cent_n = cent.select(
         "cell",
@@ -619,12 +636,19 @@ def build_ivf_index(
         _best_cell()["cell"].alias("cell"),
         _best_cell()["sim"].alias("_sim"),
     )
-    assigned.drop("_sim").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{path}/vectors")
-    assigned.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n"), F.avg("_sim").alias("mean_sim")
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # two actions share the corpus-sized scoring subplan (vectors
+    # write + meta agg): pin it once, locally scoped (no cross-branch
+    # subplan reuse in Spark — the union-re-execution lesson)
+    assigned = assigned.persist()
+    try:
+        assigned.drop("_sim").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(f"{path}/vectors")
+        assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"), F.avg("_sim").alias("mean_sim")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    finally:
+        assigned.unpersist()
 
 
 def append_ivf_index(
@@ -750,6 +774,8 @@ def ivf_index_staleness(spark, path: str, check_sim: bool = True) -> dict:
     from sparktrends_spark.similarity.generations import (
         read_current,
         resolve_root,
+        staleness_counts,
+        weighted_baseline,
     )
 
     root = resolve_root(path)
@@ -771,19 +797,9 @@ def ivf_index_staleness(spark, path: str, check_sim: bool = True) -> dict:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()  # n_cells rows
     }
-    n_train = sum(n for n, _ in meta.values())
-    n_now = sum(now.values())
-    growth = {
-        c: now.get(c, 0) / max(meta.get(c, (1, 0.0))[0], 1) for c in now
-    }
     out = {
         "generation": read_current(path) or "",
-        "n_train": n_train,
-        "n_now": n_now,
-        "size_ratio": n_now / max(n_train, 1),
-        "max_cell_growth": max(growth.values(), default=1.0),
-        "cell_skew": max(now.values(), default=0)
-        / max(n_now / max(len(now), 1), 1e-12),
+        **staleness_counts(meta, now),
         "sim_train": None,
         "sim_now": None,
         "sim_drop": None,
@@ -803,7 +819,7 @@ def ivf_index_staleness(spark, path: str, check_sim: bool = True) -> dict:
                 )[0]["sim"]
             ).alias("s")
         ).collect()[0]["s"]
-        sim_train = sum(n * s for n, s in meta.values()) / max(n_train, 1)
+        sim_train = weighted_baseline(meta)
         out["sim_train"] = sim_train
         out["sim_now"] = float(sim_now)
         out["sim_drop"] = sim_train - float(sim_now)

@@ -15,8 +15,9 @@ current + previous, so in-flight readers pinned pre-promotion finish
 safely); older roots are reclaimed — a reader pinned to a reclaimed
 root fails loudly on scan, never reads stale data silently.
 
-Single-maintainer contract (like append); concurrent readers are
-always safe. Local-filesystem rename is the deployment seam — on an
+Writers (build / append / retrain / the retrain policy) serialize on
+``maintenance_lock``; concurrent readers are always safe and never
+take it. Local-filesystem rename is the deployment seam — on an
 object store the pointer becomes a conditional-put manifest object.
 """
 
@@ -126,13 +127,20 @@ def gc_generations(
 ) -> list[str]:
     """Reclaim roots older than the newest ``keep`` (the legacy flat
     layout counts as the oldest root). Returns what was removed
-    (``"<flat>"`` for the flat artifacts)."""
+    (``"<flat>"`` for the flat artifacts). ``keep`` must be >= 1:
+    keep=0 would delete the just-promoted CURRENT generation itself,
+    leaving a dangling pointer — never a valid request."""
+    if keep < 1:
+        raise ValueError(
+            f"keep={keep}: retention must keep at least the CURRENT"
+            " generation"
+        )
     roots: list[str | None] = []
     if any(os.path.isdir(os.path.join(path, a)) for a in flat_artifacts):
         roots.append(None)
     roots.extend(generations(path))
     removed: list[str] = []
-    doomed = roots[:-keep] if keep > 0 else roots
+    doomed = roots[:-keep]
     for r in doomed:
         if r is None:
             for a in flat_artifacts:
@@ -144,3 +152,33 @@ def gc_generations(
             shutil.rmtree(os.path.join(path, r))
             removed.append(r)
     return removed
+
+
+def staleness_counts(
+    meta: dict[int, tuple[int, float]], now: dict[int, int]
+) -> dict:
+    """Shared counts arithmetic for the index staleness probes
+    (ivfpq_index_staleness / ivf_index_staleness): per-cell growth vs
+    the build-time baseline ``meta`` (cell -> (n_at_train, stat)) and
+    current sizes ``now`` (cell -> n). One implementation so the two
+    probes cannot drift on the clamp/denominator conventions."""
+    n_train = sum(n for n, _ in meta.values())
+    n_now = sum(now.values())
+    growth = {
+        c: now.get(c, 0) / max(meta.get(c, (1, 0.0))[0], 1) for c in now
+    }
+    return {
+        "n_train": n_train,
+        "n_now": n_now,
+        "size_ratio": n_now / max(n_train, 1),
+        "max_cell_growth": max(growth.values(), default=1.0),
+        "cell_skew": max(now.values(), default=0)
+        / max(n_now / max(len(now), 1), 1e-12),
+    }
+
+
+def weighted_baseline(meta: dict[int, tuple[int, float]]) -> float:
+    """Row-weighted mean of the per-cell baseline statistic (the
+    build-time quantization error / centroid similarity)."""
+    n_train = sum(n for n, _ in meta.values())
+    return sum(n * s for n, s in meta.values()) / max(n_train, 1)

@@ -69,7 +69,13 @@ from sparktrends_spark.operators.kmeans import (
     assign_clusters,
     kmeans_fit,
 )
-from sparktrends_spark.operators.pq import Codebooks, _sub, pq_train
+from sparktrends_spark.operators.pq import (
+    Codebooks,
+    _sub,
+    adc_lut_array,
+    adc_score,
+    pq_train,
+)
 from sparktrends_spark.similarity.generations import (
     gc_generations,
     maintenance_lock,
@@ -135,6 +141,7 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     store_vectors: bool = False,
     coarse: dict[int, list[float]] | None = None,
+    lock_timeout_s: float = 600.0,
 ) -> None:
     """Train and persist the index (see module docstring). Vector
     element type canonicalizes to double on disk-adjacent frames (the
@@ -149,7 +156,25 @@ def build_ivfpq_index(
     ``coarse``: pre-trained coarse centroids (skips the coarse k-means
     — kmeans_fit is deterministic, so a caller that already trained on
     the same frame passes them instead of paying the training twice;
-    the recall audit does)."""
+    the recall audit does).
+
+    Holds the index maintenance lock: an overwrite-build racing a
+    locked append/retrain would reset the generation history and
+    rewrite quantizers UNDER the other writer — the same lost-write
+    class the lock exists for. (Retrain's internal build targets the
+    fresh generation directory, whose lock is distinct from the index
+    root's — no self-deadlock.)"""
+    with maintenance_lock(path, lock_timeout_s):
+        _build_ivfpq_locked(
+            vectors, path, dim, n_cells, m, k_codes, iterations,
+            id_col, vec_col, store_vectors, coarse,
+        )
+
+
+def _build_ivfpq_locked(
+    vectors, path, dim, n_cells, m, k_codes, iterations,
+    id_col, vec_col, store_vectors, coarse,
+) -> None:
     spark = vectors.sparkSession
     # An overwrite-build resets the index identity: any generation
     # pointer + generation directories from a previous retrain history
@@ -320,7 +345,6 @@ def ivfpq_index_topk(
     cents = _load_coarse(spark, root)
     books = _load_books(spark, root)
     m = len(books)
-    sub_len = dim // m
 
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
@@ -348,45 +372,23 @@ def ivfpq_index_topk(
     )
 
     pr = probes.withColumn("_rq", _residual("_qv", "cell", cents))
-    # ONE broadcast LUT row per (query, probed cell): an m x k nested
-    # array of round-6 sub-space distances indexed by (sub-space,
-    # code). A single broadcast equi-join on the cell key replaces the
-    # former m per-sub-space joins (m BroadcastExchanges -> 1, plan-
-    # asserted in tests); the ADC score is the SAME fixed-order sum of
-    # the SAME round-6 terms, now element_at lookups — byte-identical
-    # output with m-1 fewer exchanges.
-    for s in range(m):
-        # element_at positions rely on code ids being 0..k-1 (the
-        # kmeans_fit contract: fixed k, cluster ids never dropped)
-        assert sorted(books[s]) == list(range(len(books[s]))), sorted(
-            books[s]
-        )
+    # ONE broadcast LUT row per (query, probed cell): the fused m x k
+    # residual sub-distance array (operators/pq.adc_lut_array — the
+    # contract-validated helper all three ADC call sites share). A
+    # single broadcast equi-join on the cell key replaces the former m
+    # per-sub-space joins (m BroadcastExchanges -> 1, plan-asserted);
+    # the score is the SAME fixed-order sum of the SAME round-6 terms,
+    # now element_at lookups — byte-identical output.
     lut = pr.select(
         query_id_col,
         "cell",
-        F.array(
-            *[
-                F.array(
-                    *[
-                        _dist2(_sub("_rq", s, sub_len), books[s][c])
-                        for c in sorted(books[s])
-                    ]
-                )
-                for s in range(m)
-            ]
-        ).alias("_lut"),
+        adc_lut_array(books, dim, "_rq").alias("_lut"),
     )
     scored = codes.join(F.broadcast(lut), "cell")
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.col(query_id_col))
-    approx = None
-    for s in range(m):
-        term = F.element_at(
-            F.element_at(F.col("_lut"), s + 1), F.col(f"code_{s}") + 1
-        )
-        approx = term if approx is None else approx + term
     scored = scored.select(
-        query_id_col, id_col, approx.alias("approx_d2")
+        query_id_col, id_col, adc_score(m).alias("approx_d2")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.asc("approx_d2"), F.asc(id_col)
@@ -468,19 +470,14 @@ def ivfpq_index_staleness(spark, path: str, check_error: bool = True) -> dict:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()  # n_cells rows
     }
-    n_train = sum(n for n, _ in meta.values())
-    n_now = sum(now.values())
-    growth = {
-        c: now.get(c, 0) / max(meta.get(c, (1, 0.0))[0], 1) for c in now
-    }
-    mean_now = n_now / max(len(now), 1)
+    from sparktrends_spark.similarity.generations import (
+        staleness_counts,
+        weighted_baseline,
+    )
+
     out = {
         "generation": _read_current(path) or "",
-        "n_train": n_train,
-        "n_now": n_now,
-        "size_ratio": n_now / max(n_train, 1),
-        "max_cell_growth": max(growth.values(), default=1.0),
-        "cell_skew": max(now.values(), default=0) / max(mean_now, 1e-12),
+        **staleness_counts(meta, now),
         "err_train": None,
         "err_now": None,
         "err_growth": None,
@@ -504,9 +501,7 @@ def ivfpq_index_staleness(spark, path: str, check_error: bool = True) -> dict:
         err_now = resid.agg(
             F.avg(_quant_err(books, dim)).alias("e")
         ).collect()[0]["e"]
-        err_train = (
-            sum(n * e for n, e in meta.values()) / max(n_train, 1)
-        )
+        err_train = weighted_baseline(meta)
         out["err_train"] = err_train
         out["err_now"] = float(err_now)
         out["err_growth"] = float(err_now) / max(err_train, 1e-12)
@@ -632,22 +627,42 @@ def maybe_retrain_ivfpq_index(
 
     Returns the staleness report plus ``{"retrained": bool,
     "reasons": [...], "retrain": <retrain result or None>}``. The
-    probe is one sidecar pass; the retrain (when triggered) holds the
-    maintenance lock like any writer."""
-    st = ivfpq_index_staleness(spark, path)
-    reasons = []
-    if st["err_growth"] is not None and st["err_growth"] > max_err_growth:
-        reasons.append(f"err_growth {st['err_growth']:.2f} > {max_err_growth}")
-    if st["size_ratio"] > max_size_ratio:
-        reasons.append(f"size_ratio {st['size_ratio']:.2f} > {max_size_ratio}")
-    if st["cell_skew"] > max_cell_skew:
-        reasons.append(f"cell_skew {st['cell_skew']:.2f} > {max_cell_skew}")
-    out = dict(st)
-    out["retrained"] = bool(reasons)
-    out["reasons"] = reasons
-    out["retrain"] = (
-        retrain_ivfpq_index(spark, path, dim, **retrain_kwargs)
-        if reasons
-        else None
-    )
+    whole probe-decide-retrain sequence runs UNDER the maintenance
+    lock: two concurrent policy runs probing the same stale index
+    before either retrains would otherwise both trigger, promoting two
+    back-to-back generations and GC'ing the root in-flight readers
+    were promised (the retained previous generation) — the second run
+    now re-probes the freshly retrained index and no-ops."""
+    lock_timeout_s = retrain_kwargs.pop("lock_timeout_s", 600.0)
+    with maintenance_lock(path, lock_timeout_s):
+        st = ivfpq_index_staleness(spark, path)
+        reasons = []
+        if st["err_growth"] is not None and st["err_growth"] > max_err_growth:
+            reasons.append(
+                f"err_growth {st['err_growth']:.2f} > {max_err_growth}"
+            )
+        if st["size_ratio"] > max_size_ratio:
+            reasons.append(
+                f"size_ratio {st['size_ratio']:.2f} > {max_size_ratio}"
+            )
+        if st["cell_skew"] > max_cell_skew:
+            reasons.append(
+                f"cell_skew {st['cell_skew']:.2f} > {max_cell_skew}"
+            )
+        out = dict(st)
+        out["retrained"] = bool(reasons)
+        out["reasons"] = reasons
+        out["retrain"] = (
+            _retrain_ivfpq_locked(
+                spark, path, dim,
+                retrain_kwargs.pop("iterations", 3),
+                retrain_kwargs.pop("n_cells", None),
+                retrain_kwargs.pop("m", None),
+                retrain_kwargs.pop("k_codes", None),
+                retrain_kwargs.pop("keep_generations", 2),
+                retrain_kwargs.pop("id_col", "vec_id"),
+            )
+            if reasons
+            else None
+        )
     return out

@@ -451,13 +451,14 @@ def test_pq_topk_plan_is_broadcast_equijoins(spark, sf_dir):
         .toString()
     )
     release_persisted()
-    # ADC must be ONE equi-join of the code table against the fused
-    # broadcast LUT (m x k array per row, element_at scoring — round
-    # 10): never a nested-loop scoring join, never a shuffle join,
-    # never one exchange per sub-space
+    # ADC must be TWO equi-joins independent of m (round 10): a tiny
+    # (query, code_0) key fan-out join plus ONE m x k LUT payload row
+    # per query (duplicating the payload onto the key rows would blow
+    # the broadcast up k-fold) — never a nested-loop scoring join,
+    # never a shuffle join, never one exchange per sub-space
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
 
 
 def test_ivfpq_plan_prunes_and_stays_equijoin(spark, sf_dir):
