@@ -32,6 +32,11 @@ the production serve shape, mirroring the plain-IVF persisted index
   an atomic ``CURRENT`` pointer rename (readers pin a generation at
   serve start and never observe a half-written index; the previous
   generation is retained for in-flight readers, older ones GC'd).
+  ``maybe_retrain_ivfpq_index`` is the one-call policy (probe ->
+  thresholds -> retrain, all under the writer lock), and
+  ``compact_ivfpq_index`` is the segment-merge half: appends fragment
+  cell directories into many small files; compaction rewrites them
+  (same quantizers, no k-means) into a new generation.
 
 Residual encoding is the classical recall refinement: within a probed
 cell the residuals are centered near zero, so the same codebook budget
@@ -666,3 +671,66 @@ def maybe_retrain_ivfpq_index(
             else None
         )
     return out
+
+
+def compact_ivfpq_index(
+    spark,
+    path: str,
+    files_per_cell: int = 1,
+    keep_generations: int = 2,
+    lock_timeout_s: float = 600.0,
+) -> dict:
+    """Small-files maintenance for the persisted index — the segment-
+    merge half of the lifecycle (retrain is the re-quantize half):
+    every append lands at least one new parquet file per touched cell,
+    so a streaming ingest fragments cell directories until probe-read
+    cost is dominated by file opens. Compaction rewrites the code
+    table (and the vectors sidecar, when present) into
+    ``files_per_cell`` files per cell WITH THE SAME quantizers —
+    no k-means, one read+write of the corpus-sized artifacts — into a
+    NEW GENERATION, promoted by the same atomic CURRENT rename as
+    retrain: readers pinned to the old generation finish safely,
+    values are untouched (serve results are identical by
+    construction). Holds the maintenance lock like every writer.
+
+    Returns ``{generation, previous_root, files_before, files_after,
+    gc_removed}`` (file counts for the codes table)."""
+
+    def _nfiles(d: str) -> int:
+        return sum(
+            1
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    with maintenance_lock(path, lock_timeout_s):
+        root = resolve_index_root(path)
+        files_before = _nfiles(f"{root}/codes")
+        new_gen = next_generation(path)
+        gen_root = os.path.join(path, new_gen)
+        for small in ("coarse", "books", "meta"):
+            if os.path.isdir(f"{root}/{small}"):
+                spark.read.parquet(f"{root}/{small}").coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{gen_root}/{small}")
+        for big in ("codes", "vectors"):
+            if os.path.isdir(f"{root}/{big}"):
+                # repartition WITHIN each cell: the partitionBy writer
+                # then emits files_per_cell files per cell directory
+                spark.read.parquet(f"{root}/{big}").repartition(
+                    files_per_cell, "cell"
+                ).write.mode("overwrite").partitionBy("cell").parquet(
+                    f"{gen_root}/{big}"
+                )
+        _write_current(path, new_gen)
+        removed = gc_generations(path, _FLAT_ARTIFACTS, keep_generations)
+        for sub in ("codes", "vectors", "coarse", "books", "meta"):
+            spark.catalog.refreshByPath(os.path.join(gen_root, sub))
+        return {
+            "generation": new_gen,
+            "previous_root": root,
+            "files_before": files_before,
+            "files_after": _nfiles(f"{gen_root}/codes"),
+            "gc_removed": removed,
+        }

@@ -201,6 +201,70 @@ def test_maybe_retrain_policy(spark, sf_dir, tmp_path):
     assert not after["retrained"], after
 
 
+def test_compact_merges_small_files_values_unchanged(spark, sf_dir, tmp_path):
+    """Segment-merge maintenance: four appends fragment every cell
+    directory; compaction rewrites codes+vectors into files_per_cell
+    files per cell with the SAME quantizers into a new generation —
+    serve results are byte-identical before and after, the old
+    generation follows the retention contract, and the file count
+    actually drops."""
+    from sparktrends_spark.similarity.ivfpq_index import (
+        compact_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "cp")
+    build_ivfpq_index(
+        emb.filter("vec_id % 8 = 0"), idx, dim=64, store_vectors=True
+    )
+    for b in range(1, 8):
+        append_ivfpq_index(emb.filter(f"vec_id % 8 = {b}"), idx, dim=64)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = sorted(
+        map(
+            tuple,
+            ivfpq_index_topk(
+                spark, idx, q, dim=64, k_neighbors=5, nprobe=2,
+                refine_k=10,
+            ).collect(),
+        )
+    )
+    release_persisted()
+    st_before = ivfpq_index_staleness(spark, idx)
+
+    info = compact_ivfpq_index(spark, idx, files_per_cell=1)
+    assert info["generation"] == "g000001"
+    assert info["files_after"] < info["files_before"], info
+    # one file per cell directory in the compacted codes table
+    gen_codes = os.path.join(idx, "g000001", "codes")
+    for cell_dir in os.listdir(gen_codes):
+        d = os.path.join(gen_codes, cell_dir)
+        if os.path.isdir(d):
+            n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            assert n == 1, (cell_dir, n)
+    after = sorted(
+        map(
+            tuple,
+            ivfpq_index_topk(
+                spark, idx, q, dim=64, k_neighbors=5, nprobe=2,
+                refine_k=10,
+            ).collect(),
+        )
+    )
+    release_persisted()
+    assert after == before
+    # the staleness baseline moved verbatim: compaction changes file
+    # layout, never the drift accounting (the 8x growth from the
+    # appends is still visible against the original build's meta)
+    st = ivfpq_index_staleness(spark, idx)
+    assert abs(st["size_ratio"] - st_before["size_ratio"]) < 1e-9, (
+        st_before, st,
+    )
+    assert st["size_ratio"] > 7, st
+
+
 def test_maintenance_lock_serializes_writers(spark, sf_dir, tmp_path):
     """Append vs retrain must serialize: an append that resolves the
     root and then races a retrain promotion lands its batch in the
