@@ -91,7 +91,14 @@ from sparktrends_spark.similarity.generations import (
     write_current as _write_current,
 )
 
-_FLAT_ARTIFACTS = ("coarse", "books", "codes", "vectors", "meta")
+# single source of truth for the index layout: tiny driver-written
+# artifacts vs corpus-sized cell-partitioned ones. Compaction, GC, and
+# refresh all derive from these — adding an artifact in one place only
+# would silently drop it from a compacted generation (then GC the only
+# copy), so never enumerate the names anywhere else.
+_SMALL_ARTIFACTS = ("coarse", "books", "meta")
+_CELL_ARTIFACTS = ("codes", "vectors")
+_FLAT_ARTIFACTS = _SMALL_ARTIFACTS + _CELL_ARTIFACTS
 
 
 def _cent_array(cents: dict[int, list[float]]) -> F.Column:
@@ -596,7 +603,7 @@ def _retrain_ivfpq_locked(
     # reclaimed — readers pinned to a reclaimed generation would fail
     # loudly on scan, never read wrong data.
     removed = gc_generations(path, _FLAT_ARTIFACTS, keep_generations)
-    for sub in ("codes", "vectors", "coarse", "books", "meta"):
+    for sub in _FLAT_ARTIFACTS:
         spark.catalog.refreshByPath(os.path.join(path, new_gen, sub))
     return {
         "generation": new_gen,
@@ -684,17 +691,26 @@ def compact_ivfpq_index(
     merge half of the lifecycle (retrain is the re-quantize half):
     every append lands at least one new parquet file per touched cell,
     so a streaming ingest fragments cell directories until probe-read
-    cost is dominated by file opens. Compaction rewrites the code
-    table (and the vectors sidecar, when present) into
-    ``files_per_cell`` files per cell WITH THE SAME quantizers —
-    no k-means, one read+write of the corpus-sized artifacts — into a
-    NEW GENERATION, promoted by the same atomic CURRENT rename as
-    retrain: readers pinned to the old generation finish safely,
-    values are untouched (serve results are identical by
-    construction). Holds the maintenance lock like every writer.
+    cost is dominated by file opens. Compaction rewrites the
+    cell-partitioned artifacts (codes + the vectors sidecar when
+    present) into AT MOST ``files_per_cell`` files per cell WITH THE
+    SAME quantizers — no k-means, one parallel read+write — into a NEW
+    GENERATION, promoted by the same atomic CURRENT rename as retrain:
+    readers pinned to the old generation finish safely, values are
+    untouched (serve results are identical by construction). Holds the
+    maintenance lock like every writer.
+
+    Parallelism: the rewrite shuffles on (cell, id-hash split) into
+    n_cells * files_per_cell partitions, so the write runs one task
+    per target file — never a single-task funnel. A task may receive
+    two splits of the same cell (hash collision), which merely merges
+    them into one file; the per-cell file count is in
+    [1, files_per_cell].
 
     Returns ``{generation, previous_root, files_before, files_after,
     gc_removed}`` (file counts for the codes table)."""
+    if files_per_cell < 1:
+        raise ValueError(f"files_per_cell={files_per_cell}: must be >= 1")
 
     def _nfiles(d: str) -> int:
         return sum(
@@ -706,26 +722,36 @@ def compact_ivfpq_index(
 
     with maintenance_lock(path, lock_timeout_s):
         root = resolve_index_root(path)
+        if not os.path.isdir(f"{root}/codes"):
+            # bail BEFORE promoting: writing CURRENT for a generation
+            # that was never created would brick every later resolve
+            raise ValueError(
+                f"no index at {root} ({root}/codes missing) — nothing"
+                " to compact"
+            )
+        n_cells = len(_load_coarse(spark, root))
         files_before = _nfiles(f"{root}/codes")
         new_gen = next_generation(path)
         gen_root = os.path.join(path, new_gen)
-        for small in ("coarse", "books", "meta"):
+        for small in _SMALL_ARTIFACTS:
             if os.path.isdir(f"{root}/{small}"):
                 spark.read.parquet(f"{root}/{small}").coalesce(1).write.mode(
                     "overwrite"
                 ).parquet(f"{gen_root}/{small}")
-        for big in ("codes", "vectors"):
+        n_parts = max(1, n_cells * files_per_cell)
+        for big in _CELL_ARTIFACTS:
             if os.path.isdir(f"{root}/{big}"):
-                # repartition WITHIN each cell: the partitionBy writer
-                # then emits files_per_cell files per cell directory
-                spark.read.parquet(f"{root}/{big}").repartition(
-                    files_per_cell, "cell"
-                ).write.mode("overwrite").partitionBy("cell").parquet(
-                    f"{gen_root}/{big}"
-                )
+                df = spark.read.parquet(f"{root}/{big}")
+                id_c = df.columns[0]  # id column leads both layouts
+                split = F.pmod(F.hash(F.col(id_c)), files_per_cell)
+                df.withColumn("_fsplit", split).repartition(
+                    n_parts, "cell", "_fsplit"
+                ).drop("_fsplit").write.mode("overwrite").partitionBy(
+                    "cell"
+                ).parquet(f"{gen_root}/{big}")
         _write_current(path, new_gen)
         removed = gc_generations(path, _FLAT_ARTIFACTS, keep_generations)
-        for sub in ("codes", "vectors", "coarse", "books", "meta"):
+        for sub in _FLAT_ARTIFACTS:
             spark.catalog.refreshByPath(os.path.join(gen_root, sub))
         return {
             "generation": new_gen,

@@ -264,6 +264,38 @@ def test_compact_merges_small_files_values_unchanged(spark, sf_dir, tmp_path):
     )
     assert st["size_ratio"] > 7, st
 
+    # files_per_cell > 1 actually splits (id-hash buckets, parallel
+    # write): per-cell counts land in [1, 2] with at least one cell
+    # split, and serve stays byte-identical
+    info2 = compact_ivfpq_index(spark, idx, files_per_cell=2)
+    assert info2["generation"] == "g000002"
+    gen2_codes = os.path.join(idx, "g000002", "codes")
+    counts = []
+    for cell_dir in os.listdir(gen2_codes):
+        d = os.path.join(gen2_codes, cell_dir)
+        if os.path.isdir(d):
+            counts.append(
+                sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            )
+    assert all(1 <= n <= 2 for n in counts), counts
+    assert max(counts) == 2, counts
+    again = sorted(
+        map(
+            tuple,
+            ivfpq_index_topk(
+                spark, idx, q, dim=64, k_neighbors=5, nprobe=2,
+                refine_k=10,
+            ).collect(),
+        )
+    )
+    release_persisted()
+    assert again == before
+
+    # compacting a non-index must refuse BEFORE promoting a pointer
+    with pytest.raises(ValueError):
+        compact_ivfpq_index(spark, str(tmp_path / "nothing_here"))
+    assert not os.path.exists(tmp_path / "nothing_here" / "CURRENT")
+
 
 def test_maintenance_lock_serializes_writers(spark, sf_dir, tmp_path):
     """Append vs retrain must serialize: an append that resolves the
