@@ -55,6 +55,14 @@ from sparktrends_spark.plans import profile  # noqa: E402,F401
 # IVF serve stays swept + plan-asserted, its serve architecture is
 # graded through the IVF-PQ persisted row, and its output quality
 # through the recall audit's ivf row; similarity keeps 6 driver rows.
+# Round 11 (delete lifecycle): embedding_ivfpq_index_topk ->
+# embedding_ivfpq_delete_topk — the delete row is a strict superset of
+# the displaced one (same persisted build + probe-pruned serve, PLUS
+# tombstone anti-join at serve + physical reclaim at compact,
+# value-hashed against the full-corpus chain with deleted candidates
+# filtered before ranking, and pre/post-compact serve equality
+# raise-checked in-query). The displaced row stays swept +
+# plan-asserted; similarity keeps 6 driver rows.
 _PRIORITY_ORDER = [
     # reference-parity market core
     # (ohlcv_rollup_hourly displaced late r8 for order_status_ivm —
@@ -106,7 +114,7 @@ _PRIORITY_ORDER = [
     # hit counts vs brute force, incl. the lsh row); round 10: the
     # index maintenance lifecycle (append-drift staleness + atomic
     # generation retrain, displacing embedding_ivf_index_topk)
-    "embedding_ivfpq_index_topk", "embedding_ivfpq_retrain_topk",
+    "embedding_ivfpq_delete_topk", "embedding_ivfpq_retrain_topk",
     "embedding_ann_recall",
     # streaming
     "stream_ohlcv_bars", "stream_doc_incremental_dedup",

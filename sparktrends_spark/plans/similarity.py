@@ -1522,16 +1522,110 @@ def q_embedding_ivfpq_retrain_topk(spark: SparkSession, sf_dir: str) -> DataFram
     append_ivfpq_index(emb.filter(F.col("vec_id") % 2 == 1), idx, dim=_DIM)
     st = ivfpq_index_staleness(spark, idx)
     # the appended half doubled the corpus under frozen quantizers —
-    # exactly the regime the probe exists to flag
-    assert st["size_ratio"] > 1.5, st
+    # exactly the regime the probe exists to flag. Explicit raises,
+    # not asserts: these lifecycle invariants must hold under -O too.
+    if not st["size_ratio"] > 1.5:
+        raise ValueError(f"staleness probe missed the doubled corpus: {st}")
     info = retrain_ivfpq_index(spark, idx, dim=_DIM, iterations=_KM_ITERS)
-    assert info["n_vectors"] == st["n_now"], (info, st)
+    if info["n_vectors"] != st["n_now"]:
+        raise ValueError(f"retrain corpus != probed corpus: {info}, {st}")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_index_topk(
         spark, idx, queries, dim=_DIM, k_neighbors=3, nprobe=_IVF_NPROBE
     )
+
+
+_DEL_PRED = "vec_id % 7 = 3"  # the takedown set of the delete row
+
+
+def _ivfpq_delete_oracle() -> str:
+    # serve-after-delete: codes/quantizers from the FULL-corpus build
+    # (tombstones don't re-train anything), candidates excluding the
+    # deleted ids BEFORE the per-query ranking — exactly what both the
+    # tombstone anti-join serve and the post-compact physical layout
+    # compute
+    return (
+        _ivfpq_residual_with()
+        + f"""
+SELECT query_id, vec_id, approx_d2, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY approx_d2 ASC, vec_id ASC) AS rnk
+  FROM res_scored WHERE NOT ({_DEL_PRED})
+) WHERE rnk <= 3
+"""
+    )
+
+
+@query("embedding_ivfpq_delete_topk", oracle=_ivfpq_delete_oracle())
+def q_embedding_ivfpq_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index DELETE lifecycle (takedown/PII-purge — the last
+    lifecycle side after append/retrain/compact,
+    `similarity/ivfpq_index.delete_from_ivfpq_index`): build the
+    persisted residual IVF-PQ index on the full corpus, TOMBSTONE a
+    deterministic takedown set, serve (tombstones anti-joined out of
+    the candidate set before scoring — a deleted document is never
+    again returned as a neighbor), then COMPACT: the rewrite physically
+    drops the tombstoned rows from codes + vectors sidecar into a new
+    generation with no tombstone artifact. The pre-compact
+    (logical-delete) and post-compact (physical-delete) serves must be
+    row-identical — raise-checked here — and both equal the oracle:
+    the full-corpus residual chain with deleted ids filtered before
+    ranking (quantizers see the full corpus; deletes remove candidates,
+    not training data — retrain is the op that re-trains, graded by
+    embedding_ivfpq_retrain_topk and the retrain-after-delete test).
+    """
+    import os
+
+    from sparktrends_spark.similarity.ivfpq_index import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_index_topk,
+        resolve_index_root,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = _idx_path("ivfpq_delete", sf_dir)
+    build_ivfpq_index(
+        emb, idx, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
+        k_codes=_PQ_K, iterations=_KM_ITERS, store_vectors=True,
+    )
+    delete_from_ivfpq_index(
+        spark, idx, emb.filter(_DEL_PRED).select("vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pre = ivfpq_index_topk(
+        spark, idx, queries, dim=_DIM, k_neighbors=3, nprobe=_IVF_NPROBE
+    )
+    info = compact_ivfpq_index(spark, idx)
+    root = resolve_index_root(idx)
+    # lifecycle invariants, raise-checked (-O safe): the reclaim is
+    # physical and complete
+    if os.path.isdir(os.path.join(root, "tombstones")):
+        raise ValueError(f"compact left a tombstones artifact at {root}")
+    n_ghost = (
+        spark.read.parquet(f"{root}/codes").filter(_DEL_PRED).count()
+    )
+    if n_ghost:
+        raise ValueError(
+            f"compact left {n_ghost} tombstoned rows in {root}/codes"
+        )
+    post = ivfpq_index_topk(
+        spark, idx, queries, dim=_DIM, k_neighbors=3, nprobe=_IVF_NPROBE
+    )
+    # logical-delete serve == physical-delete serve, row for row (pre
+    # is pinned to the retained flat generation, post to the compacted
+    # one — the equality IS the tombstone anti-join's correctness)
+    if pre.exceptAll(post).count() or post.exceptAll(pre).count():
+        raise ValueError(
+            "pre-compact (tombstone) and post-compact (physical) serves"
+            " diverged"
+        )
+    return post
 
 
 _RECALL_K = 10

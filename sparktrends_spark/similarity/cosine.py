@@ -604,7 +604,7 @@ def build_ivf_index(
         reset_generations,
     )
 
-    with maintenance_lock(path):
+    with maintenance_lock(path, operation="build"):
         # an overwrite-build resets any previous retrain history
         # (pointer + generation dirs), or readers would resolve a
         # stale generation
@@ -683,7 +683,7 @@ def append_ivf_index(
     )
 
     spark = new_vectors.sparkSession
-    with maintenance_lock(path):
+    with maintenance_lock(path, operation="append"):
         _append_ivf_locked(
             spark, new_vectors, resolve_root(path), cand_id, vec_col,
             round_digits,
@@ -862,17 +862,25 @@ def retrain_ivf_index(
     )
 
     spark = vectors.sparkSession
-    with maintenance_lock(path):
+    with maintenance_lock(path, operation="retrain"):
         previous = resolve_root(path)
         new_gen = next_generation(path)
-        build_ivf_index(
-            vectors,
-            os.path.join(path, new_gen),
-            label_col=label_col,
-            cand_id=cand_id,
-            vec_col=vec_col,
-            round_digits=round_digits,
-        )
+        try:
+            build_ivf_index(
+                vectors,
+                os.path.join(path, new_gen),
+                label_col=label_col,
+                cand_id=cand_id,
+                vec_col=vec_col,
+                round_digits=round_digits,
+            )
+        except BaseException:
+            # a failed generation build was never promoted — remove the
+            # partial dir rather than leaving orphan junk for GC
+            import shutil
+
+            shutil.rmtree(os.path.join(path, new_gen), ignore_errors=True)
+            raise
         write_current(path, new_gen)
         removed = gc_generations(
             path, ("centroids", "vectors", "meta"), keep_generations

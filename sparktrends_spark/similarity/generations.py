@@ -28,13 +28,18 @@ import json
 import os
 import re
 import shutil
+import socket
 import time
 
 _GEN_RE = re.compile(r"^g(\d{6})$")
 
+# sentinel naming the legacy flat layout (artifacts directly under
+# ``path``) in promotion history and GC reports
+FLAT_ROOT = "<flat>"
+
 
 @contextlib.contextmanager
-def maintenance_lock(path: str, timeout_s: float = 600.0):
+def maintenance_lock(path: str, timeout_s: float = 600.0, operation: str = ""):
     """Mutual exclusion for index WRITERS (append vs retrain — the
     manifest-lock discipline from streaming/sinks.py applied to the
     index): an append that resolves the root and then races a retrain
@@ -44,11 +49,15 @@ def maintenance_lock(path: str, timeout_s: float = 600.0):
     the lock (generation pinning already makes them safe).
 
     O_CREAT|O_EXCL lock file under ``path`` — the local-filesystem
-    stand-in for a log-commit conditional put. A crashed holder leaves
-    a stale lock; callers time out with the path in the error rather
-    than silently proceeding into a lost-batch interleaving. The
-    default timeout is retrain-sized (quantizer training takes
-    minutes at scale)."""
+    stand-in for a log-commit conditional put. The holder's identity
+    ({pid, host, acquired_unix, operation}) is written INTO the lock
+    file so a timed-out waiter can report WHO holds it — without that,
+    "verify no maintenance job is running" gives the operator nothing
+    to verify with, and a crashed holder is indistinguishable from a
+    slow one. A crashed holder leaves a stale lock; callers time out
+    with the holder info in the error rather than silently proceeding
+    into a lost-batch interleaving. The default timeout is
+    retrain-sized (quantizer training takes minutes at scale)."""
     os.makedirs(path, exist_ok=True)
     lock_path = os.path.join(path, ".maintenance.lock")
     deadline = time.monotonic() + timeout_s
@@ -58,14 +67,30 @@ def maintenance_lock(path: str, timeout_s: float = 600.0):
             break
         except FileExistsError:
             if time.monotonic() >= deadline:
+                holder = "<unreadable>"
+                with contextlib.suppress(OSError, ValueError):
+                    with open(lock_path) as fh:
+                        holder = fh.read() or "<empty (pre-metadata lock)>"
                 raise TimeoutError(
                     f"{lock_path}: index maintenance lock held for"
-                    f" >{timeout_s}s — a concurrent append/retrain is"
-                    " stuck or crashed; remove the lock file after"
-                    " verifying no maintenance job is running"
+                    f" >{timeout_s}s by {holder} — a concurrent"
+                    " append/retrain is stuck or crashed; check that"
+                    " holder (pid/host above) and remove the lock file"
+                    " only after verifying it is no longer running"
                 ) from None
             time.sleep(0.05)
     try:
+        os.write(
+            fd,
+            json.dumps(
+                {
+                    "pid": os.getpid(),
+                    "host": socket.gethostname(),
+                    "acquired_unix": time.time(),
+                    "operation": operation,
+                }
+            ).encode(),
+        )
         yield
     finally:
         os.close(fd)
@@ -81,21 +106,56 @@ def generations(path: str) -> list[str]:
     return sorted(d for d in os.listdir(path) if _GEN_RE.match(d))
 
 
-def read_current(path: str) -> str | None:
+def _read_current_doc(path: str) -> dict | None:
     f = os.path.join(path, "CURRENT")
     if not os.path.isfile(f):
         return None
     with open(f) as fh:
-        return json.load(fh)["generation"]
+        return json.load(fh)
+
+
+def read_current(path: str) -> str | None:
+    doc = _read_current_doc(path)
+    return doc["generation"] if doc else None
+
+
+def promoted_roots(path: str) -> list[str] | None:
+    """Promotion history, oldest first, ENDING with the current
+    generation (``FLAT_ROOT`` names the legacy flat layout). ``None``
+    for a never-promoted (flat-only) index. Directories NOT in this
+    list are unpromoted leftovers of a crashed retrain/compact — junk,
+    never a root a reader was ever pointed at."""
+    doc = _read_current_doc(path)
+    if doc is None:
+        return None
+    # pre-history CURRENT files (written before round 11) carry no
+    # promotion record; the only safe reconstruction is "everything on
+    # disk was promoted" — the legacy retention behavior
+    hist = doc.get("history")
+    if hist is None:
+        hist = [FLAT_ROOT] + [
+            g for g in generations(path) if g != doc["generation"]
+        ]
+    return list(hist) + [doc["generation"]]
 
 
 def write_current(path: str, generation: str) -> None:
     """Atomic pointer promotion: the new generation is fully written
     BEFORE this single rename, so a reader resolving CURRENT sees
-    either the old complete index or the new complete one."""
+    either the old complete index or the new complete one. The pointer
+    document also carries the PROMOTION HISTORY (prior roots, oldest
+    first) — retention decisions key off what was actually promoted,
+    never off directory listings, so a crashed writer's partial
+    generation dir can neither count toward retention nor displace the
+    root in-flight readers were promised."""
+    doc = _read_current_doc(path)
+    if doc is None:
+        history = [FLAT_ROOT]
+    else:
+        history = list(doc.get("history", [FLAT_ROOT])) + [doc["generation"]]
     tmp = os.path.join(path, ".CURRENT.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"generation": generation}, fh)
+        json.dump({"generation": generation, "history": history}, fh)
     os.replace(tmp, os.path.join(path, "CURRENT"))
 
 
@@ -125,29 +185,54 @@ def reset_generations(path: str) -> None:
 def gc_generations(
     path: str, flat_artifacts: tuple[str, ...], keep: int
 ) -> list[str]:
-    """Reclaim roots older than the newest ``keep`` (the legacy flat
-    layout counts as the oldest root). Returns what was removed
-    (``"<flat>"`` for the flat artifacts). ``keep`` must be >= 1:
-    keep=0 would delete the just-promoted CURRENT generation itself,
-    leaving a dangling pointer — never a valid request."""
+    """Reclaim PROMOTED roots older than the newest ``keep`` (the
+    legacy flat layout counts as the oldest promoted root), plus any
+    never-promoted generation directory — the debris of a writer that
+    crashed between building ``path/g<N>`` and promoting the pointer.
+    Retention candidates come from the promotion history in CURRENT,
+    never from directory listings: counting an orphan toward retention
+    would GC the root in-flight readers are actually pinned to while
+    "retaining" unreadable junk. Runs only under the maintenance lock
+    (every caller is a locked writer), so an unpromoted dir can never
+    be a concurrent build in progress. Returns what was removed
+    (``"<flat>"`` for the flat artifacts, ``"gNNNNNN (unpromoted)"``
+    for orphans). ``keep`` must be >= 1: keep=0 would delete the
+    just-promoted CURRENT generation itself, leaving a dangling
+    pointer — never a valid request."""
     if keep < 1:
         raise ValueError(
             f"keep={keep}: retention must keep at least the CURRENT"
             " generation"
         )
-    roots: list[str | None] = []
-    if any(os.path.isdir(os.path.join(path, a)) for a in flat_artifacts):
-        roots.append(None)
-    roots.extend(generations(path))
+    promoted = promoted_roots(path)
     removed: list[str] = []
-    doomed = roots[:-keep]
-    for r in doomed:
-        if r is None:
+    if promoted is None:
+        # flat-only index: the flat root IS current; only orphan
+        # generation dirs (crashed never-promoted retrains) can go
+        for g in generations(path):
+            shutil.rmtree(os.path.join(path, g))
+            removed.append(f"{g} (unpromoted)")
+        return removed
+    for g in generations(path):
+        if g not in promoted:
+            shutil.rmtree(os.path.join(path, g))
+            removed.append(f"{g} (unpromoted)")
+    live = [
+        r
+        for r in promoted
+        if (
+            any(os.path.isdir(os.path.join(path, a)) for a in flat_artifacts)
+            if r == FLAT_ROOT
+            else os.path.isdir(os.path.join(path, r))
+        )
+    ]
+    for r in live[:-keep] if len(live) > keep else []:
+        if r == FLAT_ROOT:
             for a in flat_artifacts:
                 d = os.path.join(path, a)
                 if os.path.isdir(d):
                     shutil.rmtree(d)
-            removed.append("<flat>")
+            removed.append(FLAT_ROOT)
         else:
             shutil.rmtree(os.path.join(path, r))
             removed.append(r)

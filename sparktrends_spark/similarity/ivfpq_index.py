@@ -95,10 +95,15 @@ from sparktrends_spark.similarity.generations import (
 # artifacts vs corpus-sized cell-partitioned ones. Compaction, GC, and
 # refresh all derive from these — adding an artifact in one place only
 # would silently drop it from a compacted generation (then GC the only
-# copy), so never enumerate the names anywhere else.
+# copy), so never enumerate the names anywhere else. Tombstones are
+# deliberately NOT a small artifact: compaction copies small artifacts
+# verbatim but must DROP tombstones (it physically removes the rows
+# they name); they still belong to _FLAT_ARTIFACTS so root GC and
+# overwrite-build reset reclaim them with their root.
 _SMALL_ARTIFACTS = ("coarse", "books", "meta")
 _CELL_ARTIFACTS = ("codes", "vectors")
-_FLAT_ARTIFACTS = _SMALL_ARTIFACTS + _CELL_ARTIFACTS
+_TOMBSTONES = "tombstones"
+_FLAT_ARTIFACTS = _SMALL_ARTIFACTS + _CELL_ARTIFACTS + (_TOMBSTONES,)
 
 
 def _cent_array(cents: dict[int, list[float]]) -> F.Column:
@@ -176,7 +181,7 @@ def build_ivfpq_index(
     class the lock exists for. (Retrain's internal build targets the
     fresh generation directory, whose lock is distinct from the index
     root's — no self-deadlock.)"""
-    with maintenance_lock(path, lock_timeout_s):
+    with maintenance_lock(path, lock_timeout_s, operation="build"):
         _build_ivfpq_locked(
             vectors, path, dim, n_cells, m, k_codes, iterations,
             id_col, vec_col, store_vectors, coarse,
@@ -245,6 +250,12 @@ def _build_ivfpq_locked(
         if os.path.isdir(f"{path}/vectors"):
             shutil.rmtree(f"{path}/vectors")
             spark.catalog.refreshByPath(f"{path}/vectors")
+    # same reasoning for a prior build's tombstones: an overwrite-build
+    # defines a FRESH corpus — stale tombstones would silently suppress
+    # ids that legitimately exist in the new index
+    if os.path.isdir(f"{path}/{_TOMBSTONES}"):
+        shutil.rmtree(f"{path}/{_TOMBSTONES}")
+        spark.catalog.refreshByPath(f"{path}/{_TOMBSTONES}")
 
 
 def _encode(resid: DataFrame, books: Codebooks, dim: int, id_col: str) -> DataFrame:
@@ -278,6 +289,70 @@ def _load_coarse(spark, path: str) -> dict[int, list[float]]:
     }
 
 
+def _tombstones(spark, root: str, id_col: str) -> DataFrame | None:
+    """Distinct tombstoned ids of a generation root, or None if the
+    root has none. Tombstone volume is bounded by takedown traffic
+    (orders of magnitude below corpus size); the distinct is over that
+    small set only."""
+    d = f"{root}/{_TOMBSTONES}"
+    if not os.path.isdir(d):
+        return None
+    return spark.read.parquet(d).select(id_col).distinct()
+
+
+def delete_from_ivfpq_index(
+    spark,
+    path: str,
+    ids,
+    id_col: str = "vec_id",
+    lock_timeout_s: float = 600.0,
+) -> dict:
+    """Takedown/PII-purge for the persisted index: record ``ids`` as
+    TOMBSTONES of the current generation. Serving anti-joins them out
+    immediately (a deleted document can never again be returned as a
+    neighbor); ``compact_ivfpq_index`` / ``retrain_ivfpq_index``
+    physically drop the rows (codes + vectors sidecar) and clear the
+    tombstones in the new generation — the same logical-delete-then-
+    physical-reclaim split every table format uses, on the same
+    generations substrate.
+
+    ``ids``: a DataFrame carrying ``id_col``, or a plain iterable of
+    id values. Ids are cast to the index's stored id type (the F.hash
+    type-sensitivity lesson applies to any downstream hashing) and
+    deduplicated per call; deleting an id absent from the index is a
+    no-op by construction. O(|ids|): the stored index is never read.
+
+    Re-inserting a tombstoned id later requires reclaiming it first
+    (compact or retrain) — ``append_ivfpq_index`` refuses batches that
+    intersect the tombstone set rather than landing rows the serve
+    anti-join would silently hide.
+
+    Returns ``{root, n_tombstones}`` (distinct ids tombstoned on this
+    generation after the write)."""
+    with maintenance_lock(path, lock_timeout_s, operation="delete"):
+        root = resolve_index_root(path)
+        if not os.path.isdir(f"{root}/codes"):
+            raise ValueError(
+                f"no index at {root} ({root}/codes missing) — nothing"
+                " to delete from"
+            )
+        id_type = spark.read.parquet(f"{root}/codes").schema[
+            id_col
+        ].dataType.simpleString()
+        if isinstance(ids, DataFrame):
+            tdf = ids.select(F.col(id_col).cast(id_type))
+        else:
+            tdf = spark.createDataFrame(
+                [(x,) for x in ids], f"`{id_col}` {id_type}"
+            )
+        tdf.distinct().coalesce(1).write.mode("append").parquet(
+            f"{root}/{_TOMBSTONES}"
+        )
+        spark.catalog.refreshByPath(f"{root}/{_TOMBSTONES}")
+        n = _tombstones(spark, root, id_col).count()
+    return {"root": root, "n_tombstones": int(n)}
+
+
 def append_ivfpq_index(
     new_vectors: DataFrame,
     path: str,
@@ -298,13 +373,28 @@ def append_ivfpq_index(
     generation and silently lose it at GC (see
     ``generations.maintenance_lock``)."""
     spark = new_vectors.sparkSession
-    with maintenance_lock(path, lock_timeout_s):
+    with maintenance_lock(path, lock_timeout_s, operation="append"):
         root = resolve_index_root(path)
         cents = _load_coarse(spark, root)
         books = _load_books(spark, root)
         emb = new_vectors.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
         )
+        tomb = _tombstones(spark, root, id_col)
+        if tomb is not None:
+            # a batch re-inserting a tombstoned id would land rows the
+            # serve anti-join silently hides forever — refuse loudly;
+            # the caller must reclaim (compact/retrain) first. Cost:
+            # one batch-vs-tombstones hash join per append, tombstone
+            # side bounded by takedown traffic.
+            n_bad = emb.join(tomb, id_col).count()
+            if n_bad:
+                raise ValueError(
+                    f"append batch re-inserts {n_bad} tombstoned id(s)"
+                    f" of {root} — run compact_ivfpq_index or"
+                    " retrain_ivfpq_index to reclaim the deletes, then"
+                    " append"
+                )
         asg = assign_clusters(emb, cents, vec_col="_v", out_col="cell")
         resid = asg.withColumn("_r", _residual("_v", "cell", cents))
         _encode(resid, books, dim, id_col).write.mode("append").partitionBy(
@@ -382,6 +472,15 @@ def ivfpq_index_topk(
     codes = spark.read.parquet(f"{root}/codes").filter(
         F.col("cell").isin([int(c) for c in cells])
     )
+    tomb = _tombstones(spark, root, id_col)
+    if tomb is not None:
+        # logical deletes: tombstoned ids leave the candidate set
+        # BEFORE scoring (and before the refine shortlist), so a
+        # deleted document is never served as a neighbor between the
+        # delete and its physical reclaim at compact/retrain. Hash
+        # anti-join on the id; the tombstone side is takedown-sized,
+        # so AQE broadcasts it.
+        codes = codes.join(tomb, id_col, "left_anti")
 
     pr = probes.withColumn("_rq", _residual("_qv", "cell", cents))
     # ONE broadcast LUT row per (query, probed cell): the fused m x k
@@ -438,7 +537,9 @@ def ivfpq_index_topk(
     )
 
 
-def ivfpq_index_staleness(spark, path: str, check_error: bool = True) -> dict:
+def ivfpq_index_staleness(
+    spark, path: str, check_error: bool = True, strict: bool = False
+) -> dict:
     """Cheap maintenance probe: how far has the index drifted from its
     quantizers' training distribution? Appends encode with FROZEN
     coarse centroids and codebooks (correct, O(batch)), so recall
@@ -460,11 +561,22 @@ def ivfpq_index_staleness(spark, path: str, check_error: bool = True) -> dict:
       the FROZEN quantizers / mean at train — the direct recall-decay
       proxy. Costs one pass over the sidecar (no joins, no shuffle
       beyond the n_cells-row agg); counts-only probing is
-      metadata-cheap.
+      metadata-cheap. When ``check_error=True`` but the sidecar is
+      absent (index built without ``store_vectors``), the err_* fields
+      degrade to None: with ``strict=True`` that raises; otherwise it
+      emits a ``UserWarning`` so a policy relying on err_growth learns
+      it is running size/skew-only protection instead of silently
+      losing its most direct signal;
+    - ``n_tombstones`` / ``tombstone_ratio``: logical deletes awaiting
+      physical reclaim — counts/size_ratio above are PHYSICAL (probe
+      cost scans tombstoned rows until compact/retrain drops them),
+      so a growing tombstone_ratio is itself a reclaim trigger
+      (``max_tombstone_ratio`` in ``maybe_retrain_ivfpq_index``).
 
     Returns ``{generation, n_train, n_now, size_ratio,
     max_cell_growth, cell_skew, err_train, err_now, err_growth,
-    cells}`` (err_* None when not checked)."""
+    n_tombstones, tombstone_ratio, cells}`` (err_* None when not
+    checked)."""
     root = resolve_index_root(path)
     if not os.path.isdir(f"{root}/meta"):
         raise ValueError(
@@ -487,12 +599,20 @@ def ivfpq_index_staleness(spark, path: str, check_error: bool = True) -> dict:
         weighted_baseline,
     )
 
+    # id column leads the codes layout (the compact convention) — the
+    # tombstone artifact is keyed by it
+    codes_id = spark.read.parquet(f"{root}/codes").columns[0]
+    tomb = _tombstones(spark, root, codes_id)
+    n_tomb = int(tomb.count()) if tomb is not None else 0
+    counts = staleness_counts(meta, now)
     out = {
         "generation": _read_current(path) or "",
-        **staleness_counts(meta, now),
+        **counts,
         "err_train": None,
         "err_now": None,
         "err_growth": None,
+        "n_tombstones": n_tomb,
+        "tombstone_ratio": n_tomb / max(counts["n_now"], 1),
         "cells": {
             c: {
                 "n_train": meta.get(c, (0, None))[0],
@@ -502,6 +622,19 @@ def ivfpq_index_staleness(spark, path: str, check_error: bool = True) -> dict:
             for c in sorted(set(meta) | set(now))
         },
     }
+    if check_error and not os.path.isdir(f"{root}/vectors"):
+        msg = (
+            f"ivfpq_index_staleness(check_error=True): {root}/vectors"
+            " is absent (index built without store_vectors=True), so"
+            " err_train/err_now/err_growth degrade to None — this"
+            " probe is providing size/skew-only protection, not the"
+            " direct recall-decay signal"
+        )
+        if strict:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, UserWarning, stacklevel=2)
     if check_error and os.path.isdir(f"{root}/vectors"):
         cents = _load_coarse(spark, root)
         books = _load_books(spark, root)
@@ -555,9 +688,12 @@ def retrain_ivfpq_index(
     whole retrain — serializing against concurrent appends, whose
     batches would otherwise land in the superseded generation and be
     silently lost at GC; concurrent READERS are always safe and never
-    take the lock. Returns ``{generation, previous_root, n_vectors,
-    n_cells, m, k_codes, gc_removed}``."""
-    with maintenance_lock(path, lock_timeout_s):
+    take the lock. Tombstoned ids (``delete_from_ivfpq_index``) are
+    excluded from the retrain corpus — the new generation physically
+    contains no trace of them and carries no tombstones artifact.
+    Returns ``{generation, previous_root, n_vectors, n_cells, m,
+    k_codes, gc_removed}``."""
+    with maintenance_lock(path, lock_timeout_s, operation="retrain"):
         return _retrain_ivfpq_locked(
             spark, path, dim, iterations, n_cells, m, k_codes,
             keep_generations, id_col,
@@ -583,19 +719,32 @@ def _retrain_ivfpq_locked(
     corpus = spark.read.parquet(f"{root}/vectors").select(
         F.col(id_col), F.col("_cv").alias("embedding")
     )
+    tomb = _tombstones(spark, root, id_col)
+    if tomb is not None:
+        # physical reclaim of logical deletes: the retrain corpus is
+        # the live rows only, so the new generation contains no trace
+        # of tombstoned ids and starts with a clean tombstone set
+        corpus = corpus.join(tomb, id_col, "left_anti")
     n_vectors = corpus.count()
     new_gen = next_generation(path)
-    build_ivfpq_index(
-        corpus,
-        os.path.join(path, new_gen),
-        dim=dim,
-        n_cells=n_cells,
-        m=m,
-        k_codes=k_codes,
-        iterations=iterations,
-        id_col=id_col,
-        store_vectors=True,
-    )
+    try:
+        build_ivfpq_index(
+            corpus,
+            os.path.join(path, new_gen),
+            dim=dim,
+            n_cells=n_cells,
+            m=m,
+            k_codes=k_codes,
+            iterations=iterations,
+            id_col=id_col,
+            store_vectors=True,
+        )
+    except BaseException:
+        # a crashed/failed generation build must not leave a partial
+        # dir behind: it was never promoted, so nothing references it,
+        # and leaving it would only burden the next writer's orphan GC
+        shutil.rmtree(os.path.join(path, new_gen), ignore_errors=True)
+        raise
     _write_current(path, new_gen)
 
     # retention: newest keep_generations roots survive (the legacy
@@ -623,6 +772,7 @@ def maybe_retrain_ivfpq_index(
     max_err_growth: float = 1.5,
     max_size_ratio: float = 2.0,
     max_cell_skew: float = 4.0,
+    max_tombstone_ratio: float = 0.25,
     **retrain_kwargs,
 ) -> dict:
     """The maintenance POLICY in one call — probe, compare against
@@ -635,7 +785,10 @@ def maybe_retrain_ivfpq_index(
     - ``max_size_ratio``: corpus growth since train — even
       same-distribution appends eventually warrant re-balancing cells;
     - ``max_cell_skew``: max/mean cell size — a hot cell makes every
-      probe of it disproportionately expensive.
+      probe of it disproportionately expensive;
+    - ``max_tombstone_ratio``: logically deleted rows / physical rows
+      — tombstoned rows still cost probe scan time until a retrain (or
+      compact) physically reclaims them.
 
     Returns the staleness report plus ``{"retrained": bool,
     "reasons": [...], "retrain": <retrain result or None>}``. The
@@ -645,8 +798,23 @@ def maybe_retrain_ivfpq_index(
     back-to-back generations and GC'ing the root in-flight readers
     were promised (the retained previous generation) — the second run
     now re-probes the freshly retrained index and no-ops."""
+    # validate retrain options UP FRONT — a misspelled knob in a
+    # maintenance cron would otherwise silently fall back to defaults
+    # (and, when no threshold trips, never even be looked at)
     lock_timeout_s = retrain_kwargs.pop("lock_timeout_s", 600.0)
-    with maintenance_lock(path, lock_timeout_s):
+    iterations = retrain_kwargs.pop("iterations", 3)
+    n_cells = retrain_kwargs.pop("n_cells", None)
+    m = retrain_kwargs.pop("m", None)
+    k_codes = retrain_kwargs.pop("k_codes", None)
+    keep_generations = retrain_kwargs.pop("keep_generations", 2)
+    id_col = retrain_kwargs.pop("id_col", "vec_id")
+    if retrain_kwargs:
+        raise TypeError(
+            "maybe_retrain_ivfpq_index: unknown retrain option(s) "
+            f"{sorted(retrain_kwargs)} — valid: lock_timeout_s,"
+            " iterations, n_cells, m, k_codes, keep_generations, id_col"
+        )
+    with maintenance_lock(path, lock_timeout_s, operation="policy"):
         st = ivfpq_index_staleness(spark, path)
         reasons = []
         if st["err_growth"] is not None and st["err_growth"] > max_err_growth:
@@ -661,18 +829,18 @@ def maybe_retrain_ivfpq_index(
             reasons.append(
                 f"cell_skew {st['cell_skew']:.2f} > {max_cell_skew}"
             )
+        if st["tombstone_ratio"] > max_tombstone_ratio:
+            reasons.append(
+                f"tombstone_ratio {st['tombstone_ratio']:.2f} >"
+                f" {max_tombstone_ratio}"
+            )
         out = dict(st)
         out["retrained"] = bool(reasons)
         out["reasons"] = reasons
         out["retrain"] = (
             _retrain_ivfpq_locked(
-                spark, path, dim,
-                retrain_kwargs.pop("iterations", 3),
-                retrain_kwargs.pop("n_cells", None),
-                retrain_kwargs.pop("m", None),
-                retrain_kwargs.pop("k_codes", None),
-                retrain_kwargs.pop("keep_generations", 2),
-                retrain_kwargs.pop("id_col", "vec_id"),
+                spark, path, dim, iterations, n_cells, m, k_codes,
+                keep_generations, id_col,
             )
             if reasons
             else None
@@ -696,9 +864,13 @@ def compact_ivfpq_index(
     present) into AT MOST ``files_per_cell`` files per cell WITH THE
     SAME quantizers — no k-means, one parallel read+write — into a NEW
     GENERATION, promoted by the same atomic CURRENT rename as retrain:
-    readers pinned to the old generation finish safely, values are
-    untouched (serve results are identical by construction). Holds the
-    maintenance lock like every writer.
+    readers pinned to the old generation finish safely, LIVE values
+    are untouched (serve results are identical by construction).
+    Tombstoned ids (``delete_from_ivfpq_index``) are physically
+    dropped during the rewrite and the new generation carries no
+    tombstones artifact — compaction is the cheap reclaim path for
+    takedowns (no re-quantization), retrain the expensive one. Holds
+    the maintenance lock like every writer.
 
     Parallelism: the rewrite shuffles on (cell, id-hash split) into
     n_cells * files_per_cell partitions, so the write runs one task
@@ -708,7 +880,9 @@ def compact_ivfpq_index(
     [1, files_per_cell].
 
     Returns ``{generation, previous_root, files_before, files_after,
-    gc_removed}`` (file counts for the codes table)."""
+    rows_before, rows_after, gc_removed}`` (file/row counts for the
+    codes table; rows_before - rows_after = tombstoned rows
+    reclaimed)."""
     if files_per_cell < 1:
         raise ValueError(f"files_per_cell={files_per_cell}: must be >= 1")
 
@@ -720,7 +894,7 @@ def compact_ivfpq_index(
             if f.endswith(".parquet")
         )
 
-    with maintenance_lock(path, lock_timeout_s):
+    with maintenance_lock(path, lock_timeout_s, operation="compact"):
         root = resolve_index_root(path)
         if not os.path.isdir(f"{root}/codes"):
             # bail BEFORE promoting: writing CURRENT for a generation
@@ -731,24 +905,40 @@ def compact_ivfpq_index(
             )
         n_cells = len(_load_coarse(spark, root))
         files_before = _nfiles(f"{root}/codes")
+        rows_before = spark.read.parquet(f"{root}/codes").count()
         new_gen = next_generation(path)
         gen_root = os.path.join(path, new_gen)
-        for small in _SMALL_ARTIFACTS:
-            if os.path.isdir(f"{root}/{small}"):
-                spark.read.parquet(f"{root}/{small}").coalesce(1).write.mode(
-                    "overwrite"
-                ).parquet(f"{gen_root}/{small}")
-        n_parts = max(1, n_cells * files_per_cell)
-        for big in _CELL_ARTIFACTS:
-            if os.path.isdir(f"{root}/{big}"):
-                df = spark.read.parquet(f"{root}/{big}")
-                id_c = df.columns[0]  # id column leads both layouts
-                split = F.pmod(F.hash(F.col(id_c)), files_per_cell)
-                df.withColumn("_fsplit", split).repartition(
-                    n_parts, "cell", "_fsplit"
-                ).drop("_fsplit").write.mode("overwrite").partitionBy(
-                    "cell"
-                ).parquet(f"{gen_root}/{big}")
+        try:
+            for small in _SMALL_ARTIFACTS:
+                if os.path.isdir(f"{root}/{small}"):
+                    spark.read.parquet(
+                        f"{root}/{small}"
+                    ).coalesce(1).write.mode("overwrite").parquet(
+                        f"{gen_root}/{small}"
+                    )
+            n_parts = max(1, n_cells * files_per_cell)
+            for big in _CELL_ARTIFACTS:
+                if os.path.isdir(f"{root}/{big}"):
+                    df = spark.read.parquet(f"{root}/{big}")
+                    id_c = df.columns[0]  # id column leads both layouts
+                    tomb = _tombstones(spark, root, id_c)
+                    if tomb is not None:
+                        # physical reclaim: tombstoned rows never reach
+                        # the new generation (and the tombstones
+                        # artifact itself is deliberately not copied —
+                        # see _SMALL_ARTIFACTS)
+                        df = df.join(tomb, id_c, "left_anti")
+                    split = F.pmod(F.hash(F.col(id_c)), files_per_cell)
+                    df.withColumn("_fsplit", split).repartition(
+                        n_parts, "cell", "_fsplit"
+                    ).drop("_fsplit").write.mode("overwrite").partitionBy(
+                        "cell"
+                    ).parquet(f"{gen_root}/{big}")
+        except BaseException:
+            # never leave a partial, never-promoted generation dir
+            # behind (it would be orphan junk for the next writer's GC)
+            shutil.rmtree(gen_root, ignore_errors=True)
+            raise
         _write_current(path, new_gen)
         removed = gc_generations(path, _FLAT_ARTIFACTS, keep_generations)
         for sub in _FLAT_ARTIFACTS:
@@ -758,5 +948,9 @@ def compact_ivfpq_index(
             "previous_root": root,
             "files_before": files_before,
             "files_after": _nfiles(f"{gen_root}/codes"),
+            "rows_before": int(rows_before),
+            "rows_after": int(
+                spark.read.parquet(f"{gen_root}/codes").count()
+            ),
             "gc_removed": removed,
         }

@@ -13,6 +13,17 @@ checked against that index and appended. This module is that flow:
   signature positions / num_perm — computable WITHOUT the original
   text, which is why the index stays tiny), and optional append of the
   batch's unique docs so the next batch sees them.
+- ``delete_from_dedup_index`` / ``compact_dedup_index``: takedown —
+  a document deleted from the corpus must stop suppressing incoming
+  near-duplicates. Tombstones live in ``index_path/_tombstones`` (the
+  underscore prefix hides the subdir from the parquet reader, the
+  Hadoop hidden-file convention); candidate pairs anti-join them at
+  match time (bounded: the anti-join runs on the aggregated candidate
+  set, never on the full index), and compaction physically rewrites
+  the index without the tombstoned rows and clears the set. Writers
+  (delete / compact / the append half of incremental_dedup) serialize
+  on the same ``maintenance_lock`` as the ANN index (the lock file's
+  leading dot also hides it from readers).
 
 Uses the same MinHash construction as ``text/dedup.py`` (md5-derived
 base hash, integer permutations, 4x4 banding), so the DuckDB oracle of
@@ -25,11 +36,13 @@ public papers).
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sparktrends_spark.similarity.generations import maintenance_lock
 from sparktrends_spark.text.dedup import (
     minhash_signatures,
     shingle_sets,
@@ -39,6 +52,83 @@ NUM_PERM = 16
 BANDS = 4
 ROWS_PER_BAND = 4
 SHINGLE_N = 3
+
+_TOMBSTONES = "_tombstones"  # '_' prefix: hidden from the parquet reader
+
+
+def _tombstones(spark, index_path: str, id_col: str) -> DataFrame | None:
+    d = os.path.join(index_path, _TOMBSTONES)
+    if not os.path.isdir(d):
+        return None
+    return spark.read.parquet(d).select(id_col).distinct()
+
+
+def delete_from_dedup_index(
+    spark, index_path: str, ids, id_col: str = "doc_id"
+) -> dict:
+    """Takedown for the signature index: record ``ids`` as tombstones.
+    A tombstoned document immediately stops matching incoming docs
+    (its candidate pairs are anti-joined out in ``incremental_dedup``)
+    and is physically removed by ``compact_dedup_index``. ``ids``: a
+    DataFrame carrying ``id_col`` or a plain iterable. O(|ids|) — the
+    index is only touched to read the id column's type."""
+    with maintenance_lock(index_path, operation="dedup-delete"):
+        id_type = spark.read.parquet(index_path).schema[
+            id_col
+        ].dataType.simpleString()
+        if isinstance(ids, DataFrame):
+            tdf = ids.select(F.col(id_col).cast(id_type))
+        else:
+            tdf = spark.createDataFrame(
+                [(x,) for x in ids], f"`{id_col}` {id_type}"
+            )
+        d = os.path.join(index_path, _TOMBSTONES)
+        tdf.distinct().coalesce(1).write.mode("append").parquet(d)
+        spark.catalog.refreshByPath(d)
+        n = _tombstones(spark, index_path, id_col).count()
+    return {"n_tombstones": int(n)}
+
+
+def compact_dedup_index(
+    spark, index_path: str, id_col: str = "doc_id"
+) -> dict:
+    """Physically drop tombstoned rows and clear the tombstone set —
+    after this, a tombstoned id may be re-ingested as a fresh document.
+    The rewrite happens to a sibling temp dir first, then swaps into
+    place file-by-file UNDER the writer lock (the lock file never
+    moves, so no writer can slip in mid-swap); a reader racing the swap
+    on this local-filesystem seam fails loudly mid-scan rather than
+    seeing duplicate or mixed rows — on an object store this becomes a
+    manifest swap like the ANN index's generation pointer."""
+    with maintenance_lock(index_path, operation="dedup-compact"):
+        tomb = _tombstones(spark, index_path, id_col)
+        rows_before = spark.read.parquet(index_path).count()
+        if tomb is None:
+            return {
+                "rows_before": int(rows_before),
+                "rows_after": int(rows_before),
+                "n_reclaimed": 0,
+            }
+        keep = spark.read.parquet(index_path).join(tomb, id_col, "left_anti")
+        tmp = index_path.rstrip("/") + "__compact_tmp"
+        keep.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        for entry in os.listdir(index_path):
+            if entry == ".maintenance.lock":
+                continue
+            full = os.path.join(index_path, entry)
+            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+        for entry in os.listdir(tmp):
+            os.rename(os.path.join(tmp, entry), os.path.join(index_path, entry))
+        os.rmdir(tmp)
+        spark.catalog.refreshByPath(index_path)
+        rows_after = spark.read.parquet(index_path).count()
+    return {
+        "rows_before": int(rows_before),
+        "rows_after": int(rows_after),
+        "n_reclaimed": int(rows_before - rows_after),
+    }
 
 
 def banded_signatures(
@@ -121,6 +211,16 @@ def incremental_dedup(
         .agg(F.max("est_j").alias("est_j"))
         .filter(F.col("est_j") >= threshold)
     )
+    tomb = _tombstones(spark, index_path, id_col)
+    if tomb is not None:
+        # takedowns stop suppressing: a candidate pair whose index side
+        # is tombstoned is dropped BEFORE best-match selection, so a
+        # doc matching only deleted documents comes back unique. The
+        # anti-join runs on the aggregated candidate set (bounded by
+        # collision volume), never on the full index.
+        est = est.join(
+            tomb.select(F.col(id_col).alias("old_id")), "old_id", "left_anti"
+        )
     best = est.withColumn(
         "rn",
         F.row_number().over(
@@ -146,6 +246,18 @@ def incremental_dedup(
             fresh[id_col] == F.col("new_id"),
             "left_anti",
         )
-        uniques.write.mode("append").parquet(index_path)
+        if tomb is not None:
+            # appending a tombstoned id would co-exist with its dead
+            # rows and be anti-joined away at match time — refuse;
+            # compact first (which clears the tombstones), then ingest
+            n_bad = uniques.join(tomb, id_col).count()
+            if n_bad:
+                raise ValueError(
+                    f"batch re-inserts {n_bad} tombstoned doc id(s) —"
+                    " run compact_dedup_index to reclaim deletes, then"
+                    " re-ingest"
+                )
+        with maintenance_lock(index_path, operation="dedup-append"):
+            uniques.write.mode("append").parquet(index_path)
         spark.catalog.refreshByPath(index_path)
     return flags

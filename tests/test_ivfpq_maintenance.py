@@ -201,6 +201,110 @@ def test_maybe_retrain_policy(spark, sf_dir, tmp_path):
     assert not after["retrained"], after
 
 
+def test_maybe_retrain_policy_under_streaming_ingest(spark, sf_dir, tmp_path):
+    """The policy wired into the ingest loop (r10 VERDICT #3): a
+    foreachBatch stream appends through the frozen quantizers and runs
+    maybe_retrain after every batch. Staleness crosses the size_ratio
+    threshold MID-STREAM, the retrain fires exactly once (the baseline
+    reset keeps later batches under threshold), a reader pinned to the
+    pre-retrain generation finishes on it, and no appended row is lost
+    across the retrain boundary — the lock's whole point."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    idx = str(tmp_path / "ing")
+    build_ivfpq_index(
+        emb.filter("vec_id % 8 = 0"), idx, dim=64, store_vectors=True
+    )
+    # pin a reader to the flat (pre-retrain) generation; first executed
+    # only after the mid-stream retrain promotes g000001
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pinned = ivfpq_index_topk(spark, idx, q, dim=64, k_neighbors=3)
+
+    src = str(tmp_path / "src")
+    for b in range(1, 8):
+        emb.filter(f"vec_id % 8 = {b}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    policy_log = []
+
+    def process(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        append_ivfpq_index(batch_df, idx, dim=64)
+        out = maybe_retrain_ivfpq_index(
+            spark, idx, dim=64, max_size_ratio=3.5,
+            max_cell_skew=1e9, max_err_growth=1e9,
+        )
+        policy_log.append(
+            (out["retrained"], out["size_ratio"], out["reasons"])
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="ing_ckpt_")
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    retrains = [p for p in policy_log if p[0]]
+    assert len(policy_log) == 7, policy_log
+    assert len(retrains) == 1, policy_log  # fired exactly once, mid-stream
+    assert policy_log.index(retrains[0]) < 6, policy_log
+    # nothing lost across the retrain boundary: every appended row is
+    # in the CURRENT generation
+    root = resolve_index_root(idx)
+    assert root.endswith("g000001")
+    assert spark.read.parquet(f"{root}/codes").count() == n_total
+    # the pinned pre-retrain reader finishes on its retained generation
+    assert len(pinned.collect()) == 9
+    release_persisted()
+
+
+def test_concurrent_policy_runs_retrain_once(spark, sf_dir, tmp_path):
+    """Two policy runs hitting the same stale index concurrently must
+    serialize on the maintenance lock: the first retrains, the second
+    re-probes the freshly retrained index and no-ops — never two
+    back-to-back generations GC'ing the root pinned readers hold."""
+    import threading
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "cc")
+    build_ivfpq_index(
+        emb.filter("vec_id % 2 = 0"), idx, dim=64, store_vectors=True
+    )
+    append_ivfpq_index(emb.filter("vec_id % 2 = 1"), idx, dim=64)
+    results, errors = [], []
+
+    def run():
+        try:
+            results.append(
+                maybe_retrain_ivfpq_index(
+                    spark, idx, dim=64, max_size_ratio=1.5
+                )
+            )
+        except Exception as e:  # surface in the main thread
+            errors.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errors, errors
+    assert sum(1 for r in results if r["retrained"]) == 1, results
+    from sparktrends_spark.similarity.generations import generations
+
+    assert generations(idx) == ["g000001"]
+
+
 def test_compact_merges_small_files_values_unchanged(spark, sf_dir, tmp_path):
     """Segment-merge maintenance: four appends fragment every cell
     directory; compaction rewrites codes+vectors into files_per_cell

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Serve-only latency against a STANDING persisted index (r10 VERDICT
+ask #2): every graded/sloped persisted-index row times build+serve in
+one query, so the number a 100x-scale reader actually cares about —
+marginal per-query-batch latency once the index exists — was never
+measured in isolation. This tool builds each index ONCE (untimed,
+reported separately as the amortized fixed cost) and then times N
+serve batches of fresh queries against it, next to the in-query brute
+force those serves replace.
+
+Families:
+
+- ``brute``      in-query brute-force cosine top-k (no index; the
+                 baseline every serve must beat for the index to matter)
+- ``ivf``        persisted IVF (similarity/cosine.build_ivf_index),
+                 cosine metric, probe-pruned partition reads
+- ``ivfpq``      persisted residual IVF-PQ, ADC-only (bytes at rest,
+                 L2 metric — see the metric-contract note in README)
+- ``ivfpq_rerank`` same index, exact re-rank of the ADC top-20
+
+Usage: ``python tools/serve_bench.py [sf_dir] [replica_factor]``
+(defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, factor 0 =
+no replica pass). With a factor F > 1 a second corpus at F x sf0.1 is
+materialized via tools/scale_slope.build_scaled_dir and the same
+battery runs against it — the serve-vs-corpus-size slope is the scale
+claim (probe-pruned serves should grow FAR slower than brute force).
+
+Prints ONE JSON line:
+{"metric": "serve_only_batch_sec", "sf": ..., "batches": B,
+ "batch_size": Q, "families": {fam: {"build_sec": s|null,
+ "serve_min_sec": s, "serve_median_sec": s, "per_batch_sec": [...]}},
+ "replica": {factor, families: ...} | null}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+
+_BATCHES = 5
+_BATCH_Q = 10
+_DIM = 64
+_K = 3
+_NPROBE = 2
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _batches(emb):
+    """B disjoint query batches of Q vectors each, ids past the graded
+    range so exclude_self still exercises its row."""
+    from pyspark.sql import functions as F
+
+    return [
+        emb.filter(
+            (F.col("vec_id") >= 100 + b * _BATCH_Q)
+            & (F.col("vec_id") < 100 + (b + 1) * _BATCH_Q)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        for b in range(_BATCHES)
+    ]
+
+
+def _run_family(spark, emb, idx_root, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.caching import release_persisted
+    from sparktrends_spark.similarity.cosine import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from sparktrends_spark.similarity.ivfpq_index import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    emb = emb.select("vec_id", "embedding", "label")
+    qbatches = _batches(emb)
+
+    builds: dict[str, float | None] = {"brute": None}
+    t0 = time.perf_counter()
+    build_ivf_index(emb, f"{idx_root}/ivf")
+    builds["ivf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    build_ivfpq_index(
+        emb, f"{idx_root}/ivfpq", dim=_DIM, n_cells=4, m=2, k_codes=4,
+        iterations=3, store_vectors=True,
+    )
+    builds["ivfpq"] = round(time.perf_counter() - t0, 3)
+    builds["ivfpq_rerank"] = 0.0  # shares the ivfpq index
+
+    serves = {
+        "brute": lambda q: brute_force_topk(q, emb, k=_K),
+        "ivf": lambda q: ivf_index_topk(
+            spark, f"{idx_root}/ivf", q, k=_K, nprobe=_NPROBE
+        ),
+        "ivfpq": lambda q: ivfpq_index_topk(
+            spark, f"{idx_root}/ivfpq", q, dim=_DIM, k_neighbors=_K,
+            nprobe=_NPROBE,
+        ),
+        "ivfpq_rerank": lambda q: ivfpq_index_topk(
+            spark, f"{idx_root}/ivfpq", q, dim=_DIM, k_neighbors=_K,
+            nprobe=_NPROBE, refine_k=20,
+        ),
+    }
+    out = {}
+    for fam, serve in serves.items():
+        _noop(serve(qbatches[0]))  # warm: codegen + index metadata
+        release_persisted()
+        per_batch = []
+        for q in qbatches:
+            t0 = time.perf_counter()
+            _noop(serve(q))
+            per_batch.append(round(time.perf_counter() - t0, 3))
+            release_persisted()
+        out[fam] = {
+            "build_sec": builds[fam],
+            "serve_min_sec": min(per_batch),
+            "serve_median_sec": round(statistics.median(per_batch), 3),
+            "per_batch_sec": per_batch,
+        }
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if len(sys.argv) > 1:
+        sf_dir = sys.argv[1]
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+
+    from sparktrends_spark.session import get_spark
+    from sparktrends_spark.sources.tables import load_table
+
+    spark = get_spark("sparktrends-serve-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    import tempfile
+
+    idx_root = tempfile.mkdtemp(prefix="serve_bench_idx_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    result = {
+        "metric": "serve_only_batch_sec",
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "batches": _BATCHES,
+        "batch_size": _BATCH_Q,
+        "families": _run_family(spark, emb, idx_root, sf_dir),
+        "replica": None,
+    }
+    if factor > 1:
+        from scale_slope import build_scaled_dir
+
+        big_dir = build_scaled_dir(spark, factor)
+        big = load_table(spark, big_dir, "embeddings")
+        result["replica"] = {
+            "factor": factor,
+            "families": _run_family(
+                spark, big, f"{idx_root}/x{factor}", big_dir
+            ),
+        }
+    import shutil
+
+    shutil.rmtree(idx_root, ignore_errors=True)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
