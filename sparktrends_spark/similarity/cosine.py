@@ -609,6 +609,15 @@ def build_ivf_index(
         # (pointer + generation dirs), or readers would resolve a
         # stale generation
         reset_generations(path)
+        # ... and any previous corpus's tombstones: an overwrite-build
+        # defines a fresh corpus — stale tombstones would silently
+        # suppress ids that legitimately exist in the new index
+        import os
+        import shutil
+
+        if os.path.isdir(f"{path}/tombstones"):
+            shutil.rmtree(f"{path}/tombstones")
+            vectors.sparkSession.catalog.refreshByPath(f"{path}/tombstones")
         _build_ivf_locked(vectors, path, label_col, cand_id, vec_col,
                           round_digits)
 
@@ -649,6 +658,61 @@ def _build_ivf_locked(
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     finally:
         assigned.unpersist()
+
+
+def _ivf_tombstones(spark, root: str, cand_id: str) -> DataFrame | None:
+    """Distinct tombstoned ids of a generation root (None if none) —
+    the IVF twin of ivfpq_index._tombstones; bounded by takedown
+    traffic."""
+    import os
+
+    d = f"{root}/tombstones"
+    if not os.path.isdir(d):
+        return None
+    return spark.read.parquet(d).select(cand_id).distinct()
+
+
+def delete_from_ivf_index(
+    spark, path: str, ids, cand_id: str = "vec_id"
+) -> dict:
+    """Takedown/PII-purge for the persisted IVF index — the same
+    tombstone discipline as ``delete_from_ivfpq_index``: record ids as
+    tombstones of the current generation (O(|ids|), index never read
+    beyond its schema), serve anti-joins them immediately,
+    ``retrain_ivf_index`` physically reclaims (trains/encodes the live
+    rows only and starts the new generation with a clean set).
+    ``ids``: a DataFrame carrying ``cand_id`` or a plain iterable.
+    Re-inserting a tombstoned id requires the reclaim first —
+    ``append_ivf_index`` refuses intersecting batches."""
+    import os
+
+    from sparktrends_spark.similarity.generations import (
+        maintenance_lock,
+        resolve_root,
+    )
+
+    with maintenance_lock(path, operation="delete"):
+        root = resolve_root(path)
+        if not os.path.isdir(f"{root}/vectors"):
+            raise ValueError(
+                f"no index at {root} ({root}/vectors missing) — nothing"
+                " to delete from"
+            )
+        id_type = spark.read.parquet(f"{root}/vectors").schema[
+            cand_id
+        ].dataType.simpleString()
+        if isinstance(ids, DataFrame):
+            tdf = ids.select(F.col(cand_id).cast(id_type))
+        else:
+            tdf = spark.createDataFrame(
+                [(x,) for x in ids], f"`{cand_id}` {id_type}"
+            )
+        tdf.distinct().coalesce(1).write.mode("append").parquet(
+            f"{root}/tombstones"
+        )
+        spark.catalog.refreshByPath(f"{root}/tombstones")
+        n = _ivf_tombstones(spark, root, cand_id).count()
+    return {"root": root, "n_tombstones": int(n)}
 
 
 def append_ivf_index(
@@ -693,6 +757,17 @@ def append_ivf_index(
 def _append_ivf_locked(
     spark, new_vectors, root, cand_id, vec_col, round_digits
 ) -> None:
+    tomb = _ivf_tombstones(spark, root, cand_id)
+    if tomb is not None:
+        # a batch re-inserting a tombstoned id would be hidden forever
+        # by the serve anti-join — refuse; retrain reclaims first
+        n_bad = new_vectors.select(cand_id).join(tomb, cand_id).count()
+        if n_bad:
+            raise ValueError(
+                f"append batch re-inserts {n_bad} tombstoned id(s) of"
+                f" {root} — run retrain_ivf_index to reclaim deletes,"
+                " then append"
+            )
     try:
         stored = spark.read.parquet(f"{root}/vectors").schema["_cv"].dataType
         elem = stored.elementType.simpleString()
@@ -754,6 +829,12 @@ def ivf_index_topk(
     assigned = spark.read.parquet(f"{root}/vectors").filter(
         F.col("cell").isin(probe_cells)
     )
+    tomb = _ivf_tombstones(spark, root, cand_id)
+    if tomb is not None:
+        # logical deletes (delete_from_ivf_index): tombstoned ids leave
+        # the candidate set before scoring — takedown-sized side, AQE
+        # broadcasts the hash anti-join; physically reclaimed at retrain
+        assigned = assigned.join(tomb, cand_id, "left_anti")
     return _rank_probed(
         assigned, queries, cent_row, k, nprobe,
         query_id, cand_id, vec_col, round_digits,
@@ -797,12 +878,19 @@ def ivf_index_staleness(spark, path: str, check_sim: bool = True) -> dict:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()  # n_cells rows
     }
+    # id column leads the stored layout (build's select order)
+    stored_id = spark.read.parquet(f"{root}/vectors").columns[0]
+    tomb = _ivf_tombstones(spark, root, stored_id)
+    n_tomb = int(tomb.count()) if tomb is not None else 0
+    counts = staleness_counts(meta, now)
     out = {
         "generation": read_current(path) or "",
-        **staleness_counts(meta, now),
+        **counts,
         "sim_train": None,
         "sim_now": None,
         "sim_drop": None,
+        "n_tombstones": n_tomb,
+        "tombstone_ratio": n_tomb / max(counts["n_now"], 1),
     }
     if check_sim:
         cent_row = spark.read.parquet(f"{root}/centroids").agg(
@@ -864,10 +952,18 @@ def retrain_ivf_index(
     spark = vectors.sparkSession
     with maintenance_lock(path, operation="retrain"):
         previous = resolve_root(path)
+        corpus = vectors
+        tomb = _ivf_tombstones(spark, previous, cand_id)
+        if tomb is not None:
+            # physical reclaim of logical deletes: even if the caller's
+            # corpus still carries a taken-down document, the retrained
+            # generation must not — tombstones outrank the corpus until
+            # this reclaim clears them
+            corpus = corpus.join(tomb, cand_id, "left_anti")
         new_gen = next_generation(path)
         try:
             build_ivf_index(
-                vectors,
+                corpus,
                 os.path.join(path, new_gen),
                 label_col=label_col,
                 cand_id=cand_id,
@@ -883,7 +979,8 @@ def retrain_ivf_index(
             raise
         write_current(path, new_gen)
         removed = gc_generations(
-            path, ("centroids", "vectors", "meta"), keep_generations
+            path, ("centroids", "vectors", "meta", "tombstones"),
+            keep_generations,
         )
     for sub in ("centroids", "vectors", "meta"):
         spark.catalog.refreshByPath(os.path.join(path, new_gen, sub))

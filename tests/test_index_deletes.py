@@ -277,6 +277,56 @@ def test_delete_requires_an_index(spark, tmp_path):
         delete_from_ivfpq_index(spark, str(tmp_path / "missing"), [1, 2])
 
 
+def test_ivf_index_delete_and_retrain_reclaim(spark, sf_dir, tmp_path):
+    """The plain persisted IVF index gets the same takedown story
+    (shared tombstone discipline): serve excludes tombstoned ids
+    immediately; append refuses re-inserts; retrain physically
+    reclaims — bit-identical to a fresh build on the live corpus."""
+    from sparktrends_spark.similarity.cosine import (
+        append_ivf_index,
+        build_ivf_index,
+        delete_from_ivf_index,
+        ivf_index_staleness,
+        ivf_index_topk,
+        retrain_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivfdel")
+    build_ivf_index(emb, idx)
+    info = delete_from_ivf_index(
+        spark, idx, emb.filter("vec_id % 7 = 3").select("vec_id")
+    )
+    assert info["n_tombstones"] == emb.filter("vec_id % 7 = 3").count()
+    st = ivf_index_staleness(spark, idx)
+    assert st["n_tombstones"] == info["n_tombstones"], st
+
+    served = ivf_index_topk(spark, idx, q, k=3, nprobe=2).collect()
+    release_persisted()
+    assert served and all(r["vec_id"] % 7 != 3 for r in served)
+
+    with pytest.raises(ValueError, match="tombstoned"):
+        append_ivf_index(emb.filter("vec_id = 3"), idx)
+
+    rinfo = retrain_ivf_index(emb, idx)
+    root = os.path.join(idx, rinfo["generation"])
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+    live = emb.filter("vec_id % 7 != 3")
+    assert spark.read.parquet(f"{root}/vectors").count() == live.count()
+    fresh = str(tmp_path / "ivffresh")
+    build_ivf_index(live, fresh)
+    a = sorted(map(tuple, ivf_index_topk(spark, idx, q, k=3, nprobe=2).collect()))
+    release_persisted()
+    b = sorted(map(tuple, ivf_index_topk(spark, fresh, q, k=3, nprobe=2).collect()))
+    release_persisted()
+    assert a == b
+    st2 = ivf_index_staleness(spark, idx)
+    assert st2["n_tombstones"] == 0
+
+
 # --- dedup signature index (text/dedup_index.py) ---------------------
 
 _BASE = (
