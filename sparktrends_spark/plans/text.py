@@ -1990,6 +1990,82 @@ def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_DEL_CLEANUP = False
+
+
+def _dedup_index_delete_oracle() -> str:
+    # identical chain to _incremental_dedup_oracle, with the takedown
+    # set (even ids divisible by 10) excluded from the INDEX side of
+    # the candidate pairs — filtering old_id before or after the
+    # per-pair max is equivalent, which is exactly what the tombstone
+    # anti-join computes
+    return _incremental_dedup_oracle().replace(
+        "WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0",
+        "WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0"
+        " AND o.doc_id % 10 != 0",
+    )
+
+
+@query("doc_dedup_index_delete", oracle=_dedup_index_delete_oracle())
+def q_doc_dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown against the persisted dedup index
+    (`text/dedup_index.delete_from_dedup_index`): the even-doc half is
+    indexed, the ids divisible by 10 are then DELETED (a takedown/PII
+    purge), and the odd-doc batch is flagged against what remains — a
+    doc whose only near-duplicates were taken down must come back
+    UNIQUE (deletes stop suppressing immediately, before any physical
+    reclaim). After the match, compaction physically drops the
+    tombstoned signature rows and the re-run against the compacted
+    index must be identical — raise-checked in-query; the value oracle
+    is the incremental-dedup chain with the takedown set excluded from
+    the index side of the candidate pairs."""
+    import os
+
+    from sparktrends_spark.text.dedup_index import (
+        build_dedup_index,
+        compact_dedup_index,
+        delete_from_dedup_index,
+        incremental_dedup,
+    )
+
+    d = _docs(spark, sf_dir)
+    # per-user, per-process path: concurrent sweep/driver processes
+    # must never share an index being overwrite-built (the r10
+    # _temporary clobber lesson), and delete+compact mutate state;
+    # atexit-reclaimed so repeated sweep/bench runs don't accumulate
+    root = f"/tmp/sparktrends_dedup_del_u{os.getuid()}_p{os.getpid()}"
+    global _DEDUP_DEL_CLEANUP
+    if not _DEDUP_DEL_CLEANUP:
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _DEDUP_DEL_CLEANUP = True
+    idx = os.path.join(
+        root, os.path.basename(sf_dir.rstrip("/")) or "sf"
+    )
+    build_dedup_index(d.filter(F.col("doc_id") % 2 == 0), idx)
+    delete_from_dedup_index(
+        spark,
+        idx,
+        d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 == 0))
+        .select("doc_id"),
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    pre = incremental_dedup(batch, idx, threshold=0.7, append=False)
+    pre_rows = {r["doc_id"]: r for r in pre.collect()}
+    cinfo = compact_dedup_index(spark, idx)
+    if cinfo["n_reclaimed"] < 1:
+        raise ValueError(f"compaction reclaimed nothing: {cinfo}")
+    post = incremental_dedup(batch, idx, threshold=0.7, append=False)
+    post_rows = {r["doc_id"]: r for r in post.collect()}
+    if pre_rows != post_rows:
+        raise ValueError(
+            "tombstone-anti-join match != post-compact match"
+        )
+    return post
+
+
 def _curation_oracle() -> str:
     from sparktrends_spark.text.pii import PII_PATTERNS, REDACTION_TOKENS
 
