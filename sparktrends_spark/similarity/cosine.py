@@ -661,15 +661,9 @@ def _build_ivf_locked(
 
 
 def _ivf_tombstones(spark, root: str, cand_id: str) -> DataFrame | None:
-    """Distinct tombstoned ids of a generation root (None if none) —
-    the IVF twin of ivfpq_index._tombstones; bounded by takedown
-    traffic."""
-    import os
+    from sparktrends_spark.similarity.generations import read_tombstones
 
-    d = f"{root}/tombstones"
-    if not os.path.isdir(d):
-        return None
-    return spark.read.parquet(d).select(cand_id).distinct()
+    return read_tombstones(spark, root, cand_id)
 
 
 def delete_from_ivf_index(
@@ -689,6 +683,7 @@ def delete_from_ivf_index(
     from sparktrends_spark.similarity.generations import (
         maintenance_lock,
         resolve_root,
+        write_tombstones,
     )
 
     with maintenance_lock(path, operation="delete"):
@@ -698,21 +693,8 @@ def delete_from_ivf_index(
                 f"no index at {root} ({root}/vectors missing) — nothing"
                 " to delete from"
             )
-        id_type = spark.read.parquet(f"{root}/vectors").schema[
-            cand_id
-        ].dataType.simpleString()
-        if isinstance(ids, DataFrame):
-            tdf = ids.select(F.col(cand_id).cast(id_type))
-        else:
-            tdf = spark.createDataFrame(
-                [(x,) for x in ids], f"`{cand_id}` {id_type}"
-            )
-        tdf.distinct().coalesce(1).write.mode("append").parquet(
-            f"{root}/tombstones"
-        )
-        spark.catalog.refreshByPath(f"{root}/tombstones")
-        n = _ivf_tombstones(spark, root, cand_id).count()
-    return {"root": root, "n_tombstones": int(n)}
+        n = write_tombstones(spark, root, ids, cand_id, schema_src="vectors")
+    return {"root": root, "n_tombstones": n}
 
 
 def append_ivf_index(
@@ -878,10 +860,22 @@ def ivf_index_staleness(spark, path: str, check_sim: bool = True) -> dict:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()  # n_cells rows
     }
-    # id column leads the stored layout (build's select order)
+    # id column leads the stored layout (build's select order); count
+    # only tombstones that HIT the index (semi-join vs stored ids) —
+    # an org-wide purge list must not inflate this shard's ratio
     stored_id = spark.read.parquet(f"{root}/vectors").columns[0]
     tomb = _ivf_tombstones(spark, root, stored_id)
-    n_tomb = int(tomb.count()) if tomb is not None else 0
+    n_tomb = (
+        int(
+            tomb.join(
+                spark.read.parquet(f"{root}/vectors").select(stored_id),
+                stored_id,
+                "left_semi",
+            ).count()
+        )
+        if tomb is not None
+        else 0
+    )
     counts = staleness_counts(meta, now)
     out = {
         "generation": read_current(path) or "",

@@ -93,9 +93,21 @@ def maintenance_lock(path: str, timeout_s: float = 600.0, operation: str = ""):
         )
         yield
     finally:
-        os.close(fd)
-        with contextlib.suppress(FileNotFoundError):
-            os.remove(lock_path)
+        # Remove the lock file only if it is still OUR file (same
+        # inode as the held fd). A dir-swap maintenance op (the dedup
+        # index compact/build) moves the held lock away with its old
+        # directory; blindly unlinking lock_path here would then delete
+        # a NEWER writer's freshly-acquired lock and re-open the race
+        # the lock exists to close.
+        try:
+            held = os.fstat(fd)
+            cur = os.stat(lock_path)
+            if (cur.st_dev, cur.st_ino) == (held.st_dev, held.st_ino):
+                os.remove(lock_path)
+        except FileNotFoundError:
+            pass
+        finally:
+            os.close(fd)
 
 
 def generations(path: str) -> list[str]:
@@ -119,6 +131,18 @@ def read_current(path: str) -> str | None:
     return doc["generation"] if doc else None
 
 
+def _legacy_history(path: str, doc: dict) -> list[str]:
+    """Reconstructed promotion history for a pre-history CURRENT file
+    (written before round 11, no ``history`` field): the only safe
+    assumption is "everything on disk was promoted" — the legacy
+    retention behavior. Collapsing it to just [FLAT_ROOT] would make
+    the next GC reap legacy promoted generations as '(unpromoted)'
+    junk regardless of the keep count."""
+    return [FLAT_ROOT] + [
+        g for g in generations(path) if g != doc["generation"]
+    ]
+
+
 def promoted_roots(path: str) -> list[str] | None:
     """Promotion history, oldest first, ENDING with the current
     generation (``FLAT_ROOT`` names the legacy flat layout). ``None``
@@ -128,15 +152,15 @@ def promoted_roots(path: str) -> list[str] | None:
     doc = _read_current_doc(path)
     if doc is None:
         return None
-    # pre-history CURRENT files (written before round 11) carry no
-    # promotion record; the only safe reconstruction is "everything on
-    # disk was promoted" — the legacy retention behavior
     hist = doc.get("history")
     if hist is None:
-        hist = [FLAT_ROOT] + [
-            g for g in generations(path) if g != doc["generation"]
-        ]
-    return list(hist) + [doc["generation"]]
+        hist = _legacy_history(path, doc)
+    return _dedup_keep_order(list(hist) + [doc["generation"]])
+
+
+def _dedup_keep_order(roots: list[str]) -> list[str]:
+    seen: set[str] = set()
+    return [r for r in roots if not (r in seen or seen.add(r))]
 
 
 def write_current(path: str, generation: str) -> None:
@@ -152,7 +176,15 @@ def write_current(path: str, generation: str) -> None:
     if doc is None:
         history = [FLAT_ROOT]
     else:
-        history = list(doc.get("history", [FLAT_ROOT])) + [doc["generation"]]
+        # a legacy doc's history must be RECONSTRUCTED, not defaulted:
+        # defaulting to [FLAT_ROOT] would drop legacy promoted
+        # generations from the record and hand them to the orphan GC
+        history = list(doc.get("history") or _legacy_history(path, doc))
+        history.append(doc["generation"])
+    # the generation being promoted is never its own predecessor (a
+    # legacy reconstruction lists it — its directory exists by now),
+    # and a record can carry each root at most once
+    history = _dedup_keep_order([h for h in history if h != generation])
     tmp = os.path.join(path, ".CURRENT.tmp")
     with open(tmp, "w") as fh:
         json.dump({"generation": generation, "history": history}, fh)
@@ -236,7 +268,83 @@ def gc_generations(
         else:
             shutil.rmtree(os.path.join(path, r))
             removed.append(r)
+    # prune the promotion record to roots that still exist: history
+    # otherwise grows by one entry per promotion FOREVER (a per-hour
+    # compaction cadence accretes thousands of dead names that every
+    # writer re-reads and this function re-stats). GC runs under the
+    # writer lock, so rewriting the doc here is safe; the pointer
+    # itself is untouched.
+    if removed:
+        doc = _read_current_doc(path)
+        if doc is not None:
+            still_live = [
+                r
+                for r in doc.get("history") or _legacy_history(path, doc)
+                if (
+                    any(
+                        os.path.isdir(os.path.join(path, a))
+                        for a in flat_artifacts
+                    )
+                    if r == FLAT_ROOT
+                    else os.path.isdir(os.path.join(path, r))
+                )
+            ]
+            tmp = os.path.join(path, ".CURRENT.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {"generation": doc["generation"], "history": still_live},
+                    fh,
+                )
+            os.replace(tmp, os.path.join(path, "CURRENT"))
     return removed
+
+
+def read_tombstones(spark, root: str, id_col: str, artifact: str = "tombstones"):
+    """Distinct tombstoned ids recorded on a generation root, or None
+    if the root has none — the shared read half of the takedown
+    discipline (IVF / IVF-PQ / dedup indexes all use it, so a
+    semantics fix lands once). Tombstone volume is bounded by takedown
+    traffic, orders of magnitude below corpus size."""
+    from pyspark.sql import functions as F
+
+    d = os.path.join(root, artifact)
+    if not os.path.isdir(d):
+        return None
+    return spark.read.parquet(d).select(F.col(id_col)).distinct()
+
+
+def write_tombstones(
+    spark,
+    root: str,
+    ids,
+    id_col: str,
+    schema_src: str,
+    artifact: str = "tombstones",
+) -> int:
+    """Append ``ids`` (a DataFrame carrying ``id_col`` or a plain
+    iterable) to the root's tombstone set, cast to the stored id type
+    read from the ``schema_src`` artifact (hash/type-sensitivity: the
+    recorded type is what downstream joins and hashes must see).
+    Returns the distinct size of the tombstone SET after the write
+    (ids never present in the index still count here — intersection
+    against live rows is the staleness probe's job). Caller holds the
+    maintenance lock."""
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    id_type = spark.read.parquet(os.path.join(root, schema_src)).schema[
+        id_col
+    ].dataType.simpleString()
+    if isinstance(ids, _DF):
+        tdf = ids.select(F.col(id_col).cast(id_type))
+    else:
+        tdf = spark.createDataFrame(
+            [(x,) for x in ids], f"`{id_col}` {id_type}"
+        )
+    d = os.path.join(root, artifact)
+    tdf.distinct().coalesce(1).write.mode("append").parquet(d)
+    spark.catalog.refreshByPath(d)
+    return int(read_tombstones(spark, root, id_col, artifact).count())
 
 
 def staleness_counts(

@@ -290,14 +290,9 @@ def _load_coarse(spark, path: str) -> dict[int, list[float]]:
 
 
 def _tombstones(spark, root: str, id_col: str) -> DataFrame | None:
-    """Distinct tombstoned ids of a generation root, or None if the
-    root has none. Tombstone volume is bounded by takedown traffic
-    (orders of magnitude below corpus size); the distinct is over that
-    small set only."""
-    d = f"{root}/{_TOMBSTONES}"
-    if not os.path.isdir(d):
-        return None
-    return spark.read.parquet(d).select(id_col).distinct()
+    from sparktrends_spark.similarity.generations import read_tombstones
+
+    return read_tombstones(spark, root, id_col, _TOMBSTONES)
 
 
 def delete_from_ivfpq_index(
@@ -327,8 +322,12 @@ def delete_from_ivfpq_index(
     intersect the tombstone set rather than landing rows the serve
     anti-join would silently hide.
 
-    Returns ``{root, n_tombstones}`` (distinct ids tombstoned on this
-    generation after the write)."""
+    Returns ``{root, n_tombstones}`` — the distinct SIZE OF THE
+    TOMBSTONE SET after the write (ids absent from the index still
+    count here; the staleness probe reports the live-row intersection
+    separately)."""
+    from sparktrends_spark.similarity.generations import write_tombstones
+
     with maintenance_lock(path, lock_timeout_s, operation="delete"):
         root = resolve_index_root(path)
         if not os.path.isdir(f"{root}/codes"):
@@ -336,21 +335,11 @@ def delete_from_ivfpq_index(
                 f"no index at {root} ({root}/codes missing) — nothing"
                 " to delete from"
             )
-        id_type = spark.read.parquet(f"{root}/codes").schema[
-            id_col
-        ].dataType.simpleString()
-        if isinstance(ids, DataFrame):
-            tdf = ids.select(F.col(id_col).cast(id_type))
-        else:
-            tdf = spark.createDataFrame(
-                [(x,) for x in ids], f"`{id_col}` {id_type}"
-            )
-        tdf.distinct().coalesce(1).write.mode("append").parquet(
-            f"{root}/{_TOMBSTONES}"
+        n = write_tombstones(
+            spark, root, ids, id_col, schema_src="codes",
+            artifact=_TOMBSTONES,
         )
-        spark.catalog.refreshByPath(f"{root}/{_TOMBSTONES}")
-        n = _tombstones(spark, root, id_col).count()
-    return {"root": root, "n_tombstones": int(n)}
+    return {"root": root, "n_tombstones": n}
 
 
 def append_ivfpq_index(
@@ -568,9 +557,12 @@ def ivfpq_index_staleness(
       it is running size/skew-only protection instead of silently
       losing its most direct signal;
     - ``n_tombstones`` / ``tombstone_ratio``: logical deletes awaiting
-      physical reclaim — counts/size_ratio above are PHYSICAL (probe
-      cost scans tombstoned rows until compact/retrain drops them),
-      so a growing tombstone_ratio is itself a reclaim trigger
+      physical reclaim, counted as tombstoned ids PRESENT in the index
+      (a takedown feed wider than this shard — ids never indexed here
+      — must not inflate the ratio into pointless retrains);
+      counts/size_ratio above are PHYSICAL (probe cost scans
+      tombstoned rows until compact/retrain drops them), so a growing
+      tombstone_ratio is itself a reclaim trigger
       (``max_tombstone_ratio`` in ``maybe_retrain_ivfpq_index``).
 
     Returns ``{generation, n_train, n_now, size_ratio,
@@ -600,10 +592,24 @@ def ivfpq_index_staleness(
     )
 
     # id column leads the codes layout (the compact convention) — the
-    # tombstone artifact is keyed by it
+    # tombstone artifact is keyed by it. Count only tombstones that
+    # actually HIT the index (semi-join against stored ids): the codes
+    # table is being scanned for the per-cell counts above anyway, and
+    # set-size counting would let an org-wide purge list trip
+    # max_tombstone_ratio on a shard holding none of those ids.
     codes_id = spark.read.parquet(f"{root}/codes").columns[0]
     tomb = _tombstones(spark, root, codes_id)
-    n_tomb = int(tomb.count()) if tomb is not None else 0
+    n_tomb = (
+        int(
+            tomb.join(
+                spark.read.parquet(f"{root}/codes").select(codes_id),
+                codes_id,
+                "left_semi",
+            ).count()
+        )
+        if tomb is not None
+        else 0
+    )
     counts = staleness_counts(meta, now)
     out = {
         "generation": _read_current(path) or "",

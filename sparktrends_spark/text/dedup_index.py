@@ -42,7 +42,11 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sparktrends_spark.similarity.generations import maintenance_lock
+from sparktrends_spark.similarity.generations import (
+    maintenance_lock,
+    read_tombstones,
+    write_tombstones,
+)
 from sparktrends_spark.text.dedup import (
     minhash_signatures,
     shingle_sets,
@@ -57,10 +61,33 @@ _TOMBSTONES = "_tombstones"  # '_' prefix: hidden from the parquet reader
 
 
 def _tombstones(spark, index_path: str, id_col: str) -> DataFrame | None:
-    d = os.path.join(index_path, _TOMBSTONES)
-    if not os.path.isdir(d):
-        return None
-    return spark.read.parquet(d).select(id_col).distinct()
+    return read_tombstones(spark, index_path, id_col, _TOMBSTONES)
+
+
+def _swap_in(spark, index_path: str, tmp: str) -> None:
+    """Replace the live index directory with ``tmp`` via TWO atomic
+    dir renames (never file-by-file: per-file moves expose racing
+    readers — and a crash — to a PARTIAL row subset, which reads as a
+    silently smaller corpus). Crash anywhere here leaves either the
+    old or the new index complete on disk: between the renames the
+    index path is briefly absent, which fails readers LOUDLY, and both
+    full copies survive (``<path>__old`` / the tmp dir) for manual
+    recovery. The caller holds the writer lock; the lock file rides
+    into ``__old`` with its directory, so the post-swap tail of the
+    caller must be read-only (on an object store this whole dance is
+    the ANN index's generation-pointer swap instead)."""
+    import shutil
+
+    old = index_path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)  # stale crash leftovers
+    os.rename(index_path, old)
+    try:
+        os.rename(tmp, index_path)
+    except BaseException:
+        os.rename(old, index_path)  # live failure: restore the old index
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.refreshByPath(index_path)
 
 
 def delete_from_dedup_index(
@@ -71,22 +98,15 @@ def delete_from_dedup_index(
     (its candidate pairs are anti-joined out in ``incremental_dedup``)
     and is physically removed by ``compact_dedup_index``. ``ids``: a
     DataFrame carrying ``id_col`` or a plain iterable. O(|ids|) — the
-    index is only touched to read the id column's type."""
+    index is only touched to read the id column's type. Returns the
+    distinct tombstone-set size (shared accounting with the ANN
+    indexes: ``generations.write_tombstones``)."""
     with maintenance_lock(index_path, operation="dedup-delete"):
-        id_type = spark.read.parquet(index_path).schema[
-            id_col
-        ].dataType.simpleString()
-        if isinstance(ids, DataFrame):
-            tdf = ids.select(F.col(id_col).cast(id_type))
-        else:
-            tdf = spark.createDataFrame(
-                [(x,) for x in ids], f"`{id_col}` {id_type}"
-            )
-        d = os.path.join(index_path, _TOMBSTONES)
-        tdf.distinct().coalesce(1).write.mode("append").parquet(d)
-        spark.catalog.refreshByPath(d)
-        n = _tombstones(spark, index_path, id_col).count()
-    return {"n_tombstones": int(n)}
+        n = write_tombstones(
+            spark, index_path, ids, id_col, schema_src="",
+            artifact=_TOMBSTONES,
+        )
+    return {"n_tombstones": n}
 
 
 def compact_dedup_index(
@@ -94,12 +114,9 @@ def compact_dedup_index(
 ) -> dict:
     """Physically drop tombstoned rows and clear the tombstone set —
     after this, a tombstoned id may be re-ingested as a fresh document.
-    The rewrite happens to a sibling temp dir first, then swaps into
-    place file-by-file UNDER the writer lock (the lock file never
-    moves, so no writer can slip in mid-swap); a reader racing the swap
-    on this local-filesystem seam fails loudly mid-scan rather than
-    seeing duplicate or mixed rows — on an object store this becomes a
-    manifest swap like the ANN index's generation pointer."""
+    The surviving rows are written to a sibling temp dir and swapped in
+    via atomic directory renames under the writer lock (see
+    ``_swap_in`` for the crash/race contract)."""
     with maintenance_lock(index_path, operation="dedup-compact"):
         tomb = _tombstones(spark, index_path, id_col)
         rows_before = spark.read.parquet(index_path).count()
@@ -112,17 +129,7 @@ def compact_dedup_index(
         keep = spark.read.parquet(index_path).join(tomb, id_col, "left_anti")
         tmp = index_path.rstrip("/") + "__compact_tmp"
         keep.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        for entry in os.listdir(index_path):
-            if entry == ".maintenance.lock":
-                continue
-            full = os.path.join(index_path, entry)
-            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
-        for entry in os.listdir(tmp):
-            os.rename(os.path.join(tmp, entry), os.path.join(index_path, entry))
-        os.rmdir(tmp)
-        spark.catalog.refreshByPath(index_path)
+        _swap_in(spark, index_path, tmp)
         rows_after = spark.read.parquet(index_path).count()
     return {
         "rows_before": int(rows_before),
@@ -153,9 +160,21 @@ def banded_signatures(
 def build_dedup_index(
     docs: DataFrame, path: str, id_col: str = "doc_id"
 ) -> None:
-    banded_signatures(docs, id_col=id_col).write.mode("overwrite").parquet(
-        path
-    )
+    """(Re)build the signature index. Holds the writer lock like every
+    other mutator: a lockless ``mode("overwrite")`` straight onto the
+    live path would recursively DELETE the directory — including a
+    concurrently HELD lock file — silently breaking the serialization
+    every other writer relies on. Instead the fresh index lands in a
+    temp dir and swaps in atomically (``_swap_in``), which also clears
+    any previous corpus's tombstones (an overwrite-build defines a
+    fresh corpus; stale tombstones would suppress legitimate ids)."""
+    spark = docs.sparkSession
+    with maintenance_lock(path, operation="dedup-build"):
+        tmp = path.rstrip("/") + "__build_tmp"
+        banded_signatures(docs, id_col=id_col).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        _swap_in(spark, path, tmp)
 
 
 def incremental_dedup(

@@ -256,6 +256,45 @@ def test_gc_retention_ignores_unpromoted_orphans(spark, sf_dir, tmp_path):
     release_persisted()
 
 
+def test_legacy_current_without_history_keeps_promoted_generations(tmp_path):
+    """A pre-round-11 CURRENT file has no promotion history. The next
+    promotion must RECONSTRUCT it as everything-on-disk-was-promoted
+    (the legacy retention behavior) — collapsing it to just the flat
+    root would hand legacy promoted generations to the orphan GC
+    regardless of the keep count, failing readers pinned to them."""
+    import json
+
+    from sparktrends_spark.similarity.generations import (
+        FLAT_ROOT,
+        gc_generations,
+        write_current,
+    )
+
+    p = str(tmp_path / "legacy")
+    # fabricate a legacy index: flat root + two promoted generations,
+    # CURRENT in the pre-history format
+    for root in ("codes", "g000001/codes", "g000002/codes"):
+        os.makedirs(os.path.join(p, root))
+    with open(os.path.join(p, "CURRENT"), "w") as fh:
+        json.dump({"generation": "g000002"}, fh)
+
+    # the next retrain promotes g000003 ...
+    os.makedirs(os.path.join(p, "g000003/codes"))
+    write_current(p, "g000003")
+    removed = gc_generations(p, ("codes",), keep=3)
+    # ... and with keep=3 the retention window is [g1, g2, g3]: only
+    # the flat root ages out; g000001 is NOT '(unpromoted)' junk
+    assert removed == [FLAT_ROOT], removed
+    assert os.path.isdir(os.path.join(p, "g000001"))
+    assert os.path.isdir(os.path.join(p, "g000002"))
+    # and the rewritten history is pruned to live roots only (the
+    # pointer doc must not accrete dead names forever)
+    with open(os.path.join(p, "CURRENT")) as fh:
+        doc = json.load(fh)
+    assert doc["generation"] == "g000003"
+    assert doc["history"] == ["g000001", "g000002"], doc
+
+
 def test_lock_timeout_reports_holder(tmp_path):
     """The lock file carries {pid, host, operation}; a timed-out waiter
     sees WHO holds it instead of an evidence-free 'verify no job is

@@ -27,7 +27,7 @@ claim (probe-pruned serves should grow FAR slower than brute force).
 
 Prints ONE JSON line:
 {"metric": "serve_only_batch_sec", "sf": ..., "batches": B,
- "batch_size": Q, "families": {fam: {"build_sec": s|null,
+ "batch_size": Q, "families": {fam: {"build_sec": s|null (null = no build of its own),
  "serve_min_sec": s, "serve_median_sec": s, "per_batch_sec": [...]}},
  "replica": {factor, families: ...} | null}
 """
@@ -69,7 +69,7 @@ def _batches(emb):
     ]
 
 
-def _run_family(spark, emb, idx_root, sf_dir):
+def _run_family(spark, emb, idx_root):
     from pyspark.sql import functions as F
 
     from sparktrends_spark.caching import release_persisted
@@ -96,7 +96,9 @@ def _run_family(spark, emb, idx_root, sf_dir):
         iterations=3, store_vectors=True,
     )
     builds["ivfpq"] = round(time.perf_counter() - t0, 3)
-    builds["ivfpq_rerank"] = 0.0  # shares the ivfpq index
+    # null like brute: rerank builds nothing of its own (it serves the
+    # ivfpq index) — 0.0 would read as a measured zero-cost build
+    builds["ivfpq_rerank"] = None
 
     serves = {
         "brute": lambda q: brute_force_topk(q, emb, k=_K),
@@ -151,7 +153,7 @@ def main() -> None:
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "batches": _BATCHES,
         "batch_size": _BATCH_Q,
-        "families": _run_family(spark, emb, idx_root, sf_dir),
+        "families": _run_family(spark, emb, idx_root),
         "replica": None,
     }
     if factor > 1:
@@ -161,9 +163,7 @@ def main() -> None:
         big = load_table(spark, big_dir, "embeddings")
         result["replica"] = {
             "factor": factor,
-            "families": _run_family(
-                spark, big, f"{idx_root}/x{factor}", big_dir
-            ),
+            "families": _run_family(spark, big, f"{idx_root}/x{factor}"),
         }
     import shutil
 
