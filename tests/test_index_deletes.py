@@ -256,6 +256,64 @@ def test_gc_retention_ignores_unpromoted_orphans(spark, sf_dir, tmp_path):
     release_persisted()
 
 
+def test_delete_lands_mid_streaming_ingest(spark, sf_dir, tmp_path):
+    """A takedown arriving WHILE a stream is appending: the delete
+    writer serializes with the foreachBatch append writer on the
+    maintenance lock, later appends still work (they don't intersect
+    the tombstones), and the post-stream serve excludes the deleted
+    ids — the realistic ops interleaving (ingest never pauses for
+    takedowns)."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    idx = str(tmp_path / "strdel")
+    build_ivfpq_index(emb.filter("vec_id % 4 = 0"), idx, dim=_DIM)
+
+    src = str(tmp_path / "src")
+    for b in range(1, 4):
+        emb.filter(f"vec_id % 4 = {b}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    fired = []
+
+    def process(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        append_ivfpq_index(batch_df, idx, dim=_DIM)
+        if not fired:
+            # the takedown lands between micro-batches: ids already in
+            # the index (the build half), disjoint from later batches
+            delete_from_ivfpq_index(
+                spark, idx,
+                emb.filter("vec_id % 4 = 0 AND vec_id % 3 = 0")
+                .select("vec_id"),
+            )
+            fired.append(True)
+
+    ckpt = tempfile.mkdtemp(prefix="strdel_ckpt_")
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    root = resolve_index_root(idx)
+    # every streamed row landed (the delete never blocked or lost an
+    # append) and the tombstones rode along
+    assert spark.read.parquet(f"{root}/codes").count() == n_total
+    served = _serve(spark, idx, emb)
+    assert served and all(
+        not (r[1] % 4 == 0 and r[1] % 3 == 0) for r in served
+    ), served
+
+
 def test_legacy_current_without_history_keeps_promoted_generations(tmp_path):
     """A pre-round-11 CURRENT file has no promotion history. The next
     promotion must RECONSTRUCT it as everything-on-disk-was-promoted
