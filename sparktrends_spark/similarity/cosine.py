@@ -660,6 +660,16 @@ def _build_ivf_locked(
         assigned.unpersist()
 
 
+# single source of truth for the IVF index layout (the ivfpq lesson:
+# enumerating artifact names at call sites silently drops one from a
+# compacted generation, then GC reclaims the only copy)
+_IVF_SMALL_ARTIFACTS = ("centroids", "meta")
+_IVF_CELL_ARTIFACTS = ("vectors",)
+_IVF_FLAT_ARTIFACTS = _IVF_SMALL_ARTIFACTS + _IVF_CELL_ARTIFACTS + (
+    "tombstones",
+)
+
+
 def _ivf_tombstones(spark, root: str, cand_id: str) -> DataFrame | None:
     from sparktrends_spark.similarity.generations import read_tombstones
 
@@ -672,9 +682,10 @@ def delete_from_ivf_index(
     """Takedown/PII-purge for the persisted IVF index — the same
     tombstone discipline as ``delete_from_ivfpq_index``: record ids as
     tombstones of the current generation (O(|ids|), index never read
-    beyond its schema), serve anti-joins them immediately,
-    ``retrain_ivf_index`` physically reclaims (trains/encodes the live
-    rows only and starts the new generation with a clean set).
+    beyond its schema), serve anti-joins them immediately, and the
+    physical reclaim is ``compact_ivf_index`` (layout-only, no labeled
+    corpus needed) or ``retrain_ivf_index`` (live rows only; new
+    generation starts with a clean set either way).
     ``ids``: a DataFrame carrying ``cand_id`` or a plain iterable.
     Re-inserting a tombstoned id requires the reclaim first —
     ``append_ivf_index`` refuses intersecting batches."""
@@ -747,7 +758,8 @@ def _append_ivf_locked(
         if n_bad:
             raise ValueError(
                 f"append batch re-inserts {n_bad} tombstoned id(s) of"
-                f" {root} — run retrain_ivf_index to reclaim deletes,"
+                f" {root} — run compact_ivf_index or retrain_ivf_index"
+                " to reclaim deletes,"
                 " then append"
             )
     try:
@@ -973,16 +985,114 @@ def retrain_ivf_index(
             raise
         write_current(path, new_gen)
         removed = gc_generations(
-            path, ("centroids", "vectors", "meta", "tombstones"),
-            keep_generations,
+            path, _IVF_FLAT_ARTIFACTS, keep_generations
         )
-    for sub in ("centroids", "vectors", "meta"):
+    for sub in _IVF_FLAT_ARTIFACTS:
         spark.catalog.refreshByPath(os.path.join(path, new_gen, sub))
     return {
         "generation": new_gen,
         "previous_root": previous,
         "gc_removed": removed,
     }
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    files_per_cell: int = 1,
+    keep_generations: int = 2,
+    lock_timeout_s: float = 600.0,
+) -> dict:
+    """Segment-merge + takedown-reclaim maintenance for the persisted
+    IVF index — the twin of ``compact_ivfpq_index``: every append
+    lands at least one parquet file per touched cell, fragmenting cell
+    directories until probe-read cost is dominated by file opens, and
+    tombstoned ids keep costing scan time until physically dropped.
+    Compaction rewrites the cell-partitioned vectors into AT MOST
+    ``files_per_cell`` files per cell, minus tombstoned rows, WITH THE
+    SAME centroids — no retraining and, unlike ``retrain_ivf_index``,
+    NO labeled corpus needed (the rewrite is layout-only), which makes
+    it the takedown-reclaim path when the labeled source of truth
+    isn't at hand. New generation + atomic CURRENT promotion + orphan-
+    aware retention GC, all under the writer lock; live serve values
+    are identical by construction. Returns ``{generation,
+    previous_root, files_before, files_after, rows_before, rows_after,
+    gc_removed}`` (counts for the vectors table)."""
+    from sparktrends_spark.similarity.generations import (
+        gc_generations,
+        maintenance_lock,
+        next_generation,
+        resolve_root,
+        write_current,
+    )
+
+    if files_per_cell < 1:
+        raise ValueError(f"files_per_cell={files_per_cell}: must be >= 1")
+    import os
+    import shutil
+
+    def _nfiles(d: str) -> int:
+        return sum(
+            1 for r, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        )
+
+    with maintenance_lock(path, lock_timeout_s, operation="compact"):
+        root = resolve_root(path)
+        if not os.path.isdir(f"{root}/vectors"):
+            # bail BEFORE promoting: a CURRENT pointer to a generation
+            # that was never created bricks every later resolve
+            raise ValueError(
+                f"no index at {root} ({root}/vectors missing) — nothing"
+                " to compact"
+            )
+        n_cells = spark.read.parquet(f"{root}/centroids").count()
+        files_before = _nfiles(f"{root}/vectors")
+        rows_before = spark.read.parquet(f"{root}/vectors").count()
+        new_gen = next_generation(path)
+        gen_root = os.path.join(path, new_gen)
+        try:
+            for small in _IVF_SMALL_ARTIFACTS:
+                if os.path.isdir(f"{root}/{small}"):
+                    spark.read.parquet(
+                        f"{root}/{small}"
+                    ).coalesce(1).write.mode("overwrite").parquet(
+                        f"{gen_root}/{small}"
+                    )
+            df = spark.read.parquet(f"{root}/vectors")
+            id_c = df.columns[0]  # id column leads the stored layout
+            tomb = _ivf_tombstones(spark, root, id_c)
+            if tomb is not None:
+                # physical reclaim: tombstoned rows never reach the new
+                # generation, whose tombstone set starts clean (the
+                # artifact is deliberately not copied)
+                df = df.join(tomb, id_c, "left_anti")
+            # one task per target file — (cell, id-hash split) keys,
+            # never a coalesce funnel (the ivfpq compact lesson)
+            split = F.pmod(F.hash(F.col(id_c)), files_per_cell)
+            df.withColumn("_fsplit", split).repartition(
+                max(1, int(n_cells) * files_per_cell), "cell", "_fsplit"
+            ).drop("_fsplit").write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(f"{gen_root}/vectors")
+        except BaseException:
+            # never leave a partial never-promoted generation behind
+            shutil.rmtree(gen_root, ignore_errors=True)
+            raise
+        write_current(path, new_gen)
+        removed = gc_generations(path, _IVF_FLAT_ARTIFACTS, keep_generations)
+        for sub in _IVF_FLAT_ARTIFACTS:
+            spark.catalog.refreshByPath(os.path.join(gen_root, sub))
+        return {
+            "generation": new_gen,
+            "previous_root": root,
+            "files_before": files_before,
+            "files_after": _nfiles(f"{gen_root}/vectors"),
+            "rows_before": int(rows_before),
+            "rows_after": int(
+                spark.read.parquet(f"{gen_root}/vectors").count()
+            ),
+            "gc_removed": removed,
+        }
 
 
 def lsh_topk(

@@ -424,6 +424,65 @@ def test_ivf_index_delete_and_retrain_reclaim(spark, sf_dir, tmp_path):
     assert st2["n_tombstones"] == 0
 
 
+def test_ivf_index_compact_merges_and_reclaims(spark, sf_dir, tmp_path):
+    """compact_ivf_index closes the IVF index's two maintenance gaps
+    in one op: appends fragment cell dirs (file merge) and takedown
+    reclaim previously required the LABELED corpus (retrain) — compact
+    is layout-only with the same centroids. Values identical to the
+    tombstone-anti-join serve before it; staleness accounting carried;
+    tombstone set cleared."""
+    from sparktrends_spark.similarity.cosine import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_index_staleness,
+        ivf_index_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivfcp")
+    build_ivf_index(emb.filter("vec_id % 4 = 0"), idx)
+    for b in range(1, 4):
+        append_ivf_index(emb.filter(f"vec_id % 4 = {b}"), idx)
+    n_del = emb.filter("vec_id % 9 = 5").count()
+    delete_from_ivf_index(
+        spark, idx, emb.filter("vec_id % 9 = 5").select("vec_id")
+    )
+    before = sorted(
+        map(tuple, ivf_index_topk(spark, idx, q, k=3, nprobe=2).collect())
+    )
+    release_persisted()
+    assert before and all(r[1] % 9 != 5 for r in before)
+
+    info = compact_ivf_index(spark, idx, files_per_cell=1)
+    assert info["generation"] == "g000001"
+    assert info["files_after"] < info["files_before"], info
+    assert info["rows_before"] - info["rows_after"] == n_del, info
+    root = os.path.join(idx, "g000001")
+    assert not os.path.isdir(os.path.join(root, "tombstones"))
+    # one file per cell dir in the compacted vectors table
+    vdir = os.path.join(root, "vectors")
+    for cell_dir in os.listdir(vdir):
+        d = os.path.join(vdir, cell_dir)
+        if os.path.isdir(d):
+            n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            assert n == 1, (cell_dir, n)
+    after = sorted(
+        map(tuple, ivf_index_topk(spark, idx, q, k=3, nprobe=2).collect())
+    )
+    release_persisted()
+    assert after == before
+    st = ivf_index_staleness(spark, idx)
+    assert st["n_tombstones"] == 0, st
+    # refusal guard: compacting a non-index bails before promoting
+    with pytest.raises(ValueError, match="nothing to compact"):
+        compact_ivf_index(spark, str(tmp_path / "nope"))
+
+
 # --- dedup signature index (text/dedup_index.py) ---------------------
 
 _BASE = (
