@@ -110,31 +110,53 @@ def delete_from_dedup_index(
 
 
 def compact_dedup_index(
-    spark, index_path: str, id_col: str = "doc_id"
+    spark, index_path: str, id_col: str = "doc_id", target_files: int = 8
 ) -> dict:
     """Physically drop tombstoned rows and clear the tombstone set —
     after this, a tombstoned id may be re-ingested as a fresh document.
+    Doubles as the SEGMENT MERGE: every ``incremental_dedup`` append
+    lands at least one new file, so a long ingest fragments the index
+    until band-join scan cost is dominated by file opens; the rewrite
+    lands in at most ``target_files`` files (id-hash repartition — one
+    task per target file, parallel write). Runs even with no
+    tombstones when the index is fragmented past ``target_files``.
     The surviving rows are written to a sibling temp dir and swapped in
     via atomic directory renames under the writer lock (see
     ``_swap_in`` for the crash/race contract)."""
+    if target_files < 1:
+        raise ValueError(f"target_files={target_files}: must be >= 1")
     with maintenance_lock(index_path, operation="dedup-compact"):
         tomb = _tombstones(spark, index_path, id_col)
         rows_before = spark.read.parquet(index_path).count()
-        if tomb is None:
+        files_before = sum(
+            1 for f in os.listdir(index_path) if f.endswith(".parquet")
+        )
+        if tomb is None and files_before <= target_files:
             return {
                 "rows_before": int(rows_before),
                 "rows_after": int(rows_before),
                 "n_reclaimed": 0,
+                "files_before": files_before,
+                "files_after": files_before,
             }
-        keep = spark.read.parquet(index_path).join(tomb, id_col, "left_anti")
+        keep = spark.read.parquet(index_path)
+        if tomb is not None:
+            keep = keep.join(tomb, id_col, "left_anti")
         tmp = index_path.rstrip("/") + "__compact_tmp"
-        keep.write.mode("overwrite").parquet(tmp)
+        keep.repartition(target_files, F.col(id_col)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         _swap_in(spark, index_path, tmp)
         rows_after = spark.read.parquet(index_path).count()
+        files_after = sum(
+            1 for f in os.listdir(index_path) if f.endswith(".parquet")
+        )
     return {
         "rows_before": int(rows_before),
         "rows_after": int(rows_after),
         "n_reclaimed": int(rows_before - rows_after),
+        "files_before": files_before,
+        "files_after": files_after,
     }
 
 

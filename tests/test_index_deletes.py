@@ -537,9 +537,14 @@ def test_dedup_index_delete_stops_suppressing_and_compact_reclaims(
     rehit = incremental_dedup(near, idx, append=False).collect()[0]
     assert rehit["is_dup"] and rehit["matched_doc"] == 11
 
-    # a second compact with no tombstones is a counted no-op
-    again = compact_dedup_index(spark, idx)
+    # a second compact with no tombstones and few files is a counted
+    # no-op; with target_files=1 it acts as the pure segment merge
+    again = compact_dedup_index(spark, idx, target_files=1)
     assert again["n_reclaimed"] == 0
+    assert again["files_after"] == 1, again
+    # and the merged index still matches
+    rehit2 = incremental_dedup(near, idx, append=False).collect()[0]
+    assert rehit2["is_dup"] and rehit2["matched_doc"] == 11
 
 
 def test_dedup_index_append_refuses_tombstoned_reinsert(spark, tmp_path):
