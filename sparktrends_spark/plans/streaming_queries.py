@@ -1191,3 +1191,71 @@ def q_stream_symbol_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trough_ts", F.col("trough_ts").cast("timestamp_ntz")
     )
     return run_upsert_stream(out, keys=("symbol",), output_mode="update")
+
+
+@query(
+    "stream_corpus_shard_export",
+    oracle="""
+WITH assigned AS (
+  SELECT n_chars,
+         CAST(CAST(concat('0x', substr(md5(concat('shard:stream:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 4 AS INT) AS shard,
+         md5(concat('order:stream:', CAST(doc_id AS VARCHAR))) AS order_key,
+         CAST(concat('0x', substr(md5(concat('m:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS mh
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_weight,
+       min(CAST(concat('0x', substr(order_key, 1, 8)) AS BIGINT)) AS min_order_u32,
+       max(CAST(concat('0x', substr(order_key, 1, 8)) AS BIGINT)) AS max_order_u32,
+       CAST(sum(mh) AS BIGINT) AS member_checksum
+FROM assigned GROUP BY shard
+""",
+)
+def q_stream_corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental shard export: the corpus arrives as a
+    4-batch file stream (maxFilesPerTrigger=1 over a 4-file staging
+    copy); every micro-batch APPENDS into the same
+    ``partitionBy("shard")`` layout via ``write_training_shards`` —
+    safe because the assignment is a pure projection of the id, so a
+    batch lands where the monolithic export would have put it. The
+    graded output is the manifest recomputed FROM THE WRITTEN FILES,
+    value-hashed against the monolithic SQL oracle: streaming append
+    == one-shot export, end to end. (The reference has no export
+    surface; its stream sink is a JDBC append, stock_stream.py:122.)
+    """
+    from sparktrends_spark.text.shards import shard_manifest, write_training_shards
+
+    base = sf_dir.rstrip("/")
+    stage = tempfile.mkdtemp(prefix="shard_stage_")
+    out = os.path.join(tempfile.mkdtemp(prefix="shard_out_"), "shards")
+    ckpt = tempfile.mkdtemp(prefix="shard_ckpt_")
+    # stage the corpus as 4 files so availableNow delivers 4 batches
+    spark.read.parquet(f"{base}/documents*.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(stage)
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        write_training_shards(
+            batch_df, out, n_shards=4, salt="stream", mode="append"
+        )
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return shard_manifest(spark.read.parquet(out), weight_col="n_chars")

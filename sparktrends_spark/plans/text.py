@@ -2939,3 +2939,34 @@ def q_doc_length_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.join(F.broadcast(ref), "qrank").select(
         "doc_id", "source", "n_chars", "qrank", "norm_value"
     )
+
+
+@query(
+    "corpus_shard_manifest",
+    oracle="""
+WITH assigned AS (
+  SELECT n_chars,
+         CAST(CAST(concat('0x', substr(md5(concat('shard:r11:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+         md5(concat('order:r11:', CAST(doc_id AS VARCHAR))) AS order_key,
+         CAST(concat('0x', substr(md5(concat('m:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS mh
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_weight,
+       min(CAST(concat('0x', substr(order_key, 1, 8)) AS BIGINT)) AS min_order_u32,
+       max(CAST(concat('0x', substr(order_key, 1, 8)) AS BIGINT)) AS max_order_u32,
+       CAST(sum(mh) AS BIGINT) AS member_checksum
+FROM assigned GROUP BY shard
+""",
+)
+def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard manifest (north-star export side):
+    content-free md5 assignment into 8 shards + a within-shard shuffle
+    key, aggregated to the per-shard manifest a trainer (or a second
+    export run, via the order-free membership checksum) validates
+    against. Pure projection + ONE hash-agg shuffle on shard; the
+    physical ``partitionBy("shard")`` writer shares this exact
+    assignment (``text/shards.py``, pytest-verified file layout)."""
+    from sparktrends_spark.text.shards import shard_assignments, shard_manifest
+
+    a = shard_assignments(_docs(spark, sf_dir), n_shards=8, salt="r11")
+    return shard_manifest(a, weight_col="n_chars")

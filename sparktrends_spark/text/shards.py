@@ -1,0 +1,187 @@
+"""Deterministic training-shard export.
+
+The write side of an LLM training-data pipeline: after curation /
+dedup / packing, the corpus must land on disk as N roughly
+size-balanced shards, globally "shuffled" (so a trainer streaming
+shard files sees an i.i.d.-ish document order) yet FULLY REPRODUCIBLE
+— the same corpus + salt must yield byte-identical shard membership
+and order on any cluster size, any partitioning, any engine.
+``rand()`` breaks that contract; content-free hashing of the document
+id is the standard answer (same discipline as the repo's
+``doc_train_test_split``).
+
+Two deterministic keys per document, both md5-derived so a SQL oracle
+(DuckDB ``md5``) reproduces them bit-for-bit:
+
+- ``shard``      — first 8 hex chars of ``md5('shard:<salt>:<id>')``
+                   as an integer, mod ``n_shards``. Uniform, so shard
+                   sizes concentrate at n/N with O(sqrt) imbalance —
+                   at 100 TB / 1024 shards the relative spread is
+                   negligible, with NO global coordination (greedy
+                   bin-packing would serialize on the driver).
+- ``order_key``  — ``md5('order:<salt>:<id>')``, the within-shard
+                   shuffle. Sorting a shard by ``order_key`` is the
+                   canonical reading order; a new ``salt`` is a fresh
+                   epoch-level reshuffle of both membership and order.
+
+Physical layout (``write_training_shards``): ONE hash shuffle on
+(shard, file-split) into ``n_shards * files_per_shard`` partitions —
+one task per target file, no coalesce funnel (the same parallelism
+contract as the index compactors) — each partition sorted by
+``order_key`` (task-local sort, no extra shuffle), written
+``partitionBy("shard")`` so a reader of one shard prunes all other
+directories at the scan (Spark partition pruning). ``order_key`` is
+stored in the data: with ``files_per_shard > 1`` the canonical order
+spans files, and a reader recovers it with a cheap per-shard sort (or
+k-way merge — each file is already sorted).
+
+Reference scope: the reference (Giorgio-Abboud/SparkTrends) has no
+export/sharding surface (its sinks are Kafka producers and JDBC,
+see reference README.md:1); this module is part of the LLM-pipeline
+extension the build brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["shard_assignments", "shard_manifest", "write_training_shards"]
+
+
+def _hex8_to_long(hex_col: Column) -> Column:
+    # first 8 hex chars -> [0, 2^32): always non-negative, so `% n`
+    # agrees between Spark and ANSI SQL (no negative-mod divergence)
+    return F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long")
+
+
+def shard_assignments(
+    df: DataFrame,
+    *,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Add deterministic ``shard`` and ``order_key`` columns.
+
+    Pure projection — no shuffle, no state, no randomness; safe to
+    recompute on any subset of the corpus (incremental export lands in
+    the same shards as a monolithic one). A NULL id propagates to NULL
+    shard/order_key (md5(NULL) is NULL in both engines); the physical
+    writer rejects those rather than silently dropping rows into a
+    ``shard=__HIVE_DEFAULT_PARTITION__`` directory.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards={n_shards}: must be >= 1")
+    sid = F.col(id_col).cast("string")
+    shard_hex = F.md5(F.concat(F.lit(f"shard:{salt}:"), sid))
+    order_hex = F.md5(F.concat(F.lit(f"order:{salt}:"), sid))
+    return df.withColumn(
+        "shard", (_hex8_to_long(shard_hex) % n_shards).cast("int")
+    ).withColumn("order_key", order_hex)
+
+
+def shard_manifest(
+    assigned: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-shard manifest: doc count, optional weight sum (e.g. chars
+    or tokens, the balance a trainer actually cares about), the
+    order-key span, and an order-free membership checksum (sum of a
+    per-id hash) so two exports can be compared shard-by-shard without
+    reading payloads. One hash-agg shuffle on ``shard``. The span is
+    min/max of the key's u32 prefix, NOT of the hex string: a string
+    min/max buffer forces the whole agg into SortAggregate (full sort
+    of the input per partition), while bigint buffers keep it a
+    HashAggregate — and the prefix metric is computed identically in
+    any ANSI engine, so exports stay comparable.
+    """
+    order_u32 = _hex8_to_long(F.col("order_key"))
+    checksum = F.sum(
+        _hex8_to_long(F.md5(F.concat(F.lit("m:"), F.col(id_col).cast("string"))))
+    ).alias("member_checksum")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(order_u32).alias("min_order_u32"),
+        F.max(order_u32).alias("max_order_u32"),
+        checksum,
+    ]
+    if weight_col is not None:
+        aggs.insert(1, F.sum(weight_col).cast("long").alias("total_weight"))
+    return assigned.groupBy("shard").agg(*aggs)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    files_per_shard: int = 1,
+    mode: str = "overwrite",
+) -> dict:
+    """Export ``df`` as ``path/shard=K/`` parquet directories.
+
+    One shuffle: repartition on (shard, file-split) into exactly
+    ``n_shards * files_per_shard`` partitions (one write task per
+    target file; a hash collision between two splits of the same shard
+    merely merges two files — file count per shard stays in
+    [1, files_per_shard]). Each task sorts its rows by ``order_key``
+    before writing, so every file is internally in canonical order.
+    Raises if any id is NULL — a NULL would land in Hive's default
+    partition and silently vanish from shard-pruned reads.
+
+    ``mode="append"`` is the incremental export: because the
+    assignment is a pure projection of the id, a later batch lands in
+    the SAME shards a monolithic export would have chosen, and the
+    shard-level invariants (membership, order_key) stay comparable via
+    ``shard_manifest``. Appends add up to ``files_per_shard`` files
+    per shard per batch; the export is DERIVED data (rebuildable from
+    the corpus), so the fragmentation remedy is a fresh overwrite
+    export, not a stateful compactor. Idempotence is the caller's
+    concern — route batches through the incremental dedup index first
+    if re-delivery is possible.
+
+    Returns ``{"n_docs", "n_shards", "files_per_shard"}``; per-shard
+    detail comes from ``shard_manifest`` on the same assignment.
+    """
+    if files_per_shard < 1:
+        raise ValueError(f"files_per_shard={files_per_shard}: must be >= 1")
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode={mode!r}: must be 'overwrite' or 'append'")
+    assigned = shard_assignments(
+        df, n_shards=n_shards, id_col=id_col, salt=salt
+    )
+    # bounded collect: one row (count of NULL ids + total)
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col(id_col).isNull(), 1)).alias("n_null"),
+    ).collect()[0]
+    if stats["n_null"]:
+        raise ValueError(
+            f"{stats['n_null']} row(s) have NULL {id_col}; shard export "
+            "requires a non-null id (assign surrogate ids upstream)"
+        )
+    split = F.pmod(F.hash("order_key"), files_per_shard)
+    n_parts = max(1, n_shards * files_per_shard)
+    (
+        assigned.withColumn("_fsplit", split)
+        .repartition(n_parts, "shard", "_fsplit")
+        .drop("_fsplit")
+        # shard FIRST: FileFormatWriter requires task rows ordered by
+        # the partition columns and inserts its own (non-stable) sort
+        # if they aren't — which would scramble order_key. Sorting
+        # (shard, order_key) satisfies that requirement, so ONE
+        # task-local sort yields files in canonical order.
+        .sortWithinPartitions("shard", "order_key")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return {
+        "n_docs": int(stats["n"]),
+        "n_shards": n_shards,
+        "files_per_shard": files_per_shard,
+    }

@@ -1,0 +1,148 @@
+"""Deterministic training-shard export (text/shards.py).
+
+Covers the three contracts: (1) assignment is a pure deterministic
+projection — identical under any input partitioning and only a salt
+change reshuffles it; (2) the physical layout — one shard directory
+per shard, file count per shard bounded by files_per_shard, every
+file internally sorted by order_key, shard-pruned reads prune at the
+scan; (3) failure shapes — NULL ids are rejected, bad params raise.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparktrends_spark.sources.tables import load_table
+from sparktrends_spark.text.shards import (
+    shard_assignments,
+    shard_manifest,
+    write_training_shards,
+)
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def test_assignment_independent_of_partitioning(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = shard_assignments(d.repartition(7), n_shards=8, salt="s").collect()
+    b = shard_assignments(d.coalesce(1), n_shards=8, salt="s").collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_assignment_covers_all_docs_and_salt_reshuffles(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    a = shard_assignments(d, n_shards=8, salt="epoch0")
+    assert a.count() == n
+    assert a.filter((F.col("shard") < 0) | (F.col("shard") >= 8)).count() == 0
+    # balance on this fixture: deterministic, so this is a fixed number
+    sizes = [r["n_docs"] for r in a.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs")).collect()]
+    assert len(sizes) == 8 and max(sizes) <= 2.5 * min(sizes)
+    b = shard_assignments(d, n_shards=8, salt="epoch1")
+    moved = (
+        a.select("doc_id", "shard")
+        .join(b.select("doc_id", F.col("shard").alias("s2")), "doc_id")
+        .filter("shard != s2")
+        .count()
+    )
+    assert moved > n * 0.5  # a new salt is a real reshuffle
+
+
+def test_manifest_checksum_detects_membership_drift(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    m1 = shard_manifest(shard_assignments(d, n_shards=4, salt="x"))
+    m2 = shard_manifest(
+        shard_assignments(d.filter("doc_id != 1"), n_shards=4, salt="x")
+    )
+    j = m1.select("shard", "member_checksum").join(
+        m2.select("shard", F.col("member_checksum").alias("c2")), "shard"
+    )
+    assert j.filter("member_checksum != c2").count() == 1  # only doc 1's shard
+
+
+def test_write_layout_and_roundtrip(spark, sf_dir, tmp_path):
+    d = _docs(spark, sf_dir)
+    out = str(tmp_path / "shards")
+    res = write_training_shards(
+        d, out, n_shards=4, files_per_shard=2, salt="w"
+    )
+    assert res["n_docs"] == d.count()
+    dirs = sorted(p for p in os.listdir(out) if p.startswith("shard="))
+    assert dirs == [f"shard={k}" for k in range(4)]
+    for p in dirs:
+        files = [f for f in os.listdir(os.path.join(out, p))
+                 if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 2
+    back = spark.read.parquet(out)
+    assert back.count() == res["n_docs"]
+    assert (
+        back.select("doc_id").exceptAll(d.select("doc_id")).count() == 0
+        and d.select("doc_id").exceptAll(back.select("doc_id")).count() == 0
+    )
+    # every file internally sorted by order_key
+    import pyarrow.parquet as pq
+
+    for p in dirs:
+        for f in os.listdir(os.path.join(out, p)):
+            if not f.endswith(".parquet"):
+                continue
+            keys = pq.read_table(
+                os.path.join(out, p, f), columns=["order_key"]
+            )["order_key"].to_pylist()
+            assert keys == sorted(keys)
+
+
+def test_shard_pruned_read(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "pruned")
+    write_training_shards(_docs(spark, sf_dir), out, n_shards=4, salt="p")
+    one = spark.read.parquet(out).filter("shard = 2")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan
+    # the pruned read returns exactly the assignment's shard-2 rows
+    expect = (
+        shard_assignments(_docs(spark, sf_dir), n_shards=4, salt="p")
+        .filter("shard = 2")
+        .count()
+    )
+    assert one.count() == expect
+
+
+def test_incremental_append_matches_monolithic_export(spark, sf_dir, tmp_path):
+    """Two append batches land in the same shards (same membership
+    checksums) as one monolithic export — the pure-projection
+    assignment is what makes incremental export safe."""
+    d = _docs(spark, sf_dir)
+    mono, inc = str(tmp_path / "mono"), str(tmp_path / "inc")
+    write_training_shards(d, mono, n_shards=4, salt="i")
+    write_training_shards(d.filter("doc_id % 2 = 0"), inc, n_shards=4, salt="i")
+    write_training_shards(
+        d.filter("doc_id % 2 = 1"), inc, n_shards=4, salt="i", mode="append"
+    )
+    cols = ["doc_id", "shard", "order_key"]
+    a, b = (spark.read.parquet(p).select(*cols) for p in (mono, inc))
+    assert a.count() == d.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_null_ids_and_bad_params_raise(spark, sf_dir, tmp_path):
+    d = _docs(spark, sf_dir).withColumn(
+        "doc_id", F.when(F.col("doc_id") == 1, None).otherwise(F.col("doc_id"))
+    )
+    with pytest.raises(ValueError, match="NULL doc_id"):
+        write_training_shards(d, str(tmp_path / "x"), n_shards=2)
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_assignments(d, n_shards=0)
+    with pytest.raises(ValueError, match="files_per_shard"):
+        write_training_shards(
+            _docs(spark, sf_dir), str(tmp_path / "y"),
+            n_shards=2, files_per_shard=0,
+        )
