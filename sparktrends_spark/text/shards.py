@@ -121,6 +121,7 @@ def write_training_shards(
     salt: str = "",
     files_per_shard: int = 1,
     mode: str = "overwrite",
+    batch_id: int | None = None,
 ) -> dict:
     """Export ``df`` as ``path/shard=K/`` parquet directories.
 
@@ -140,9 +141,19 @@ def write_training_shards(
     ``shard_manifest``. Appends add up to ``files_per_shard`` files
     per shard per batch; the export is DERIVED data (rebuildable from
     the corpus), so the fragmentation remedy is a fresh overwrite
-    export, not a stateful compactor. Idempotence is the caller's
-    concern — route batches through the incremental dedup index first
-    if re-delivery is possible.
+    export, not a stateful compactor.
+
+    ``batch_id`` makes the incremental path EXACTLY-ONCE under
+    replays (foreachBatch redelivers a batch after a crash between
+    the sink write and the checkpoint commit): the batch lands in its
+    own ``ingest_batch=<id>`` sub-partition via dynamic partition
+    overwrite, so a retried batch REPLACES its own files instead of
+    appending duplicates — the same discipline as the repo's
+    versioned upsert sinks (``streaming/sinks.py``). ``shard=`` stays
+    the outermost directory level, so shard-pruned reads are
+    unaffected. Without ``batch_id``, plain ``mode="append"`` is
+    at-least-once; route re-deliverable feeds through ``batch_id``
+    (or the incremental dedup index).
 
     Returns ``{"n_docs", "n_shards", "files_per_shard"}``; per-shard
     detail comes from ``shard_manifest`` on the same assignment.
@@ -151,23 +162,33 @@ def write_training_shards(
         raise ValueError(f"files_per_shard={files_per_shard}: must be >= 1")
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode={mode!r}: must be 'overwrite' or 'append'")
-    assigned = shard_assignments(
-        df, n_shards=n_shards, id_col=id_col, salt=salt
+    from pyspark.sql import Observation
+
+    # Single pass over the input: the NULL-id guard is a row-level
+    # raise_error riding the same scan as the write (a separate
+    # validation aggregate would be a second full scan of the corpus),
+    # and n_docs comes from an Observation on that scan. The guard
+    # lives HERE and not in shard_assignments, which stays a pure
+    # NULL-propagating projection (oracle-mirrorable).
+    checked = df.withColumn(
+        id_col,
+        F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
+            F.raise_error(
+                f"NULL {id_col} in shard export: a NULL would land in "
+                "Hive's default partition and vanish from shard-pruned "
+                "reads; assign surrogate ids upstream"
+            )
+        ),
     )
-    # bounded collect: one row (count of NULL ids + total)
-    stats = assigned.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(F.col(id_col).isNull(), 1)).alias("n_null"),
-    ).collect()[0]
-    if stats["n_null"]:
-        raise ValueError(
-            f"{stats['n_null']} row(s) have NULL {id_col}; shard export "
-            "requires a non-null id (assign surrogate ids upstream)"
-        )
+    assigned = shard_assignments(
+        checked, n_shards=n_shards, id_col=id_col, salt=salt
+    )
+    obs = Observation()
     split = F.pmod(F.hash("order_key"), files_per_shard)
     n_parts = max(1, n_shards * files_per_shard)
-    (
-        assigned.withColumn("_fsplit", split)
+    staged = (
+        assigned.observe(obs, F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("_fsplit", split)
         .repartition(n_parts, "shard", "_fsplit")
         .drop("_fsplit")
         # shard FIRST: FileFormatWriter requires task rows ordered by
@@ -176,12 +197,22 @@ def write_training_shards(
         # (shard, order_key) satisfies that requirement, so ONE
         # task-local sort yields files in canonical order.
         .sortWithinPartitions("shard", "order_key")
-        .write.mode(mode)
-        .partitionBy("shard")
-        .parquet(path)
     )
+    if batch_id is not None:
+        # replace-my-own-partition idempotence: dynamic overwrite
+        # touches ONLY the (shard, ingest_batch) partitions this batch
+        # produces — other batches' files are never read or rewritten
+        (
+            staged.withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard", "ingest_batch")
+            .parquet(path)
+        )
+    else:
+        staged.write.mode(mode).partitionBy("shard").parquet(path)
     return {
-        "n_docs": int(stats["n"]),
+        "n_docs": int(obs.get["n_docs"]),
         "n_shards": n_shards,
         "files_per_shard": files_per_shard,
     }

@@ -133,11 +133,34 @@ def test_incremental_append_matches_monolithic_export(spark, sf_dir, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_batch_id_replay_is_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch redelivers a batch after a crash between sink
+    write and checkpoint commit; with batch_id the retry replaces its
+    own ingest_batch partition — content equals the no-crash run."""
+    d = _docs(spark, sf_dir)
+    out = str(tmp_path / "eo")
+    b0, b1 = d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1")
+    write_training_shards(b0, out, n_shards=4, salt="e", batch_id=0)
+    # simulate a partial batch-1 write followed by a full replay
+    write_training_shards(b1.limit(5), out, n_shards=4, salt="e", batch_id=1)
+    write_training_shards(b1, out, n_shards=4, salt="e", batch_id=1)
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    assert back.select("doc_id").distinct().count() == d.count()
+    # shard stays the outermost partition dir; pruning still applies
+    assert sorted(
+        p for p in os.listdir(out) if p.startswith("shard=")
+    ) == [f"shard={k}" for k in range(4)]
+
+
 def test_null_ids_and_bad_params_raise(spark, sf_dir, tmp_path):
     d = _docs(spark, sf_dir).withColumn(
         "doc_id", F.when(F.col("doc_id") == 1, None).otherwise(F.col("doc_id"))
     )
-    with pytest.raises(ValueError, match="NULL doc_id"):
+    # the guard is a row-level raise_error riding the write's own scan
+    # (single pass — no separate validation aggregate), so it surfaces
+    # as a Spark job failure, not a driver-side ValueError
+    with pytest.raises(Exception, match="NULL doc_id"):
         write_training_shards(d, str(tmp_path / "x"), n_shards=2)
     with pytest.raises(ValueError, match="n_shards"):
         shard_assignments(d, n_shards=0)
@@ -146,3 +169,56 @@ def test_null_ids_and_bad_params_raise(spark, sf_dir, tmp_path):
             _docs(spark, sf_dir), str(tmp_path / "y"),
             n_shards=2, files_per_shard=0,
         )
+
+
+# ---------------------------------------------------------------------------
+# Property-based: the assignment contract for ARBITRARY ids (unicode
+# strings, any integers), driven through the same Spark expressions as
+# production and cross-checked against a pure-python md5 model.
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+id_st = st.one_of(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.text(
+        # printable unicode without surrogates; excludes nothing Spark
+        # or the hash care about — md5 runs over utf-8 bytes
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=0,
+        max_size=40,
+    ),
+)
+
+
+def _model(sid: str, salt: str, n_shards: int) -> tuple[int, str]:
+    shard_hex = hashlib.md5(f"shard:{salt}:{sid}".encode()).hexdigest()
+    order_hex = hashlib.md5(f"order:{salt}:{sid}".encode()).hexdigest()
+    return int(shard_hex[:8], 16) % n_shards, order_hex
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(ids=st.lists(id_st, min_size=1, max_size=30), n_shards=st.integers(1, 16))
+def test_assignment_matches_md5_model(shard_spark_holder, ids, n_shards):
+    spark = shard_spark_holder
+    df = spark.createDataFrame([(str(i),) for i in ids], "doc_id string")
+    got = {
+        r["doc_id"]: (r["shard"], r["order_key"])
+        for r in shard_assignments(df, n_shards=n_shards, salt="h").collect()
+    }
+    for i in ids:
+        assert got[str(i)] == _model(str(i), "h", n_shards)
+
+
+@pytest.fixture(name="shard_spark_holder")
+def _shard_spark_holder(spark):
+    return spark
