@@ -1245,7 +1245,8 @@ def q_stream_corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         # batch_id => exactly-once: a replayed batch REPLACES its own
         # ingest_batch partition instead of appending duplicates
         write_training_shards(
-            batch_df, out, n_shards=4, salt="stream", batch_id=batch_id
+            batch_df, out, n_shards=4, salt="stream",
+            mode="append", batch_id=batch_id,
         )
 
     q = (

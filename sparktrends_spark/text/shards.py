@@ -43,6 +43,8 @@ extension the build brief mandates.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["shard_assignments", "shard_manifest", "write_training_shards"]
@@ -72,6 +74,17 @@ def shard_assignments(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards={n_shards}: must be >= 1")
+    clobber = [c for c in ("shard", "order_key") if c in df.columns]
+    if clobber:
+        # loud, not silent: re-assigning data read back from a prior
+        # export would otherwise overwrite its stored assignment —
+        # and a caller comparing old vs new epochs would compare the
+        # new values against themselves
+        raise ValueError(
+            f"input already has column(s) {clobber}; drop or rename "
+            "them before re-assigning (e.g. a read-back export "
+            "carries its stored shard/order_key)"
+        )
     sid = F.col(id_col).cast("string")
     shard_hex = F.md5(F.concat(F.lit(f"shard:{salt}:"), sid))
     order_hex = F.md5(F.concat(F.lit(f"order:{salt}:"), sid))
@@ -151,9 +164,20 @@ def write_training_shards(
     appending duplicates — the same discipline as the repo's
     versioned upsert sinks (``streaming/sinks.py``). ``shard=`` stays
     the outermost directory level, so shard-pruned reads are
-    unaffected. Without ``batch_id``, plain ``mode="append"`` is
-    at-least-once; route re-deliverable feeds through ``batch_id``
-    (or the incremental dedup index).
+    unaffected. ``batch_id`` requires ``mode="append"`` — it IS an
+    append, just an idempotent one; pairing it with "overwrite" is a
+    contradiction this raises on rather than silently resolving.
+    Without ``batch_id``, plain ``mode="append"`` is at-least-once;
+    route re-deliverable feeds through ``batch_id`` (or the
+    incremental dedup index).
+
+    ``mode="overwrite"`` of an existing export is crash-safe: the new
+    export lands in a sibling temp dir and is swapped in via atomic
+    dir renames, so a mid-write failure (including the NULL-id guard
+    firing) leaves the previous export intact — a static overwrite
+    straight onto ``path`` would delete it BEFORE validation could
+    run. (Posix-rename semantics; on an object store use a
+    generation-pointer layout instead, as the ANN index does.)
 
     Returns ``{"n_docs", "n_shards", "files_per_shard"}``; per-shard
     detail comes from ``shard_manifest`` on the same assignment.
@@ -162,6 +186,12 @@ def write_training_shards(
         raise ValueError(f"files_per_shard={files_per_shard}: must be >= 1")
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode={mode!r}: must be 'overwrite' or 'append'")
+    if batch_id is not None and mode != "append":
+        raise ValueError(
+            "batch_id is the idempotent incremental append; pass "
+            "mode='append' with it (mode='overwrite' would contradict "
+            "the replace-own-partition semantics)"
+        )
     from pyspark.sql import Observation
 
     # Single pass over the input: the NULL-id guard is a row-level
@@ -201,7 +231,9 @@ def write_training_shards(
     if batch_id is not None:
         # replace-my-own-partition idempotence: dynamic overwrite
         # touches ONLY the (shard, ingest_batch) partitions this batch
-        # produces — other batches' files are never read or rewritten
+        # produces — other batches' files are never read or rewritten,
+        # and the replacement happens at COMMIT time (no upfront
+        # delete), so a mid-job crash leaves prior batches untouched
         (
             staged.withColumn("ingest_batch", F.lit(int(batch_id)))
             .write.mode("overwrite")
@@ -209,10 +241,43 @@ def write_training_shards(
             .partitionBy("shard", "ingest_batch")
             .parquet(path)
         )
+    elif mode == "append":
+        # additive: task files stage under _temporary and commit
+        staged.write.mode("append").partitionBy("shard").parquet(path)
     else:
-        staged.write.mode(mode).partitionBy("shard").parquet(path)
+        # crash-safe overwrite: build the new export beside the old
+        # one, then swap via atomic dir renames — a static overwrite
+        # would delete the old export at job START, before the NULL-id
+        # guard (or any task failure) could abort the job
+        tmp = path.rstrip("/") + "__export_tmp"
+        staged.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+        _swap_dirs(df.sparkSession, path, tmp)
     return {
         "n_docs": int(obs.get["n_docs"]),
         "n_shards": n_shards,
         "files_per_shard": files_per_shard,
     }
+
+
+def _swap_dirs(spark, path: str, tmp: str) -> None:
+    """Replace ``path`` with ``tmp`` via atomic dir renames (same
+    crash contract as the dedup index's ``_swap_in``: a failure at any
+    point leaves either the old or the new export complete on disk;
+    between the two renames the path is briefly absent, which fails
+    readers loudly rather than partially)."""
+    import shutil
+
+    if not os.path.isdir(path):
+        os.makedirs(os.path.dirname(path.rstrip("/")) or ".", exist_ok=True)
+        os.rename(tmp, path)
+    else:
+        old = path.rstrip("/") + "__old"
+        shutil.rmtree(old, ignore_errors=True)  # stale crash leftovers
+        os.rename(path, old)
+        try:
+            os.rename(tmp, path)
+        except BaseException:
+            os.rename(old, path)  # restore the previous export
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.refreshByPath(path)

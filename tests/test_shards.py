@@ -140,10 +140,11 @@ def test_batch_id_replay_is_exactly_once(spark, sf_dir, tmp_path):
     d = _docs(spark, sf_dir)
     out = str(tmp_path / "eo")
     b0, b1 = d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1")
-    write_training_shards(b0, out, n_shards=4, salt="e", batch_id=0)
+    kw = dict(n_shards=4, salt="e", mode="append")
+    write_training_shards(b0, out, batch_id=0, **kw)
     # simulate a partial batch-1 write followed by a full replay
-    write_training_shards(b1.limit(5), out, n_shards=4, salt="e", batch_id=1)
-    write_training_shards(b1, out, n_shards=4, salt="e", batch_id=1)
+    write_training_shards(b1.limit(5), out, batch_id=1, **kw)
+    write_training_shards(b1, out, batch_id=1, **kw)
     back = spark.read.parquet(out)
     assert back.count() == d.count()
     assert back.select("doc_id").distinct().count() == d.count()
@@ -169,6 +170,42 @@ def test_null_ids_and_bad_params_raise(spark, sf_dir, tmp_path):
             _docs(spark, sf_dir), str(tmp_path / "y"),
             n_shards=2, files_per_shard=0,
         )
+    # batch_id contradicts a full overwrite — loud, not silent
+    with pytest.raises(ValueError, match="batch_id"):
+        write_training_shards(
+            _docs(spark, sf_dir), str(tmp_path / "z"),
+            n_shards=2, mode="overwrite", batch_id=0,
+        )
+    # re-assigning a read-back export must not silently clobber its
+    # stored shard/order_key columns
+    with pytest.raises(ValueError, match="already has column"):
+        shard_assignments(
+            shard_assignments(_docs(spark, sf_dir), n_shards=2),
+            n_shards=2, salt="other",
+        )
+
+
+def test_failed_overwrite_preserves_previous_export(spark, sf_dir, tmp_path):
+    """A re-export (the documented fragmentation remedy) that fails —
+    here via the NULL-id guard — must leave the previous export
+    intact: the new export builds in a sibling temp dir and swaps in
+    only on success. A static overwrite would have deleted the old
+    files at job start, before validation could run."""
+    d = _docs(spark, sf_dir)
+    out = str(tmp_path / "safe")
+    res = write_training_shards(d, out, n_shards=4, salt="v")
+    bad = d.withColumn(
+        "doc_id", F.when(F.col("doc_id") == 1, None).otherwise(F.col("doc_id"))
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        write_training_shards(bad, out, n_shards=4, salt="v")
+    back = spark.read.parquet(out)
+    assert back.count() == res["n_docs"]
+    # and a SUCCESSFUL re-export with a new salt swaps in cleanly
+    write_training_shards(d, out, n_shards=4, salt="v2")
+    assert spark.read.parquet(out).count() == res["n_docs"]
+    assert not os.path.exists(out + "__export_tmp")
+    assert not os.path.exists(out + "__old")
 
 
 # ---------------------------------------------------------------------------
@@ -202,14 +239,11 @@ def _model(sid: str, salt: str, n_shards: int) -> tuple[int, str]:
 @settings(
     max_examples=6,
     deadline=None,
-    suppress_health_check=[
-        HealthCheck.too_slow,
-        HealthCheck.function_scoped_fixture,
-    ],
+    # the spark fixture is session-scoped — examples can't mutate it
+    suppress_health_check=[HealthCheck.too_slow],
 )
 @given(ids=st.lists(id_st, min_size=1, max_size=30), n_shards=st.integers(1, 16))
-def test_assignment_matches_md5_model(shard_spark_holder, ids, n_shards):
-    spark = shard_spark_holder
+def test_assignment_matches_md5_model(spark, ids, n_shards):
     df = spark.createDataFrame([(str(i),) for i in ids], "doc_id string")
     got = {
         r["doc_id"]: (r["shard"], r["order_key"])
@@ -217,8 +251,3 @@ def test_assignment_matches_md5_model(shard_spark_holder, ids, n_shards):
     }
     for i in ids:
         assert got[str(i)] == _model(str(i), "h", n_shards)
-
-
-@pytest.fixture(name="shard_spark_holder")
-def _shard_spark_holder(spark):
-    return spark
