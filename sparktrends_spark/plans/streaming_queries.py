@@ -1226,8 +1226,17 @@ def q_stream_corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = sf_dir.rstrip("/")
     stage = tempfile.mkdtemp(prefix="shard_stage_")
-    out = os.path.join(tempfile.mkdtemp(prefix="shard_out_"), "shards")
+    out_root = tempfile.mkdtemp(prefix="shard_out_")
+    out = os.path.join(out_root, "shards")
     ckpt = tempfile.mkdtemp(prefix="shard_ckpt_")
+    # the stage dir holds a FULL corpus copy and the out dir a second
+    # one — atexit-reclaimed so repeated sweep/bench runs don't
+    # accumulate 2x corpus size in /tmp per invocation
+    import atexit
+    import shutil
+
+    for d in (stage, out_root, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
     # stage the corpus as 4 files so availableNow delivers 4 batches
     spark.read.parquet(f"{base}/documents*.parquet").repartition(4).write.mode(
         "overwrite"

@@ -163,6 +163,60 @@ def _dedup_keep_order(roots: list[str]) -> list[str]:
     return [r for r in roots if not (r in seen or seen.add(r))]
 
 
+def _root_exists(path: str, root: str, flat_artifacts) -> bool:
+    """A promoted root is live if its directory — or, for the flat
+    root, ANY flat artifact directory — still exists on disk. The one
+    liveness rule retention and history-pruning both key off."""
+    if root == FLAT_ROOT:
+        return any(
+            os.path.isdir(os.path.join(path, a)) for a in flat_artifacts
+        )
+    return os.path.isdir(os.path.join(path, root))
+
+
+def _write_current_doc(path: str, doc: dict) -> None:
+    """Atomic (tmp + rename) write of the CURRENT pointer document —
+    the single place the document hits disk, so a format change (a new
+    field) lands once instead of silently diverging between promotion
+    and GC's history-prune rewrite."""
+    tmp = os.path.join(path, ".CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, os.path.join(path, "CURRENT"))
+
+
+def swap_dirs(spark, path: str, tmp: str) -> None:
+    """Replace ``path`` with ``tmp`` via TWO atomic dir renames (never
+    file-by-file: per-file moves expose racing readers — and a crash —
+    to a PARTIAL row subset, which reads as a silently smaller table).
+    Crash anywhere here leaves either the old or the new directory
+    complete on disk: between the renames the path is briefly absent,
+    which fails readers LOUDLY, and both full copies survive
+    (``<path>__old`` / the tmp dir) for manual recovery. If ``path``
+    does not exist yet, the swap degenerates to one rename. Callers
+    doing maintenance hold the writer lock; the lock file rides into
+    ``__old`` with its directory, so the post-swap tail of the caller
+    must be read-only. (On an object store use the generation-pointer
+    promotion above instead of renames.) Shared by the dedup index's
+    compact/build swap and the shard exporter's crash-safe overwrite —
+    one implementation of the crash contract."""
+    if not os.path.isdir(path):
+        parent = os.path.dirname(path.rstrip("/")) or "."
+        os.makedirs(parent, exist_ok=True)
+        os.rename(tmp, path)
+    else:
+        old = path.rstrip("/") + "__old"
+        shutil.rmtree(old, ignore_errors=True)  # stale crash leftovers
+        os.rename(path, old)
+        try:
+            os.rename(tmp, path)
+        except BaseException:
+            os.rename(old, path)  # live failure: restore the old dir
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.refreshByPath(path)
+
+
 def write_current(path: str, generation: str) -> None:
     """Atomic pointer promotion: the new generation is fully written
     BEFORE this single rename, so a reader resolving CURRENT sees
@@ -185,10 +239,7 @@ def write_current(path: str, generation: str) -> None:
     # legacy reconstruction lists it — its directory exists by now),
     # and a record can carry each root at most once
     history = _dedup_keep_order([h for h in history if h != generation])
-    tmp = os.path.join(path, ".CURRENT.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"generation": generation, "history": history}, fh)
-    os.replace(tmp, os.path.join(path, "CURRENT"))
+    _write_current_doc(path, {"generation": generation, "history": history})
 
 
 def resolve_root(path: str) -> str:
@@ -249,15 +300,7 @@ def gc_generations(
         if g not in promoted:
             shutil.rmtree(os.path.join(path, g))
             removed.append(f"{g} (unpromoted)")
-    live = [
-        r
-        for r in promoted
-        if (
-            any(os.path.isdir(os.path.join(path, a)) for a in flat_artifacts)
-            if r == FLAT_ROOT
-            else os.path.isdir(os.path.join(path, r))
-        )
-    ]
+    live = [r for r in promoted if _root_exists(path, r, flat_artifacts)]
     for r in live[:-keep] if len(live) > keep else []:
         if r == FLAT_ROOT:
             for a in flat_artifacts:
@@ -280,22 +323,12 @@ def gc_generations(
             still_live = [
                 r
                 for r in doc.get("history") or _legacy_history(path, doc)
-                if (
-                    any(
-                        os.path.isdir(os.path.join(path, a))
-                        for a in flat_artifacts
-                    )
-                    if r == FLAT_ROOT
-                    else os.path.isdir(os.path.join(path, r))
-                )
+                if _root_exists(path, r, flat_artifacts)
             ]
-            tmp = os.path.join(path, ".CURRENT.tmp")
-            with open(tmp, "w") as fh:
-                json.dump(
-                    {"generation": doc["generation"], "history": still_live},
-                    fh,
-                )
-            os.replace(tmp, os.path.join(path, "CURRENT"))
+            _write_current_doc(
+                path,
+                {"generation": doc["generation"], "history": still_live},
+            )
     return removed
 
 

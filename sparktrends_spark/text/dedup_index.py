@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from sparktrends_spark.similarity.generations import (
     maintenance_lock,
     read_tombstones,
+    swap_dirs,
     write_tombstones,
 )
 from sparktrends_spark.text.dedup import (
@@ -65,29 +66,12 @@ def _tombstones(spark, index_path: str, id_col: str) -> DataFrame | None:
 
 
 def _swap_in(spark, index_path: str, tmp: str) -> None:
-    """Replace the live index directory with ``tmp`` via TWO atomic
-    dir renames (never file-by-file: per-file moves expose racing
-    readers — and a crash — to a PARTIAL row subset, which reads as a
-    silently smaller corpus). Crash anywhere here leaves either the
-    old or the new index complete on disk: between the renames the
-    index path is briefly absent, which fails readers LOUDLY, and both
-    full copies survive (``<path>__old`` / the tmp dir) for manual
-    recovery. The caller holds the writer lock; the lock file rides
-    into ``__old`` with its directory, so the post-swap tail of the
-    caller must be read-only (on an object store this whole dance is
-    the ANN index's generation-pointer swap instead)."""
-    import shutil
-
-    old = index_path.rstrip("/") + "__old"
-    shutil.rmtree(old, ignore_errors=True)  # stale crash leftovers
-    os.rename(index_path, old)
-    try:
-        os.rename(tmp, index_path)
-    except BaseException:
-        os.rename(old, index_path)  # live failure: restore the old index
-        raise
-    shutil.rmtree(old, ignore_errors=True)
-    spark.catalog.refreshByPath(index_path)
+    """Atomic dir-swap of the live index — the shared
+    ``generations.swap_dirs`` crash contract (either the old or the
+    new index is complete on disk at every instant; the held lock file
+    rides into ``__old``, so the caller's post-swap tail must be
+    read-only)."""
+    swap_dirs(spark, index_path, tmp)
 
 
 def delete_from_dedup_index(
@@ -101,6 +85,18 @@ def delete_from_dedup_index(
     index is only touched to read the id column's type. Returns the
     distinct tombstone-set size (shared accounting with the ANN
     indexes: ``generations.write_tombstones``)."""
+    if not (
+        os.path.isdir(index_path)
+        and any(f.endswith(".parquet") for f in os.listdir(index_path))
+    ):
+        # guard BEFORE taking the lock: the lock's makedirs would
+        # otherwise create a junk dir at a typo'd path and the write
+        # would fail with an opaque schema-inference error — same loud
+        # contract as the IVF/IVF-PQ delete twins
+        raise ValueError(
+            f"no dedup index at {index_path}: run build_dedup_index "
+            "before deleting from it"
+        )
     with maintenance_lock(index_path, operation="dedup-delete"):
         n = write_tombstones(
             spark, index_path, ids, id_col, schema_src="",
@@ -127,6 +123,11 @@ def compact_dedup_index(
         raise ValueError(f"target_files={target_files}: must be >= 1")
     with maintenance_lock(index_path, operation="dedup-compact"):
         tomb = _tombstones(spark, index_path, id_col)
+        if tomb is not None and tomb.isEmpty():
+            # an empty tombstone SET (e.g. an automated takedown feed
+            # delivered an empty purge batch) must not force a full
+            # corpus-sized rewrite of an unfragmented index
+            tomb = None
         rows_before = spark.read.parquet(index_path).count()
         files_before = sum(
             1 for f in os.listdir(index_path) if f.endswith(".parquet")
@@ -146,11 +147,16 @@ def compact_dedup_index(
         keep.repartition(target_files, F.col(id_col)).write.mode(
             "overwrite"
         ).parquet(tmp)
-        _swap_in(spark, index_path, tmp)
-        rows_after = spark.read.parquet(index_path).count()
+        # measure the NEW index from the temp dir BEFORE the swap: the
+        # swap destroys this writer's lock file along with the old dir,
+        # so a post-swap read of the live path could race a second
+        # writer's swap (briefly-absent path) and fail a compaction
+        # that already committed
+        rows_after = spark.read.parquet(tmp).count()
         files_after = sum(
-            1 for f in os.listdir(index_path) if f.endswith(".parquet")
+            1 for f in os.listdir(tmp) if f.endswith(".parquet")
         )
+        _swap_in(spark, index_path, tmp)
     return {
         "rows_before": int(rows_before),
         "rows_after": int(rows_after),
@@ -287,18 +293,22 @@ def incremental_dedup(
             fresh[id_col] == F.col("new_id"),
             "left_anti",
         )
-        if tomb is not None:
-            # appending a tombstoned id would co-exist with its dead
-            # rows and be anti-joined away at match time — refuse;
-            # compact first (which clears the tombstones), then ingest
-            n_bad = uniques.join(tomb, id_col).count()
-            if n_bad:
-                raise ValueError(
-                    f"batch re-inserts {n_bad} tombstoned doc id(s) —"
-                    " run compact_dedup_index to reclaim deletes, then"
-                    " re-ingest"
-                )
         with maintenance_lock(index_path, operation="dedup-append"):
+            # re-read tombstones UNDER the lock (the serve-side `tomb`
+            # snapshot above may predate a concurrent delete): appending
+            # a tombstoned id would co-exist with its dead rows and be
+            # anti-joined away at match time FOREVER — refuse; compact
+            # first (which clears the tombstones), then re-ingest. Same
+            # check-inside-the-lock discipline as the IVF/IVF-PQ appends.
+            tomb_now = _tombstones(spark, index_path, id_col)
+            if tomb_now is not None:
+                n_bad = uniques.join(tomb_now, id_col).count()
+                if n_bad:
+                    raise ValueError(
+                        f"batch re-inserts {n_bad} tombstoned doc id(s) —"
+                        " run compact_dedup_index to reclaim deletes, then"
+                        " re-ingest"
+                    )
             uniques.write.mode("append").parquet(index_path)
         spark.catalog.refreshByPath(index_path)
     return flags

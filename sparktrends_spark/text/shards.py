@@ -43,8 +43,6 @@ extension the build brief mandates.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["shard_assignments", "shard_manifest", "write_training_shards"]
@@ -249,35 +247,13 @@ def write_training_shards(
         # one, then swap via atomic dir renames — a static overwrite
         # would delete the old export at job START, before the NULL-id
         # guard (or any task failure) could abort the job
+        from sparktrends_spark.similarity.generations import swap_dirs
+
         tmp = path.rstrip("/") + "__export_tmp"
         staged.write.mode("overwrite").partitionBy("shard").parquet(tmp)
-        _swap_dirs(df.sparkSession, path, tmp)
+        swap_dirs(df.sparkSession, path, tmp)
     return {
         "n_docs": int(obs.get["n_docs"]),
         "n_shards": n_shards,
         "files_per_shard": files_per_shard,
     }
-
-
-def _swap_dirs(spark, path: str, tmp: str) -> None:
-    """Replace ``path`` with ``tmp`` via atomic dir renames (same
-    crash contract as the dedup index's ``_swap_in``: a failure at any
-    point leaves either the old or the new export complete on disk;
-    between the two renames the path is briefly absent, which fails
-    readers loudly rather than partially)."""
-    import shutil
-
-    if not os.path.isdir(path):
-        os.makedirs(os.path.dirname(path.rstrip("/")) or ".", exist_ok=True)
-        os.rename(tmp, path)
-    else:
-        old = path.rstrip("/") + "__old"
-        shutil.rmtree(old, ignore_errors=True)  # stale crash leftovers
-        os.rename(path, old)
-        try:
-            os.rename(tmp, path)
-        except BaseException:
-            os.rename(old, path)  # restore the previous export
-            raise
-        shutil.rmtree(old, ignore_errors=True)
-    spark.catalog.refreshByPath(path)

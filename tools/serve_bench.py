@@ -80,13 +80,15 @@ def _dir_bytes(d: str) -> int:
     )
 
 
-def _probed_bytes(df, data_dir: str) -> int | None:
-    """Bytes the serve actually reads from the corpus-sized artifact:
-    parse the static PartitionFilters (cell IN (...)) out of the
-    executed plan and size exactly those cell directories on disk —
-    the pruning claim as a number instead of a plan assertion. None if
-    the plan carries no cell filter (shouldn't happen for index
-    serves)."""
+def _probed_bytes(df, data_dirs: list[str]) -> int | None:
+    """Bytes the serve actually reads from the corpus-sized
+    artifact(s): parse the static PartitionFilters (cell IN (...)) out
+    of the executed plan and size exactly those cell directories on
+    disk — the pruning claim as a number instead of a plan assertion.
+    Every artifact in ``data_dirs`` is probed at the same cells (the
+    rerank refine scans the vectors sidecar's probed cells alongside
+    the codes). None if the plan carries no cell filter (shouldn't
+    happen for index serves)."""
     import re
 
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -95,7 +97,9 @@ def _probed_bytes(df, data_dir: str) -> int | None:
         return None
     cells = [c.strip() for c in m.group(1).split(",") if c.strip()]
     return sum(
-        _dir_bytes(os.path.join(data_dir, f"cell={c}")) for c in cells
+        _dir_bytes(os.path.join(d, f"cell={c}"))
+        for d in data_dirs
+        for c in cells
     )
 
 
@@ -144,13 +148,20 @@ def _run_family(spark, emb, idx_root, corpus_path):
             nprobe=_NPROBE, refine_k=20,
         ),
     }
-    # the corpus-sized artifact each serve scans: brute reads every
-    # vector; the index families read only probed cell directories
+    # the corpus-sized artifact(s) each serve scans: brute reads every
+    # vector; the index families read only probed cell directories.
+    # rerank reads probed cells of BOTH artifacts — ADC shortlist from
+    # the codes, exact refine from the float-vectors sidecar (which is
+    # typically the larger of the two; counting codes alone would
+    # understate rerank's real read volume)
     scan_dirs = {
         "brute": None,  # no partitioned index: scans the whole corpus
-        "ivf": f"{idx_root}/ivf/vectors",
-        "ivfpq": f"{idx_root}/ivfpq/codes",
-        "ivfpq_rerank": f"{idx_root}/ivfpq/codes",
+        "ivf": [f"{idx_root}/ivf/vectors"],
+        "ivfpq": [f"{idx_root}/ivfpq/codes"],
+        "ivfpq_rerank": [
+            f"{idx_root}/ivfpq/codes",
+            f"{idx_root}/ivfpq/vectors",
+        ],
     }
     corpus_bytes = _dir_bytes(corpus_path)
     out = {}
@@ -179,7 +190,11 @@ def _run_family(spark, emb, idx_root, corpus_path):
             # corpus-sized artifact — the pruning ratio that carries
             # the 100 TB claim (wall time here is overhead-bound)
             "probed_bytes": probed,
-            "artifact_bytes": _dir_bytes(d) if d is not None else corpus_bytes,
+            "artifact_bytes": (
+                sum(_dir_bytes(x) for x in d)
+                if d is not None
+                else corpus_bytes
+            ),
         }
     return out
 
