@@ -1017,82 +1017,23 @@ def compact_ivf_index(
     aware retention GC, all under the writer lock; live serve values
     are identical by construction. Returns ``{generation,
     previous_root, files_before, files_after, rows_before, rows_after,
-    gc_removed}`` (counts for the vectors table)."""
-    from sparktrends_spark.similarity.generations import (
-        gc_generations,
-        maintenance_lock,
-        next_generation,
-        resolve_root,
-        write_current,
+    gc_removed}`` (counts for the vectors table). Implementation: the
+    shared ``generations.compact_cells`` parameterized with this
+    index's artifact layout — one compactor for both cell-partitioned
+    index families."""
+    from sparktrends_spark.similarity.generations import compact_cells
+
+    return compact_cells(
+        spark,
+        path,
+        small_artifacts=_IVF_SMALL_ARTIFACTS,
+        cell_artifacts=_IVF_CELL_ARTIFACTS,
+        flat_artifacts=_IVF_FLAT_ARTIFACTS,
+        n_cells_src="centroids",
+        files_per_cell=files_per_cell,
+        keep_generations=keep_generations,
+        lock_timeout_s=lock_timeout_s,
     )
-
-    if files_per_cell < 1:
-        raise ValueError(f"files_per_cell={files_per_cell}: must be >= 1")
-    import os
-    import shutil
-
-    def _nfiles(d: str) -> int:
-        return sum(
-            1 for r, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
-        )
-
-    with maintenance_lock(path, lock_timeout_s, operation="compact"):
-        root = resolve_root(path)
-        if not os.path.isdir(f"{root}/vectors"):
-            # bail BEFORE promoting: a CURRENT pointer to a generation
-            # that was never created bricks every later resolve
-            raise ValueError(
-                f"no index at {root} ({root}/vectors missing) — nothing"
-                " to compact"
-            )
-        n_cells = spark.read.parquet(f"{root}/centroids").count()
-        files_before = _nfiles(f"{root}/vectors")
-        rows_before = spark.read.parquet(f"{root}/vectors").count()
-        new_gen = next_generation(path)
-        gen_root = os.path.join(path, new_gen)
-        try:
-            for small in _IVF_SMALL_ARTIFACTS:
-                if os.path.isdir(f"{root}/{small}"):
-                    spark.read.parquet(
-                        f"{root}/{small}"
-                    ).coalesce(1).write.mode("overwrite").parquet(
-                        f"{gen_root}/{small}"
-                    )
-            df = spark.read.parquet(f"{root}/vectors")
-            id_c = df.columns[0]  # id column leads the stored layout
-            tomb = _ivf_tombstones(spark, root, id_c)
-            if tomb is not None:
-                # physical reclaim: tombstoned rows never reach the new
-                # generation, whose tombstone set starts clean (the
-                # artifact is deliberately not copied)
-                df = df.join(tomb, id_c, "left_anti")
-            # one task per target file — (cell, id-hash split) keys,
-            # never a coalesce funnel (the ivfpq compact lesson)
-            split = F.pmod(F.hash(F.col(id_c)), files_per_cell)
-            df.withColumn("_fsplit", split).repartition(
-                max(1, int(n_cells) * files_per_cell), "cell", "_fsplit"
-            ).drop("_fsplit").write.mode("overwrite").partitionBy(
-                "cell"
-            ).parquet(f"{gen_root}/vectors")
-        except BaseException:
-            # never leave a partial never-promoted generation behind
-            shutil.rmtree(gen_root, ignore_errors=True)
-            raise
-        write_current(path, new_gen)
-        removed = gc_generations(path, _IVF_FLAT_ARTIFACTS, keep_generations)
-        for sub in _IVF_FLAT_ARTIFACTS:
-            spark.catalog.refreshByPath(os.path.join(gen_root, sub))
-        return {
-            "generation": new_gen,
-            "previous_root": root,
-            "files_before": files_before,
-            "files_after": _nfiles(f"{gen_root}/vectors"),
-            "rows_before": int(rows_before),
-            "rows_after": int(
-                spark.read.parquet(f"{gen_root}/vectors").count()
-            ),
-            "gc_removed": removed,
-        }
 
 
 def lsh_topk(

@@ -217,6 +217,109 @@ def swap_dirs(spark, path: str, tmp: str) -> None:
     spark.catalog.refreshByPath(path)
 
 
+def compact_cells(
+    spark,
+    path: str,
+    *,
+    small_artifacts: tuple[str, ...],
+    cell_artifacts: tuple[str, ...],
+    flat_artifacts: tuple[str, ...],
+    n_cells_src: str,
+    files_per_cell: int = 1,
+    keep_generations: int = 2,
+    lock_timeout_s: float = 600.0,
+    tombstones_artifact: str = "tombstones",
+) -> dict:
+    """Shared segment-merge + takedown-reclaim compactor for the
+    cell-partitioned persisted indexes (IVF and IVF-PQ wrap this with
+    their artifact layouts — ONE implementation of the generation
+    dance, so a fix to the crash/GC/parallelism contract lands once):
+    copy the small artifacts (coalesce 1), rewrite each cell artifact
+    into at most ``files_per_cell`` files per cell minus tombstoned
+    rows — shuffled on (cell, id-hash split) into n_cells *
+    files_per_cell partitions, one task per target file, never a
+    coalesce funnel — into a NEW generation, atomically promote
+    CURRENT, GC by promotion history. A failure before promotion
+    rmtree's the partial generation dir (never orphan junk). The first
+    cell artifact is the counted/guarded table; ``n_cells_src`` is the
+    small artifact whose row count IS the cell count. Caller-visible
+    contract (lock, return dict) matches the former per-module
+    compactors exactly."""
+    from pyspark.sql import functions as F
+
+    if files_per_cell < 1:
+        raise ValueError(f"files_per_cell={files_per_cell}: must be >= 1")
+
+    def _nfiles(d: str) -> int:
+        return sum(
+            1 for r, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        )
+
+    counted = cell_artifacts[0]
+    with maintenance_lock(path, lock_timeout_s, operation="compact"):
+        root = resolve_root(path)
+        if not os.path.isdir(f"{root}/{counted}"):
+            # bail BEFORE promoting: a CURRENT pointer to a generation
+            # that was never created bricks every later resolve
+            raise ValueError(
+                f"no index at {root} ({root}/{counted} missing) —"
+                " nothing to compact"
+            )
+        n_cells = spark.read.parquet(f"{root}/{n_cells_src}").count()
+        files_before = _nfiles(f"{root}/{counted}")
+        rows_before = spark.read.parquet(f"{root}/{counted}").count()
+        new_gen = next_generation(path)
+        gen_root = os.path.join(path, new_gen)
+        try:
+            for small in small_artifacts:
+                if os.path.isdir(f"{root}/{small}"):
+                    spark.read.parquet(
+                        f"{root}/{small}"
+                    ).coalesce(1).write.mode("overwrite").parquet(
+                        f"{gen_root}/{small}"
+                    )
+            n_parts = max(1, int(n_cells) * files_per_cell)
+            for big in cell_artifacts:
+                if os.path.isdir(f"{root}/{big}"):
+                    df = spark.read.parquet(f"{root}/{big}")
+                    id_c = df.columns[0]  # id column leads the layouts
+                    tomb = read_tombstones(
+                        spark, root, id_c, tombstones_artifact
+                    )
+                    if tomb is not None:
+                        # physical reclaim: tombstoned rows never reach
+                        # the new generation, whose tombstone set starts
+                        # clean (the artifact is deliberately not
+                        # copied — it is not in small_artifacts)
+                        df = df.join(tomb, id_c, "left_anti")
+                    split = F.pmod(F.hash(F.col(id_c)), files_per_cell)
+                    df.withColumn("_fsplit", split).repartition(
+                        n_parts, "cell", "_fsplit"
+                    ).drop("_fsplit").write.mode("overwrite").partitionBy(
+                        "cell"
+                    ).parquet(f"{gen_root}/{big}")
+        except BaseException:
+            # never leave a partial never-promoted generation behind
+            # (it would be orphan junk for the next writer's GC)
+            shutil.rmtree(gen_root, ignore_errors=True)
+            raise
+        write_current(path, new_gen)
+        removed = gc_generations(path, flat_artifacts, keep_generations)
+        for sub in flat_artifacts:
+            spark.catalog.refreshByPath(os.path.join(gen_root, sub))
+        return {
+            "generation": new_gen,
+            "previous_root": root,
+            "files_before": files_before,
+            "files_after": _nfiles(f"{gen_root}/{counted}"),
+            "rows_before": int(rows_before),
+            "rows_after": int(
+                spark.read.parquet(f"{gen_root}/{counted}").count()
+            ),
+            "gc_removed": removed,
+        }
+
+
 def write_current(path: str, generation: str) -> None:
     """Atomic pointer promotion: the new generation is fully written
     BEFORE this single rename, so a reader resolving CURRENT sees

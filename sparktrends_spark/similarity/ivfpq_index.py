@@ -888,75 +888,20 @@ def compact_ivfpq_index(
     Returns ``{generation, previous_root, files_before, files_after,
     rows_before, rows_after, gc_removed}`` (file/row counts for the
     codes table; rows_before - rows_after = tombstoned rows
-    reclaimed)."""
-    if files_per_cell < 1:
-        raise ValueError(f"files_per_cell={files_per_cell}: must be >= 1")
+    reclaimed). Implementation: the shared ``generations.
+    compact_cells`` parameterized with this index's artifact layout —
+    one compactor for both cell-partitioned index families."""
+    from sparktrends_spark.similarity.generations import compact_cells
 
-    def _nfiles(d: str) -> int:
-        return sum(
-            1
-            for r, _, fs in os.walk(d)
-            for f in fs
-            if f.endswith(".parquet")
-        )
-
-    with maintenance_lock(path, lock_timeout_s, operation="compact"):
-        root = resolve_index_root(path)
-        if not os.path.isdir(f"{root}/codes"):
-            # bail BEFORE promoting: writing CURRENT for a generation
-            # that was never created would brick every later resolve
-            raise ValueError(
-                f"no index at {root} ({root}/codes missing) — nothing"
-                " to compact"
-            )
-        n_cells = len(_load_coarse(spark, root))
-        files_before = _nfiles(f"{root}/codes")
-        rows_before = spark.read.parquet(f"{root}/codes").count()
-        new_gen = next_generation(path)
-        gen_root = os.path.join(path, new_gen)
-        try:
-            for small in _SMALL_ARTIFACTS:
-                if os.path.isdir(f"{root}/{small}"):
-                    spark.read.parquet(
-                        f"{root}/{small}"
-                    ).coalesce(1).write.mode("overwrite").parquet(
-                        f"{gen_root}/{small}"
-                    )
-            n_parts = max(1, n_cells * files_per_cell)
-            for big in _CELL_ARTIFACTS:
-                if os.path.isdir(f"{root}/{big}"):
-                    df = spark.read.parquet(f"{root}/{big}")
-                    id_c = df.columns[0]  # id column leads both layouts
-                    tomb = _tombstones(spark, root, id_c)
-                    if tomb is not None:
-                        # physical reclaim: tombstoned rows never reach
-                        # the new generation (and the tombstones
-                        # artifact itself is deliberately not copied —
-                        # see _SMALL_ARTIFACTS)
-                        df = df.join(tomb, id_c, "left_anti")
-                    split = F.pmod(F.hash(F.col(id_c)), files_per_cell)
-                    df.withColumn("_fsplit", split).repartition(
-                        n_parts, "cell", "_fsplit"
-                    ).drop("_fsplit").write.mode("overwrite").partitionBy(
-                        "cell"
-                    ).parquet(f"{gen_root}/{big}")
-        except BaseException:
-            # never leave a partial, never-promoted generation dir
-            # behind (it would be orphan junk for the next writer's GC)
-            shutil.rmtree(gen_root, ignore_errors=True)
-            raise
-        _write_current(path, new_gen)
-        removed = gc_generations(path, _FLAT_ARTIFACTS, keep_generations)
-        for sub in _FLAT_ARTIFACTS:
-            spark.catalog.refreshByPath(os.path.join(gen_root, sub))
-        return {
-            "generation": new_gen,
-            "previous_root": root,
-            "files_before": files_before,
-            "files_after": _nfiles(f"{gen_root}/codes"),
-            "rows_before": int(rows_before),
-            "rows_after": int(
-                spark.read.parquet(f"{gen_root}/codes").count()
-            ),
-            "gc_removed": removed,
-        }
+    return compact_cells(
+        spark,
+        path,
+        small_artifacts=_SMALL_ARTIFACTS,
+        cell_artifacts=_CELL_ARTIFACTS,
+        flat_artifacts=_FLAT_ARTIFACTS,
+        n_cells_src="coarse",
+        files_per_cell=files_per_cell,
+        keep_generations=keep_generations,
+        lock_timeout_s=lock_timeout_s,
+        tombstones_artifact=_TOMBSTONES,
+    )
