@@ -51,14 +51,26 @@ def main() -> None:
     spark = get_spark("sparktrends-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/IO paths outside the timed region: touch each input
+    # Warm the JVM/IO paths outside the timed region: scan each input
     # table, then run every headline plan once at smoke scale (sf0.001)
     # so whole-stage-codegen compilation + JIT + the Arrow python-worker
     # spawn aren't billed to the timed sf runs. Measured: first
     # execution of a complex plan pays 1-3 s of compilation regardless
     # of data size; steady-state is what a resident engine delivers.
-    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    #
+    # The table warm-up must read the COLUMN PAGES, not just footers: a
+    # parquet count() satisfies itself from row-group metadata and
+    # leaves the data bytes cold, and on this box a cold page cache
+    # inflated a full battery by +46% (round-11 driver run: 16.8 s cold
+    # vs an 11.9 s same-code steady state). A noop-sink write scans
+    # every column, pulling the actual bytes into the OS page cache.
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.format(
+            "noop"
+        ).mode("overwrite").save()
     from sparktrends_spark.caching import release_persisted
 
     for warm_q in HEADLINE:

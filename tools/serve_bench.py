@@ -18,12 +18,24 @@ Families:
                  L2 metric — see the metric-contract note in README)
 - ``ivfpq_rerank`` same index, exact re-rank of the ADC top-20
 
-Usage: ``python tools/serve_bench.py [sf_dir] [replica_factor]``
-(defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, factor 0 =
-no replica pass). With a factor F > 1 a second corpus at F x sf0.1 is
-materialized via tools/scale_slope.build_scaled_dir and the same
-battery runs against it — the serve-vs-corpus-size slope is the scale
-claim (probe-pruned serves should grow FAR slower than brute force).
+Usage: ``python tools/serve_bench.py [sf_dir] [replica_factor]
+[n_cells]`` (defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1,
+factor 0 = no replica pass, n_cells 4). With a factor F > 1 a second
+corpus at F x sf0.1 is materialized via
+tools/scale_slope.build_scaled_dir and the same battery runs against
+it — the serve-vs-corpus-size slope is the scale claim (probe-pruned
+serves should grow FAR slower than brute force).
+
+``n_cells`` sizes the IVF-PQ coarse quantizer. The default 4 keeps
+the series comparable round-over-round, but at 4-8 cells a 10-query
+batch's probed-cell UNION covers every cell, so batch-level byte
+pruning is invisible (the r11 honesty note). At a production-shaped
+cell count (>= 64) the union stays sparse — nprobe=2 x 10 queries
+probes at most 20 of 64+ cells, typically far fewer — which turns
+"a production index keeps the batch union sparse" from an argument
+into a measured probed_bytes fraction. The label-derived IVF family
+has no cell knob (cells == labels); at high n_cells read the ivfpq /
+ivfpq_rerank rows.
 
 Prints ONE JSON line:
 {"metric": "serve_only_batch_sec", "sf": ..., "batches": B,
@@ -103,7 +115,7 @@ def _probed_bytes(df, data_dirs: list[str]) -> int | None:
     )
 
 
-def _run_family(spark, emb, idx_root, corpus_path):
+def _run_family(spark, emb, idx_root, corpus_path, n_cells=4):
     from pyspark.sql import functions as F
 
     from sparktrends_spark.caching import release_persisted
@@ -126,8 +138,8 @@ def _run_family(spark, emb, idx_root, corpus_path):
     builds["ivf"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     build_ivfpq_index(
-        emb, f"{idx_root}/ivfpq", dim=_DIM, n_cells=4, m=2, k_codes=4,
-        iterations=3, store_vectors=True,
+        emb, f"{idx_root}/ivfpq", dim=_DIM, n_cells=n_cells, m=2,
+        k_codes=4, iterations=3, store_vectors=True,
     )
     builds["ivfpq"] = round(time.perf_counter() - t0, 3)
     # null like brute: rerank builds nothing of its own (it serves the
@@ -204,6 +216,7 @@ def main() -> None:
     if len(sys.argv) > 1:
         sf_dir = sys.argv[1]
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    n_cells = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
     from sparktrends_spark.session import get_spark
     from sparktrends_spark.sources.tables import load_table
@@ -219,8 +232,10 @@ def main() -> None:
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "batches": _BATCHES,
         "batch_size": _BATCH_Q,
+        "n_cells": n_cells,
         "families": _run_family(
-            spark, emb, idx_root, f"{sf_dir.rstrip('/')}/embeddings.parquet"
+            spark, emb, idx_root,
+            f"{sf_dir.rstrip('/')}/embeddings.parquet", n_cells,
         ),
         "replica": None,
     }
@@ -233,7 +248,7 @@ def main() -> None:
             "factor": factor,
             "families": _run_family(
                 spark, big, f"{idx_root}/x{factor}",
-                f"{big_dir}/embeddings.parquet",
+                f"{big_dir}/embeddings.parquet", n_cells,
             ),
         }
     import shutil
