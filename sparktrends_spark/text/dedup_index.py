@@ -15,15 +15,29 @@ checked against that index and appended. This module is that flow:
   batch's unique docs so the next batch sees them.
 - ``delete_from_dedup_index`` / ``compact_dedup_index``: takedown —
   a document deleted from the corpus must stop suppressing incoming
-  near-duplicates. Tombstones live in ``index_path/_tombstones`` (the
-  underscore prefix hides the subdir from the parquet reader, the
-  Hadoop hidden-file convention); candidate pairs anti-join them at
-  match time (bounded: the anti-join runs on the aggregated candidate
-  set, never on the full index), and compaction physically rewrites
-  the index without the tombstoned rows and clears the set. Writers
+  near-duplicates. Tombstones are recorded on the resolved root;
+  candidate pairs anti-join them at match time (bounded: the anti-join
+  runs on the aggregated candidate set, never on the full index), and
+  compaction physically rewrites the index without the tombstoned rows
+  into a NEW generation whose tombstone set starts clean. Writers
   (delete / compact / the append half of incremental_dedup) serialize
-  on the same ``maintenance_lock`` as the ANN index (the lock file's
-  leading dot also hides it from readers).
+  on the same ``maintenance_lock`` as the ANN indexes.
+
+On-disk layout — the GENERATION-POINTER discipline shared with the
+IVF / IVF-PQ indexes (``similarity/generations.py``), not POSIX dir
+renames: a freshly built index is FLAT (``path/signatures``);
+compaction writes a complete rewrite into ``path/g<NNNNNN>/signatures``
+and promotes it with ONE atomic rename of the ``CURRENT`` pointer.
+Readers resolve the pointer once per operation and pin that root for
+the whole serve — the index path is NEVER briefly absent (the
+pre-round-12 ``swap_dirs`` layout's seam), retention keeps the newest
+2 promoted roots so in-flight readers pinned pre-promotion finish
+safely, and GC keys off the promotion history, never directory
+listings. On an object store the pointer becomes a conditional-put
+manifest object — the same deployment seam as the ANN indexes, with
+no rename-atomicity requirement anywhere in the lifecycle.
+``migrate_dedup_index`` upgrades a pre-round-12 flat-file index (its
+parquet files sat directly under ``path``) in place, once, offline.
 
 Uses the same MinHash construction as ``text/dedup.py`` (md5-derived
 base hash, integer permutations, 4x4 banding), so the DuckDB oracle of
@@ -37,15 +51,20 @@ public papers).
 from __future__ import annotations
 
 import os
+import shutil
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from sparktrends_spark.similarity.generations import (
+    gc_generations,
     maintenance_lock,
+    next_generation,
     read_tombstones,
-    swap_dirs,
+    reset_generations,
+    resolve_root,
+    write_current,
     write_tombstones,
 )
 from sparktrends_spark.text.dedup import (
@@ -58,48 +77,74 @@ BANDS = 4
 ROWS_PER_BAND = 4
 SHINGLE_N = 3
 
-_TOMBSTONES = "_tombstones"  # '_' prefix: hidden from the parquet reader
+_SIGNATURES = "signatures"
+_TOMBSTONES = "tombstones"
+# what constitutes the flat root for promotion-history GC (the
+# tombstones artifact rides its root: reclaimed with it, never shared
+# across generations)
+_FLAT_ARTIFACTS = (_SIGNATURES, _TOMBSTONES)
 
 
-def _tombstones(spark, index_path: str, id_col: str) -> DataFrame | None:
-    return read_tombstones(spark, index_path, id_col, _TOMBSTONES)
+def _signatures_dir(index_path: str) -> str:
+    """Resolve the CURRENT root and return its signature artifact dir,
+    failing LOUDLY on a missing index — and, distinctly, on a
+    pre-round-12 flat-FILE layout (parquet files directly under the
+    index path), which needs the one-time ``migrate_dedup_index``."""
+    root = resolve_root(index_path)
+    d = os.path.join(root, _SIGNATURES)
+    if os.path.isdir(d):
+        return d
+    if os.path.isdir(root) and any(
+        f.endswith(".parquet") for f in os.listdir(root)
+    ):
+        raise ValueError(
+            f"{index_path}: pre-generation flat-file dedup index layout"
+            " (parquet files directly under the index path) — run"
+            " migrate_dedup_index(spark, path) once (offline), or"
+            " rebuild with build_dedup_index"
+        )
+    raise ValueError(
+        f"no dedup index at {index_path}: run build_dedup_index first"
+    )
 
 
-def _swap_in(spark, index_path: str, tmp: str) -> None:
-    """Atomic dir-swap of the live index — the shared
-    ``generations.swap_dirs`` crash contract (either the old or the
-    new index is complete on disk at every instant; the held lock file
-    rides into ``__old``, so the caller's post-swap tail must be
-    read-only)."""
-    swap_dirs(spark, index_path, tmp)
+def read_dedup_index(spark, index_path: str) -> DataFrame:
+    """The signature table of the CURRENT generation (id, sig,
+    band_0..band_3). The root is resolved ONCE here, so the returned
+    frame is pinned to a consistent generation for its whole lifetime
+    even if a compaction promotes concurrently (retention keeps the
+    previous root until the next promotion's GC)."""
+    return spark.read.parquet(_signatures_dir(index_path))
+
+
+def _tombstones(spark, root: str, id_col: str) -> DataFrame | None:
+    return read_tombstones(spark, root, id_col, _TOMBSTONES)
 
 
 def delete_from_dedup_index(
     spark, index_path: str, ids, id_col: str = "doc_id"
 ) -> dict:
-    """Takedown for the signature index: record ``ids`` as tombstones.
-    A tombstoned document immediately stops matching incoming docs
-    (its candidate pairs are anti-joined out in ``incremental_dedup``)
-    and is physically removed by ``compact_dedup_index``. ``ids``: a
-    DataFrame carrying ``id_col`` or a plain iterable. O(|ids|) — the
-    index is only touched to read the id column's type. Returns the
-    distinct tombstone-set size (shared accounting with the ANN
-    indexes: ``generations.write_tombstones``)."""
-    if not (
-        os.path.isdir(index_path)
-        and any(f.endswith(".parquet") for f in os.listdir(index_path))
-    ):
-        # guard BEFORE taking the lock: the lock's makedirs would
-        # otherwise create a junk dir at a typo'd path and the write
-        # would fail with an opaque schema-inference error — same loud
-        # contract as the IVF/IVF-PQ delete twins
-        raise ValueError(
-            f"no dedup index at {index_path}: run build_dedup_index "
-            "before deleting from it"
-        )
+    """Takedown for the signature index: record ``ids`` as tombstones
+    on the CURRENT root. A tombstoned document immediately stops
+    matching incoming docs (its candidate pairs are anti-joined out in
+    ``incremental_dedup``) and is physically removed by
+    ``compact_dedup_index``. ``ids``: a DataFrame carrying ``id_col``
+    or a plain iterable. O(|ids|) — the index is only touched to read
+    the id column's type. Returns the distinct tombstone-set size
+    (shared accounting with the ANN indexes:
+    ``generations.write_tombstones``)."""
+    # guard BEFORE taking the lock: the lock's makedirs would otherwise
+    # create a junk dir at a typo'd path and the write would fail with
+    # an opaque schema-inference error — same loud contract as the
+    # IVF/IVF-PQ delete twins
+    _signatures_dir(index_path)
     with maintenance_lock(index_path, operation="dedup-delete"):
+        # re-resolve UNDER the lock: a compact promotion between the
+        # guard and the lock would otherwise land tombstones on a
+        # superseded root, silently lost at that root's GC
+        root = os.path.dirname(_signatures_dir(index_path))
         n = write_tombstones(
-            spark, index_path, ids, id_col, schema_src="",
+            spark, root, ids, id_col, schema_src=_SIGNATURES,
             artifact=_TOMBSTONES,
         )
     return {"n_tombstones": n}
@@ -116,53 +161,78 @@ def compact_dedup_index(
     lands in at most ``target_files`` files (id-hash repartition — one
     task per target file, parallel write). Runs even with no
     tombstones when the index is fragmented past ``target_files``.
-    The surviving rows are written to a sibling temp dir and swapped in
-    via atomic directory renames under the writer lock (see
-    ``_swap_in`` for the crash/race contract)."""
+
+    The surviving rows are written into a NEW generation directory and
+    promoted with one atomic CURRENT-pointer rename (the ANN indexes'
+    crash contract, object-store ready): a failure before promotion
+    rmtree's the partial generation — never orphan junk, never a
+    half-rewritten live index — and readers pinned to the previous
+    root keep serving until retention (keep 2) releases it. The
+    pre-rewrite row count rides the rewrite's own scan via an
+    Observation instead of a second pass over the index, so the lock
+    is held for one rewrite, not a rewrite plus extra corpus scans."""
     if target_files < 1:
         raise ValueError(f"target_files={target_files}: must be >= 1")
     with maintenance_lock(index_path, operation="dedup-compact"):
-        tomb = _tombstones(spark, index_path, id_col)
+        sig_dir = _signatures_dir(index_path)
+        root = os.path.dirname(sig_dir)
+        tomb = _tombstones(spark, root, id_col)
         if tomb is not None and tomb.isEmpty():
             # an empty tombstone SET (e.g. an automated takedown feed
             # delivered an empty purge batch) must not force a full
             # corpus-sized rewrite of an unfragmented index
             tomb = None
-        rows_before = spark.read.parquet(index_path).count()
         files_before = sum(
-            1 for f in os.listdir(index_path) if f.endswith(".parquet")
+            1 for f in os.listdir(sig_dir) if f.endswith(".parquet")
         )
         if tomb is None and files_before <= target_files:
+            rows = spark.read.parquet(sig_dir).count()
             return {
-                "rows_before": int(rows_before),
-                "rows_after": int(rows_before),
+                "rows_before": int(rows),
+                "rows_after": int(rows),
                 "n_reclaimed": 0,
                 "files_before": files_before,
                 "files_after": files_before,
+                "generation": None,
+                "gc_removed": [],
             }
-        keep = spark.read.parquet(index_path)
+        obs = Observation()
+        keep = spark.read.parquet(sig_dir).observe(
+            obs, F.count(F.lit(1)).alias("rows_in")
+        )
         if tomb is not None:
             keep = keep.join(tomb, id_col, "left_anti")
-        tmp = index_path.rstrip("/") + "__compact_tmp"
-        keep.repartition(target_files, F.col(id_col)).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        # measure the NEW index from the temp dir BEFORE the swap: the
-        # swap destroys this writer's lock file along with the old dir,
-        # so a post-swap read of the live path could race a second
-        # writer's swap (briefly-absent path) and fail a compaction
-        # that already committed
-        rows_after = spark.read.parquet(tmp).count()
+        new_gen = next_generation(index_path)
+        gen_root = os.path.join(index_path, new_gen)
+        try:
+            keep.repartition(target_files, F.col(id_col)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(gen_root, _SIGNATURES))
+        except BaseException:
+            # never leave a partial never-promoted generation behind
+            # (it would be orphan junk for the next writer's GC)
+            shutil.rmtree(gen_root, ignore_errors=True)
+            raise
+        rows_before = int(obs.get["rows_in"])
+        new_sig = os.path.join(gen_root, _SIGNATURES)
+        rows_after = spark.read.parquet(new_sig).count()
         files_after = sum(
-            1 for f in os.listdir(tmp) if f.endswith(".parquet")
+            1 for f in os.listdir(new_sig) if f.endswith(".parquet")
         )
-        _swap_in(spark, index_path, tmp)
+        # the tombstones artifact is deliberately NOT carried into the
+        # new generation: the rewrite above IS the physical reclaim,
+        # so the promoted root's tombstone set starts clean
+        write_current(index_path, new_gen)
+        removed = gc_generations(index_path, _FLAT_ARTIFACTS, keep=2)
+        spark.catalog.refreshByPath(new_sig)
     return {
-        "rows_before": int(rows_before),
+        "rows_before": rows_before,
         "rows_after": int(rows_after),
         "n_reclaimed": int(rows_before - rows_after),
         "files_before": files_before,
         "files_after": files_after,
+        "generation": new_gen,
+        "gc_removed": removed,
     }
 
 
@@ -188,21 +258,74 @@ def banded_signatures(
 def build_dedup_index(
     docs: DataFrame, path: str, id_col: str = "doc_id"
 ) -> None:
-    """(Re)build the signature index. Holds the writer lock like every
-    other mutator: a lockless ``mode("overwrite")`` straight onto the
-    live path would recursively DELETE the directory — including a
-    concurrently HELD lock file — silently breaking the serialization
-    every other writer relies on. Instead the fresh index lands in a
-    temp dir and swaps in atomically (``_swap_in``), which also clears
-    any previous corpus's tombstones (an overwrite-build defines a
-    fresh corpus; stale tombstones would suppress legitimate ids)."""
+    """(Re)build the signature index: reset the index identity (drop
+    any generation pointer + generation dirs — readers must resolve
+    the fresh flat artifacts, not a stale promoted generation — plus
+    any previous corpus's tombstones, which would otherwise suppress
+    legitimate ids of the NEW corpus) and write the flat
+    ``path/signatures`` artifact. Holds the writer lock like every
+    other mutator. Same contract as the ANN builds: an overwrite-build
+    defines a fresh index and is out of contract for concurrent
+    readers (they fail loudly mid-rebuild); compaction — not build —
+    is the reader-safe promoted rewrite."""
     spark = docs.sparkSession
     with maintenance_lock(path, operation="dedup-build"):
-        tmp = path.rstrip("/") + "__build_tmp"
+        reset_generations(path)
+        for stale in (_TOMBSTONES,):
+            d = os.path.join(path, stale)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                spark.catalog.refreshByPath(d)
+        # a rebuild over a PRE-round-12 flat-file index: its parquet
+        # files sit directly under path and would shadow the new
+        # layout in the legacy-detection guard — an overwrite-build
+        # owns the index identity, so clear them
+        for f in os.listdir(path):
+            fp = os.path.join(path, f)
+            if os.path.isfile(fp) and f != ".maintenance.lock":
+                os.remove(fp)
+        sig_dir = os.path.join(path, _SIGNATURES)
         banded_signatures(docs, id_col=id_col).write.mode(
             "overwrite"
-        ).parquet(tmp)
-        _swap_in(spark, path, tmp)
+        ).parquet(sig_dir)
+        spark.catalog.refreshByPath(sig_dir)
+
+
+def migrate_dedup_index(spark, path: str) -> dict:
+    """One-time, in-place upgrade of a pre-round-12 index (parquet
+    files directly under ``path``, tombstones under ``_tombstones``)
+    to the generation layout (``path/signatures`` + ``tombstones``).
+    Run OFFLINE: the per-file moves expose a concurrent legacy reader
+    to a partial row subset mid-migration (the migration is the last
+    time that seam exists — every later rewrite is a promoted
+    generation). Idempotent: a second call is a counted no-op."""
+    # guard BEFORE taking the lock (whose makedirs would create a junk
+    # dir at a typo'd path): either the new layout exists (no-op) or
+    # legacy parquet files must be present
+    if not os.path.isdir(os.path.join(path, _SIGNATURES)) and not (
+        os.path.isdir(path)
+        and any(f.endswith(".parquet") for f in os.listdir(path))
+    ):
+        raise ValueError(f"no dedup index at {path}: nothing to migrate")
+    with maintenance_lock(path, operation="dedup-migrate"):
+        sig_dir = os.path.join(path, _SIGNATURES)
+        if os.path.isdir(sig_dir):
+            return {"migrated_files": 0, "already_migrated": True}
+        os.makedirs(sig_dir)
+        moved = 0
+        for f in os.listdir(path):
+            fp = os.path.join(path, f)
+            # everything the legacy parquet write produced (part files,
+            # _SUCCESS, checksum files) moves; the lock file stays
+            if os.path.isfile(fp) and f != ".maintenance.lock":
+                os.rename(fp, os.path.join(sig_dir, f))
+                moved += 1
+        legacy_tomb = os.path.join(path, "_tombstones")
+        if os.path.isdir(legacy_tomb):
+            os.rename(legacy_tomb, os.path.join(path, _TOMBSTONES))
+        spark.catalog.refreshByPath(path)
+        spark.catalog.refreshByPath(sig_dir)
+        return {"migrated_files": moved, "already_migrated": False}
 
 
 def incremental_dedup(
@@ -224,9 +347,17 @@ def incremental_dedup(
     Scale shape: the index is never scanned except through the four
     band-key equi-joins (hash joins keyed by band hash); the duplicate
     decision reads only the two 16-int signatures riding those joins —
-    no text, no shingle sets, no index-side aggregation."""
+    no text, no shingle sets, no index-side aggregation.
+
+    Generation pinning: the serve side resolves the CURRENT root ONCE
+    and pins it for the match (a concurrent compaction cannot make the
+    scan disappear mid-serve); the append half re-resolves UNDER the
+    writer lock so new uniques always land in the generation future
+    readers will actually resolve."""
     spark = new_docs.sparkSession
-    index = spark.read.parquet(index_path)
+    sig_dir = _signatures_dir(index_path)
+    root = os.path.dirname(sig_dir)
+    index = spark.read.parquet(sig_dir)
     fresh = banded_signatures(new_docs, id_col=id_col)
 
     # Signature agreement is evaluated per collision row (cheap: two
@@ -258,7 +389,7 @@ def incremental_dedup(
         .agg(F.max("est_j").alias("est_j"))
         .filter(F.col("est_j") >= threshold)
     )
-    tomb = _tombstones(spark, index_path, id_col)
+    tomb = _tombstones(spark, root, id_col)
     if tomb is not None:
         # takedowns stop suppressing: a candidate pair whose index side
         # is tombstoned is dropped BEFORE best-match selection, so a
@@ -294,13 +425,20 @@ def incremental_dedup(
             "left_anti",
         )
         with maintenance_lock(index_path, operation="dedup-append"):
-            # re-read tombstones UNDER the lock (the serve-side `tomb`
-            # snapshot above may predate a concurrent delete): appending
-            # a tombstoned id would co-exist with its dead rows and be
-            # anti-joined away at match time FOREVER — refuse; compact
-            # first (which clears the tombstones), then re-ingest. Same
-            # check-inside-the-lock discipline as the IVF/IVF-PQ appends.
-            tomb_now = _tombstones(spark, index_path, id_col)
+            # re-resolve the root UNDER the lock: a compaction promoted
+            # between serve and append must receive this batch in its
+            # NEW generation, not the superseded (soon-GC'd) one; and
+            # re-read tombstones (the serve-side `tomb` snapshot above
+            # may predate a concurrent delete): appending a tombstoned
+            # id would co-exist with its dead rows and be anti-joined
+            # away at match time FOREVER — refuse; compact first (which
+            # clears the tombstones), then re-ingest. Same
+            # check-inside-the-lock discipline as the IVF/IVF-PQ
+            # appends.
+            sig_now = _signatures_dir(index_path)
+            tomb_now = _tombstones(
+                spark, os.path.dirname(sig_now), id_col
+            )
             if tomb_now is not None:
                 n_bad = uniques.join(tomb_now, id_col).count()
                 if n_bad:
@@ -309,6 +447,6 @@ def incremental_dedup(
                         " run compact_dedup_index to reclaim deletes, then"
                         " re-ingest"
                     )
-            uniques.write.mode("append").parquet(index_path)
-        spark.catalog.refreshByPath(index_path)
+            uniques.write.mode("append").parquet(sig_now)
+        spark.catalog.refreshByPath(sig_now)
     return flags

@@ -506,7 +506,9 @@ def test_dedup_index_delete_stops_suppressing_and_compact_reclaims(
         compact_dedup_index,
         delete_from_dedup_index,
         incremental_dedup,
+        read_dedup_index,
     )
+    from sparktrends_spark.similarity.generations import resolve_root
 
     idx = str(tmp_path / "didx")
     corpus = spark.createDataFrame(
@@ -529,10 +531,15 @@ def test_dedup_index_delete_stops_suppressing_and_compact_reclaims(
 
     cinfo = compact_dedup_index(spark, idx)
     assert cinfo["n_reclaimed"] == 1, cinfo
+    # compaction promoted a generation (the pointer layout, not a dir
+    # swap) and the promoted root's tombstone set starts clean
+    assert cinfo["generation"] == "g000001", cinfo
+    assert resolve_root(idx) == os.path.join(idx, "g000001")
     assert (
-        spark.read.parquet(idx).filter(F.col("doc_id") == 1).count() == 0
+        read_dedup_index(spark, idx).filter(F.col("doc_id") == 1).count()
+        == 0
     )
-    assert not os.path.isdir(os.path.join(idx, "_tombstones"))
+    assert not os.path.isdir(os.path.join(resolve_root(idx), "tombstones"))
     # doc 11 (appended post-delete) is now the canonical near-dup match
     rehit = incremental_dedup(near, idx, append=False).collect()[0]
     assert rehit["is_dup"] and rehit["matched_doc"] == 11
@@ -556,6 +563,7 @@ def test_dedup_index_append_refuses_tombstoned_reinsert(spark, tmp_path):
         compact_dedup_index,
         delete_from_dedup_index,
         incremental_dedup,
+        read_dedup_index,
     )
 
     idx = str(tmp_path / "didx2")
@@ -577,5 +585,124 @@ def test_dedup_index_append_refuses_tombstoned_reinsert(spark, tmp_path):
     out = incremental_dedup(reinsert, idx, append=True).collect()[0]
     assert not out["is_dup"]
     assert (
-        spark.read.parquet(idx).filter(F.col("doc_id") == 2).count() == 1
+        read_dedup_index(spark, idx).filter(F.col("doc_id") == 2).count()
+        == 1
     )
+
+
+def test_dedup_index_generation_lifecycle(spark, tmp_path):
+    """The dedup index follows the ANN indexes' generation-pointer
+    discipline (the round-12 port off swap_dirs): compaction promotes
+    g<N> via CURRENT, a reader pinned to the pre-compact root keeps
+    serving after the promotion (retention keeps the previous root),
+    appends land in the CURRENT generation, an unpromoted orphan dir
+    is GC'd without counting toward retention, and the flat root is
+    reclaimed once it falls out of the keep-2 window."""
+    from sparktrends_spark.similarity.generations import (
+        promoted_roots,
+        resolve_root,
+    )
+    from sparktrends_spark.text.dedup_index import (
+        build_dedup_index,
+        compact_dedup_index,
+        delete_from_dedup_index,
+        incremental_dedup,
+        read_dedup_index,
+    )
+
+    idx = str(tmp_path / "didx3")
+    build_dedup_index(
+        spark.createDataFrame(
+            [(1, _BASE), (2, "unrelated corpus text about query engines")],
+            "doc_id long, text string",
+        ),
+        idx,
+    )
+    assert resolve_root(idx) == idx  # flat until first promotion
+    assert os.path.isdir(os.path.join(idx, "signatures"))
+
+    # a crashed writer's never-promoted generation dir must be junk
+    # to the next locked writer's GC, not a retention candidate
+    os.makedirs(os.path.join(idx, "g000001", "signatures"))
+
+    pinned = read_dedup_index(spark, idx)  # pre-compact reader
+    delete_from_dedup_index(spark, idx, [2])
+    c1 = compact_dedup_index(spark, idx, target_files=1)
+    assert c1["generation"] == "g000002", c1
+    assert "g000001 (unpromoted)" in c1["gc_removed"], c1
+    assert resolve_root(idx) == os.path.join(idx, "g000002")
+    # flat root survives the first promotion (keep 2: current + prev),
+    # so the pinned pre-compact reader still serves its full view
+    assert pinned.count() == 2
+    assert read_dedup_index(spark, idx).count() == 1
+
+    # append after promotion lands in the CURRENT generation
+    fresh = spark.createDataFrame(
+        [(7, "a brand new unrelated document body for the index")],
+        "doc_id long, text string",
+    )
+    incremental_dedup(fresh, idx, append=True)
+    assert (
+        spark.read.parquet(
+            os.path.join(idx, "g000002", "signatures")
+        ).count()
+        == 2
+    )
+
+    # second promotion pushes the flat root out of the keep-2 window
+    c2 = compact_dedup_index(spark, idx, target_files=1)
+    assert c2["generation"] == "g000003", c2
+    assert "<flat>" in c2["gc_removed"], c2
+    assert not os.path.isdir(os.path.join(idx, "signatures"))
+    assert promoted_roots(idx) == ["g000002", "g000003"]
+    assert read_dedup_index(spark, idx).count() == 2
+
+
+def test_dedup_index_legacy_migration(spark, tmp_path):
+    """A pre-round-12 index (parquet files directly under the path,
+    tombstones in _tombstones) is refused with a migration hint, and
+    migrate_dedup_index upgrades it in place: same rows, tombstones
+    carried over, second call a no-op."""
+    import pytest
+
+    from sparktrends_spark.text.dedup_index import (
+        banded_signatures,
+        incremental_dedup,
+        migrate_dedup_index,
+        read_dedup_index,
+    )
+
+    idx = str(tmp_path / "legacy")
+    corpus = spark.createDataFrame(
+        [(1, _BASE), (2, "unrelated corpus text about query engines")],
+        "doc_id long, text string",
+    )
+    # fabricate the legacy layout: signature parquet at the root,
+    # tombstones under the old underscore-hidden name
+    banded_signatures(corpus).write.parquet(idx)
+    spark.createDataFrame([(2,)], "doc_id long").write.parquet(
+        os.path.join(idx, "_tombstones")
+    )
+
+    near = spark.createDataFrame(
+        [(11, _BASE.replace("river bank", "river bend"))],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="migrate_dedup_index"):
+        incremental_dedup(near, idx, append=False)
+
+    info = migrate_dedup_index(spark, idx)
+    assert not info["already_migrated"] and info["migrated_files"] > 0
+    assert read_dedup_index(spark, idx).count() == 2
+    # the carried-over tombstone still suppresses at match time
+    hit = incremental_dedup(near, idx, append=False).collect()[0]
+    assert hit["is_dup"] and hit["matched_doc"] == 1  # doc 1 not tombstoned
+    from sparktrends_spark.similarity.generations import read_tombstones
+
+    tomb = read_tombstones(spark, idx, "doc_id")
+    assert tomb is not None and tomb.collect()[0]["doc_id"] == 2
+
+    again = migrate_dedup_index(spark, idx)
+    assert again["already_migrated"], again
+    with pytest.raises(ValueError, match="nothing to migrate"):
+        migrate_dedup_index(spark, str(tmp_path / "nope"))
