@@ -68,9 +68,57 @@ def _round9_mean(s, n: int) -> float:
 def _dist2(vec_col: F.Column, centroid: list[float]) -> F.Column:
     """round6 squared L2 distance, sequential fold over dimensions."""
     lit = F.array(*[F.lit(float(x)) for x in centroid])
-    diffsq = F.zip_with(vec_col, lit, lambda a, b: (a - b) * (a - b))
+    return dist2_col(vec_col, lit)
+
+
+def dist2_col(vec_col: F.Column, cent_col: F.Column) -> F.Column:
+    """round6 squared L2 between two array columns — the same
+    sequential fold as ``_dist2``, with the centroid as a COLUMN so
+    one lambda serves every centroid (see ``cent_struct_array``)."""
+    diffsq = F.zip_with(vec_col, cent_col, lambda a, b: (a - b) * (a - b))
     return F.round(
         F.aggregate(diffsq, F.lit(0.0), lambda acc, x: acc + x), 6
+    )
+
+
+def cent_struct_array(centroids: dict[int, list[float]]) -> F.Column:
+    """The centroid set as ONE literal array of (c, v) structs, cluster
+    ascending. Every leaf is a literal, so Catalyst constant-folds the
+    whole thing into a single array value — scoring then iterates it
+    with ONE ``transform`` lambda. The pre-round-12 shape (a separate
+    zip_with/aggregate expression tree per centroid) made analysis and
+    codegen cost scale with k: at 64 cells a 10-query IVF-PQ serve
+    spent ~9 s/batch in plan handling alone; the single-lambda shape
+    plans in constant time. At thousands of cells the folded literal
+    rides the task binary (k x dim doubles) — bounded, same contract
+    as the per-iteration centroid collect."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.array(*[F.lit(float(x)) for x in centroids[c]]).alias(
+                    "v"
+                ),
+            )
+            for c in sorted(centroids)
+        ]
+    )
+
+
+def dist_struct_array(
+    vec_col: F.Column, centroids: dict[int, list[float]]
+) -> F.Column:
+    """(round6 L2 distance d, cluster c) structs for ``vec_col``
+    against every centroid, cluster ascending — ``array_min`` of this
+    is the assignment, ``array_sort`` + ``slice`` the nprobe probe
+    list. Struct field order (d, c) makes min/sort compare dist-asc
+    then cluster-asc, the engine-exact tie-break the Lloyd loop, the
+    IVF-PQ coarse quantizer, and the probe selection all share."""
+    return F.transform(
+        cent_struct_array(centroids),
+        lambda s: F.struct(
+            dist2_col(vec_col, s["v"]).alias("d"), s["c"].alias("c")
+        ),
     )
 
 
@@ -84,17 +132,7 @@ def assign_clusters(
     over (round6 L2 distance, cluster) structs — dist-asc then
     cluster-asc, the engine-exact tie-break both the Lloyd loop and
     the IVF coarse quantizer share."""
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _dist2(F.col(vec_col), centroids[c]).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c in sorted(centroids)
-            ]
-        )
-    )
+    best = F.array_min(dist_struct_array(F.col(vec_col), centroids))
     return frame.withColumn(out_col, best["c"])
 
 

@@ -33,8 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparktrends_spark.operators.kmeans import (
-    _dist2,
     assign_clusters,
+    dist2_col,
     kmeans_fit,
 )
 
@@ -66,17 +66,25 @@ def adc_lut_array(books: Codebooks, dim: int, vec_col: str) -> F.Column:
                 " 0..k-1 — element_at positional lookup would read the"
                 " wrong slot"
             )
-    return F.array(
-        *[
+    # per sub-space: ONE transform lambda over the constant-folded
+    # codebook array, not k_codes separate distance expression trees
+    # (whose analysis cost scales with m x k — the same plan-time
+    # blowup kmeans.cent_struct_array documents for cell counts).
+    # The lambda MUST be unary and close over s via a factory: a
+    # two-parameter lambda is pyspark's (element, index) form, which
+    # would silently bind the second arg to the array index column.
+    def _sub_lut(s: int) -> F.Column:
+        return F.transform(
             F.array(
                 *[
-                    _dist2(_sub(vec_col, s, sub_len), books[s][c])
+                    F.array(*[F.lit(float(x)) for x in books[s][c]])
                     for c in sorted(books[s])
                 ]
-            )
-            for s in range(m)
-        ]
-    )
+            ),
+            lambda cv: dist2_col(_sub(vec_col, s, sub_len), cv),
+        )
+
+    return F.array(*[_sub_lut(s) for s in range(m)])
 
 
 def adc_score(m: int, lut_col: str = "_lut", code_prefix: str = "code_") -> F.Column:

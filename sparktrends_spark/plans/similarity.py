@@ -1140,7 +1140,10 @@ def _ivfpq_topk_frame(
 
     from sparktrends_spark.operators.kmeans import kmeans_fit
     from sparktrends_spark.operators.pq import pq_encode, pq_train
-    from sparktrends_spark.operators.kmeans import _dist2, assign_clusters
+    from sparktrends_spark.operators.kmeans import (
+        assign_clusters,
+        dist_struct_array,
+    )
 
     if cents is None:
         cents, _ = kmeans_fit(emb, k=_KM_K, iterations=_KM_ITERS)
@@ -1162,15 +1165,7 @@ def _ivfpq_topk_frame(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("_qv"),
     )
-    probe_structs = F.array(
-        *[
-            F.struct(
-                _dist2(F.col("_qv"), cents[c]).alias("d"),
-                F.lit(c).alias("c"),
-            )
-            for c in sorted(cents)
-        ]
-    )
+    probe_structs = dist_struct_array(F.col("_qv"), cents)
     probes = queries.select(
         "query_id",
         "_qv",

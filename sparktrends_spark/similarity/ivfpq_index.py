@@ -70,8 +70,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparktrends_spark.operators.kmeans import (
-    _dist2,
     assign_clusters,
+    dist2_col,
+    dist_struct_array,
     kmeans_fit,
 )
 from sparktrends_spark.operators.pq import (
@@ -132,16 +133,28 @@ def _quant_err(books: Codebooks, dim: int, resid_col: str = "_r") -> F.Column:
     argmin) — the statistic the staleness probe tracks."""
     m = len(books)
     sub_len = dim // m
-    total = None
-    for s in range(m):
-        d = F.array_min(
-            F.array(
-                *[
-                    _dist2(_sub(resid_col, s, sub_len), books[s][c])
-                    for c in sorted(books[s])
-                ]
+
+    # one transform lambda per sub-space over the constant-folded
+    # codebook array (the adc_lut_array shape), not k_codes
+    # expression-tree copies. Unary lambda + closure factory on
+    # purpose: a two-parameter lambda is pyspark's (element, index)
+    # form and would bind the sub-space to the array index column.
+    def _sub_min(s: int) -> F.Column:
+        return F.array_min(
+            F.transform(
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(x)) for x in books[s][c]])
+                        for c in sorted(books[s])
+                    ]
+                ),
+                lambda cv: dist2_col(_sub(resid_col, s, sub_len), cv),
             )
         )
+
+    total = None
+    for s in range(m):
+        d = _sub_min(s)
         total = d if total is None else total + d
     return total
 
@@ -440,15 +453,11 @@ def ivfpq_index_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
     )
-    probe_structs = F.array(
-        *[
-            F.struct(
-                _dist2(F.col("_qv"), cents[c]).alias("d"),
-                F.lit(c).alias("c"),
-            )
-            for c in sorted(cents)
-        ]
-    )
+    # one transform lambda over the constant-folded centroid array, not
+    # a per-cell expression tree — at production cell counts the latter
+    # made every serve pay seconds of plan analysis (see
+    # kmeans.cent_struct_array)
+    probe_structs = dist_struct_array(F.col("_qv"), cents)
     probes = q.select(
         query_id_col,
         "_qv",

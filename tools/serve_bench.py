@@ -104,10 +104,22 @@ def _probed_bytes(df, data_dirs: list[str]) -> int | None:
     import re
 
     plan = df._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[cell[^\]]*?IN \(([0-9, ]+)\)", plan)
+    # past spark.sql.optimizer.inSetConversionThreshold (default 10)
+    # the optimizer rewrites IN (...) to INSET ..., which prints
+    # WITHOUT parentheses — at production cell counts every probed-cell
+    # filter takes that form, so match both renderings
+    m = re.search(
+        r"PartitionFilters: \[cell[^\]]*?(?:IN \(([0-9, ]+)\)"
+        r"|INSET ([0-9, ]+))",
+        plan,
+    )
     if not m:
         return None
-    cells = [c.strip() for c in m.group(1).split(",") if c.strip()]
+    cells = [
+        c.strip()
+        for c in (m.group(1) or m.group(2)).split(",")
+        if c.strip()
+    ]
     return sum(
         _dir_bytes(os.path.join(d, f"cell={c}"))
         for d in data_dirs
