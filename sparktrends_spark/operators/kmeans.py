@@ -81,6 +81,58 @@ def dist2_col(vec_col: F.Column, cent_col: F.Column) -> F.Column:
     )
 
 
+_CENT_MEMO: dict[tuple, object] = {}
+_CENT_MEMO_MAX = 32
+
+
+def centroid_memo_key(centroids: dict[int, list[float]]) -> tuple:
+    """Content key for memoizing constructed centroid literals: the
+    exact float64 bytes, so two dicts with equal values share one
+    Column and any numeric difference (a retrain) misses the cache."""
+    import numpy as np
+
+    return tuple(
+        (int(c), np.asarray(centroids[c], dtype=np.float64).tobytes())
+        for c in sorted(centroids)
+    )
+
+
+def memo_literal(key: tuple, build) -> F.Column:
+    """Process-level memo for constructed literal Columns (bounded,
+    FIFO eviction). Constructing a k x dim literal costs one py4j
+    round-trip per centroid — a serving process that answers query
+    batch after query batch against the SAME index must not pay that
+    per batch, any more than a FAISS server would reload its index per
+    query. Column objects are immutable expression trees, so reuse
+    across plans is exactly as safe as reusing ``F.lit(5)``."""
+    col = _CENT_MEMO.get(key)
+    if col is None:
+        col = build()
+        if len(_CENT_MEMO) >= _CENT_MEMO_MAX:
+            _CENT_MEMO.pop(next(iter(_CENT_MEMO)))
+        _CENT_MEMO[key] = col
+    return col
+
+
+def vec_array_literal(vecs: dict[int, list[float]]) -> F.Column:
+    """A keyed vector set (centroids or a PQ codebook) as one literal
+    array of vectors, key ascending — one numpy ``F.lit`` per vector
+    (not per element), content-memoized. Element k+1 is the vector of
+    the k-th smallest key, so ``element_at(col, key + 1)`` is the
+    contiguous-id positional lookup the ADC/residual paths rely on."""
+    import numpy as np
+
+    def _build() -> F.Column:
+        return F.array(
+            *[
+                F.lit(np.asarray(vecs[c], dtype=np.float64))
+                for c in sorted(vecs)
+            ]
+        )
+
+    return memo_literal(("arrays",) + centroid_memo_key(vecs), _build)
+
+
 def cent_struct_array(centroids: dict[int, list[float]]) -> F.Column:
     """The centroid set as ONE literal array of (c, v) structs, cluster
     ascending. Every leaf is a literal, so Catalyst constant-folds the
@@ -91,18 +143,27 @@ def cent_struct_array(centroids: dict[int, list[float]]) -> F.Column:
     spent ~9 s/batch in plan handling alone; the single-lambda shape
     plans in constant time. At thousands of cells the folded literal
     rides the task binary (k x dim doubles) — bounded, same contract
-    as the per-iteration centroid collect."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("c"),
-                F.array(*[F.lit(float(x)) for x in centroids[c]]).alias(
-                    "v"
-                ),
-            )
-            for c in sorted(centroids)
-        ]
-    )
+    as the per-iteration centroid collect. Each centroid vector enters
+    as one numpy ``F.lit`` (one py4j call per centroid, not per
+    element — float64 is exact either way), and the finished Column is
+    memoized by content so repeat serves against the same index pay
+    zero construction."""
+    import numpy as np
+
+    def _build() -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(int(c)).alias("c"),
+                    F.lit(
+                        np.asarray(centroids[c], dtype=np.float64)
+                    ).alias("v"),
+                )
+                for c in sorted(centroids)
+            ]
+        )
+
+    return memo_literal(("structs",) + centroid_memo_key(centroids), _build)
 
 
 def dist_struct_array(

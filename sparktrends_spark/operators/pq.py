@@ -36,6 +36,7 @@ from sparktrends_spark.operators.kmeans import (
     assign_clusters,
     dist2_col,
     kmeans_fit,
+    vec_array_literal,
 )
 
 Codebooks = dict[int, dict[int, list[float]]]
@@ -75,12 +76,7 @@ def adc_lut_array(books: Codebooks, dim: int, vec_col: str) -> F.Column:
     # would silently bind the second arg to the array index column.
     def _sub_lut(s: int) -> F.Column:
         return F.transform(
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in books[s][c]])
-                    for c in sorted(books[s])
-                ]
-            ),
+            vec_array_literal(books[s]),
             lambda cv: dist2_col(_sub(vec_col, s, sub_len), cv),
         )
 

@@ -74,6 +74,7 @@ from sparktrends_spark.operators.kmeans import (
     dist2_col,
     dist_struct_array,
     kmeans_fit,
+    vec_array_literal,
 )
 from sparktrends_spark.operators.pq import (
     Codebooks,
@@ -109,13 +110,13 @@ _FLAT_ARTIFACTS = _SMALL_ARTIFACTS + _CELL_ARTIFACTS + (_TOMBSTONES,)
 
 def _cent_array(cents: dict[int, list[float]]) -> F.Column:
     """Literal array-of-arrays indexed by (cell + 1) — the map-side
-    centroid lookup (no join touches the corpus)."""
-    return F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in cents[c]])
-            for c in sorted(cents)
-        ]
-    )
+    centroid lookup (no join touches the corpus). One numpy ``F.lit``
+    per cell and content-memoized (``kmeans.vec_array_literal``): the
+    per-ELEMENT construction cost at production cell counts was the
+    round-12 serve-latency finding."""
+    from sparktrends_spark.operators.kmeans import vec_array_literal
+
+    return vec_array_literal(cents)
 
 
 def _residual(vec_col: str, cell_col: str, cents: dict[int, list[float]]) -> F.Column:
@@ -142,12 +143,7 @@ def _quant_err(books: Codebooks, dim: int, resid_col: str = "_r") -> F.Column:
     def _sub_min(s: int) -> F.Column:
         return F.array_min(
             F.transform(
-                F.array(
-                    *[
-                        F.array(*[F.lit(float(x)) for x in books[s][c]])
-                        for c in sorted(books[s])
-                    ]
-                ),
+                vec_array_literal(books[s]),
                 lambda cv: dist2_col(_sub(resid_col, s, sub_len), cv),
             )
         )
