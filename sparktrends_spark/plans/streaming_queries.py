@@ -42,6 +42,7 @@ from sparktrends_spark.plans.market import (
 )
 from sparktrends_spark.plans.registry import query
 from sparktrends_spark.sources.tables import _ensure_read_confs, load_table
+from sparktrends_spark.streaming.pipeline import await_or_raise
 from sparktrends_spark.streaming.sinks import (
     read_upserted,
     upsert_parquet_bucketed,
@@ -151,7 +152,7 @@ def run_upsert_stream(
             .start()
         )
         try:
-            q.awaitTermination(timeout_s)
+            await_or_raise(q, timeout_s)
         finally:
             if q.isActive:
                 q.stop()
@@ -853,7 +854,7 @@ def build_stream_doc_incremental_dedup(
         .start()
     )
     try:
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
     finally:
         if q.isActive:
             q.stop()
@@ -926,7 +927,7 @@ def build_stream_order_cdc_apply(
         .start()
     )
     try:
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
     finally:
         if q.isActive:
             q.stop()
@@ -1125,7 +1126,7 @@ def build_stream_order_status_ivm(
         .start()
     )
     try:
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
     finally:
         if q.isActive:
             q.stop()
@@ -1266,7 +1267,7 @@ def q_stream_corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(300)
+        await_or_raise(q, 300)
     finally:
         if q.isActive:
             q.stop()

@@ -152,6 +152,21 @@ def run_bar_pipeline(
     return writer.start()
 
 
+def await_or_raise(query, timeout_s: float) -> None:
+    """``awaitTermination`` that treats a timeout as the failure it
+    is: a False return means the availableNow backlog was NOT fully
+    processed, and a caller that proceeds to read the sink computes
+    from a partial export — wrong but quiet. Every
+    run-to-completion site here and in plans/streaming_queries routes
+    through this so the timeout is loud."""
+    if not query.awaitTermination(timeout_s):
+        raise RuntimeError(
+            f"streaming query {query.id} still active after"
+            f" {timeout_s}s — backlog not fully processed; the sink"
+            " would be read as a silently partial result"
+        )
+
+
 def start_to_completion(
     stream_df: DataFrame,
     build_writer: Callable[[Any], Any],
@@ -166,7 +181,7 @@ def start_to_completion(
     writer = build_writer(stream_df.writeStream.trigger(availableNow=True))
     query = writer.start()
     try:
-        query.awaitTermination(timeout_s)
+        await_or_raise(query, timeout_s)
     finally:
         if query.isActive:
             query.stop()

@@ -123,6 +123,22 @@ def shard_manifest(
     return assigned.groupBy("shard").agg(*aggs)
 
 
+def _existing_layout(path: str) -> str | None:
+    """Partition depth of the export already on disk: ``"plain"``
+    (shard=K/*.parquet), ``"batched"`` (shard=K/ingest_batch=J/...),
+    or None when there is no decisive evidence yet (no export, or only
+    empty shard dirs). Scans directory names only — no file reads."""
+    import glob
+    import os
+
+    for sd in glob.glob(os.path.join(path, "shard=*")):
+        if glob.glob(os.path.join(sd, "ingest_batch=*")):
+            return "batched"
+        if any(f.endswith(".parquet") for f in os.listdir(sd)):
+            return "plain"
+    return None
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -177,6 +193,13 @@ def write_training_shards(
     run. (Posix-rename semantics; on an object store use a
     generation-pointer layout instead, as the ANN index does.)
 
+    Concurrent WRITERS serialize on the same ``maintenance_lock`` as
+    the index maintainers (the dot-prefixed lock file is invisible to
+    parquet readers): two unserialized overwrite swaps can interleave
+    the rename sequence (the loser strands the previous export at
+    ``<path>__old``), and two unserialized appends can collide in the
+    shared ``_temporary`` staging directory.
+
     Returns ``{"n_docs", "n_shards", "files_per_shard"}``; per-shard
     detail comes from ``shard_manifest`` on the same assignment.
     """
@@ -226,32 +249,56 @@ def write_training_shards(
         # task-local sort yields files in canonical order.
         .sortWithinPartitions("shard", "order_key")
     )
-    if batch_id is not None:
-        # replace-my-own-partition idempotence: dynamic overwrite
-        # touches ONLY the (shard, ingest_batch) partitions this batch
-        # produces — other batches' files are never read or rewritten,
-        # and the replacement happens at COMMIT time (no upfront
-        # delete), so a mid-job crash leaves prior batches untouched
-        (
-            staged.withColumn("ingest_batch", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("shard", "ingest_batch")
-            .parquet(path)
-        )
-    elif mode == "append":
-        # additive: task files stage under _temporary and commit
-        staged.write.mode("append").partitionBy("shard").parquet(path)
-    else:
-        # crash-safe overwrite: build the new export beside the old
-        # one, then swap via atomic dir renames — a static overwrite
-        # would delete the old export at job START, before the NULL-id
-        # guard (or any task failure) could abort the job
-        from sparktrends_spark.similarity.generations import swap_dirs
+    from sparktrends_spark.similarity.generations import maintenance_lock
 
-        tmp = path.rstrip("/") + "__export_tmp"
-        staged.write.mode("overwrite").partitionBy("shard").parquet(tmp)
-        swap_dirs(df.sparkSession, path, tmp)
+    with maintenance_lock(path, operation="shard-export"):
+        # an append whose partition depth disagrees with the existing
+        # export (plain shard=K/*.parquet next to
+        # shard=K/ingest_batch=J/) makes every later read fail with
+        # Spark's conflicting-directory-structures error — refuse the
+        # write instead of poisoning the export. Checked under the
+        # lock, like the module's other contract contradictions.
+        if mode == "append":
+            existing = _existing_layout(path)
+            wanted = "batched" if batch_id is not None else "plain"
+            if existing is not None and existing != wanted:
+                raise ValueError(
+                    f"export at {path} has {existing!r} layout but this "
+                    f"write would add {wanted!r} files (batch_id "
+                    f"{'set' if batch_id is not None else 'absent'}): "
+                    "mixed partition depths under shard= break every "
+                    "subsequent read — use one layout per export path"
+                )
+        if batch_id is not None:
+            # replace-my-own-partition idempotence: dynamic overwrite
+            # touches ONLY the (shard, ingest_batch) partitions this
+            # batch produces — other batches' files are never read or
+            # rewritten, and the replacement happens at COMMIT time (no
+            # upfront delete), so a mid-job crash leaves prior batches
+            # untouched
+            (
+                staged.withColumn("ingest_batch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("shard", "ingest_batch")
+                .parquet(path)
+            )
+        elif mode == "append":
+            # additive: task files stage under _temporary and commit
+            staged.write.mode("append").partitionBy("shard").parquet(path)
+        else:
+            # crash-safe overwrite: build the new export beside the old
+            # one, then swap via atomic dir renames — a static
+            # overwrite would delete the old export at job START,
+            # before the NULL-id guard (or any task failure) could
+            # abort the job. The held lock file rides into __old with
+            # its directory (swap_dirs' documented contract), so the
+            # post-swap tail is read-only.
+            from sparktrends_spark.similarity.generations import swap_dirs
+
+            tmp = path.rstrip("/") + "__export_tmp"
+            staged.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+            swap_dirs(df.sparkSession, path, tmp)
     return {
         "n_docs": int(obs.get["n_docs"]),
         "n_shards": n_shards,

@@ -251,3 +251,30 @@ def test_assignment_matches_md5_model(spark, ids, n_shards):
     }
     for i in ids:
         assert got[str(i)] == _model(str(i), "h", n_shards)
+
+
+def test_mixed_layout_append_refused(spark, sf_dir, tmp_path):
+    """A plain append onto a batched export (or a batch_id append onto
+    a plain one) would nest shard=K/*.parquet next to
+    shard=K/ingest_batch=J/ — Spark then refuses every later read with
+    its conflicting-directory-structures error. The writer must refuse
+    the WRITE instead of poisoning the export."""
+    d = _docs(spark, sf_dir).limit(50)
+
+    plain = str(tmp_path / "plain")
+    write_training_shards(d, plain, n_shards=2)
+    with pytest.raises(ValueError, match="layout"):
+        write_training_shards(
+            d, plain, n_shards=2, mode="append", batch_id=0
+        )
+
+    batched = str(tmp_path / "batched")
+    write_training_shards(
+        d, batched, n_shards=2, mode="append", batch_id=0
+    )
+    with pytest.raises(ValueError, match="layout"):
+        write_training_shards(d, batched, n_shards=2, mode="append")
+    # same-layout continuations still work
+    write_training_shards(
+        d, batched, n_shards=2, mode="append", batch_id=1
+    )
