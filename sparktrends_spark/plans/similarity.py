@@ -1326,6 +1326,59 @@ def q_embedding_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_filtered_oracle() -> str:
+    # identical residual chain; candidates are additionally restricted
+    # by the payload predicate BEFORE the per-query rank — exactly what
+    # the engine's probed-cell scan filter computes (filter, then
+    # row_number), so the oracle needs only a join back to the payload
+    # source
+    return (
+        _ivfpq_residual_with()
+        + """
+SELECT query_id, vec_id, approx_d2, rnk FROM (
+  SELECT rs.query_id, rs.vec_id, rs.approx_d2, row_number() OVER (
+    PARTITION BY rs.query_id ORDER BY rs.approx_d2 ASC, rs.vec_id ASC) AS rnk
+  FROM res_scored rs JOIN embeddings e ON e.vec_id = rs.vec_id
+  WHERE e.label < 5
+) WHERE rnk <= 3
+"""
+    )
+
+
+@query("embedding_ivfpq_filtered_topk", oracle=_ivfpq_filtered_oracle())
+def q_embedding_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN over the persisted residual IVF-PQ index — the
+    metadata-predicate search every curation pipeline needs (nearest
+    neighbors within a language / source / license class): the index
+    is built with ``payload_cols=("label",)`` so the label rides the
+    code table, and the serve passes ``where="label < 5"``, which
+    narrows candidates AT THE PROBED-CELL SCAN (parquet filter
+    pushdown, plan-asserted in tests) before tombstone exclusion and
+    ADC scoring. Oracle = the shared residual chain with the same
+    predicate applied to candidates before the per-query rank.
+    Registered swept-only (round-12 registry discipline: one new row
+    for the round's new capability, outside the graded window)."""
+    from sparktrends_spark.similarity.ivfpq_index import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = _idx_path("ivfpq_filtered", sf_dir)
+    build_ivfpq_index(
+        emb, idx, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
+        k_codes=_PQ_K, iterations=_KM_ITERS,
+        payload_cols=("label",),
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_index_topk(
+        spark, idx, queries, dim=_DIM, k_neighbors=3,
+        nprobe=_IVF_NPROBE, where="label < 5",
+    )
+
+
 def _ivfpq_stream_oracle() -> str:
     return (
         _ivfpq_residual_with(train_where=" WHERE vec_id % 2 = 0")

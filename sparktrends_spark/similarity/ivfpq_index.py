@@ -66,7 +66,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sparktrends_spark.operators.kmeans import (
@@ -168,10 +168,22 @@ def build_ivfpq_index(
     store_vectors: bool = False,
     coarse: dict[int, list[float]] | None = None,
     lock_timeout_s: float = 600.0,
+    payload_cols: tuple[str, ...] = (),
 ) -> None:
     """Train and persist the index (see module docstring). Vector
     element type canonicalizes to double on disk-adjacent frames (the
     IVF index lesson); the code table itself carries no vectors.
+
+    ``payload_cols``: metadata columns of ``vectors`` (language,
+    source, license class, ...) stored alongside the codes — the
+    substrate for FILTERED search (``ivfpq_index_topk(where=...)``):
+    a predicate over payloads narrows candidates at the probed-cell
+    scan (parquet filter pushdown), before any scoring. Payloads ride
+    the vectors sidecar too when ``store_vectors`` is set, so retrain
+    re-encodes them into the next generation; appends must carry the
+    same columns (checked loudly against the stored schema). Keep
+    payloads small (scalars, not text) — the code table's
+    bytes-at-rest economy is the index's scale story.
 
     ``store_vectors``: additionally persist a ``path/vectors`` sidecar
     (raw vectors, cell-partitioned like the codes) enabling two-stage
@@ -193,22 +205,37 @@ def build_ivfpq_index(
     with maintenance_lock(path, lock_timeout_s, operation="build"):
         _build_ivfpq_locked(
             vectors, path, dim, n_cells, m, k_codes, iterations,
-            id_col, vec_col, store_vectors, coarse,
+            id_col, vec_col, store_vectors, coarse, payload_cols,
+        )
+
+
+def _check_payload_names(payload_cols, id_col, m) -> None:
+    reserved = {id_col, "cell", "_v", "_r", "_s", "_cv"} | {
+        f"code_{s}" for s in range(m)
+    }
+    bad = [c for c in payload_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"payload column(s) {bad} collide with the index's"
+            " reserved layout names — rename them upstream"
         )
 
 
 def _build_ivfpq_locked(
     vectors, path, dim, n_cells, m, k_codes, iterations,
-    id_col, vec_col, store_vectors, coarse,
+    id_col, vec_col, store_vectors, coarse, payload_cols=(),
 ) -> None:
     spark = vectors.sparkSession
+    _check_payload_names(payload_cols, id_col, m)
     # An overwrite-build resets the index identity: any generation
     # pointer + generation directories from a previous retrain history
     # must go first, or readers would keep resolving to the stale
     # promoted generation instead of this build's flat artifacts.
     reset_generations(path)
     emb = vectors.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        *payload_cols,
     )
     cents = coarse
     if cents is None:
@@ -232,9 +259,9 @@ def _build_ivfpq_locked(
         "s int, code int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
 
-    _encode(resid, books, dim, id_col).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{path}/codes")
+    _encode(resid, books, dim, id_col, payload_cols).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/codes")
     # build-time staleness baseline: per-cell row count and mean
     # quantization error (n_cells tiny rows — one extra corpus pass,
     # marginal next to the kmeans training scans). Appends encode with
@@ -247,9 +274,11 @@ def _build_ivfpq_locked(
         F.avg("_e").alias("mean_err"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     if store_vectors:
-        asg.select(id_col, "cell", F.col("_v").alias("_cv")).write.mode(
-            "overwrite"
-        ).partitionBy("cell").parquet(f"{path}/vectors")
+        asg.select(
+            id_col, "cell", F.col("_v").alias("_cv"), *payload_cols
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/vectors"
+        )
     else:
         # A rebuild over different data must not leave a prior build's
         # refinement sidecar behind: append_ivfpq_index would keep it
@@ -267,10 +296,17 @@ def _build_ivfpq_locked(
         spark.catalog.refreshByPath(f"{path}/{_TOMBSTONES}")
 
 
-def _encode(resid: DataFrame, books: Codebooks, dim: int, id_col: str) -> DataFrame:
-    """(id, cell, code_0..code_{m-1}) from a frame carrying residuals
-    in ``_r`` and the cell id — map-side nearest-code argmin per
-    sub-space (round-6 distances, ties by code: the kmeans rule)."""
+def _encode(
+    resid: DataFrame,
+    books: Codebooks,
+    dim: int,
+    id_col: str,
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, cell, code_0..code_{m-1}[, payloads]) from a frame
+    carrying residuals in ``_r`` and the cell id — map-side
+    nearest-code argmin per sub-space (round-6 distances, ties by
+    code: the kmeans rule)."""
     m = len(books)
     sub_len = dim // m
     out = resid
@@ -281,7 +317,22 @@ def _encode(resid: DataFrame, books: Codebooks, dim: int, id_col: str) -> DataFr
             vec_col="_s",
             out_col=f"code_{s}",
         ).drop("_s")
-    return out.select(id_col, "cell", *[f"code_{s}" for s in range(m)])
+    return out.select(
+        id_col, "cell", *[f"code_{s}" for s in range(m)], *payload_cols
+    )
+
+
+def _stored_payload_cols(spark, root: str, id_col: str, m: int) -> tuple[str, ...]:
+    """Payload columns of the stored code table: everything beyond the
+    layout's own (id, cell, code_*) — read from the parquet schema, so
+    appends and retrains need no caller-supplied repeat of the build's
+    ``payload_cols`` (and cannot drift from it)."""
+    layout = {id_col, "cell"} | {f"code_{s}" for s in range(m)}
+    return tuple(
+        f.name
+        for f in spark.read.parquet(f"{root}/codes").schema.fields
+        if f.name not in layout
+    )
 
 
 def _load_books(spark, path: str) -> Codebooks:
@@ -369,14 +420,30 @@ def append_ivfpq_index(
     Holds the index maintenance lock for the whole append: an append
     racing a retrain promotion would land its batch in the superseded
     generation and silently lose it at GC (see
-    ``generations.maintenance_lock``)."""
+    ``generations.maintenance_lock``).
+
+    Payload columns are SELF-DESCRIBING: whatever extra columns the
+    stored code table carries (``payload_cols`` at build) must be
+    present on the batch — a batch missing them would land NULL
+    payloads that silently drop out of every filtered serve, so the
+    mismatch raises instead."""
     spark = new_vectors.sparkSession
     with maintenance_lock(path, lock_timeout_s, operation="append"):
         root = resolve_index_root(path)
         cents = _load_coarse(spark, root)
         books = _load_books(spark, root)
+        payloads = _stored_payload_cols(spark, root, id_col, len(books))
+        missing = [c for c in payloads if c not in new_vectors.columns]
+        if missing:
+            raise ValueError(
+                f"append batch is missing payload column(s) {missing}"
+                f" stored in {root}/codes — every batch must carry the"
+                " payloads the index was built with"
+            )
         emb = new_vectors.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            *payloads,
         )
         tomb = _tombstones(spark, root, id_col)
         if tomb is not None:
@@ -395,15 +462,17 @@ def append_ivfpq_index(
                 )
         asg = assign_clusters(emb, cents, vec_col="_v", out_col="cell")
         resid = asg.withColumn("_r", _residual("_v", "cell", cents))
-        _encode(resid, books, dim, id_col).write.mode("append").partitionBy(
-            "cell"
-        ).parquet(f"{root}/codes")
+        _encode(resid, books, dim, id_col, payloads).write.mode(
+            "append"
+        ).partitionBy("cell").parquet(f"{root}/codes")
         spark.catalog.refreshByPath(f"{root}/codes")
         if os.path.isdir(f"{root}/vectors"):
             # built with the refinement sidecar: keep it complete
-            asg.select(id_col, "cell", F.col("_v").alias("_cv")).write.mode(
-                "append"
-            ).partitionBy("cell").parquet(f"{root}/vectors")
+            asg.select(
+                id_col, "cell", F.col("_v").alias("_cv"), *payloads
+            ).write.mode("append").partitionBy("cell").parquet(
+                f"{root}/vectors"
+            )
             spark.catalog.refreshByPath(f"{root}/vectors")
 
 
@@ -419,6 +488,7 @@ def ivfpq_index_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     refine_k: int | None = None,
+    where: str | Column | None = None,
 ) -> DataFrame:
     """Serve top-k from the persisted index. The probed cell set
     (<= |queries| * nprobe small ints — bounded collect) is applied as
@@ -435,7 +505,20 @@ def ivfpq_index_topk(
     exact round-6 squared L2 against raw vectors read from the probed
     cells of the ``vectors`` sidecar. Output column is the exact
     ``d2`` instead of ``approx_d2``; recall approaches the probed-cell
-    ceiling at a per-query vector-read cost of refine_k rows."""
+    ceiling at a per-query vector-read cost of refine_k rows.
+
+    ``where`` (requires an index built with ``payload_cols``):
+    FILTERED search — a predicate over the stored payload columns
+    (SQL string or Column, e.g. ``"lang = 'en' AND license < 3"``)
+    narrows candidates at the probed-cell scan, BEFORE tombstone
+    exclusion, ADC scoring, and any refine shortlist. Simple
+    comparisons push into the parquet reader (PushedFilters — asserted
+    in tests), so a selective filter reduces bytes read, not just rows
+    scored. Semantics are the standard IVF filtered-search contract:
+    top-k among candidates that satisfy the predicate WITHIN the
+    probed cells — a highly selective filter can empty a probed cell,
+    so raise ``nprobe`` when filters are sharp (same recall trade as
+    unfiltered probing)."""
     from pyspark.sql import Window
 
     # pin ONE generation for the whole serve: a retrain promoting a
@@ -466,6 +549,10 @@ def ivfpq_index_topk(
     codes = spark.read.parquet(f"{root}/codes").filter(
         F.col("cell").isin([int(c) for c in cells])
     )
+    if where is not None:
+        codes = codes.filter(
+            F.expr(where) if isinstance(where, str) else where
+        )
     tomb = _tombstones(spark, root, id_col)
     if tomb is not None:
         # logical deletes: tombstoned ids leave the candidate set
@@ -727,8 +814,15 @@ def _retrain_ivfpq_locked(
     m = m or len(old_books)
     k_codes = k_codes or len(old_books[0])
 
+    # payloads ride the sidecar (build writes them there exactly so a
+    # retrain can re-encode them into the next generation)
+    payloads = tuple(
+        c
+        for c in spark.read.parquet(f"{root}/vectors").columns
+        if c not in (id_col, "cell", "_cv")
+    )
     corpus = spark.read.parquet(f"{root}/vectors").select(
-        F.col(id_col), F.col("_cv").alias("embedding")
+        F.col(id_col), F.col("_cv").alias("embedding"), *payloads
     )
     tomb = _tombstones(spark, root, id_col)
     if tomb is not None:
@@ -749,6 +843,7 @@ def _retrain_ivfpq_locked(
             iterations=iterations,
             id_col=id_col,
             store_vectors=True,
+            payload_cols=payloads,
         )
     except BaseException:
         # a crashed/failed generation build must not leave a partial

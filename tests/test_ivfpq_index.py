@@ -252,3 +252,64 @@ def test_ann_recall_floors(spark, sf_dir):
         rows["ivfpq_rerank"]["recall"] >= rows["ivfpq_res"]["recall"]
     ), rows
     assert rows["ivfpq_rerank"]["recall"] >= 0.35, rows["ivfpq_rerank"]
+
+
+def test_ivfpq_filtered_search_lifecycle(spark, sf_dir, tmp_path):
+    """Filtered ANN: an index built with payload_cols serves top-k
+    under a metadata predicate that (a) pushes into the probed-cell
+    parquet scan (PushedFilters), (b) is satisfied by every returned
+    neighbor, and (c) survives the whole lifecycle — appends must
+    carry the payloads (missing -> loud), appended rows are
+    filterable, and a retrain re-encodes payloads into the next
+    generation."""
+    from sparktrends_spark.similarity.ivfpq_index import (
+        retrain_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq_f")
+    build_ivfpq_index(
+        emb.filter("vec_id % 2 = 0"), idx, dim=_DIM,
+        store_vectors=True, payload_cols=("label",),
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def serve():
+        return ivfpq_index_topk(
+            spark, idx, queries, dim=_DIM, k_neighbors=3, nprobe=2,
+            where="label < 5",
+        )
+
+    top = serve()
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "LessThan(label,5)" in plan, plan  # pushed to the scan
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    rows = top.collect()
+    assert rows and all(labels[r["vec_id"]] < 5 for r in rows)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, serve().collect()))
+
+    # append without the stored payload column -> refused loudly
+    batch = emb.filter("vec_id % 2 = 1")
+    with pytest.raises(ValueError, match="payload"):
+        append_ivfpq_index(
+            batch.select("vec_id", "embedding"), idx, dim=_DIM
+        )
+    # with it -> appended rows join the filterable candidate set
+    append_ivfpq_index(batch, idx, dim=_DIM)
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == emb.count()
+    assert "label" in codes.columns
+
+    # retrain re-encodes payloads into the promoted generation
+    info = retrain_ivfpq_index(spark, idx, dim=_DIM)
+    from sparktrends_spark.similarity.generations import resolve_root
+
+    gen_codes = spark.read.parquet(f"{resolve_root(idx)}/codes")
+    assert "label" in gen_codes.columns and gen_codes.count() == emb.count()
+    post = serve().collect()
+    assert post and all(labels[r["vec_id"]] < 5 for r in post)
