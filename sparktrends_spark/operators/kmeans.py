@@ -65,24 +65,19 @@ def _round9_mean(s, n: int) -> float:
     return u9 / 1e9
 
 
-def _dist2(vec_col: F.Column, centroid: list[float]) -> F.Column:
-    """round6 squared L2 distance, sequential fold over dimensions."""
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
-    return dist2_col(vec_col, lit)
-
-
 def dist2_col(vec_col: F.Column, cent_col: F.Column) -> F.Column:
-    """round6 squared L2 between two array columns — the same
-    sequential fold as ``_dist2``, with the centroid as a COLUMN so
-    one lambda serves every centroid (see ``cent_struct_array``)."""
+    """round6 squared L2 between two array columns — the sequential
+    left-to-right fold over dimensions (the oracle's list-comprehension
+    order), with the centroid as a COLUMN so one lambda serves every
+    centroid (see ``cent_struct_array``)."""
     diffsq = F.zip_with(vec_col, cent_col, lambda a, b: (a - b) * (a - b))
     return F.round(
         F.aggregate(diffsq, F.lit(0.0), lambda acc, x: acc + x), 6
     )
 
 
-_CENT_MEMO: dict[tuple, object] = {}
-_CENT_MEMO_MAX = 32
+_CENT_MEMO: dict[tuple, tuple[object, int]] = {}  # key -> (Column, bytes)
+_CENT_MEMO_MAX_BYTES = 128 * 1024 * 1024
 
 
 def centroid_memo_key(centroids: dict[int, list[float]]) -> tuple:
@@ -98,19 +93,32 @@ def centroid_memo_key(centroids: dict[int, list[float]]) -> tuple:
 
 
 def memo_literal(key: tuple, build) -> F.Column:
-    """Process-level memo for constructed literal Columns (bounded,
-    FIFO eviction). Constructing a k x dim literal costs one py4j
-    round-trip per centroid — a serving process that answers query
-    batch after query batch against the SAME index must not pay that
-    per batch, any more than a FAISS server would reload its index per
-    query. Column objects are immutable expression trees, so reuse
-    across plans is exactly as safe as reusing ``F.lit(5)``."""
-    col = _CENT_MEMO.get(key)
-    if col is None:
-        col = build()
-        if len(_CENT_MEMO) >= _CENT_MEMO_MAX:
-            _CENT_MEMO.pop(next(iter(_CENT_MEMO)))
-        _CENT_MEMO[key] = col
+    """Process-level memo for constructed literal Columns (bounded in
+    BYTES, FIFO eviction — at thousands-of-cells scale one entry is
+    k x dim doubles, so a count bound alone could pin gigabytes).
+    Constructing a k x dim literal costs one py4j round-trip per
+    centroid — a serving process that answers query batch after query
+    batch against the SAME index must not pay that per batch, any more
+    than a FAISS server would reload its index per query. Column
+    objects are immutable expression trees, so reuse across plans is
+    exactly as safe as reusing ``F.lit(5)``."""
+    hit = _CENT_MEMO.get(key)
+    if hit is not None:
+        return hit[0]
+    col = build()
+    # key = (tag, (id, float64-bytes), ...): size only the byte blobs
+    nbytes = sum(
+        len(b)
+        for e in key
+        if isinstance(e, tuple)
+        for b in e
+        if isinstance(b, bytes)
+    )
+    total = sum(n for _, n in _CENT_MEMO.values()) + nbytes
+    while _CENT_MEMO and total > _CENT_MEMO_MAX_BYTES:
+        oldest = next(iter(_CENT_MEMO))  # insertion order = FIFO
+        total -= _CENT_MEMO.pop(oldest)[1]
+    _CENT_MEMO[key] = (col, nbytes)
     return col
 
 
@@ -133,7 +141,9 @@ def vec_array_literal(vecs: dict[int, list[float]]) -> F.Column:
     return memo_literal(("arrays",) + centroid_memo_key(vecs), _build)
 
 
-def cent_struct_array(centroids: dict[int, list[float]]) -> F.Column:
+def cent_struct_array(
+    centroids: dict[int, list[float]], memoize: bool = True
+) -> F.Column:
     """The centroid set as ONE literal array of (c, v) structs, cluster
     ascending. Every leaf is a literal, so Catalyst constant-folds the
     whole thing into a single array value — scoring then iterates it
@@ -147,7 +157,10 @@ def cent_struct_array(centroids: dict[int, list[float]]) -> F.Column:
     as one numpy ``F.lit`` (one py4j call per centroid, not per
     element — float64 is exact either way), and the finished Column is
     memoized by content so repeat serves against the same index pay
-    zero construction."""
+    zero construction. ``memoize=False`` skips the cache — the Lloyd
+    loop's INTERMEDIATE centroids are never seen again, and caching
+    them would churn out the standing-index entries the memo exists
+    for."""
     import numpy as np
 
     def _build() -> F.Column:
@@ -163,11 +176,15 @@ def cent_struct_array(centroids: dict[int, list[float]]) -> F.Column:
             ]
         )
 
+    if not memoize:
+        return _build()
     return memo_literal(("structs",) + centroid_memo_key(centroids), _build)
 
 
 def dist_struct_array(
-    vec_col: F.Column, centroids: dict[int, list[float]]
+    vec_col: F.Column,
+    centroids: dict[int, list[float]],
+    memoize: bool = True,
 ) -> F.Column:
     """(round6 L2 distance d, cluster c) structs for ``vec_col``
     against every centroid, cluster ascending — ``array_min`` of this
@@ -176,7 +193,7 @@ def dist_struct_array(
     then cluster-asc, the engine-exact tie-break the Lloyd loop, the
     IVF-PQ coarse quantizer, and the probe selection all share."""
     return F.transform(
-        cent_struct_array(centroids),
+        cent_struct_array(centroids, memoize=memoize),
         lambda s: F.struct(
             dist2_col(vec_col, s["v"]).alias("d"), s["c"].alias("c")
         ),
@@ -188,12 +205,15 @@ def assign_clusters(
     centroids: dict[int, list[float]],
     vec_col: str = "_v",
     out_col: str = "cluster",
+    memoize: bool = True,
 ) -> DataFrame:
     """Map-side argmin assignment against literal centroids: array_min
     over (round6 L2 distance, cluster) structs — dist-asc then
     cluster-asc, the engine-exact tie-break both the Lloyd loop and
     the IVF coarse quantizer share."""
-    best = F.array_min(dist_struct_array(F.col(vec_col), centroids))
+    best = F.array_min(
+        dist_struct_array(F.col(vec_col), centroids, memoize=memoize)
+    )
     return frame.withColumn(out_col, best["c"])
 
 
@@ -229,7 +249,9 @@ def kmeans_fit(
     }
 
     for _ in range(iterations):
-        assigned = assign_clusters(v, centroids)
+        # memoize=False: intermediate centroids are one-shot — caching
+        # them would churn the standing-index literal memo
+        assigned = assign_clusters(v, centroids, memoize=False)
         stats = (
             assigned.select(
                 "cluster", F.posexplode("_v").alias("pos", "val")

@@ -65,6 +65,24 @@ def maintenance_lock(path: str, timeout_s: float = 600.0, operation: str = ""):
         try:
             fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
+        except FileNotFoundError:
+            # the directory itself can vanish mid-wait: a swap_dirs
+            # holder (the shard exporter's overwrite) renames ``path``
+            # away for an instant between its two renames. That is a
+            # "lock still held" condition, not an error — keep polling
+            # until the second rename restores the path (deliberately
+            # WITHOUT re-creating the dir: a waiter-created empty dir
+            # would make the holder's rename(tmp, path) fail
+            # ENOTEMPTY the moment this waiter won the lock race).
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"{lock_path}: index maintenance lock wait timed out"
+                    f" after {timeout_s}s while the directory was absent"
+                    " (a dir-swap writer crashed mid-swap, or the index"
+                    " was deleted) — check for a stranded"
+                    f" {path.rstrip('/')}__old directory"
+                ) from None
+            time.sleep(0.05)
         except FileExistsError:
             if time.monotonic() >= deadline:
                 holder = "<unreadable>"

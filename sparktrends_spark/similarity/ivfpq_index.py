@@ -210,14 +210,26 @@ def build_ivfpq_index(
 
 
 def _check_payload_names(payload_cols, id_col, m) -> None:
-    reserved = {id_col, "cell", "_v", "_r", "_s", "_cv"} | {
-        f"code_{s}" for s in range(m)
-    }
+    # the full set of names this MODULE attaches to frames that carry
+    # payloads at any lifecycle point — build/encode (_v/_r/_s), the
+    # sidecar (_cv), serve (the default query id, the LUT and
+    # query-vector columns that join the code table, the shortlist
+    # rank), and retrain (which re-aliases the sidecar vector to
+    # "embedding"). A payload passing build but colliding at serve or
+    # retrain would make the index unservable AFTER it was built —
+    # this guard exists precisely to fail first.
+    reserved = {
+        id_col, "cell", "_v", "_r", "_s", "_cv",
+        "query_id", "_qv", "_rq", "_lut", "_rn",
+        "approx_d2", "d2", "rnk", "embedding",
+    } | {f"code_{s}" for s in range(m)}
     bad = [c for c in payload_cols if c in reserved]
     if bad:
         raise ValueError(
             f"payload column(s) {bad} collide with the index's"
-            " reserved layout names — rename them upstream"
+            " reserved layout/serve names — rename them upstream"
+            " (serves with a custom query_id_col must also avoid"
+            " naming it after a payload column)"
         )
 
 

@@ -193,12 +193,18 @@ def write_training_shards(
     run. (Posix-rename semantics; on an object store use a
     generation-pointer layout instead, as the ANN index does.)
 
-    Concurrent WRITERS serialize on the same ``maintenance_lock`` as
-    the index maintainers (the dot-prefixed lock file is invisible to
-    parquet readers): two unserialized overwrite swaps can interleave
-    the rename sequence (the loser strands the previous export at
-    ``<path>__old``), and two unserialized appends can collide in the
-    shared ``_temporary`` staging directory.
+    Concurrent OVERWRITE exports serialize on the same
+    ``maintenance_lock`` as the index maintainers (the dot-prefixed
+    lock file is invisible to parquet readers): two unserialized swaps
+    can interleave the rename sequence, stranding the previous export
+    at ``<path>__old``. The append paths deliberately do NOT take the
+    lock: a crash mid-batch would leave a stale lock file that blocks
+    the checkpoint REPLAY ``batch_id`` exists for (the restarted query
+    is the same single writer, not a concurrent one — Structured
+    Streaming already serializes one writer per checkpointed sink).
+    Two genuinely concurrent append JOBS to one path remain the
+    caller's contract violation (they can collide in Spark's shared
+    ``_temporary`` staging dir).
 
     Returns ``{"n_docs", "n_shards", "files_per_shard"}``; per-shard
     detail comes from ``shard_manifest`` on the same assignment.
@@ -249,53 +255,56 @@ def write_training_shards(
         # task-local sort yields files in canonical order.
         .sortWithinPartitions("shard", "order_key")
     )
-    from sparktrends_spark.similarity.generations import maintenance_lock
-
-    with maintenance_lock(path, operation="shard-export"):
+    if mode == "append":
         # an append whose partition depth disagrees with the existing
         # export (plain shard=K/*.parquet next to
         # shard=K/ingest_batch=J/) makes every later read fail with
         # Spark's conflicting-directory-structures error — refuse the
-        # write instead of poisoning the export. Checked under the
-        # lock, like the module's other contract contradictions.
-        if mode == "append":
-            existing = _existing_layout(path)
-            wanted = "batched" if batch_id is not None else "plain"
-            if existing is not None and existing != wanted:
-                raise ValueError(
-                    f"export at {path} has {existing!r} layout but this "
-                    f"write would add {wanted!r} files (batch_id "
-                    f"{'set' if batch_id is not None else 'absent'}): "
-                    "mixed partition depths under shard= break every "
-                    "subsequent read — use one layout per export path"
-                )
-        if batch_id is not None:
-            # replace-my-own-partition idempotence: dynamic overwrite
-            # touches ONLY the (shard, ingest_batch) partitions this
-            # batch produces — other batches' files are never read or
-            # rewritten, and the replacement happens at COMMIT time (no
-            # upfront delete), so a mid-job crash leaves prior batches
-            # untouched
-            (
-                staged.withColumn("ingest_batch", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("shard", "ingest_batch")
-                .parquet(path)
+        # write instead of poisoning the export
+        existing = _existing_layout(path)
+        wanted = "batched" if batch_id is not None else "plain"
+        if existing is not None and existing != wanted:
+            raise ValueError(
+                f"export at {path} has {existing!r} layout but this "
+                f"write would add {wanted!r} files (batch_id "
+                f"{'set' if batch_id is not None else 'absent'}): "
+                "mixed partition depths under shard= break every "
+                "subsequent read — use one layout per export path"
             )
-        elif mode == "append":
-            # additive: task files stage under _temporary and commit
-            staged.write.mode("append").partitionBy("shard").parquet(path)
-        else:
-            # crash-safe overwrite: build the new export beside the old
-            # one, then swap via atomic dir renames — a static
-            # overwrite would delete the old export at job START,
-            # before the NULL-id guard (or any task failure) could
-            # abort the job. The held lock file rides into __old with
-            # its directory (swap_dirs' documented contract), so the
-            # post-swap tail is read-only.
-            from sparktrends_spark.similarity.generations import swap_dirs
+    if batch_id is not None:
+        # replace-my-own-partition idempotence: dynamic overwrite
+        # touches ONLY the (shard, ingest_batch) partitions this
+        # batch produces — other batches' files are never read or
+        # rewritten, and the replacement happens at COMMIT time (no
+        # upfront delete), so a mid-job crash leaves prior batches
+        # untouched. No lock (see the docstring's locking note): the
+        # crash-replay path must not be blocked by the crash's own
+        # stale lock file.
+        (
+            staged.withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard", "ingest_batch")
+            .parquet(path)
+        )
+    elif mode == "append":
+        # additive: task files stage under _temporary and commit
+        staged.write.mode("append").partitionBy("shard").parquet(path)
+    else:
+        # crash-safe overwrite: build the new export beside the old
+        # one, then swap via atomic dir renames — a static overwrite
+        # would delete the old export at job START, before the NULL-id
+        # guard (or any task failure) could abort the job. The writer
+        # lock serializes concurrent overwrites (the swap interleaving
+        # is the one unrecoverable race); the held lock file rides
+        # into __old with its directory (swap_dirs' documented
+        # contract), so the post-swap tail is read-only.
+        from sparktrends_spark.similarity.generations import (
+            maintenance_lock,
+            swap_dirs,
+        )
 
+        with maintenance_lock(path, operation="shard-export-overwrite"):
             tmp = path.rstrip("/") + "__export_tmp"
             staged.write.mode("overwrite").partitionBy("shard").parquet(tmp)
             swap_dirs(df.sparkSession, path, tmp)

@@ -313,3 +313,21 @@ def test_ivfpq_filtered_search_lifecycle(spark, sf_dir, tmp_path):
     assert "label" in gen_codes.columns and gen_codes.count() == emb.count()
     post = serve().collect()
     assert post and all(labels[r["vec_id"]] < 5 for r in post)
+
+
+def test_payload_name_collisions_refused_at_build(spark, sf_dir, tmp_path):
+    """A payload name that collides with any lifecycle-internal column
+    (serve's query id / LUT columns, retrain's 'embedding' alias, the
+    code columns) must fail at BUILD time — the collision would
+    otherwise surface only when the already-built index turns out to
+    be unservable or unretrainable."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    for bad in ("query_id", "_lut", "embedding", "code_0", "cell"):
+        with pytest.raises(ValueError, match="reserved"):
+            build_ivfpq_index(
+                emb.withColumn(bad, F.lit(1)) if bad not in emb.columns
+                else emb,
+                str(tmp_path / f"i_{bad}"),
+                dim=_DIM,
+                payload_cols=(bad,),
+            )
