@@ -1456,6 +1456,103 @@ def q_stream_embedding_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query("stream_embedding_ann_serve", oracle=_ivfpq_index_oracle())
+def q_stream_embedding_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index SERVE path as a STREAM — the online-retrieval
+    twin of stream_embedding_ivfpq_append's ingest: the persisted
+    residual IVF-PQ index is built once over the full corpus, then
+    the QUERY rows arrive as a stream and every micro-batch is served
+    against the standing index inside foreachBatch
+    (`ivfpq_index_topk`: probe -> pruned cell scan -> residual ADC),
+    results landing in the keyed idempotent upsert sink (exactly-once
+    under replay, key = (query_id, rnk)). The index is FIXED for the
+    stream's duration, so serving is stateless per batch — however
+    the queries are micro-batched, every verdict is identical, which
+    is why the value oracle is exactly the batch
+    embedding_ivfpq_index_topk chain. Round-12 registry note: second
+    of the two rows added for this round's capabilities (filtered
+    ANN, streaming serve), both swept-only, outside the graded
+    window."""
+    return build_stream_embedding_ann_serve(spark, sf_dir)
+
+
+def build_stream_embedding_ann_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from sparktrends_spark.plans.streaming_queries import (
+        read_upserted,
+        upsert_parquet_bucketed,
+    )
+    from sparktrends_spark.similarity.ivfpq_index import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+    from sparktrends_spark.sources.tables import scan_parallel
+    from sparktrends_spark.streaming.pipeline import await_or_raise
+
+    base = sf_dir.rstrip("/")
+    idx = _idx_path("ivfpq_serve_stream", sf_dir)
+    # the corpus is read by the same glob the stream consumes — in the
+    # multibatch tests the table is split across embeddings_*.parquet
+    # files and the index must cover all of them (the dedup-history
+    # lesson)
+    corpus = scan_parallel(
+        spark.read.parquet(f"{base}/embeddings*.parquet")
+    )
+    build_ivfpq_index(
+        corpus, idx, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
+        k_codes=_PQ_K, iterations=_KM_ITERS,
+    )
+    reader = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>, label int"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    query_stream = (
+        reader.parquet(f"{base}/embeddings*.parquet")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    out_dir = tempfile.mkdtemp(prefix="ann_serve_out_")
+    table = _os.path.join(out_dir, "t")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        top = ivfpq_index_topk(
+            spark, idx, batch_df, dim=_DIM, k_neighbors=3,
+            nprobe=_IVF_NPROBE,
+        )
+        upsert_parquet_bucketed(
+            top, table, keys=("query_id", "rnk"), version=batch_id
+        )
+
+    ckpt = ckpt_dir or tempfile.mkdtemp(prefix="ann_serve_ckpt_")
+    q = (
+        query_stream.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        await_or_raise(q, 300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_upserted(spark, table).select(
+        "query_id", "vec_id", "approx_d2", "rnk"
+    )
+
+
 _IVFPQ_RERANK_C = 20
 
 

@@ -3,6 +3,7 @@ probe-pruned serve, append flow, and recall floors per ANN family."""
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -331,3 +332,57 @@ def test_payload_name_collisions_refused_at_build(spark, sf_dir, tmp_path):
                 dim=_DIM,
                 payload_cols=(bad,),
             )
+
+
+def test_pinned_generation_serve_survives_retrain(spark, sf_dir, tmp_path):
+    """Reproducible serving: a caller may pass a GENERATION directory
+    as the index path (resolve_root of a generation dir is itself), so
+    a long training run can pin the exact index its first batch used
+    even while retrains promote new generations around it — valid for
+    as long as retention keeps the root (keep-2: current + previous).
+    The pinned serve must keep returning the OLD generation's results
+    after a retrain changes CURRENT."""
+    from sparktrends_spark.similarity.generations import resolve_root
+    from sparktrends_spark.similarity.ivfpq_index import (
+        retrain_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "pin")
+    build_ivfpq_index(
+        emb.filter("vec_id % 2 = 0"), idx, dim=_DIM, store_vectors=True
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat_rows = sorted(map(tuple, ivfpq_index_topk(
+        spark, idx, queries, dim=_DIM, k_neighbors=3, nprobe=2
+    ).collect()))
+
+    # grow the corpus and retrain: CURRENT moves to g000001
+    append_ivfpq_index(emb.filter("vec_id % 2 = 1"), idx, dim=_DIM)
+    retrain_ivfpq_index(spark, idx, dim=_DIM)
+    assert resolve_root(idx).endswith("g000001")
+    new_rows = sorted(map(tuple, ivfpq_index_topk(
+        spark, idx, queries, dim=_DIM, k_neighbors=3, nprobe=2
+    ).collect()))
+    assert new_rows != flat_rows  # the corpus doubled; results moved
+
+    # the pre-retrain root is retained (keep-2) and serves PINNED:
+    # pass the flat root explicitly — but the flat root IS idx itself,
+    # so pin via a second retrain instead: g000001 stays serveable
+    # after g000002 is promoted
+    append_ivfpq_index(
+        emb.filter("vec_id % 2 = 1").select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            "embedding", "label",
+        ),
+        idx, dim=_DIM,
+    )
+    retrain_ivfpq_index(spark, idx, dim=_DIM)
+    assert resolve_root(idx).endswith("g000002")
+    pinned = sorted(map(tuple, ivfpq_index_topk(
+        spark, os.path.join(idx, "g000001"), queries,
+        dim=_DIM, k_neighbors=3, nprobe=2,
+    ).collect()))
+    assert pinned == new_rows

@@ -382,3 +382,39 @@ def test_multibatch_drawdown_state_carries(spark, sf_dir, split_dir, tmp_path):
     # same answer as the batch window form (incl. peaks set in an
     # earlier batch bounding drawdowns in a later one)
     _assert_frames_equal(result, _oracle(sf_dir, "stream_symbol_max_drawdown"))
+
+
+@pytest.fixture(scope="module")
+def emb_split_dir(sf_dir, tmp_path_factory) -> str:
+    """embeddings.parquet split round-robin into N files so the query
+    rows (vec_id < N_QUERIES) straddle micro-batch boundaries."""
+    out = tmp_path_factory.mktemp("emb_split")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    base_mtime = 1_700_000_000
+    for i in range(N_SPLITS):
+        idx = list(range(i, len(tbl), N_SPLITS))
+        name = "embeddings.parquet" if i == 0 else f"embeddings_{i}.parquet"
+        path = str(out / name)
+        pq.write_table(tbl.take(idx), path)
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    return str(out)
+
+
+def test_multibatch_ann_serve_lands_on_oracle(
+    spark, sf_dir, emb_split_dir, tmp_path
+):
+    """Serving against a FIXED standing index is batch-boundary-
+    invariant: the query stream split into 3 micro-batches must
+    produce the identical top-k as the single-batch oracle (the
+    stream_doc_incremental_dedup argument applied to the ANN serve
+    path)."""
+    from sparktrends_spark.plans.similarity import (
+        build_stream_embedding_ann_serve,
+    )
+
+    ckpt = str(tmp_path / "ckpt_ann_serve")
+    got = build_stream_embedding_ann_serve(
+        spark, emb_split_dir, max_files_per_trigger=1, ckpt_dir=ckpt
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    _assert_frames_equal(got, _oracle(sf_dir, "stream_embedding_ann_serve"))
