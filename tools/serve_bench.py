@@ -17,6 +17,12 @@ Families:
 - ``ivfpq``      persisted residual IVF-PQ, ADC-only (bytes at rest,
                  L2 metric — see the metric-contract note in README)
 - ``ivfpq_rerank`` same index, exact re-rank of the ADC top-20
+- ``ivfpq_filtered`` a SECOND ivfpq index built with
+                 payload_cols=("label",), served with
+                 where="label < 5" — measures what the metadata
+                 predicate costs on top of the unfiltered serve
+                 (expected: ~nothing; the filter pushes into the
+                 probed-cell parquet scan)
 
 Usage: ``python tools/serve_bench.py [sf_dir] [replica_factor]
 [n_cells]`` (defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1,
@@ -157,6 +163,12 @@ def _run_family(spark, emb, idx_root, corpus_path, n_cells=4):
     # null like brute: rerank builds nothing of its own (it serves the
     # ivfpq index) — 0.0 would read as a measured zero-cost build
     builds["ivfpq_rerank"] = None
+    t0 = time.perf_counter()
+    build_ivfpq_index(
+        emb, f"{idx_root}/ivfpq_f", dim=_DIM, n_cells=n_cells, m=2,
+        k_codes=4, iterations=3, payload_cols=("label",),
+    )
+    builds["ivfpq_filtered"] = round(time.perf_counter() - t0, 3)
 
     serves = {
         "brute": lambda q: brute_force_topk(q, emb, k=_K),
@@ -170,6 +182,10 @@ def _run_family(spark, emb, idx_root, corpus_path, n_cells=4):
         "ivfpq_rerank": lambda q: ivfpq_index_topk(
             spark, f"{idx_root}/ivfpq", q, dim=_DIM, k_neighbors=_K,
             nprobe=_NPROBE, refine_k=20,
+        ),
+        "ivfpq_filtered": lambda q: ivfpq_index_topk(
+            spark, f"{idx_root}/ivfpq_f", q, dim=_DIM, k_neighbors=_K,
+            nprobe=_NPROBE, where="label < 5",
         ),
     }
     # the corpus-sized artifact(s) each serve scans: brute reads every
@@ -186,6 +202,7 @@ def _run_family(spark, emb, idx_root, corpus_path, n_cells=4):
             f"{idx_root}/ivfpq/codes",
             f"{idx_root}/ivfpq/vectors",
         ],
+        "ivfpq_filtered": [f"{idx_root}/ivfpq_f/codes"],
     }
     corpus_bytes = _dir_bytes(corpus_path)
     out = {}
