@@ -1481,20 +1481,23 @@ def build_stream_embedding_ann_serve(
     sf_dir: str,
     max_files_per_trigger: int | None = None,
     ckpt_dir: str | None = None,
+    table_dir: str | None = None,
 ) -> DataFrame:
-    import os as _os
-    import tempfile
-
+    """Rides ``run_upsert_stream`` (ONE drive loop for every
+    foreachBatch-upsert query) with a ``batch_transform`` that serves
+    each query micro-batch against the standing index. ``ckpt_dir``
+    and ``table_dir`` must be pinned TOGETHER for a restart: replaying
+    a checkpoint against a fresh temp table would skip the
+    already-committed batches and silently lose their results (the
+    run_upsert_stream contract)."""
     from sparktrends_spark.plans.streaming_queries import (
-        read_upserted,
-        upsert_parquet_bucketed,
+        run_upsert_stream,
     )
     from sparktrends_spark.similarity.ivfpq_index import (
         build_ivfpq_index,
         ivfpq_index_topk,
     )
     from sparktrends_spark.sources.tables import scan_parallel
-    from sparktrends_spark.streaming.pipeline import await_or_raise
 
     base = sf_dir.rstrip("/")
     idx = _idx_path("ivfpq_serve_stream", sf_dir)
@@ -1521,36 +1524,23 @@ def build_stream_embedding_ann_serve(
         .filter(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    out_dir = tempfile.mkdtemp(prefix="ann_serve_out_")
-    table = _os.path.join(out_dir, "t")
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
+    def serve_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
-            return
-        top = ivfpq_index_topk(
+            return None
+        return ivfpq_index_topk(
             spark, idx, batch_df, dim=_DIM, k_neighbors=3,
             nprobe=_IVF_NPROBE,
         )
-        upsert_parquet_bucketed(
-            top, table, keys=("query_id", "rnk"), version=batch_id
-        )
 
-    ckpt = ckpt_dir or tempfile.mkdtemp(prefix="ann_serve_ckpt_")
-    q = (
-        query_stream.writeStream.outputMode("append")
-        .foreachBatch(process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        await_or_raise(q, 300)
-    finally:
-        if q.isActive:
-            q.stop()
-    return read_upserted(spark, table).select(
-        "query_id", "vec_id", "approx_d2", "rnk"
-    )
+    return run_upsert_stream(
+        query_stream,
+        keys=("query_id", "rnk"),
+        output_mode="append",
+        ckpt_dir=ckpt_dir,
+        table_dir=table_dir,
+        batch_transform=serve_batch,
+    ).select("query_id", "vec_id", "approx_d2", "rnk")
 
 
 _IVFPQ_RERANK_C = 20

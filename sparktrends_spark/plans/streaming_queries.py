@@ -110,6 +110,7 @@ def run_upsert_stream(
     timeout_s: int = 300,
     ckpt_dir: str | None = None,
     table_dir: str | None = None,
+    batch_transform=None,
 ) -> DataFrame:
     """Drive a streaming aggregate to completion through the idempotent
     upsert sink; return the final table (minus sink bookkeeping).
@@ -118,7 +119,14 @@ def run_upsert_stream(
     to prove a run really split into multiple micro-batches);
     ``table_dir`` pins the sink table so a KILLED run can be restarted
     against the same checkpoint AND the same table — the
-    kill-and-restart recovery path (tests/test_streaming_restart.py)."""
+    kill-and-restart recovery path (tests/test_streaming_restart.py).
+
+    ``batch_transform(batch_df, batch_id) -> DataFrame | None`` runs a
+    batch computation INSIDE foreachBatch before the upsert (e.g. the
+    ANN serve: score the batch's queries against a standing index);
+    returning None skips the batch. One drive loop serves every
+    foreachBatch-upsert query, so the commit/restart contract lives in
+    exactly one place."""
     out_dir = table_dir or tempfile.mkdtemp(prefix="stream_out_")
     ckpt_dir = ckpt_dir or tempfile.mkdtemp(prefix="stream_ckpt_")
     table = os.path.join(out_dir, "t")
@@ -130,6 +138,10 @@ def run_upsert_stream(
         # crashes at exact points in the commit protocol.
         import sparktrends_spark.plans.streaming_queries as _self
 
+        if batch_transform is not None:
+            batch_df = batch_transform(batch_df, batch_id)
+            if batch_df is None:
+                return
         _self.upsert_parquet_bucketed(batch_df, table, keys=keys, version=batch_id)
 
     spark = result.sparkSession

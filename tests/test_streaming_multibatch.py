@@ -153,22 +153,30 @@ def test_multibatch_stream_static_join_lands_on_oracle(spark, sf_dir, split_dir,
     _assert_frames_equal(result, _oracle(sf_dir, "stream_segment_activity"))
 
 
+def _round_robin_split(sf_dir, tmp_path_factory, table: str) -> str:
+    """Split ``<table>.parquet`` round-robin by position into N_SPLITS
+    files (interleaved slices, so related rows straddle micro-batch
+    boundaries), mtime-ascending so FileStreamSource picks them up in
+    order; the first file keeps the table's own name so the single-file
+    readers of the same glob still resolve."""
+    out = tmp_path_factory.mktemp(f"{table}_split")
+    tbl = pq.read_table(f"{sf_dir}/{table}.parquet")
+    base_mtime = 1_700_000_000
+    for i in range(N_SPLITS):
+        idx = list(range(i, len(tbl), N_SPLITS))
+        name = f"{table}.parquet" if i == 0 else f"{table}_{i}.parquet"
+        path = str(out / name)
+        pq.write_table(tbl.take(idx), path)
+        os.utime(path, (base_mtime + i, base_mtime + i))
+    return str(out)
+
+
 @pytest.fixture(scope="module")
 def docs_split_dir(sf_dir, tmp_path_factory) -> str:
     """documents.parquet split into N files with duplicates straddling
     the split boundary (doc_id-interleaved slices), so cross-batch
     state merging in stream_doc_dedup is actually exercised."""
-    out = tmp_path_factory.mktemp("docs_split")
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
-    base_mtime = 1_700_000_000
-    for i in range(N_SPLITS):
-        # round-robin by position: duplicate contents land in different files
-        idx = list(range(i, len(tbl), N_SPLITS))
-        name = "documents.parquet" if i == 0 else f"documents_{i}.parquet"
-        path = str(out / name)
-        pq.write_table(tbl.take(idx), path)
-        os.utime(path, (base_mtime + i, base_mtime + i))
-    return str(out)
+    return _round_robin_split(sf_dir, tmp_path_factory, "documents")
 
 
 def test_multibatch_doc_dedup_lands_on_oracle(spark, sf_dir, docs_split_dir, tmp_path):
@@ -388,16 +396,7 @@ def test_multibatch_drawdown_state_carries(spark, sf_dir, split_dir, tmp_path):
 def emb_split_dir(sf_dir, tmp_path_factory) -> str:
     """embeddings.parquet split round-robin into N files so the query
     rows (vec_id < N_QUERIES) straddle micro-batch boundaries."""
-    out = tmp_path_factory.mktemp("emb_split")
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    base_mtime = 1_700_000_000
-    for i in range(N_SPLITS):
-        idx = list(range(i, len(tbl), N_SPLITS))
-        name = "embeddings.parquet" if i == 0 else f"embeddings_{i}.parquet"
-        path = str(out / name)
-        pq.write_table(tbl.take(idx), path)
-        os.utime(path, (base_mtime + i, base_mtime + i))
-    return str(out)
+    return _round_robin_split(sf_dir, tmp_path_factory, "embeddings")
 
 
 def test_multibatch_ann_serve_lands_on_oracle(
