@@ -78,6 +78,22 @@ def dist2_col(vec_col: F.Column, cent_col: F.Column) -> F.Column:
 
 _CENT_MEMO: dict[tuple, tuple[object, int]] = {}  # key -> (Column, bytes)
 _CENT_MEMO_MAX_BYTES = 128 * 1024 * 1024
+_CENT_MEMO_LOCK = __import__("threading").Lock()
+
+
+def _session_token() -> str | None:
+    """Identity of the live Spark gateway, folded into every memo key:
+    memoized Columns hold py4j expression handles that die with their
+    JVM, so a process that recycles its SparkContext (a serving
+    container restarting the gateway between batches) must MISS the
+    cache and rebuild rather than serve dead handles with opaque py4j
+    errors. applicationId is unique per context; a fresh context means
+    every old entry is unreachable and ages out of the byte-bounded
+    FIFO like any cold key."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return sc.applicationId if sc is not None else None
 
 
 def centroid_memo_key(centroids: dict[int, list[float]]) -> tuple:
@@ -101,12 +117,23 @@ def memo_literal(key: tuple, build) -> F.Column:
     batch against the SAME index must not pay that per batch, any more
     than a FAISS server would reload its index per query. Column
     objects are immutable expression trees, so reuse across plans is
-    exactly as safe as reusing ``F.lit(5)``."""
-    hit = _CENT_MEMO.get(key)
+    exactly as safe as reusing ``F.lit(5)``.
+
+    Lifetime: entries are keyed by the LIVE gateway's applicationId
+    (``_session_token``), so a recycled SparkContext can never be
+    served a dead py4j handle — its keys simply miss. The
+    get/size/evict/insert sequence holds a process lock: a foreachBatch
+    stream thread racing a main-thread serve must not interleave the
+    bytes-accounting eviction (the build itself runs outside the lock
+    — it is py4j-bound, and a rare duplicate build is harmless: last
+    writer wins with an identical Column)."""
+    key = (_session_token(),) + key
+    with _CENT_MEMO_LOCK:
+        hit = _CENT_MEMO.get(key)
     if hit is not None:
         return hit[0]
     col = build()
-    # key = (tag, (id, float64-bytes), ...): size only the byte blobs
+    # key = (token, tag, (id, float64-bytes), ...): size the byte blobs
     nbytes = sum(
         len(b)
         for e in key
@@ -114,11 +141,12 @@ def memo_literal(key: tuple, build) -> F.Column:
         for b in e
         if isinstance(b, bytes)
     )
-    total = sum(n for _, n in _CENT_MEMO.values()) + nbytes
-    while _CENT_MEMO and total > _CENT_MEMO_MAX_BYTES:
-        oldest = next(iter(_CENT_MEMO))  # insertion order = FIFO
-        total -= _CENT_MEMO.pop(oldest)[1]
-    _CENT_MEMO[key] = (col, nbytes)
+    with _CENT_MEMO_LOCK:
+        total = sum(n for _, n in _CENT_MEMO.values()) + nbytes
+        while _CENT_MEMO and total > _CENT_MEMO_MAX_BYTES:
+            oldest = next(iter(_CENT_MEMO))  # insertion order = FIFO
+            total -= _CENT_MEMO.pop(oldest)[1]
+        _CENT_MEMO[key] = (col, nbytes)
     return col
 
 

@@ -300,17 +300,22 @@ def migrate_dedup_index(spark, path: str) -> dict:
     time that seam exists — every later rewrite is a promoted
     generation). Idempotent: a second call is a counted no-op."""
     # guard BEFORE taking the lock (whose makedirs would create a junk
-    # dir at a typo'd path): either the new layout exists (no-op) or
-    # legacy parquet files must be present
-    if not os.path.isdir(os.path.join(path, _SIGNATURES)) and not (
+    # dir at a typo'd path): either the new layout is RESOLVABLE — a
+    # signatures dir at the CURRENT root, which after a couple of
+    # compactions lives under g<N> with the flat root GC'd, so the
+    # flat-path check alone would misread "already migrated" as
+    # "nothing to migrate" — or legacy parquet files must be present
+    migrated = os.path.isdir(os.path.join(resolve_root(path), _SIGNATURES))
+    if not migrated and not (
         os.path.isdir(path)
         and any(f.endswith(".parquet") for f in os.listdir(path))
     ):
         raise ValueError(f"no dedup index at {path}: nothing to migrate")
     with maintenance_lock(path, operation="dedup-migrate"):
-        sig_dir = os.path.join(path, _SIGNATURES)
-        if os.path.isdir(sig_dir):
+        # re-check under the lock (the pre-lock read was advisory)
+        if os.path.isdir(os.path.join(resolve_root(path), _SIGNATURES)):
             return {"migrated_files": 0, "already_migrated": True}
+        sig_dir = os.path.join(path, _SIGNATURES)
         os.makedirs(sig_dir)
         moved = 0
         for f in os.listdir(path):

@@ -706,3 +706,27 @@ def test_dedup_index_legacy_migration(spark, tmp_path):
     assert again["already_migrated"], again
     with pytest.raises(ValueError, match="nothing to migrate"):
         migrate_dedup_index(spark, str(tmp_path / "nope"))
+
+    # idempotence must survive the flat root's GC: after two
+    # compactions the signatures live ONLY under g<N> and the flat
+    # dir is gone — a guard checking the literal flat path would
+    # misread this as "nothing to migrate" (the round-12 advice item)
+    from sparktrends_spark.text.dedup_index import compact_dedup_index
+
+    compact_dedup_index(spark, idx, target_files=1)
+    # fragment so the second compact actually rewrites (it no-ops on
+    # an already-compact, tombstone-free index) and pushes the flat
+    # root out of the keep-2 window
+    incremental_dedup(
+        spark.createDataFrame(
+            [(31, "entirely fresh text to fragment the index")],
+            "doc_id long, text string",
+        ),
+        idx,
+        append=True,
+    )
+    c2 = compact_dedup_index(spark, idx, target_files=1)
+    assert "<flat>" in c2["gc_removed"], c2
+    assert not os.path.isdir(os.path.join(idx, "signatures"))
+    late = migrate_dedup_index(spark, idx)
+    assert late["already_migrated"], late

@@ -407,6 +407,46 @@ def test_pq_encode_is_deterministic_and_bounded(spark):
     assert sorted(map(tuple, codes)) == sorted(map(tuple, again))
 
 
+def test_literal_memo_is_session_scoped_and_locked(spark):
+    """The centroid-literal memo (the round-12 serve plan-time fix)
+    keys every entry by the LIVE gateway's applicationId and guards
+    its bookkeeping with a lock: a process that recycles its
+    SparkContext must miss the cache (dead py4j handles), and
+    concurrent serve threads must not interleave the byte-accounting
+    eviction."""
+    import threading
+
+    from sparktrends_spark.operators import kmeans as km
+
+    vecs = {0: [1.0, 2.0], 1: [3.0, 4.0]}
+    col1 = km.vec_array_literal(vecs)
+    col2 = km.vec_array_literal(vecs)
+    assert col1 is col2  # content hit within one session
+    app_id = spark.sparkContext.applicationId
+    keys = [k for k in km._CENT_MEMO if k[0] == app_id]
+    assert keys, "memo keys must lead with the live applicationId"
+    # a different session token can never hit this entry: simulate a
+    # recycled gateway by asking for the same content under a fake
+    # token — the key differs, so the lookup misses and rebuilds
+    fake_key = ("app-after-jvm-restart",) + keys[0][1:]
+    assert fake_key not in km._CENT_MEMO
+    # concurrent construction through the lock neither corrupts the
+    # byte accounting nor deadlocks (8 threads x same content)
+    results = []
+
+    def grab() -> None:
+        results.append(km.vec_array_literal({9: [5.0, 6.0]}))
+
+    threads = [threading.Thread(target=grab) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 8
+    sized = sum(n for _, n in km._CENT_MEMO.values())
+    assert 0 < sized <= km._CENT_MEMO_MAX_BYTES
+
+
 def test_round9_mean_is_exact_half_away():
     """Property: the integer-division mean quantizer equals exact
     Decimal ROUND_HALF_UP arithmetic for every (sum, count) — the tie
