@@ -412,12 +412,18 @@ def _with_cell_sims(
     cent_row: DataFrame,
     vec_col: str,
     round_digits: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, _v, _nv, _sims) — rounded cosine to every centroid,
-    computed against the broadcast one-row centroid table without any
-    fan-out or shuffle."""
+    """(id[, extras], _v, _nv, _sims) — rounded cosine to every
+    centroid, computed against the broadcast one-row centroid table
+    without any fan-out or shuffle. ``extra_cols`` carries payload
+    columns through (the filtered-search build/append path)."""
     return (
-        df.select(F.col(id_alias), F.col(vec_col).alias("_v"))
+        df.select(
+            F.col(id_alias),
+            *[F.col(c) for c in extra_cols],
+            F.col(vec_col).alias("_v"),
+        )
         .withColumn("_nv", norm(F.col("_v")))
         .crossJoin(F.broadcast(cent_row))
         .withColumn(
@@ -566,6 +572,26 @@ def ivf_topk(
     )
 
 
+def _check_ivf_payload_names(payload_cols, cand_id) -> None:
+    # the full set of names THIS index family attaches to frames that
+    # carry payloads at any lifecycle point: build/append scoring
+    # (_v/_nv/_sims/_sim via _with_cell_sims), the stored layout
+    # (_cv/_nc/cell), serve (the default query id, the query-vector
+    # and probe columns, the output cosine/rnk), and the staleness
+    # probe's re-aliases. Shared guard with the IVF-PQ family — a
+    # payload passing build but colliding at serve must fail FIRST.
+    from sparktrends_spark.similarity.generations import (
+        check_payload_names,
+    )
+
+    reserved = {
+        cand_id, "cell", "_v", "_nv", "_sims", "_cents", "_sim",
+        "_cv", "_nc", "query_id", "_qv", "_nq", "_p",
+        "cosine", "rnk", "embedding", "_acell",
+    }
+    check_payload_names(payload_cols, reserved, "IVF")
+
+
 def build_ivf_index(
     vectors: DataFrame,
     path: str,
@@ -573,6 +599,7 @@ def build_ivf_index(
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    payload_cols: tuple[str, ...] = (),
 ) -> None:
     """Persist an IVF index: ``path/centroids`` (one tiny parquet of
     cell, cvec, cn) and ``path/vectors`` partitioned BY CELL — so a
@@ -581,6 +608,18 @@ def build_ivf_index(
     give you (ivf_topk re-scans and re-assigns the corpus per run).
     Assignment is byte-identical to ivf_topk's (same argmax, same
     tie-break).
+
+    ``payload_cols``: metadata columns of ``vectors`` (language,
+    source, license class, ...) stored alongside the full vectors —
+    the substrate for FILTERED search (``ivf_index_topk(where=...)``),
+    the same contract as the IVF-PQ family's: a predicate over
+    payloads narrows candidates at the probed-cell scan (parquet
+    filter pushdown) before tombstone exclusion and exact scoring.
+    Appends must carry the same columns (checked loudly against the
+    stored schema — payloads are self-describing); retrain re-stores
+    them into the next generation. Keep payloads small (scalars, not
+    text) — this family already pays full vectors at rest, but the
+    probed-scan byte economy still matters.
 
     On-disk vector element type is canonicalized to ``array<double>``
     (exact widening — ``dot`` already folds in double, so scores are
@@ -604,6 +643,7 @@ def build_ivf_index(
         reset_generations,
     )
 
+    _check_ivf_payload_names(payload_cols, cand_id)
     with maintenance_lock(path, operation="build"):
         # an overwrite-build resets any previous retrain history
         # (pointer + generation dirs), or readers would resolve a
@@ -619,11 +659,12 @@ def build_ivf_index(
             shutil.rmtree(f"{path}/tombstones")
             vectors.sparkSession.catalog.refreshByPath(f"{path}/tombstones")
         _build_ivf_locked(vectors, path, label_col, cand_id, vec_col,
-                          round_digits)
+                          round_digits, payload_cols)
 
 
 def _build_ivf_locked(
-    vectors, path, label_col, cand_id, vec_col, round_digits
+    vectors, path, label_col, cand_id, vec_col, round_digits,
+    payload_cols=(),
 ) -> None:
     cent = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
     cent_n = cent.select(
@@ -637,11 +678,13 @@ def _build_ivf_locked(
         F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents")
     )
     assigned = _with_cell_sims(
-        vectors, cand_id, cent_row, vec_col, round_digits
+        vectors, cand_id, cent_row, vec_col, round_digits,
+        extra_cols=payload_cols,
     ).select(
         cand_id,
         F.col("_v").cast("array<double>").alias("_cv"),
         F.col("_nv").alias("_nc"),
+        *payload_cols,
         _best_cell()["cell"].alias("cell"),
         _best_cell()["sim"].alias("_sim"),
     )
@@ -731,6 +774,12 @@ def append_ivf_index(
     vectors promoted to double by an upstream transform — can never
     land mixed-typed files in a cell directory.
 
+    Payload columns are SELF-DESCRIBING: whatever extra columns the
+    stored vectors table carries (``payload_cols`` at build) must be
+    present on the batch — a batch missing them would land NULL
+    payloads that silently drop out of every filtered serve, so the
+    mismatch raises instead (the shared IVF/IVF-PQ contract).
+
     Holds the index maintenance lock for the whole append (an append
     racing a retrain promotion would land in the superseded generation
     and be lost at GC — see ``generations.maintenance_lock``)."""
@@ -747,9 +796,26 @@ def append_ivf_index(
         )
 
 
+def _ivf_stored_payloads(spark, root: str, cand_id: str) -> tuple[str, ...]:
+    """Payload columns of the stored vectors table (everything beyond
+    the family's own id/_cv/_nc/cell) — schema-derived via the shared
+    helper, so appends/retrains cannot drift from the build."""
+    from sparktrends_spark.similarity.generations import (
+        stored_payload_cols,
+    )
+
+    return stored_payload_cols(
+        spark, f"{root}/vectors", {cand_id, "_cv", "_nc", "cell"}
+    )
+
+
 def _append_ivf_locked(
     spark, new_vectors, root, cand_id, vec_col, round_digits
 ) -> None:
+    from sparktrends_spark.similarity.generations import require_payloads
+
+    payloads = _ivf_stored_payloads(spark, root, cand_id)
+    require_payloads(new_vectors.columns, payloads, root, "vectors")
     tomb = _ivf_tombstones(spark, root, cand_id)
     if tomb is not None:
         # a batch re-inserting a tombstoned id would be hidden forever
@@ -771,11 +837,13 @@ def _append_ivf_locked(
         F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents")
     )
     assigned = _with_cell_sims(
-        new_vectors, cand_id, cent_row, vec_col, round_digits
+        new_vectors, cand_id, cent_row, vec_col, round_digits,
+        extra_cols=payloads,
     ).select(
         cand_id,
         F.col("_v").cast(f"array<{elem}>").alias("_cv"),
         F.col("_nv").alias("_nc"),
+        *payloads,
         _best_cell()["cell"].alias("cell"),
     )
     assigned.write.mode("append").partitionBy("cell").parquet(
@@ -794,6 +862,7 @@ def ivf_index_topk(
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    where: str | Column | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index (``build_ivf_index``). The probed
     cell set (<= |queries| * nprobe small ints — the documented
@@ -803,7 +872,19 @@ def ivf_index_topk(
     tests); the per-query probe join then restricts scoring within
     them. Results are identical to ivf_topk over the same corpus.
     Resolves the generation pointer ONCE, pinning a consistent
-    generation for the whole serve (see similarity/generations.py)."""
+    generation for the whole serve (see similarity/generations.py).
+
+    ``where`` (requires an index built with ``payload_cols``):
+    FILTERED search — a predicate over the stored payload columns
+    (SQL string or Column, e.g. ``"lang = 'en'"``) narrows candidates
+    at the probed-cell scan, BEFORE tombstone exclusion and exact
+    scoring. Simple comparisons push into the parquet reader
+    (PushedFilters — asserted in tests), so a selective filter reduces
+    bytes read, not just rows scored. Semantics are the standard IVF
+    filtered-search contract shared with ``ivfpq_index_topk``: top-k
+    among candidates satisfying the predicate WITHIN the probed cells
+    — a sharp filter can empty a probed cell, so raise ``nprobe``
+    when filters are highly selective."""
     from sparktrends_spark.similarity.generations import resolve_root
 
     root = resolve_root(path)
@@ -823,6 +904,10 @@ def ivf_index_topk(
     assigned = spark.read.parquet(f"{root}/vectors").filter(
         F.col("cell").isin(probe_cells)
     )
+    if where is not None:
+        assigned = assigned.filter(
+            F.expr(where) if isinstance(where, str) else where
+        )
     tomb = _ivf_tombstones(spark, root, cand_id)
     if tomb is not None:
         # logical deletes (delete_from_ivf_index): tombstoned ids leave
@@ -940,17 +1025,22 @@ def retrain_ivf_index(
     index's coarse quantizer is label-supervised (``label_centroids``)
     and the stored sidecar carries assignments, not labels — so the
     maintainer hands in the labeled source of truth, exactly as at
-    build time. Deterministic: serving the retrained index over an
-    unchanged corpus is bit-identical to serving a fresh build. Holds
-    the index maintenance lock (serializes against concurrent appends,
-    which would otherwise land in the superseded generation and be
-    lost at GC); readers never take it."""
+    build time. Payload columns stored at build are INHERITED: the
+    caller's corpus must carry them (checked loudly), and the new
+    generation re-stores them — a retrain can never silently strip
+    the filtered-search substrate. Deterministic: serving the
+    retrained index over an unchanged corpus is bit-identical to
+    serving a fresh build. Holds the index maintenance lock
+    (serializes against concurrent appends, which would otherwise
+    land in the superseded generation and be lost at GC); readers
+    never take it."""
     import os
 
     from sparktrends_spark.similarity.generations import (
         gc_generations,
         maintenance_lock,
         next_generation,
+        require_payloads,
         resolve_root,
         write_current,
     )
@@ -958,6 +1048,8 @@ def retrain_ivf_index(
     spark = vectors.sparkSession
     with maintenance_lock(path, operation="retrain"):
         previous = resolve_root(path)
+        payloads = _ivf_stored_payloads(spark, previous, cand_id)
+        require_payloads(vectors.columns, payloads, previous, "vectors")
         corpus = vectors
         tomb = _ivf_tombstones(spark, previous, cand_id)
         if tomb is not None:
@@ -975,6 +1067,7 @@ def retrain_ivf_index(
                 cand_id=cand_id,
                 vec_col=vec_col,
                 round_digits=round_digits,
+                payload_cols=payloads,
             )
         except BaseException:
             # a failed generation build was never promoted — remove the

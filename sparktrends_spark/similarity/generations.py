@@ -58,6 +58,10 @@ def maintenance_lock(path: str, timeout_s: float = 600.0, operation: str = ""):
     with the holder info in the error rather than silently proceeding
     into a lost-batch interleaving. The default timeout is
     retrain-sized (quantizer training takes minutes at scale)."""
+    # Every maintained layout (ANN/dedup indexes, the shard exporter)
+    # promotes generations IN PLACE — nothing ever renames ``path``
+    # away — so creating it here cannot race a writer's rename (the
+    # retired dir-swap overwrite was the one hazard; see round 13).
     os.makedirs(path, exist_ok=True)
     lock_path = os.path.join(path, ".maintenance.lock")
     deadline = time.monotonic() + timeout_s
@@ -65,24 +69,6 @@ def maintenance_lock(path: str, timeout_s: float = 600.0, operation: str = ""):
         try:
             fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
-        except FileNotFoundError:
-            # the directory itself can vanish mid-wait: a swap_dirs
-            # holder (the shard exporter's overwrite) renames ``path``
-            # away for an instant between its two renames. That is a
-            # "lock still held" condition, not an error — keep polling
-            # until the second rename restores the path (deliberately
-            # WITHOUT re-creating the dir: a waiter-created empty dir
-            # would make the holder's rename(tmp, path) fail
-            # ENOTEMPTY the moment this waiter won the lock race).
-            if time.monotonic() >= deadline:
-                raise TimeoutError(
-                    f"{lock_path}: index maintenance lock wait timed out"
-                    f" after {timeout_s}s while the directory was absent"
-                    " (a dir-swap writer crashed mid-swap, or the index"
-                    " was deleted) — check for a stranded"
-                    f" {path.rstrip('/')}__old directory"
-                ) from None
-            time.sleep(0.05)
         except FileExistsError:
             if time.monotonic() >= deadline:
                 holder = "<unreadable>"
@@ -112,11 +98,11 @@ def maintenance_lock(path: str, timeout_s: float = 600.0, operation: str = ""):
         yield
     finally:
         # Remove the lock file only if it is still OUR file (same
-        # inode as the held fd). A dir-swap maintenance op (the dedup
-        # index compact/build) moves the held lock away with its old
-        # directory; blindly unlinking lock_path here would then delete
-        # a NEWER writer's freshly-acquired lock and re-open the race
-        # the lock exists to close.
+        # inode as the held fd) — cheap insurance against any future
+        # op that relocates the directory: blindly unlinking
+        # lock_path would then delete a NEWER writer's
+        # freshly-acquired lock and re-open the race the lock exists
+        # to close.
         try:
             held = os.fstat(fd)
             cur = os.stat(lock_path)
@@ -201,38 +187,6 @@ def _write_current_doc(path: str, doc: dict) -> None:
     with open(tmp, "w") as fh:
         json.dump(doc, fh)
     os.replace(tmp, os.path.join(path, "CURRENT"))
-
-
-def swap_dirs(spark, path: str, tmp: str) -> None:
-    """Replace ``path`` with ``tmp`` via TWO atomic dir renames (never
-    file-by-file: per-file moves expose racing readers — and a crash —
-    to a PARTIAL row subset, which reads as a silently smaller table).
-    Crash anywhere here leaves either the old or the new directory
-    complete on disk: between the renames the path is briefly absent,
-    which fails readers LOUDLY, and both full copies survive
-    (``<path>__old`` / the tmp dir) for manual recovery. If ``path``
-    does not exist yet, the swap degenerates to one rename. Callers
-    doing maintenance hold the writer lock; the lock file rides into
-    ``__old`` with its directory, so the post-swap tail of the caller
-    must be read-only. (On an object store use the generation-pointer
-    promotion above instead of renames.) Shared by the dedup index's
-    compact/build swap and the shard exporter's crash-safe overwrite —
-    one implementation of the crash contract."""
-    if not os.path.isdir(path):
-        parent = os.path.dirname(path.rstrip("/")) or "."
-        os.makedirs(parent, exist_ok=True)
-        os.rename(tmp, path)
-    else:
-        old = path.rstrip("/") + "__old"
-        shutil.rmtree(old, ignore_errors=True)  # stale crash leftovers
-        os.rename(path, old)
-        try:
-            os.rename(tmp, path)
-        except BaseException:
-            os.rename(old, path)  # live failure: restore the old dir
-            raise
-        shutil.rmtree(old, ignore_errors=True)
-    spark.catalog.refreshByPath(path)
 
 
 def compact_cells(
@@ -499,6 +453,53 @@ def write_tombstones(
     tdf.distinct().coalesce(1).write.mode("append").parquet(d)
     spark.catalog.refreshByPath(d)
     return int(read_tombstones(spark, root, id_col, artifact).count())
+
+
+def check_payload_names(
+    payload_cols, reserved: set[str], index_kind: str
+) -> None:
+    """Shared build-time guard for FILTERED-search payload columns
+    (IVF and IVF-PQ both store caller metadata alongside the index
+    rows): a payload whose name collides with the index's own
+    layout/serve columns would pass the build and then make the index
+    unservable (or silently shadow a serve-side column) — fail at
+    build instead. ``reserved`` is the full set of names the index
+    family attaches to payload-carrying frames at ANY lifecycle point
+    (build, sidecar, serve, retrain)."""
+    bad = [c for c in payload_cols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"payload column(s) {bad} collide with the {index_kind}"
+            " index's reserved layout/serve names — rename them"
+            " upstream (serves with a custom query id column must also"
+            " avoid naming it after a payload column)"
+        )
+
+
+def stored_payload_cols(spark, table_dir: str, layout: set[str]) -> tuple[str, ...]:
+    """Payload columns of a stored index table: everything beyond the
+    family's own ``layout`` columns, read from the parquet schema — so
+    appends and retrains are SELF-DESCRIBING (no caller-supplied
+    repeat of the build's ``payload_cols``, and no way to drift from
+    it). Shared by the IVF and IVF-PQ filtered-search lifecycles."""
+    return tuple(
+        f.name
+        for f in spark.read.parquet(table_dir).schema.fields
+        if f.name not in layout
+    )
+
+
+def require_payloads(batch_cols, payloads, root: str, table: str) -> None:
+    """Append-time guard: a batch missing a stored payload column
+    would land NULL payloads that silently drop out of every filtered
+    serve — raise instead (shared by both index families)."""
+    missing = [c for c in payloads if c not in batch_cols]
+    if missing:
+        raise ValueError(
+            f"append batch is missing payload column(s) {missing}"
+            f" stored in {root}/{table} — every batch must carry the"
+            " payloads the index was built with"
+        )
 
 
 def staleness_counts(

@@ -217,20 +217,18 @@ def _check_payload_names(payload_cols, id_col, m) -> None:
     # rank), and retrain (which re-aliases the sidecar vector to
     # "embedding"). A payload passing build but colliding at serve or
     # retrain would make the index unservable AFTER it was built —
-    # this guard exists precisely to fail first.
+    # the shared guard (generations.check_payload_names, also used by
+    # the plain IVF index) exists precisely to fail first.
+    from sparktrends_spark.similarity.generations import (
+        check_payload_names,
+    )
+
     reserved = {
         id_col, "cell", "_v", "_r", "_s", "_cv",
         "query_id", "_qv", "_rq", "_lut", "_rn",
         "approx_d2", "d2", "rnk", "embedding",
     } | {f"code_{s}" for s in range(m)}
-    bad = [c for c in payload_cols if c in reserved]
-    if bad:
-        raise ValueError(
-            f"payload column(s) {bad} collide with the index's"
-            " reserved layout/serve names — rename them upstream"
-            " (serves with a custom query_id_col must also avoid"
-            " naming it after a payload column)"
-        )
+    check_payload_names(payload_cols, reserved, "IVF-PQ")
 
 
 def _build_ivfpq_locked(
@@ -336,15 +334,16 @@ def _encode(
 
 def _stored_payload_cols(spark, root: str, id_col: str, m: int) -> tuple[str, ...]:
     """Payload columns of the stored code table: everything beyond the
-    layout's own (id, cell, code_*) — read from the parquet schema, so
-    appends and retrains need no caller-supplied repeat of the build's
-    ``payload_cols`` (and cannot drift from it)."""
-    layout = {id_col, "cell"} | {f"code_{s}" for s in range(m)}
-    return tuple(
-        f.name
-        for f in spark.read.parquet(f"{root}/codes").schema.fields
-        if f.name not in layout
+    layout's own (id, cell, code_*) — via the shared schema-derived
+    helper (generations.stored_payload_cols), so appends and retrains
+    need no caller-supplied repeat of the build's ``payload_cols``
+    (and cannot drift from it)."""
+    from sparktrends_spark.similarity.generations import (
+        stored_payload_cols,
     )
+
+    layout = {id_col, "cell"} | {f"code_{s}" for s in range(m)}
+    return stored_payload_cols(spark, f"{root}/codes", layout)
 
 
 def _load_books(spark, path: str) -> Codebooks:
@@ -445,13 +444,11 @@ def append_ivfpq_index(
         cents = _load_coarse(spark, root)
         books = _load_books(spark, root)
         payloads = _stored_payload_cols(spark, root, id_col, len(books))
-        missing = [c for c in payloads if c not in new_vectors.columns]
-        if missing:
-            raise ValueError(
-                f"append batch is missing payload column(s) {missing}"
-                f" stored in {root}/codes — every batch must carry the"
-                " payloads the index was built with"
-            )
+        from sparktrends_spark.similarity.generations import (
+            require_payloads,
+        )
+
+        require_payloads(new_vectors.columns, payloads, root, "codes")
         emb = new_vectors.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("_v"),

@@ -45,7 +45,33 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["shard_assignments", "shard_manifest", "write_training_shards"]
+__all__ = [
+    "export_root",
+    "read_training_shards",
+    "shard_assignments",
+    "shard_manifest",
+    "write_training_shards",
+]
+
+
+def export_root(path: str) -> str:
+    """Directory holding the CURRENT export's ``shard=K/`` dirs:
+    ``path/g<N>`` once an overwrite has promoted a generation,
+    ``path`` itself for an append-only (never-overwritten) export —
+    the same one-line pinning contract as the ANN/dedup indexes
+    (``generations.resolve_root``). A trainer resolves ONCE at run
+    start and reads that root for the whole run; retention (keep 2)
+    guarantees the pinned root survives one subsequent overwrite."""
+    from sparktrends_spark.similarity.generations import resolve_root
+
+    return resolve_root(path)
+
+
+def read_training_shards(spark, path: str) -> DataFrame:
+    """Read the CURRENT export (see ``export_root``). Shard-pruned
+    reads keep working: filter on ``shard`` prunes partition dirs
+    within the resolved generation."""
+    return spark.read.parquet(export_root(path))
 
 
 def _hex8_to_long(hex_col: Column) -> Column:
@@ -149,6 +175,7 @@ def write_training_shards(
     files_per_shard: int = 1,
     mode: str = "overwrite",
     batch_id: int | None = None,
+    keep_generations: int = 2,
 ) -> dict:
     """Export ``df`` as ``path/shard=K/`` parquet directories.
 
@@ -185,21 +212,30 @@ def write_training_shards(
     route re-deliverable feeds through ``batch_id`` (or the
     incremental dedup index).
 
-    ``mode="overwrite"`` of an existing export is crash-safe: the new
-    export lands in a sibling temp dir and is swapped in via atomic
-    dir renames, so a mid-write failure (including the NULL-id guard
-    firing) leaves the previous export intact — a static overwrite
-    straight onto ``path`` would delete it BEFORE validation could
-    run. (Posix-rename semantics; on an object store use a
-    generation-pointer layout instead, as the ANN index does.)
+    ``mode="overwrite"`` of an existing export is crash-safe AND
+    object-store-ready: the new export lands in a fresh GENERATION
+    directory (``path/g<N+1>/shard=K/...``) and is promoted with one
+    atomic ``CURRENT`` pointer rename — the same discipline as the
+    ANN/dedup indexes (``similarity/generations.py``). A mid-write
+    failure (including the NULL-id guard firing) rmtree's the partial
+    generation and leaves the previous export intact and still
+    CURRENT; the export path is NEVER briefly absent, and a trainer
+    that pinned ``export_root(path)`` at run start keeps reading its
+    generation until retention (``keep_generations``, default 2:
+    current + previous) releases it. Readers go through
+    ``read_training_shards`` / ``export_root``; a legacy append-only
+    export (shard dirs directly under ``path``) resolves to ``path``
+    itself, and its first overwrite migrates it onto generations
+    (the flat shard dirs are retained as the previous root, then
+    GC'd by the next overwrite).
 
     Concurrent OVERWRITE exports serialize on the same
     ``maintenance_lock`` as the index maintainers (the dot-prefixed
-    lock file is invisible to parquet readers): two unserialized swaps
-    can interleave the rename sequence, stranding the previous export
-    at ``<path>__old``. The append paths deliberately do NOT take the
-    lock: a crash mid-batch would leave a stale lock file that blocks
-    the checkpoint REPLAY ``batch_id`` exists for (the restarted query
+    lock file is invisible to parquet readers): two unserialized
+    promotions could otherwise interleave generation numbering and
+    GC. The append paths deliberately do NOT take the lock: a crash
+    mid-batch would leave a stale lock file that blocks the
+    checkpoint REPLAY ``batch_id`` exists for (the restarted query
     is the same single writer, not a concurrent one — Structured
     Streaming already serializes one writer per checkpointed sink).
     Two genuinely concurrent append JOBS to one path remain the
@@ -256,16 +292,24 @@ def write_training_shards(
         .sortWithinPartitions("shard", "order_key")
     )
     if mode == "append":
+        # appends land in the CURRENT generation (the root a reader of
+        # this export resolves); resolved once per call — the
+        # streaming writer is the single writer per sink, so a
+        # promotion cannot race it (overwrites hold the writer lock
+        # against EACH OTHER; mixing one streaming append feed with
+        # concurrent overwrites of the same path is the caller's
+        # contract violation, as with any two writers on one sink)
+        root = export_root(path)
         # an append whose partition depth disagrees with the existing
         # export (plain shard=K/*.parquet next to
         # shard=K/ingest_batch=J/) makes every later read fail with
         # Spark's conflicting-directory-structures error — refuse the
         # write instead of poisoning the export
-        existing = _existing_layout(path)
+        existing = _existing_layout(root)
         wanted = "batched" if batch_id is not None else "plain"
         if existing is not None and existing != wanted:
             raise ValueError(
-                f"export at {path} has {existing!r} layout but this "
+                f"export at {root} has {existing!r} layout but this "
                 f"write would add {wanted!r} files (batch_id "
                 f"{'set' if batch_id is not None else 'absent'}): "
                 "mixed partition depths under shard= break every "
@@ -285,29 +329,61 @@ def write_training_shards(
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("shard", "ingest_batch")
-            .parquet(path)
+            .parquet(root)
         )
     elif mode == "append":
         # additive: task files stage under _temporary and commit
-        staged.write.mode("append").partitionBy("shard").parquet(path)
+        staged.write.mode("append").partitionBy("shard").parquet(root)
     else:
-        # crash-safe overwrite: build the new export beside the old
-        # one, then swap via atomic dir renames — a static overwrite
-        # would delete the old export at job START, before the NULL-id
-        # guard (or any task failure) could abort the job. The writer
-        # lock serializes concurrent overwrites (the swap interleaving
-        # is the one unrecoverable race); the held lock file rides
-        # into __old with its directory (swap_dirs' documented
-        # contract), so the post-swap tail is read-only.
+        # crash-safe overwrite = generation promotion (the ANN/dedup
+        # index discipline, object-store ready): the new export lands
+        # complete in path/g<N+1>/ and ONE atomic CURRENT rename
+        # promotes it — a job failure (including the NULL-id guard
+        # firing, which a static overwrite onto the live path would
+        # discover only AFTER deleting the old export) rmtree's the
+        # partial generation and the previous export stays CURRENT.
+        # The path is never briefly absent; pinned readers keep their
+        # root until retention releases it.
+        import os
+        import shutil
+
         from sparktrends_spark.similarity.generations import (
+            FLAT_ROOT,
+            gc_generations,
             maintenance_lock,
-            swap_dirs,
+            next_generation,
+            write_current,
         )
 
+        spark = df.sparkSession
         with maintenance_lock(path, operation="shard-export-overwrite"):
-            tmp = path.rstrip("/") + "__export_tmp"
-            staged.write.mode("overwrite").partitionBy("shard").parquet(tmp)
-            swap_dirs(df.sparkSession, path, tmp)
+            new_gen = next_generation(path)
+            gen_dir = os.path.join(path, new_gen)
+            try:
+                staged.write.mode("overwrite").partitionBy("shard").parquet(
+                    gen_dir
+                )
+            except BaseException:
+                # never leave a partial never-promoted generation
+                shutil.rmtree(gen_dir, ignore_errors=True)
+                raise
+            write_current(path, new_gen)
+            # a legacy flat export's "artifacts" are its shard dirs —
+            # enumerated at GC time (the names are data-dependent)
+            flat = tuple(
+                d for d in os.listdir(path) if d.startswith("shard=")
+            )
+            removed = gc_generations(path, flat, keep_generations)
+            if FLAT_ROOT in removed:
+                # the flat parquet write also left root-level marker
+                # files (_SUCCESS) — sweep them with their root
+                for f in os.listdir(path):
+                    fp = os.path.join(path, f)
+                    if os.path.isfile(fp) and f not in (
+                        "CURRENT", ".maintenance.lock",
+                    ):
+                        os.remove(fp)
+            spark.catalog.refreshByPath(path)
     return {
         "n_docs": int(obs.get["n_docs"]),
         "n_shards": n_shards,

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from sparktrends_spark.sources.tables import load_table
 from sparktrends_spark.text.shards import (
+    export_root,
+    read_training_shards,
     shard_assignments,
     shard_manifest,
     write_training_shards,
@@ -76,13 +78,17 @@ def test_write_layout_and_roundtrip(spark, sf_dir, tmp_path):
         d, out, n_shards=4, files_per_shard=2, salt="w"
     )
     assert res["n_docs"] == d.count()
-    dirs = sorted(p for p in os.listdir(out) if p.startswith("shard="))
+    # an overwrite export promotes a generation; shard dirs live
+    # under the resolved root (the pinning contract trainers use)
+    root = export_root(out)
+    assert root == os.path.join(out, "g000001")
+    dirs = sorted(p for p in os.listdir(root) if p.startswith("shard="))
     assert dirs == [f"shard={k}" for k in range(4)]
     for p in dirs:
-        files = [f for f in os.listdir(os.path.join(out, p))
+        files = [f for f in os.listdir(os.path.join(root, p))
                  if f.endswith(".parquet")]
         assert 1 <= len(files) <= 2
-    back = spark.read.parquet(out)
+    back = read_training_shards(spark, out)
     assert back.count() == res["n_docs"]
     assert (
         back.select("doc_id").exceptAll(d.select("doc_id")).count() == 0
@@ -92,11 +98,11 @@ def test_write_layout_and_roundtrip(spark, sf_dir, tmp_path):
     import pyarrow.parquet as pq
 
     for p in dirs:
-        for f in os.listdir(os.path.join(out, p)):
+        for f in os.listdir(os.path.join(root, p)):
             if not f.endswith(".parquet"):
                 continue
             keys = pq.read_table(
-                os.path.join(out, p, f), columns=["order_key"]
+                os.path.join(root, p, f), columns=["order_key"]
             )["order_key"].to_pylist()
             assert keys == sorted(keys)
 
@@ -104,7 +110,7 @@ def test_write_layout_and_roundtrip(spark, sf_dir, tmp_path):
 def test_shard_pruned_read(spark, sf_dir, tmp_path):
     out = str(tmp_path / "pruned")
     write_training_shards(_docs(spark, sf_dir), out, n_shards=4, salt="p")
-    one = spark.read.parquet(out).filter("shard = 2")
+    one = read_training_shards(spark, out).filter("shard = 2")
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(shard" in plan
     # the pruned read returns exactly the assignment's shard-2 rows
@@ -128,7 +134,7 @@ def test_incremental_append_matches_monolithic_export(spark, sf_dir, tmp_path):
         d.filter("doc_id % 2 = 1"), inc, n_shards=4, salt="i", mode="append"
     )
     cols = ["doc_id", "shard", "order_key"]
-    a, b = (spark.read.parquet(p).select(*cols) for p in (mono, inc))
+    a, b = (read_training_shards(spark, p).select(*cols) for p in (mono, inc))
     assert a.count() == d.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
@@ -187,25 +193,65 @@ def test_null_ids_and_bad_params_raise(spark, sf_dir, tmp_path):
 
 def test_failed_overwrite_preserves_previous_export(spark, sf_dir, tmp_path):
     """A re-export (the documented fragmentation remedy) that fails —
-    here via the NULL-id guard — must leave the previous export
-    intact: the new export builds in a sibling temp dir and swaps in
-    only on success. A static overwrite would have deleted the old
+    here via the NULL-id guard — must leave the previous export intact
+    AND still CURRENT: the new export builds in a fresh generation dir
+    and is promoted only on success; the failed generation is removed
+    (never orphan junk). A static overwrite would have deleted the old
     files at job start, before validation could run."""
+    from sparktrends_spark.similarity.generations import promoted_roots
+
     d = _docs(spark, sf_dir)
     out = str(tmp_path / "safe")
     res = write_training_shards(d, out, n_shards=4, salt="v")
+    assert export_root(out) == os.path.join(out, "g000001")
     bad = d.withColumn(
         "doc_id", F.when(F.col("doc_id") == 1, None).otherwise(F.col("doc_id"))
     )
     with pytest.raises(Exception, match="NULL doc_id"):
         write_training_shards(bad, out, n_shards=4, salt="v")
-    back = spark.read.parquet(out)
-    assert back.count() == res["n_docs"]
-    # and a SUCCESSFUL re-export with a new salt swaps in cleanly
+    # still the promoted g000001, partial g000002 cleaned up
+    assert export_root(out) == os.path.join(out, "g000001")
+    assert not os.path.isdir(os.path.join(out, "g000002"))
+    assert read_training_shards(spark, out).count() == res["n_docs"]
+    # a SUCCESSFUL re-export promotes the next generation; the
+    # previous root is RETAINED (keep-2) for pinned readers — the
+    # export path itself is never briefly absent
+    pinned = export_root(out)
     write_training_shards(d, out, n_shards=4, salt="v2")
-    assert spark.read.parquet(out).count() == res["n_docs"]
-    assert not os.path.exists(out + "__export_tmp")
-    assert not os.path.exists(out + "__old")
+    # the failed build's number is reclaimed with its directory
+    assert export_root(out) == os.path.join(out, "g000002")
+    assert read_training_shards(spark, out).count() == res["n_docs"]
+    assert spark.read.parquet(pinned).count() == res["n_docs"]  # pinned
+    # one more export releases the oldest root
+    write_training_shards(d, out, n_shards=4, salt="v3")
+    assert not os.path.isdir(pinned)
+    assert promoted_roots(out) == ["g000002", "g000003"]
+
+
+def test_legacy_flat_export_migrates_on_first_overwrite(spark, sf_dir, tmp_path):
+    """A pre-generation export (shard dirs directly under the path —
+    what append-only exports still produce) resolves to itself; its
+    first OVERWRITE promotes g000001 while retaining the flat dirs as
+    the previous root for pinned readers, and the next overwrite GCs
+    them including the flat writer's root-level _SUCCESS marker."""
+    d = _docs(spark, sf_dir)
+    out = str(tmp_path / "legacy")
+    # fabricate the legacy layout via the (still-flat) append path
+    write_training_shards(d, out, n_shards=4, salt="L", mode="append")
+    assert export_root(out) == out
+    assert os.path.isdir(os.path.join(out, "shard=0"))
+
+    write_training_shards(d, out, n_shards=4, salt="L2")
+    assert export_root(out) == os.path.join(out, "g000001")
+    # flat root retained for pinned readers (keep-2)
+    assert os.path.isdir(os.path.join(out, "shard=0"))
+    assert spark.read.parquet(out + "/shard=0").count() > 0
+
+    write_training_shards(d, out, n_shards=4, salt="L3")
+    assert export_root(out) == os.path.join(out, "g000002")
+    assert not any(p.startswith("shard=") for p in os.listdir(out))
+    assert not os.path.isfile(os.path.join(out, "_SUCCESS"))
+    assert read_training_shards(spark, out).count() == d.count()
 
 
 # ---------------------------------------------------------------------------

@@ -232,6 +232,85 @@ def test_ivf_index_append_flow(spark, sf_dir, tmp_path):
     release_persisted()
 
 
+def test_ivf_filtered_search_lifecycle(spark, sf_dir, tmp_path):
+    """Filtered ANN on the PLAIN persisted IVF index — the same
+    ``payload_cols``/``where=`` contract as the IVF-PQ family: the
+    predicate (a) pushes into the probed-cell parquet scan
+    (PushedFilters), (b) is satisfied by every returned neighbor, and
+    (c) survives the whole lifecycle — appends must carry the payloads
+    (missing -> loud), appended rows are filterable, retrain re-stores
+    payloads into the promoted generation, and reserved-name
+    collisions fail at build. The payload is deliberately NOT the
+    cell key (src = vec_id % 3, orthogonal to the label-supervised
+    cells) so the filter exercises row pruning inside probed cells,
+    not cell selection."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.caching import release_persisted
+    from sparktrends_spark.similarity.cosine import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+        retrain_ivf_index,
+    )
+    from sparktrends_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "src", (F.col("vec_id") % 3).cast("int")
+    )
+    idx = str(tmp_path / "ivf_f")
+    build_ivf_index(emb.filter("vec_id % 2 = 0"), idx, payload_cols=("src",))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def serve():
+        return ivf_index_topk(
+            spark, idx, queries, k=3, nprobe=2, where="src = 1"
+        )
+
+    top = serve()
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(src,1)" in plan, plan  # pushed to the scan
+    rows = top.collect()
+    assert rows and all(r["vec_id"] % 3 == 1 for r in rows)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, serve().collect()))
+
+    # append without the stored payload column -> refused loudly
+    batch = emb.filter("vec_id % 2 = 1")
+    with pytest.raises(ValueError, match="payload"):
+        append_ivf_index(batch.select("vec_id", "embedding"), idx)
+    # with it -> appended rows join the filterable candidate set
+    append_ivf_index(batch, idx)
+    stored = spark.read.parquet(f"{idx}/vectors")
+    assert stored.count() == emb.count() and "src" in stored.columns
+
+    # retrain inherits payloads: a corpus missing them is refused, a
+    # complete one re-stores them into the promoted generation
+    with pytest.raises(ValueError, match="payload"):
+        retrain_ivf_index(emb.drop("src"), idx)
+    retrain_ivf_index(emb, idx)
+    from sparktrends_spark.similarity.generations import resolve_root
+
+    gen = spark.read.parquet(f"{resolve_root(idx)}/vectors")
+    assert "src" in gen.columns and gen.count() == emb.count()
+    post = serve().collect()
+    assert post and all(r["vec_id"] % 3 == 1 for r in post)
+
+    # reserved layout/serve names are refused at build
+    for bad in ("query_id", "_cv", "cosine", "cell"):
+        with pytest.raises(ValueError, match="reserved"):
+            build_ivf_index(
+                emb.withColumn(bad, F.lit(1))
+                if bad not in emb.columns
+                else emb,
+                str(tmp_path / f"i_{bad}"),
+                payload_cols=(bad,),
+            )
+    release_persisted()
+
+
 def test_ivf_index_append_canonicalizes_element_type(spark, sf_dir, tmp_path):
     """Regression (round-6 red test): a float-built index receiving an
     ``array<double>`` batch must NOT land mixed-typed parquet files in
