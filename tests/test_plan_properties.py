@@ -235,6 +235,10 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "embedding_dedup_keep",
         "embedding_ivf_topk",      # corpus x one broadcast centroid row
         "embedding_ivf_index_topk",  # same shape over the persisted index
+        "embedding_ivf_filtered_topk",  # same serve + payload predicate
+        "doc_hybrid_bm25_ann_rrf",  # filtered-IVF serve (broadcast
+                                   # centroid row) + bm25's one-row
+                                   # broadcast corpus-constants frame
         "embedding_lsh_topk",
         "event_window_range_join", # range join vs broadcast window list
         "q6_revenue_delta",
