@@ -63,6 +63,18 @@ from sparktrends_spark.plans import profile  # noqa: E402,F401
 # filtered before ranking, and pre/post-compact serve equality
 # raise-checked in-query). The displaced row stays swept +
 # plan-asserted; similarity keeps 6 driver rows.
+# Round 13 (the r12 verdict's rotation ask — surface round-12's
+# capabilities to the driver): embedding_topk ->
+# embedding_ivfpq_filtered_topk (brute force stays swept AND is
+# recomputed in-query as embedding_ann_recall's ground truth, so its
+# semantics remain driver-graded; similarity keeps 6 rows);
+# stream_user_heavy_hitters -> stream_embedding_ann_serve (heavy
+# hitters keep user_cms_frequency + user_heavy_hitters +
+# daily_user_sketch_rollup in the window; streaming keeps 4 rows);
+# doc_importance_sample -> corpus_shard_manifest (DSIR stays swept
+# inside corpus_curation_pipeline's graded family; the export family
+# gets its first driver row). All displaced rows stay swept with full
+# exact oracles.
 _PRIORITY_ORDER = [
     # reference-parity market core
     # (ohlcv_rollup_hourly displaced late r8 for order_status_ivm —
@@ -103,9 +115,9 @@ _PRIORITY_ORDER = [
     "doc_incremental_dedup", "doc_dup_spans",
     # text analysis / curation (north star)
     "doc_quality", "doc_lang_id", "doc_pii_redact",
-    "corpus_curation_pipeline", "doc_importance_sample",
+    "corpus_curation_pipeline", "corpus_shard_manifest",
     # embedding similarity + clustering (north star; kmeans round 8)
-    "embedding_topk",
+    "embedding_ivfpq_filtered_topk",
     "embedding_neardup_topk",
     "embedding_kmeans",
     # round 9: the persisted residual-encoded IVF-PQ index (probe-
@@ -118,7 +130,7 @@ _PRIORITY_ORDER = [
     "embedding_ann_recall",
     # streaming
     "stream_ohlcv_bars", "stream_doc_incremental_dedup",
-    "stream_user_heavy_hitters", "stream_doc_pii_redact",
+    "stream_embedding_ann_serve", "stream_doc_pii_redact",
     # multimodal (north star)
     "asset_features", "asset_jpeg_stats", "asset_mp4_frames",
     "asset_decode_health",
