@@ -1048,6 +1048,14 @@ def retrain_ivf_index(
     spark = vectors.sparkSession
     with maintenance_lock(path, operation="retrain"):
         previous = resolve_root(path)
+        if not os.path.isdir(f"{previous}/vectors"):
+            # loud, not an opaque parquet read error from the payload
+            # inheritance below — retraining a never-built index is
+            # always a caller mistake (build_ivf_index creates one)
+            raise ValueError(
+                f"no index at {previous} ({previous}/vectors missing)"
+                " — nothing to retrain; build_ivf_index creates one"
+            )
         payloads = _ivf_stored_payloads(spark, previous, cand_id)
         require_payloads(vectors.columns, payloads, previous, "vectors")
         corpus = vectors
