@@ -159,7 +159,15 @@ def brute_force_topk(
     ``exclude_label_col``: when set, both frames must carry that
     column and pairs sharing its value are dropped BEFORE ranking —
     hard-negative mining (nearest neighbors from a *different* class,
-    the contrastive-training counterexample harvest)."""
+    the contrastive-training counterexample harvest).
+
+    Filtered search needs no serve-side ``where=`` here (unlike the
+    persisted IVF/IVF-PQ indexes): the candidate side is a caller
+    DataFrame, so pre-filtering it (``candidates.filter(...)``) IS
+    the filtered-search contract — the rank runs after the filter and
+    still returns k rows. The in-plan ``lsh_topk`` works the same
+    way. The persisted indexes need the explicit parameter only
+    because their candidate set comes off disk inside the serve."""
     from pyspark.sql import Window
 
     # Norms are per-vector (O(n+q)) — precomputed once instead of twice

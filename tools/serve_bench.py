@@ -14,6 +14,11 @@ Families:
                  baseline every serve must beat for the index to matter)
 - ``ivf``        persisted IVF (similarity/cosine.build_ivf_index),
                  cosine metric, probe-pruned partition reads
+- ``ivf_filtered`` a SECOND ivf index built with
+                 payload_cols=("label",), served with
+                 where="label < 5" — the round-13 filtered-search
+                 symmetry, same measured-cost question as
+                 ivfpq_filtered
 - ``ivfpq``      persisted residual IVF-PQ, ADC-only (bytes at rest,
                  L2 metric — see the metric-contract note in README)
 - ``ivfpq_rerank`` same index, exact re-rank of the ADC top-20
@@ -155,6 +160,9 @@ def _run_family(spark, emb, idx_root, corpus_path, n_cells=4):
     build_ivf_index(emb, f"{idx_root}/ivf")
     builds["ivf"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
+    build_ivf_index(emb, f"{idx_root}/ivf_f", payload_cols=("label",))
+    builds["ivf_filtered"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     build_ivfpq_index(
         emb, f"{idx_root}/ivfpq", dim=_DIM, n_cells=n_cells, m=2,
         k_codes=4, iterations=3, store_vectors=True,
@@ -174,6 +182,10 @@ def _run_family(spark, emb, idx_root, corpus_path, n_cells=4):
         "brute": lambda q: brute_force_topk(q, emb, k=_K),
         "ivf": lambda q: ivf_index_topk(
             spark, f"{idx_root}/ivf", q, k=_K, nprobe=_NPROBE
+        ),
+        "ivf_filtered": lambda q: ivf_index_topk(
+            spark, f"{idx_root}/ivf_f", q, k=_K, nprobe=_NPROBE,
+            where="label < 5",
         ),
         "ivfpq": lambda q: ivfpq_index_topk(
             spark, f"{idx_root}/ivfpq", q, dim=_DIM, k_neighbors=_K,
@@ -197,6 +209,7 @@ def _run_family(spark, emb, idx_root, corpus_path, n_cells=4):
     scan_dirs = {
         "brute": None,  # no partitioned index: scans the whole corpus
         "ivf": [f"{idx_root}/ivf/vectors"],
+        "ivf_filtered": [f"{idx_root}/ivf_f/vectors"],
         "ivfpq": [f"{idx_root}/ivfpq/codes"],
         "ivfpq_rerank": [
             f"{idx_root}/ivfpq/codes",
