@@ -1042,11 +1042,23 @@ def retrain_ivf_index(
     (serializes against concurrent appends, which would otherwise
     land in the superseded generation and be lost at GC); readers
     never take it."""
+    from sparktrends_spark.similarity.generations import maintenance_lock
+
+    with maintenance_lock(path, operation="retrain"):
+        return _retrain_ivf_locked(
+            vectors, path, label_col, cand_id, vec_col, round_digits,
+            keep_generations,
+        )
+
+
+def _retrain_ivf_locked(
+    vectors, path, label_col, cand_id, vec_col, round_digits,
+    keep_generations,
+) -> dict:
     import os
 
     from sparktrends_spark.similarity.generations import (
         gc_generations,
-        maintenance_lock,
         next_generation,
         require_payloads,
         resolve_root,
@@ -1054,48 +1066,45 @@ def retrain_ivf_index(
     )
 
     spark = vectors.sparkSession
-    with maintenance_lock(path, operation="retrain"):
-        previous = resolve_root(path)
-        if not os.path.isdir(f"{previous}/vectors"):
-            # loud, not an opaque parquet read error from the payload
-            # inheritance below — retraining a never-built index is
-            # always a caller mistake (build_ivf_index creates one)
-            raise ValueError(
-                f"no index at {previous} ({previous}/vectors missing)"
-                " — nothing to retrain; build_ivf_index creates one"
-            )
-        payloads = _ivf_stored_payloads(spark, previous, cand_id)
-        require_payloads(vectors.columns, payloads, previous, "vectors")
-        corpus = vectors
-        tomb = _ivf_tombstones(spark, previous, cand_id)
-        if tomb is not None:
-            # physical reclaim of logical deletes: even if the caller's
-            # corpus still carries a taken-down document, the retrained
-            # generation must not — tombstones outrank the corpus until
-            # this reclaim clears them
-            corpus = corpus.join(tomb, cand_id, "left_anti")
-        new_gen = next_generation(path)
-        try:
-            build_ivf_index(
-                corpus,
-                os.path.join(path, new_gen),
-                label_col=label_col,
-                cand_id=cand_id,
-                vec_col=vec_col,
-                round_digits=round_digits,
-                payload_cols=payloads,
-            )
-        except BaseException:
-            # a failed generation build was never promoted — remove the
-            # partial dir rather than leaving orphan junk for GC
-            import shutil
-
-            shutil.rmtree(os.path.join(path, new_gen), ignore_errors=True)
-            raise
-        write_current(path, new_gen)
-        removed = gc_generations(
-            path, _IVF_FLAT_ARTIFACTS, keep_generations
+    previous = resolve_root(path)
+    if not os.path.isdir(f"{previous}/vectors"):
+        # loud, not an opaque parquet read error from the payload
+        # inheritance below — retraining a never-built index is
+        # always a caller mistake (build_ivf_index creates one)
+        raise ValueError(
+            f"no index at {previous} ({previous}/vectors missing)"
+            " — nothing to retrain; build_ivf_index creates one"
         )
+    payloads = _ivf_stored_payloads(spark, previous, cand_id)
+    require_payloads(vectors.columns, payloads, previous, "vectors")
+    corpus = vectors
+    tomb = _ivf_tombstones(spark, previous, cand_id)
+    if tomb is not None:
+        # physical reclaim of logical deletes: even if the caller's
+        # corpus still carries a taken-down document, the retrained
+        # generation must not — tombstones outrank the corpus until
+        # this reclaim clears them
+        corpus = corpus.join(tomb, cand_id, "left_anti")
+    new_gen = next_generation(path)
+    try:
+        build_ivf_index(
+            corpus,
+            os.path.join(path, new_gen),
+            label_col=label_col,
+            cand_id=cand_id,
+            vec_col=vec_col,
+            round_digits=round_digits,
+            payload_cols=payloads,
+        )
+    except BaseException:
+        # a failed generation build was never promoted — remove the
+        # partial dir rather than leaving orphan junk for GC
+        import shutil
+
+        shutil.rmtree(os.path.join(path, new_gen), ignore_errors=True)
+        raise
+    write_current(path, new_gen)
+    removed = gc_generations(path, _IVF_FLAT_ARTIFACTS, keep_generations)
     for sub in _IVF_FLAT_ARTIFACTS:
         spark.catalog.refreshByPath(os.path.join(path, new_gen, sub))
     return {
@@ -1103,6 +1112,91 @@ def retrain_ivf_index(
         "previous_root": previous,
         "gc_removed": removed,
     }
+
+
+def maybe_retrain_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    max_sim_drop: float = 0.05,
+    max_size_ratio: float = 2.0,
+    max_cell_skew: float = 4.0,
+    max_tombstone_ratio: float = 0.25,
+    **retrain_kwargs,
+) -> dict:
+    """The maintenance POLICY in one call for the plain IVF index —
+    probe, compare against thresholds, retrain only if stale: the
+    label-supervised twin of ``maybe_retrain_ivfpq_index`` (same
+    cron-job shape; round-13 lifecycle symmetry). The one signature
+    difference is inherent to the family: the caller supplies the
+    LABELED corpus (``vectors``), exactly as ``retrain_ivf_index``
+    requires, because the stored sidecar carries assignments, not
+    labels — when no threshold trips, the frame is never executed.
+
+    - ``max_sim_drop``: ABSOLUTE drop in mean round-6 cosine to the
+      assigned (frozen) centroid vs the build-time baseline — the
+      direct recall-decay proxy for a cosine-metric index (cosine
+      means can sit near zero, where a ratio threshold misleads);
+    - ``max_size_ratio`` / ``max_cell_skew`` / ``max_tombstone_ratio``:
+      as in the IVF-PQ policy (growth since train, hot-cell probe
+      cost, logical deletes awaiting physical reclaim).
+
+    The whole probe-decide-retrain sequence runs UNDER the maintenance
+    lock — two concurrent policy runs cannot both trigger and promote
+    back-to-back generations out from under pinned readers; the
+    second re-probes the freshly retrained index and no-ops. Returns
+    the staleness report plus ``{"retrained": bool, "reasons": [...],
+    "retrain": <retrain result or None>}``."""
+    from sparktrends_spark.similarity.generations import maintenance_lock
+
+    # validate retrain options UP FRONT — a misspelled knob in a
+    # maintenance cron would otherwise silently fall back to defaults
+    # (and, when no threshold trips, never even be looked at)
+    lock_timeout_s = retrain_kwargs.pop("lock_timeout_s", 600.0)
+    label_col = retrain_kwargs.pop("label_col", "label")
+    cand_id = retrain_kwargs.pop("cand_id", "vec_id")
+    vec_col = retrain_kwargs.pop("vec_col", "embedding")
+    round_digits = retrain_kwargs.pop("round_digits", 6)
+    keep_generations = retrain_kwargs.pop("keep_generations", 2)
+    if retrain_kwargs:
+        raise TypeError(
+            "maybe_retrain_ivf_index: unknown retrain option(s) "
+            f"{sorted(retrain_kwargs)} — valid: lock_timeout_s,"
+            " label_col, cand_id, vec_col, round_digits,"
+            " keep_generations"
+        )
+    spark = vectors.sparkSession
+    with maintenance_lock(path, lock_timeout_s, operation="policy"):
+        st = ivf_index_staleness(spark, path)
+        reasons = []
+        if st["sim_drop"] is not None and st["sim_drop"] > max_sim_drop:
+            reasons.append(
+                f"sim_drop {st['sim_drop']:.4f} > {max_sim_drop}"
+            )
+        if st["size_ratio"] > max_size_ratio:
+            reasons.append(
+                f"size_ratio {st['size_ratio']:.2f} > {max_size_ratio}"
+            )
+        if st["cell_skew"] > max_cell_skew:
+            reasons.append(
+                f"cell_skew {st['cell_skew']:.2f} > {max_cell_skew}"
+            )
+        if st["tombstone_ratio"] > max_tombstone_ratio:
+            reasons.append(
+                f"tombstone_ratio {st['tombstone_ratio']:.2f} >"
+                f" {max_tombstone_ratio}"
+            )
+        out = dict(st)
+        out["retrained"] = bool(reasons)
+        out["reasons"] = reasons
+        out["retrain"] = (
+            _retrain_ivf_locked(
+                vectors, path, label_col, cand_id, vec_col,
+                round_digits, keep_generations,
+            )
+            if reasons
+            else None
+        )
+    return out
 
 
 def compact_ivf_index(

@@ -424,6 +424,52 @@ def test_ivf_index_delete_and_retrain_reclaim(spark, sf_dir, tmp_path):
     assert st2["n_tombstones"] == 0
 
 
+def test_maybe_retrain_ivf_policy(spark, sf_dir, tmp_path):
+    """One-call probe->thresholds->retrain for the plain IVF index
+    (round-13 lifecycle symmetry with maybe_retrain_ivfpq_index): a
+    fresh index no-ops under default thresholds; a takedown pushing
+    tombstone_ratio over the knob retrains (physically reclaiming the
+    deletes) under ONE lock hold; unknown retrain options raise up
+    front."""
+    from sparktrends_spark.similarity.cosine import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        maybe_retrain_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpolicy")
+    build_ivf_index(emb, idx)
+
+    out = maybe_retrain_ivf_index(emb, idx)
+    release_persisted()
+    assert not out["retrained"] and out["retrain"] is None
+    assert out["sim_drop"] is not None and abs(out["sim_drop"]) < 1e-9
+
+    # tombstone a third of the corpus: ratio > 0.25 default -> retrain
+    delete_from_ivf_index(
+        spark, idx, emb.filter("vec_id % 3 = 0").select("vec_id")
+    )
+    out2 = maybe_retrain_ivf_index(emb, idx)
+    release_persisted()
+    assert out2["retrained"] and any(
+        r.startswith("tombstone_ratio") for r in out2["reasons"]
+    )
+    gen = out2["retrain"]["generation"]
+    live = emb.filter("vec_id % 3 != 0")
+    assert (
+        spark.read.parquet(os.path.join(idx, gen, "vectors")).count()
+        == live.count()
+    )
+    # the freshly retrained index no-ops again
+    out3 = maybe_retrain_ivf_index(emb.filter("vec_id % 3 != 0"), idx)
+    release_persisted()
+    assert not out3["retrained"] and out3["n_tombstones"] == 0
+
+    with pytest.raises(TypeError, match="unknown retrain option"):
+        maybe_retrain_ivf_index(emb, idx, nprobe=2)
+
+
 def test_ivf_index_compact_merges_and_reclaims(spark, sf_dir, tmp_path):
     """compact_ivf_index closes the IVF index's two maintenance gaps
     in one op: appends fragment cell dirs (file merge) and takedown
