@@ -2311,6 +2311,199 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _filtered_recall_oracle() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    K = _RECALL_K
+
+    def fam(fam_name, metric, top_cte, gt_cte):
+        h = f"(SELECT count(*) FROM {top_cte} JOIN {gt_cte} USING (query_id, vec_id))"
+        t = f"(SELECT count(*) FROM {gt_cte})"
+        return f"""
+  SELECT '{fam_name}' AS family, '{metric}' AS metric,
+         CAST({h} AS BIGINT) AS hits, CAST({t} AS BIGINT) AS total,
+         CAST({h} AS DOUBLE) / {t} AS recall"""
+
+    tails = " UNION ALL ".join(
+        [
+            fam("ivf_filtered", "cosine", "fivf_top", "fbf_cos"),
+            fam("ivfpq_filtered", "l2", "fipq_top", "fbf_l2"),
+        ]
+    )
+    return (
+        _ivfpq_residual_with()
+        + f""",
+fbf_cos AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos.format(a="q.qv", b="c.v")} DESC, c.vec_id) AS rn
+    FROM ave c, q WHERE c.vec_id != q.query_id AND c.vec_id % 3 = 1)
+  WHERE rn <= {K}
+),
+fbf_l2 AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_sum([ (z[1]-z[2])*(z[1]-z[2])
+                       for z in list_zip(c.v, q.qv) ]), 6) ASC,
+                      c.vec_id) AS rn
+    FROM ave c JOIN embeddings el ON el.vec_id = c.vec_id, q
+    WHERE c.vec_id != q.query_id AND el.label < 5)
+  WHERE rn <= {K}
+),
+flve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+ficent_long AS MATERIALIZED (
+  SELECT label AS cell, i AS pos, avg(flve.v[i]) AS m
+  FROM flve, generate_series(1, {_DIM}) AS t(i)
+  GROUP BY cell, i
+),
+ficent AS MATERIALIZED (SELECT cell, list(m ORDER BY pos) AS cvec FROM ficent_long GROUP BY cell),
+fiasg AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT flve.vec_id, flve.v, c.cell,
+           row_number() OVER (PARTITION BY flve.vec_id
+             ORDER BY {cos.format(a="flve.v", b="c.cvec")} DESC, c.cell) AS rn
+    FROM flve CROSS JOIN ficent c) WHERE rn = 1
+),
+fiprobes AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos.format(a="q.qv", b="c.cvec")} DESC, c.cell) AS rn
+    FROM q CROSS JOIN ficent c) WHERE rn <= {_IVF_NPROBE}
+),
+fivf_top AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY {cos.format(a="q.qv", b="a.v")} DESC, a.vec_id) AS rn
+    FROM fiasg a JOIN fiprobes p USING (cell) JOIN q ON q.query_id = p.query_id
+    WHERE a.vec_id != p.query_id AND a.vec_id % 3 = 1)
+  WHERE rn <= {K}
+),
+fipq_top AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT rs.query_id, rs.vec_id,
+           row_number() OVER (PARTITION BY rs.query_id
+             ORDER BY rs.approx_d2 ASC, rs.vec_id ASC) AS rn
+    FROM res_scored rs JOIN embeddings e2 ON e2.vec_id = rs.vec_id
+    WHERE e2.label < 5)
+  WHERE rn <= {K}
+)
+SELECT family, metric, hits, total, recall FROM ({tails})
+"""
+    )
+
+
+@query("embedding_filtered_ann_recall", oracle=_filtered_recall_oracle())
+def q_embedding_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit for FILTERED search on both persisted index
+    families — the quality receipt behind the documented trade ("a
+    sharp filter can empty probed cells, raise nprobe"): each family's
+    filtered top-10 is compared against the brute-force ground truth
+    computed OVER THE FILTERED CANDIDATE SET under the family's own
+    metric (cosine for the plain IVF with src = vec_id % 3 payload,
+    squared L2 for the residual IVF-PQ with the label payload). Hit
+    counts are exact integers, so the statistic itself is
+    value-oracled — both engines compute identical top-10 sets,
+    intersections, and ratios. One row per family:
+    (family, metric, hits, total, recall). Registered swept-only
+    (round-13 registry discipline)."""
+    from pyspark.sql import Window
+
+    from sparktrends_spark.caching import persist_tracked
+    from sparktrends_spark.similarity.cosine import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from sparktrends_spark.similarity.ivfpq_index import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    K = _RECALL_K
+    emb = _emb(spark, sf_dir)
+    embs = emb.withColumn("src", (F.col("vec_id") % 3).cast("int"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # ground truths over the FILTERED candidate sets (each consumed by
+    # one hits join + one total count: persist)
+    gt_cos = persist_tracked(
+        brute_force_topk(queries, embs.filter("src = 1"), k=K).select(
+            "query_id", "vec_id"
+        )
+    )
+    qv = queries.select(
+        "query_id", F.col("embedding").cast("array<double>").alias("_qv")
+    )
+    cv = emb.filter("label < 5").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_cv")
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("_cv"), F.col("_qv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    wl2 = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("vec_id"))
+    gt_l2 = persist_tracked(
+        cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_d2", l2)
+        .withColumn("rn", F.row_number().over(wl2))
+        .where(F.col("rn") <= K)
+        .select("query_id", "vec_id")
+    )
+
+    idx_ivf = _idx_path("f_recall_ivf", sf_dir)
+    build_ivf_index(embs, idx_ivf, payload_cols=("src",))
+    idx_ipq = _idx_path("f_recall_ivfpq", sf_dir)
+    build_ivfpq_index(
+        emb, idx_ipq, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
+        k_codes=_PQ_K, iterations=_KM_ITERS, payload_cols=("label",),
+    )
+    fams = [
+        ("ivf_filtered", "cosine",
+         ivf_index_topk(
+             spark, idx_ivf, queries, k=K, nprobe=_IVF_NPROBE,
+             where="src = 1",
+         ),
+         gt_cos),
+        ("ivfpq_filtered", "l2",
+         ivfpq_index_topk(
+             spark, idx_ipq, queries, dim=_DIM, k_neighbors=K,
+             nprobe=_IVF_NPROBE, where="label < 5",
+         ),
+         gt_l2),
+    ]
+    out = None
+    for fam_name, metric, frame, gt in fams:
+        hits = (
+            frame.select("query_id", "vec_id")
+            .join(gt, ["query_id", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        tot = gt.agg(F.count(F.lit(1)).alias("total"))
+        row = hits.crossJoin(F.broadcast(tot)).select(
+            F.lit(fam_name).alias("family"),
+            F.lit(metric).alias("metric"),
+            F.col("hits").cast("bigint").alias("hits"),
+            F.col("total").cast("bigint").alias("total"),
+            (F.col("hits").cast("double") / F.col("total")).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 _PI_ITERS = 3
 
 

@@ -264,6 +264,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "doc_bigram_pmi",          # corpus totals: two broadcast one-row frames
         "embedding_ann_recall",    # brute ground truths (corpus x broadcast
                                    # queries) + 1-row hits x totals joins
+        "embedding_filtered_ann_recall",  # same shape, filtered subsets
         "event_ab_test_ztest",     # variant denominators: one broadcast row
         "event_type_weekday_chi2",  # contingency total: one broadcast row
     }
