@@ -36,6 +36,8 @@ Reference scope note: SparkTrends has no clustering; engine extension
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -78,7 +80,7 @@ def dist2_col(vec_col: F.Column, cent_col: F.Column) -> F.Column:
 
 _CENT_MEMO: dict[tuple, tuple[object, int]] = {}  # key -> (Column, bytes)
 _CENT_MEMO_MAX_BYTES = 128 * 1024 * 1024
-_CENT_MEMO_LOCK = __import__("threading").Lock()
+_CENT_MEMO_LOCK = threading.Lock()
 
 
 def _session_token() -> str | None:

@@ -466,6 +466,13 @@ def check_payload_names(
     build instead. ``reserved`` is the full set of names the index
     family attaches to payload-carrying frames at ANY lifecycle point
     (build, sidecar, serve, retrain)."""
+    if isinstance(payload_cols, str):
+        # payload_cols="src" would iterate as characters and surface
+        # later as a baffling per-letter column-not-found — fail here
+        raise TypeError(
+            f"payload_cols must be a sequence of column names, got the"
+            f" string {payload_cols!r} — pass ({payload_cols!r},)"
+        )
     bad = [c for c in payload_cols if c in reserved]
     if bad:
         raise ValueError(

@@ -298,6 +298,10 @@ def test_ivf_filtered_search_lifecycle(spark, sf_dir, tmp_path):
     post = serve().collect()
     assert post and all(r["vec_id"] % 3 == 1 for r in post)
 
+    # a bare string (instead of a 1-tuple) is a loud TypeError, not a
+    # baffling per-character column-not-found later
+    with pytest.raises(TypeError, match="sequence of column names"):
+        build_ivf_index(emb, str(tmp_path / "i_str"), payload_cols="src")
     # reserved layout/serve names are refused at build
     for bad in ("query_id", "_cv", "cosine", "cell"):
         with pytest.raises(ValueError, match="reserved"):
