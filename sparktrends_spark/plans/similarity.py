@@ -1744,6 +1744,8 @@ def build_stream_embedding_ann_serve(
     max_files_per_trigger: int | None = None,
     ckpt_dir: str | None = None,
     table_dir: str | None = None,
+    payload_cols: tuple[str, ...] = (),
+    where: str | None = None,
 ) -> DataFrame:
     """Rides ``run_upsert_stream`` (ONE drive loop for every
     foreachBatch-upsert query) with a ``batch_transform`` that serves
@@ -1751,7 +1753,14 @@ def build_stream_embedding_ann_serve(
     and ``table_dir`` must be pinned TOGETHER for a restart: replaying
     a checkpoint against a fresh temp table would skip the
     already-committed batches and silently lose their results (the
-    run_upsert_stream contract)."""
+    run_upsert_stream contract).
+
+    ``payload_cols``/``where``: ONLINE FILTERED retrieval — the index
+    is built with the payloads and every micro-batch serves under the
+    predicate (pushed into the probed-cell scan exactly as in the
+    batch serve). The index is fixed for the stream's duration, so
+    filtered serving is just as stateless per batch as unfiltered —
+    batch boundaries cannot change any verdict."""
     from sparktrends_spark.plans.streaming_queries import (
         run_upsert_stream,
     )
@@ -1762,7 +1771,13 @@ def build_stream_embedding_ann_serve(
     from sparktrends_spark.sources.tables import scan_parallel
 
     base = sf_dir.rstrip("/")
-    idx = _idx_path("ivfpq_serve_stream", sf_dir)
+    # filtered and unfiltered variants get distinct index roots: they
+    # differ in stored payload schema, and sharing one path would make
+    # back-to-back runs rebuild-thrash it
+    idx = _idx_path(
+        "ivfpq_serve_stream_f" if payload_cols else "ivfpq_serve_stream",
+        sf_dir,
+    )
     # the corpus is read by the same glob the stream consumes — in the
     # multibatch tests the table is split across embeddings_*.parquet
     # files and the index must cover all of them (the dedup-history
@@ -1772,7 +1787,7 @@ def build_stream_embedding_ann_serve(
     )
     build_ivfpq_index(
         corpus, idx, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
-        k_codes=_PQ_K, iterations=_KM_ITERS,
+        k_codes=_PQ_K, iterations=_KM_ITERS, payload_cols=payload_cols,
     )
     reader = spark.readStream.schema(
         "vec_id bigint, embedding array<float>, label int"
@@ -1792,7 +1807,7 @@ def build_stream_embedding_ann_serve(
             return None
         return ivfpq_index_topk(
             spark, idx, batch_df, dim=_DIM, k_neighbors=3,
-            nprobe=_IVF_NPROBE,
+            nprobe=_IVF_NPROBE, where=where,
         )
 
     return run_upsert_stream(

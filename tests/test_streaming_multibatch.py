@@ -417,3 +417,27 @@ def test_multibatch_ann_serve_lands_on_oracle(
     ).toPandas()
     assert _n_batches(ckpt) >= N_SPLITS
     _assert_frames_equal(got, _oracle(sf_dir, "stream_embedding_ann_serve"))
+
+
+def test_multibatch_filtered_ann_serve_lands_on_oracle(
+    spark, sf_dir, emb_split_dir, tmp_path
+):
+    """ONLINE FILTERED retrieval: the streaming serve under a payload
+    predicate (where="label < 5" against an index built with the
+    label payload) split into 3 micro-batches must land on the exact
+    batch filtered-serve oracle — the index is fixed for the stream's
+    duration, so the predicate's probed-cell pushdown is just as
+    batch-boundary-invariant as the unfiltered serve."""
+    from sparktrends_spark.plans.similarity import (
+        build_stream_embedding_ann_serve,
+    )
+
+    ckpt = str(tmp_path / "ckpt_ann_serve_f")
+    got = build_stream_embedding_ann_serve(
+        spark, emb_split_dir, max_files_per_trigger=1, ckpt_dir=ckpt,
+        payload_cols=("label",), where="label < 5",
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    _assert_frames_equal(
+        got, _oracle(sf_dir, "embedding_ivfpq_filtered_topk")
+    )
