@@ -698,8 +698,17 @@ def q_doc_hybrid_bm25_ann_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     docs = scan_parallel(load_table(spark, sf_dir, "documents"))
+    # LEFT join: the index (and so the label centroids) is built over
+    # ALL embeddings — exactly the oracle's semantics and the
+    # documented filtered-search contract (filter candidates, never
+    # the training corpus). An embedding without a document row
+    # carries NULL lang and is excluded by the where= predicate at
+    # serve; an INNER join would silently shift cell assignments on
+    # any corpus where the id spaces diverge (r13 ADVICE).
     corpus = emb.join(
-        docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"),
+        "vec_id",
+        "left",
     )
     idx = _idx_path("hybrid_ivf", sf_dir)
     build_ivf_index(corpus, idx, payload_cols=("lang",))

@@ -913,8 +913,12 @@ def ivf_index_topk(
         F.col("cell").isin(probe_cells)
     )
     if where is not None:
-        assigned = assigned.filter(
-            F.expr(where) if isinstance(where, str) else where
+        # loud serve-side guard: an unresolvable predicate names the
+        # stored payloads instead of an opaque AnalysisException
+        from sparktrends_spark.similarity.generations import apply_where
+
+        assigned = apply_where(
+            assigned, where, root, _ivf_stored_payloads(spark, root, cand_id)
         )
     tomb = _ivf_tombstones(spark, root, cand_id)
     if tomb is not None:

@@ -496,6 +496,40 @@ def stored_payload_cols(spark, table_dir: str, layout: set[str]) -> tuple[str, .
     )
 
 
+def apply_where(df, where, root: str, payloads: tuple[str, ...]):
+    """Apply a filtered-search ``where=`` predicate to a stored index
+    scan, failing LOUDLY when it doesn't resolve — the serve-side twin
+    of the build/append guards (``check_payload_names`` /
+    ``require_payloads``): a predicate naming a column the index never
+    stored (typically an index built WITHOUT ``payload_cols``) would
+    otherwise surface as an opaque unresolved-column AnalysisException
+    deep in the serve. Shared by the IVF and IVF-PQ serves so the
+    error contract cannot drift between families. A string predicate
+    with a SQL syntax error still raises at ``F.expr`` parse time —
+    before this guard — with the parser's own message."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    cond = F.expr(where) if isinstance(where, str) else where
+    try:
+        # DataFrame analysis is eager: an unresolved column in the
+        # predicate raises HERE, not at the action
+        return df.filter(cond)
+    except AnalysisException as e:
+        stored = (
+            ", ".join(repr(c) for c in payloads)
+            if payloads
+            else "(none — the index was built without payload_cols)"
+        )
+        raise ValueError(
+            f"where= predicate {where!r} does not resolve against the"
+            f" stored index at {root} — stored payload column(s):"
+            f" {stored}. Filtered search requires the index to be"
+            " built with payload_cols naming every column the"
+            " predicate references."
+        ) from e
+
+
 def require_payloads(batch_cols, payloads, root: str, table: str) -> None:
     """Append-time guard: a batch missing a stored payload column
     would land NULL payloads that silently drop out of every filtered

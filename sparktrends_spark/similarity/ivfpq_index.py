@@ -559,8 +559,12 @@ def ivfpq_index_topk(
         F.col("cell").isin([int(c) for c in cells])
     )
     if where is not None:
-        codes = codes.filter(
-            F.expr(where) if isinstance(where, str) else where
+        # loud serve-side guard: an unresolvable predicate names the
+        # stored payloads instead of an opaque AnalysisException
+        from sparktrends_spark.similarity.generations import apply_where
+
+        codes = apply_where(
+            codes, where, root, _stored_payload_cols(spark, root, id_col, m)
         )
     tomb = _tombstones(spark, root, id_col)
     if tomb is not None:

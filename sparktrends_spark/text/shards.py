@@ -149,6 +149,19 @@ def shard_manifest(
     return assigned.groupBy("shard").agg(*aggs)
 
 
+def _is_commit_marker(name: str) -> bool:
+    """Root-level files Spark's FileOutputCommitter (v1/v2, plus the
+    DBIO-style committers) leaves next to partition dirs — the ONLY
+    files the legacy-flat-root GC may sweep. Anything else at the
+    export root is user data."""
+    return (
+        name == "_SUCCESS"
+        or (name.startswith(".") and name.endswith(".crc"))
+        or name.startswith("_committed_")
+        or name.startswith("_started_")
+    )
+
+
 def _existing_layout(path: str) -> str | None:
     """Partition depth of the export already on disk: ``"plain"``
     (shard=K/*.parquet), ``"batched"`` (shard=K/ingest_batch=J/...),
@@ -375,13 +388,13 @@ def write_training_shards(
             )
             removed = gc_generations(path, flat, keep_generations)
             if FLAT_ROOT in removed:
-                # the flat parquet write also left root-level marker
-                # files (_SUCCESS) — sweep them with their root
+                # the flat parquet write also left root-level
+                # job-commit markers — sweep ONLY those (an unrelated
+                # file a user co-located at the export root, e.g. a
+                # README or a manifest dump, is not ours to delete)
                 for f in os.listdir(path):
                     fp = os.path.join(path, f)
-                    if os.path.isfile(fp) and f not in (
-                        "CURRENT", ".maintenance.lock",
-                    ):
+                    if os.path.isfile(fp) and _is_commit_marker(f):
                         os.remove(fp)
             spark.catalog.refreshByPath(path)
     return {

@@ -306,6 +306,22 @@ def test_ivfpq_filtered_search_lifecycle(spark, sf_dir, tmp_path):
     assert codes.count() == emb.count()
     assert "label" in codes.columns
 
+    # where= over a column the index never stored -> loud ValueError
+    # NAMING the stored payloads, not an opaque AnalysisException
+    with pytest.raises(ValueError, match="stored payload column.*'label'"):
+        ivfpq_index_topk(
+            spark, idx, queries, dim=_DIM, k_neighbors=3, nprobe=2,
+            where="lang = 'en'",
+        )
+    # ...and against an index built WITHOUT payloads, the error says so
+    bare = str(tmp_path / "ivfpq_bare")
+    build_ivfpq_index(emb.filter("vec_id % 2 = 0"), bare, dim=_DIM)
+    with pytest.raises(ValueError, match="without payload_cols"):
+        ivfpq_index_topk(
+            spark, bare, queries, dim=_DIM, k_neighbors=3, nprobe=2,
+            where="label < 5",
+        )
+
     # retrain re-encodes payloads into the promoted generation
     info = retrain_ivfpq_index(spark, idx, dim=_DIM)
     from sparktrends_spark.similarity.generations import resolve_root

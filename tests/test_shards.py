@@ -241,6 +241,12 @@ def test_legacy_flat_export_migrates_on_first_overwrite(spark, sf_dir, tmp_path)
     assert export_root(out) == out
     assert os.path.isdir(os.path.join(out, "shard=0"))
 
+    # a user file co-located at the export root must SURVIVE the
+    # flat-root GC sweep (it only sweeps Spark job-commit markers)
+    readme = os.path.join(out, "README.txt")
+    with open(readme, "w") as fh:
+        fh.write("user notes about this export\n")
+
     write_training_shards(d, out, n_shards=4, salt="L2")
     assert export_root(out) == os.path.join(out, "g000001")
     # flat root retained for pinned readers (keep-2)
@@ -251,6 +257,7 @@ def test_legacy_flat_export_migrates_on_first_overwrite(spark, sf_dir, tmp_path)
     assert export_root(out) == os.path.join(out, "g000002")
     assert not any(p.startswith("shard=") for p in os.listdir(out))
     assert not os.path.isfile(os.path.join(out, "_SUCCESS"))
+    assert os.path.isfile(readme), "GC swept a user file at the root"
     assert read_training_shards(spark, out).count() == d.count()
 
 

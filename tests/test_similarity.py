@@ -298,6 +298,16 @@ def test_ivf_filtered_search_lifecycle(spark, sf_dir, tmp_path):
     post = serve().collect()
     assert post and all(r["vec_id"] % 3 == 1 for r in post)
 
+    # where= over a column the index never stored -> loud ValueError
+    # NAMING the stored payloads, not an opaque AnalysisException
+    with pytest.raises(ValueError, match="stored payload column.*'src'"):
+        ivf_index_topk(spark, idx, queries, k=3, nprobe=2, where="lang = 'en'")
+    # ...and against an index built WITHOUT payloads, the error says so
+    bare = str(tmp_path / "ivf_bare")
+    build_ivf_index(emb.select("vec_id", "embedding", "label"), bare)
+    with pytest.raises(ValueError, match="without payload_cols"):
+        ivf_index_topk(spark, bare, queries, k=3, nprobe=2, where="src = 1")
+
     # a bare string (instead of a 1-tuple) is a loud TypeError, not a
     # baffling per-character column-not-found later
     with pytest.raises(TypeError, match="sequence of column names"):
