@@ -75,6 +75,20 @@ from sparktrends_spark.plans import profile  # noqa: E402,F401
 # inside corpus_curation_pipeline's graded family; the export family
 # gets its first driver row). All displaced rows stay swept with full
 # exact oracles.
+# Round 14 (the r13 verdict's rotation ask — surface round-13's
+# capabilities): embedding_ivfpq_filtered_topk ->
+# embedding_ivf_filtered_topk (filtered serve now graded on the PLAIN
+# persisted family; the IVF-PQ filtered serve stays swept AND is
+# re-exercised in-window by embedding_filtered_ann_recall's ivfpq row,
+# so both families' filtered serves remain driver-graded);
+# embedding_ann_recall -> embedding_filtered_ann_recall (the filtered
+# audit is the same exact-integer-hit-count shape over the sharper
+# contract; the unfiltered audit stays swept); embedding_neardup_topk
+# -> doc_hybrid_bm25_ann_rrf (the banded-LSH near-dup architecture
+# stays driver-graded through doc_minhash_pairs +
+# doc_incremental_dedup, and embedding_neardup/_topk stay swept; the
+# hybrid row is the retrieval shape the engine now serves). IVF-PQ
+# keeps 2 driver rows (delete + retrain); similarity keeps 6 rows.
 _PRIORITY_ORDER = [
     # reference-parity market core
     # (ohlcv_rollup_hourly displaced late r8 for order_status_ivm —
@@ -117,8 +131,8 @@ _PRIORITY_ORDER = [
     "doc_quality", "doc_lang_id", "doc_pii_redact",
     "corpus_curation_pipeline", "corpus_shard_manifest",
     # embedding similarity + clustering (north star; kmeans round 8)
-    "embedding_ivfpq_filtered_topk",
-    "embedding_neardup_topk",
+    "embedding_ivf_filtered_topk",
+    "doc_hybrid_bm25_ann_rrf",
     "embedding_kmeans",
     # round 9: the persisted residual-encoded IVF-PQ index (probe-
     # pruned serve — supersedes the in-query embedding_ivfpq_topk in
@@ -127,7 +141,7 @@ _PRIORITY_ORDER = [
     # index maintenance lifecycle (append-drift staleness + atomic
     # generation retrain, displacing embedding_ivf_index_topk)
     "embedding_ivfpq_delete_topk", "embedding_ivfpq_retrain_topk",
-    "embedding_ann_recall",
+    "embedding_filtered_ann_recall",
     # streaming
     "stream_ohlcv_bars", "stream_doc_incremental_dedup",
     "stream_embedding_ann_serve", "stream_doc_pii_redact",
