@@ -2335,27 +2335,29 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _filtered_recall_oracle() -> str:
+def _fam_recall_tail(fam_name, metric, top_cte, gt_cte) -> str:
+    """One UNION branch of a recall audit: exact integer hit count of
+    ``top_cte`` against ``gt_cte`` plus the derived ratio."""
+    h = f"(SELECT count(*) FROM {top_cte} JOIN {gt_cte} USING (query_id, vec_id))"
+    t = f"(SELECT count(*) FROM {gt_cte})"
+    return f"""
+  SELECT '{fam_name}' AS family, '{metric}' AS metric,
+         CAST({h} AS BIGINT) AS hits, CAST({t} AS BIGINT) AS total,
+         CAST({h} AS DOUBLE) / {t} AS recall"""
+
+
+def _filtered_recall_with() -> str:
+    """WITH-chain shared by the filtered recall audit and its ADAPTIVE
+    sibling: the residual IVF-PQ chain, both filtered ground truths
+    (fbf_cos / fbf_l2), the plain-IVF label-cell chain (flve/ficent/
+    fiasg), and both families' FIXED-nprobe filtered top-K
+    (fivf_top / fipq_top). Ends CLOSED after fipq_top so callers
+    append their own CTEs/tails."""
     cos = (
         "round(list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
     )
     K = _RECALL_K
-
-    def fam(fam_name, metric, top_cte, gt_cte):
-        h = f"(SELECT count(*) FROM {top_cte} JOIN {gt_cte} USING (query_id, vec_id))"
-        t = f"(SELECT count(*) FROM {gt_cte})"
-        return f"""
-  SELECT '{fam_name}' AS family, '{metric}' AS metric,
-         CAST({h} AS BIGINT) AS hits, CAST({t} AS BIGINT) AS total,
-         CAST({h} AS DOUBLE) / {t} AS recall"""
-
-    tails = " UNION ALL ".join(
-        [
-            fam("ivf_filtered", "cosine", "fivf_top", "fbf_cos"),
-            fam("ivfpq_filtered", "l2", "fipq_top", "fbf_l2"),
-        ]
-    )
     return (
         _ivfpq_residual_with()
         + f""",
@@ -2416,7 +2418,20 @@ fipq_top AS MATERIALIZED (
     FROM res_scored rs JOIN embeddings e2 ON e2.vec_id = rs.vec_id
     WHERE e2.label < 5)
   WHERE rn <= {K}
-)
+)"""
+    )
+
+
+def _filtered_recall_oracle() -> str:
+    tails = " UNION ALL ".join(
+        [
+            _fam_recall_tail("ivf_filtered", "cosine", "fivf_top", "fbf_cos"),
+            _fam_recall_tail("ivfpq_filtered", "l2", "fipq_top", "fbf_l2"),
+        ]
+    )
+    return (
+        _filtered_recall_with()
+        + f"""
 SELECT family, metric, hits, total, recall FROM ({tails})
 """
     )
@@ -2506,6 +2521,276 @@ def q_embedding_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFra
          ivfpq_index_topk(
              spark, idx_ipq, queries, dim=_DIM, k_neighbors=K,
              nprobe=_IVF_NPROBE, where="label < 5",
+         ),
+         gt_l2),
+    ]
+    out = None
+    for fam_name, metric, frame, gt in fams:
+        hits = (
+            frame.select("query_id", "vec_id")
+            .join(gt, ["query_id", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        tot = gt.agg(F.count(F.lit(1)).alias("total"))
+        row = hits.crossJoin(F.broadcast(tot)).select(
+            F.lit(fam_name).alias("family"),
+            F.lit(metric).alias("metric"),
+            F.col("hits").cast("bigint").alias("hits"),
+            F.col("total").cast("bigint").alias("total"),
+            (F.col("hits").cast("double") / F.col("total")).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# Equal-candidate-budget escalation targets for the adaptive recall
+# audit: probe until the FILTERED pool matches what the unfiltered
+# fixed-nprobe serve scans (nprobe * corpus / n_cells) — the plain IVF
+# quantizer has the 10 label cells, the IVF-PQ one _KM_K kmeans cells.
+_IVF_N_LABEL_CELLS = 10
+
+
+def _adaptive_recall_oracle() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    qd2 = (
+        "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
+        " for z in list_zip(q.qv, c.m) ]), 6)"
+    )
+    d2 = (
+        "round(list_sum([ (z[1]-z[2])*(z[1]-z[2])"
+        " for z in list_zip(t.v, c.m) ]), 6)"
+    )
+    K = _RECALL_K
+    ivf_target = (
+        f"(({_IVF_NPROBE} * (SELECT count(*) FROM embeddings))"
+        f" // {_IVF_N_LABEL_CELLS})"
+    )
+    pq_target = (
+        f"(({_IVF_NPROBE} * (SELECT count(*) FROM embeddings)) // {_KM_K})"
+    )
+    ci = f"c{_KM_ITERS}"
+    tails = " UNION ALL ".join(
+        [
+            _fam_recall_tail("ivf_filtered", "cosine", "fivf_top", "fbf_cos"),
+            _fam_recall_tail(
+                "ivf_filtered_adaptive", "cosine", "fivfa_top", "fbf_cos"
+            ),
+            _fam_recall_tail("ivfpq_filtered", "l2", "fipq_top", "fbf_l2"),
+            _fam_recall_tail(
+                "ivfpq_filtered_adaptive", "l2", "fipqa_top", "fbf_l2"
+            ),
+        ]
+    )
+    return (
+        _filtered_recall_with()
+        + f""",
+ficounts AS MATERIALIZED (
+  SELECT cell, count(*) AS n FROM fiasg WHERE vec_id % 3 = 1 GROUP BY cell
+),
+fiorder AS MATERIALIZED (
+  SELECT q.query_id, c.cell,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY {cos.format(a="q.qv", b="c.cvec")} DESC, c.cell) AS rn
+  FROM q CROSS JOIN ficent c
+),
+fikept AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT o.query_id, o.cell, o.rn, COALESCE(fc.n, 0) AS n,
+           sum(COALESCE(fc.n, 0)) OVER (
+             PARTITION BY o.query_id ORDER BY o.rn) AS cum
+    FROM fiorder o LEFT JOIN ficounts fc USING (cell))
+  WHERE rn <= {_IVF_NPROBE} OR cum - n < {ivf_target}
+),
+fivfa_top AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY {cos.format(a="q.qv", b="a.v")} DESC, a.vec_id) AS rn
+    FROM fiasg a JOIN fikept p USING (cell) JOIN q ON q.query_id = p.query_id
+    WHERE a.vec_id != p.query_id AND a.vec_id % 3 = 1)
+  WHERE rn <= {K}
+),
+pacounts AS MATERIALIZED (
+  SELECT a.cell, count(*) AS n
+  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE e.label < 5 GROUP BY a.cell
+),
+paorder AS MATERIALIZED (
+  SELECT q.query_id, c.cluster AS cell,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY {qd2} ASC, c.cluster ASC) AS rn
+  FROM q, {ci} c
+),
+pakept AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT o.query_id, o.cell, o.rn, COALESCE(pc.n, 0) AS n,
+           sum(COALESCE(pc.n, 0)) OVER (
+             PARTITION BY o.query_id ORDER BY o.rn) AS cum
+    FROM paorder o LEFT JOIN pacounts pc USING (cell))
+  WHERE rn <= {_IVF_NPROBE} OR cum - n < {pq_target}
+),
+rqa AS MATERIALIZED (
+  SELECT p.query_id, p.cell,
+         [z[1] - z[2] for z in list_zip(q.qv, c.m)] AS rv
+  FROM pakept p JOIN q USING (query_id) JOIN {ci} c ON c.cluster = p.cell
+),
+rqas0 AS MATERIALIZED (SELECT query_id, cell, list_slice(rv, 1, {_PQ_SUB}) AS v FROM rqa),
+rqas1 AS MATERIALIZED (SELECT query_id, cell,
+                 list_slice(rv, {_PQ_SUB + 1}, {2 * _PQ_SUB}) AS v FROM rqa),
+rluta0 AS MATERIALIZED (
+  SELECT t.query_id, t.cell, c.cluster AS code, {d2} AS d
+  FROM rqas0 t, {ci}r_0 c
+),
+rluta1 AS MATERIALIZED (
+  SELECT t.query_id, t.cell, c.cluster AS code, {d2} AS d
+  FROM rqas1 t, {ci}r_1 c
+),
+res_scored_a AS MATERIALIZED (
+  SELECT l0.query_id, a.vec_id, l0.d + l1.d AS approx_d2
+  FROM asg a
+  JOIN codesr0 cd0 ON cd0.vec_id = a.vec_id
+  JOIN codesr1 cd1 ON cd1.vec_id = a.vec_id
+  JOIN rluta0 l0 ON l0.cell = a.cell AND l0.code = cd0.code
+  JOIN rluta1 l1 ON l1.cell = a.cell AND l1.code = cd1.code
+                AND l1.query_id = l0.query_id
+  WHERE a.vec_id != l0.query_id
+),
+fipqa_top AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT rs.query_id, rs.vec_id,
+           row_number() OVER (PARTITION BY rs.query_id
+             ORDER BY rs.approx_d2 ASC, rs.vec_id ASC) AS rn
+    FROM res_scored_a rs JOIN embeddings e2 ON e2.vec_id = rs.vec_id
+    WHERE e2.label < 5)
+  WHERE rn <= {K}
+)
+SELECT family, metric, hits, total, recall FROM ({tails})
+"""
+    )
+
+
+@query(
+    "embedding_filtered_ann_adaptive_recall",
+    oracle=_adaptive_recall_oracle(),
+)
+def q_embedding_filtered_ann_adaptive_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SELECTIVITY-AWARE probe escalation, measured — the round-14 fix
+    for the round-13 audit's finding that a fixed nprobe quietly
+    starves filtered serves (recall@10 0.27/0.20): both persisted
+    families serve the same filtered queries twice, FIXED (nprobe=2)
+    and ADAPTIVE (``min_candidates`` = the unfiltered serve's
+    candidate budget, nprobe * corpus / n_cells — "equal candidate
+    budget" per family), against the same brute-force-over-filtered-
+    corpus ground truths. Four rows out (family, metric, hits, total,
+    recall); hit counts are exact integers, so the escalation itself —
+    per-query probe-prefix choice from per-cell live filtered counts —
+    is value-oracled end to end (the oracle replays the cumulative-
+    count prefix rule in SQL). The fixed rows double as the in-window
+    regression pin for the default serve path.
+
+    Receipts (sf0.01): ivf 0.27 -> 0.89 — escalation recovers the
+    filtered recall the r13 audit flagged. ivfpq stays at 0.20 BY
+    MEASUREMENT AT ITS CEILING: the adaptive serve's top-10 sets equal
+    a full-scan (nprobe = n_cells) serve exactly (verified in
+    tests/test_similarity.py), i.e. this fixture's m=2/k=4 codes (16
+    distinct ADC scores) are the binding constraint, not probe breadth
+    — the honest boundary between what probe escalation fixes
+    (candidate starvation) and what it can't (quantization error,
+    which is ``refine_k`` re-ranking's job). Scale shape: the only
+    cost adaptive adds is one column-pruned, predicate-pushed count
+    pass over (cell, payload) of the stored table; the serve still
+    opens only the escalated probe cells (serve-cost receipt in
+    tools/serve_bench.py). Registered swept-only (registry
+    discipline)."""
+    from pyspark.sql import Window
+
+    from sparktrends_spark.caching import persist_tracked
+    from sparktrends_spark.similarity.cosine import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from sparktrends_spark.similarity.ivfpq_index import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    K = _RECALL_K
+    emb = _emb(spark, sf_dir)
+    embs = emb.withColumn("src", (F.col("vec_id") % 3).cast("int"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    ivf_target = (_IVF_NPROBE * n) // _IVF_N_LABEL_CELLS
+    pq_target = (_IVF_NPROBE * n) // _KM_K
+
+    gt_cos = persist_tracked(
+        brute_force_topk(queries, embs.filter("src = 1"), k=K).select(
+            "query_id", "vec_id"
+        )
+    )
+    qv = queries.select(
+        "query_id", F.col("embedding").cast("array<double>").alias("_qv")
+    )
+    cv = emb.filter("label < 5").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_cv")
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("_cv"), F.col("_qv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    wl2 = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("vec_id"))
+    gt_l2 = persist_tracked(
+        cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_d2", l2)
+        .withColumn("rn", F.row_number().over(wl2))
+        .where(F.col("rn") <= K)
+        .select("query_id", "vec_id")
+    )
+
+    idx_ivf = _idx_path("a_recall_ivf", sf_dir)
+    build_ivf_index(embs, idx_ivf, payload_cols=("src",))
+    idx_ipq = _idx_path("a_recall_ivfpq", sf_dir)
+    build_ivfpq_index(
+        emb, idx_ipq, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
+        k_codes=_PQ_K, iterations=_KM_ITERS, payload_cols=("label",),
+    )
+    fams = [
+        ("ivf_filtered", "cosine",
+         ivf_index_topk(
+             spark, idx_ivf, queries, k=K, nprobe=_IVF_NPROBE,
+             where="src = 1",
+         ),
+         gt_cos),
+        ("ivf_filtered_adaptive", "cosine",
+         ivf_index_topk(
+             spark, idx_ivf, queries, k=K, nprobe=_IVF_NPROBE,
+             where="src = 1", min_candidates=ivf_target,
+         ),
+         gt_cos),
+        ("ivfpq_filtered", "l2",
+         ivfpq_index_topk(
+             spark, idx_ipq, queries, dim=_DIM, k_neighbors=K,
+             nprobe=_IVF_NPROBE, where="label < 5",
+         ),
+         gt_l2),
+        ("ivfpq_filtered_adaptive", "l2",
+         ivfpq_index_topk(
+             spark, idx_ipq, queries, dim=_DIM, k_neighbors=K,
+             nprobe=_IVF_NPROBE, where="label < 5",
+             min_candidates=pq_target,
          ),
          gt_l2),
     ]

@@ -488,20 +488,26 @@ def _rank_probed(
     cand_id: str,
     vec_col: str,
     round_digits: int,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Shared IVF query tail: probe cells, exact-score candidates in
     probed cells only, per-query top-k. ``assigned`` carries
-    (cand_id, _cv, _nc, cell)."""
+    (cand_id, _cv, _nc, cell). ``probes`` overrides the default
+    fixed-nprobe probe set with a caller-computed (query_id, cell)
+    frame — the selectivity-aware escalation path."""
     from pyspark.sql import Window
 
-    probes = (
-        _with_cell_sims(queries, query_id, cent_row, vec_col, round_digits)
-        .select(
-            query_id,
-            F.explode(F.slice(_probe_order(), 1, nprobe)).alias("_p"),
+    if probes is None:
+        probes = (
+            _with_cell_sims(
+                queries, query_id, cent_row, vec_col, round_digits
+            )
+            .select(
+                query_id,
+                F.explode(F.slice(_probe_order(), 1, nprobe)).alias("_p"),
+            )
+            .select(query_id, F.col("_p.cell").alias("cell"))
         )
-        .select(query_id, F.col("_p.cell").alias("cell"))
-    )
     qv = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qv"),
@@ -871,6 +877,7 @@ def ivf_index_topk(
     vec_col: str = "embedding",
     round_digits: int = 6,
     where: str | Column | None = None,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index (``build_ivf_index``). The probed
     cell set (<= |queries| * nprobe small ints — the documented
@@ -890,25 +897,53 @@ def ivf_index_topk(
     (PushedFilters — asserted in tests), so a selective filter reduces
     bytes read, not just rows scored. Semantics are the standard IVF
     filtered-search contract shared with ``ivfpq_index_topk``: top-k
-    among candidates satisfying the predicate WITHIN the probed cells
-    — a sharp filter can empty a probed cell, so raise ``nprobe``
-    when filters are highly selective."""
+    among candidates satisfying the predicate WITHIN the probed cells.
+
+    ``min_candidates``: SELECTIVITY-AWARE probe escalation — the fix
+    for "a sharp filter quietly empties the probed cells" (the
+    round-13 recall audit measured 0.27 recall@10 at the fixed
+    default under a 1/3-selective filter). Each query's probe set
+    expands along its own probe order (nearest cell first) until the
+    LIVE candidate pool under the predicate (tombstones excluded)
+    reaches ``min_candidates`` — callers pass a multiple of k (3-5x
+    absorbs the self-match and near-boundary losses) — floored at
+    ``nprobe`` and capped at all cells. Cost: ONE column-pruned,
+    predicate-pushed pass over (cell, payload columns) of the stored
+    table for the per-cell counts (the vectors themselves are never
+    read — at rest the counted columns are a small fraction of index
+    bytes), then the serve reads only the escalated probe cells. The
+    default (None) path is byte-identical to the fixed-nprobe serve.
+    Top-k semantics within the (escalated) probed cells are unchanged
+    and SQL-expressible, so the oracle replays the escalation
+    exactly."""
     from sparktrends_spark.similarity.generations import resolve_root
 
     root = resolve_root(path)
     cent_row = spark.read.parquet(f"{root}/centroids").agg(
         F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents")
     )
-    probe_cells = sorted(
-        r["cell"]
-        for r in _with_cell_sims(
-            queries, query_id, cent_row, vec_col, round_digits
+    tomb = _ivf_tombstones(spark, root, cand_id)
+    probes = None
+    if min_candidates is None:
+        probe_cells = sorted(
+            r["cell"]
+            for r in _with_cell_sims(
+                queries, query_id, cent_row, vec_col, round_digits
+            )
+            .select(F.explode(F.slice(_probe_order(), 1, nprobe)).alias("_p"))
+            .select(F.col("_p.cell").alias("cell"))
+            .distinct()
+            .collect()
         )
-        .select(F.explode(F.slice(_probe_order(), 1, nprobe)).alias("_p"))
-        .select(F.col("_p.cell").alias("cell"))
-        .distinct()
-        .collect()
-    )
+    else:
+        probes = _adaptive_ivf_probes(
+            spark, root, queries, cent_row, nprobe, min_candidates,
+            query_id, cand_id, vec_col, round_digits, where, tomb,
+        )
+        probe_cells = sorted(
+            r["cell"]
+            for r in probes.select("cell").distinct().collect()
+        )  # bounded: <= |queries| * n_cells small ints
     assigned = spark.read.parquet(f"{root}/vectors").filter(
         F.col("cell").isin(probe_cells)
     )
@@ -920,7 +955,6 @@ def ivf_index_topk(
         assigned = apply_where(
             assigned, where, root, _ivf_stored_payloads(spark, root, cand_id)
         )
-    tomb = _ivf_tombstones(spark, root, cand_id)
     if tomb is not None:
         # logical deletes (delete_from_ivf_index): tombstoned ids leave
         # the candidate set before scoring — takedown-sized side, AQE
@@ -928,8 +962,43 @@ def ivf_index_topk(
         assigned = assigned.join(tomb, cand_id, "left_anti")
     return _rank_probed(
         assigned, queries, cent_row, k, nprobe,
-        query_id, cand_id, vec_col, round_digits,
+        query_id, cand_id, vec_col, round_digits, probes=probes,
     )
+
+
+def _adaptive_ivf_probes(
+    spark, root, queries, cent_row, nprobe, min_candidates,
+    query_id, cand_id, vec_col, round_digits, where, tomb,
+) -> DataFrame:
+    """Per-query escalated probe set (query_id, cell) for the plain
+    IVF serve — the counting half of ``min_candidates`` (see
+    ``ivf_index_topk``). The count scan deliberately carries NO
+    partition filter (every cell's live count feeds the prefix
+    decision) but projects only (cell, id, payloads-in-predicate):
+    column pruning keeps the stored vectors out of it entirely."""
+    from sparktrends_spark.similarity.generations import (
+        apply_where,
+        escalate_probes,
+    )
+
+    cand = spark.read.parquet(f"{root}/vectors")
+    if where is not None:
+        cand = apply_where(
+            cand, where, root, _ivf_stored_payloads(spark, root, cand_id)
+        )
+    if tomb is not None:
+        cand = cand.join(tomb, cand_id, "left_anti")
+    counts = cand.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    order = (
+        _with_cell_sims(queries, query_id, cent_row, vec_col, round_digits)
+        .select(query_id, F.posexplode(_probe_order()).alias("_r0", "_p"))
+        .select(
+            query_id,
+            (F.col("_r0") + 1).alias("_rnk"),
+            F.col("_p.cell").alias("cell"),
+        )
+    )
+    return escalate_probes(order, counts, query_id, nprobe, min_candidates)
 
 
 def ivf_index_staleness(spark, path: str, check_sim: bool = True) -> dict:

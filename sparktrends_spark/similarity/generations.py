@@ -530,6 +530,45 @@ def apply_where(df, where, root: str, payloads: tuple[str, ...]):
         ) from e
 
 
+def escalate_probes(order, counts, query_id: str, nprobe: int,
+                    min_candidates: int):
+    """Selectivity-aware probe escalation, shared by the IVF and
+    IVF-PQ filtered serves: given each query's FULL probe order
+    (``order``: query_id, _rnk, cell[, extra cols], rank 1 = nearest
+    cell) and the per-cell LIVE candidate counts under the serve's
+    predicate (``counts``: cell, _n — tombstones already excluded),
+    keep each query's shortest probe prefix whose cumulative candidate
+    pool reaches ``min_candidates``, floored at ``nprobe`` (adaptive
+    is never narrower than the fixed default) and capped at the full
+    cell list (a predicate sharper than the whole corpus can satisfy
+    degrades to probing everything — the correct answer set, loudly
+    visible in serve stats rather than silently empty).
+
+    Rank r is kept iff r <= nprobe OR the pool BEFORE r (cum - n) has
+    not yet reached the target — exactly "smallest prefix reaching the
+    target", with no second window pass. The cumulative sum is one
+    window over <= n_cells rows per query; ``counts`` is n_cells rows
+    and broadcast. Deterministic and SQL-expressible, so the DuckDB
+    oracles replay it exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if min_candidates < 1:
+        raise ValueError(
+            f"min_candidates={min_candidates}: must be >= 1"
+        )
+    w = Window.partitionBy(query_id).orderBy("_rnk")
+    cum = (
+        order.join(F.broadcast(counts), "cell", "left")
+        .withColumn("_n", F.coalesce("_n", F.lit(0)))
+        .withColumn("_cum", F.sum("_n").over(w))
+    )
+    return cum.filter(
+        (F.col("_rnk") <= nprobe)
+        | ((F.col("_cum") - F.col("_n")) < min_candidates)
+    ).drop("_n", "_cum", "_rnk")
+
+
 def require_payloads(batch_cols, payloads, root: str, table: str) -> None:
     """Append-time guard: a batch missing a stored payload column
     would land NULL payloads that silently drop out of every filtered

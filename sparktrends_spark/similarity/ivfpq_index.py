@@ -498,6 +498,7 @@ def ivfpq_index_topk(
     exclude_self: bool = True,
     refine_k: int | None = None,
     where: str | Column | None = None,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """Serve top-k from the persisted index. The probed cell set
     (<= |queries| * nprobe small ints — bounded collect) is applied as
@@ -525,9 +526,18 @@ def ivfpq_index_topk(
     in tests), so a selective filter reduces bytes read, not just rows
     scored. Semantics are the standard IVF filtered-search contract:
     top-k among candidates that satisfy the predicate WITHIN the
-    probed cells — a highly selective filter can empty a probed cell,
-    so raise ``nprobe`` when filters are sharp (same recall trade as
-    unfiltered probing)."""
+    probed cells.
+
+    ``min_candidates``: SELECTIVITY-AWARE probe escalation, the same
+    contract as the plain IVF serve (``cosine.ivf_index_topk``): each
+    query's probe set expands along its own probe order until the
+    LIVE candidate pool under ``where`` (tombstones excluded) reaches
+    the target — callers pass a multiple of k — floored at ``nprobe``
+    and capped at all cells. The counting pass projects only (cell,
+    id, predicate payloads) of the code table — already bytes, not
+    floats; the serve then reads only the escalated probe cells. The
+    default (None) path is byte-identical to the fixed-nprobe
+    serve."""
     from pyspark.sql import Window
 
     # pin ONE generation for the whole serve: a retrain promoting a
@@ -546,15 +556,47 @@ def ivfpq_index_topk(
     # made every serve pay seconds of plan analysis (see
     # kmeans.cent_struct_array)
     probe_structs = dist_struct_array(F.col("_qv"), cents)
-    probes = q.select(
-        query_id_col,
-        "_qv",
-        F.explode(F.slice(F.array_sort(probe_structs), 1, nprobe)).alias("_p"),
-    ).select(query_id_col, "_qv", F.col("_p.c").alias("cell"))
+    tomb = _tombstones(spark, root, id_col)
+    if min_candidates is None:
+        probes = q.select(
+            query_id_col,
+            "_qv",
+            F.explode(
+                F.slice(F.array_sort(probe_structs), 1, nprobe)
+            ).alias("_p"),
+        ).select(query_id_col, "_qv", F.col("_p.c").alias("cell"))
+    else:
+        from sparktrends_spark.similarity.generations import (
+            apply_where,
+            escalate_probes,
+        )
+
+        cand = spark.read.parquet(f"{root}/codes")
+        if where is not None:
+            cand = apply_where(
+                cand, where, root,
+                _stored_payload_cols(spark, root, id_col, m),
+            )
+        if tomb is not None:
+            cand = cand.join(tomb, id_col, "left_anti")
+        counts = cand.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+        order = q.select(
+            query_id_col,
+            "_qv",
+            F.posexplode(F.array_sort(probe_structs)).alias("_r0", "_p"),
+        ).select(
+            query_id_col,
+            "_qv",
+            (F.col("_r0") + 1).alias("_rnk"),
+            F.col("_p.c").alias("cell"),
+        )
+        probes = escalate_probes(
+            order, counts, query_id_col, nprobe, min_candidates
+        )
 
     cells = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
-    )  # bounded: <= |queries| * nprobe
+    )  # bounded: <= |queries| * nprobe (adaptive: * n_cells)
     codes = spark.read.parquet(f"{root}/codes").filter(
         F.col("cell").isin([int(c) for c in cells])
     )
@@ -566,7 +608,6 @@ def ivfpq_index_topk(
         codes = apply_where(
             codes, where, root, _stored_payload_cols(spark, root, id_col, m)
         )
-    tomb = _tombstones(spark, root, id_col)
     if tomb is not None:
         # logical deletes: tombstoned ids leave the candidate set
         # BEFORE scoring (and before the refine shortlist), so a

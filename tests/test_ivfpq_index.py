@@ -332,6 +332,48 @@ def test_ivfpq_filtered_search_lifecycle(spark, sf_dir, tmp_path):
     assert post and all(labels[r["vec_id"]] < 5 for r in post)
 
 
+def test_ivfpq_adaptive_probe_escalation(spark, sf_dir, tmp_path):
+    """``min_candidates`` on the IVF-PQ serve: (a) the nprobe floor
+    makes a tiny target byte-identical to the fixed serve; (b) a
+    target of the whole filtered corpus escalates to every cell —
+    the adaptive top-k equals a full-scan (nprobe = n_cells) serve
+    EXACTLY, which is also the receipt that the graded adaptive
+    recall row's flat ivfpq number is the fixture's ADC quantization
+    ceiling, not an escalation failure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    idx = str(tmp_path / "ivfpq_adapt")
+    build_ivfpq_index(
+        emb, idx, dim=_DIM, n_cells=4, m=2, k_codes=4, iterations=2,
+        payload_cols=("label",),
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    fixed = ivfpq_index_topk(
+        spark, idx, queries, dim=_DIM, k_neighbors=5, nprobe=2,
+        where="label < 5",
+    ).collect()
+    noop = ivfpq_index_topk(
+        spark, idx, queries, dim=_DIM, k_neighbors=5, nprobe=2,
+        where="label < 5", min_candidates=1,
+    ).collect()
+    assert sorted(map(tuple, fixed)) == sorted(map(tuple, noop))
+
+    full_scan = ivfpq_index_topk(
+        spark, idx, queries, dim=_DIM, k_neighbors=10, nprobe=4,
+        where="label < 5",
+    )
+    adaptive = ivfpq_index_topk(
+        spark, idx, queries, dim=_DIM, k_neighbors=10, nprobe=2,
+        where="label < 5", min_candidates=n,
+    )
+    assert sorted(map(tuple, full_scan.collect())) == sorted(
+        map(tuple, adaptive.collect())
+    )
+
+
 def test_payload_name_collisions_refused_at_build(spark, sf_dir, tmp_path):
     """A payload name that collides with any lifecycle-internal column
     (serve's query id / LUT columns, retrain's 'embedding' alias, the

@@ -265,6 +265,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "embedding_ann_recall",    # brute ground truths (corpus x broadcast
                                    # queries) + 1-row hits x totals joins
         "embedding_filtered_ann_recall",  # same shape, filtered subsets
+        "embedding_filtered_ann_adaptive_recall",  # same + escalated serves
         "event_ab_test_ztest",     # variant denominators: one broadcast row
         "event_type_weekday_chi2",  # contingency total: one broadcast row
     }

@@ -325,6 +325,93 @@ def test_ivf_filtered_search_lifecycle(spark, sf_dir, tmp_path):
     release_persisted()
 
 
+def test_ivf_adaptive_probe_escalation(spark, sf_dir, tmp_path):
+    """``min_candidates`` (selectivity-aware probe escalation) on the
+    plain IVF serve: (a) a generous target with a weak filter is a
+    no-op — byte-identical rows to the fixed-nprobe serve (the floor
+    contract); (b) under a filter so sharp the fixed probe set cannot
+    fill k, the adaptive serve escalates along the probe order and
+    returns the full k per query — 'filtered ANN safe by default';
+    (c) tombstoned rows never count toward the candidate pool;
+    (d) min_candidates < 1 is refused."""
+    import pytest
+
+    from sparktrends_spark.similarity.cosine import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "src", (F.col("vec_id") % 3).cast("int")
+    )
+    n = emb.count()
+    idx = str(tmp_path / "ivf_adapt")
+    build_ivf_index(emb, idx, payload_cols=("src",))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # (a) weak filter + tiny target -> the nprobe floor makes adaptive
+    # identical to the fixed serve
+    fixed = ivf_index_topk(
+        spark, idx, queries, k=5, nprobe=2, where="src = 1"
+    ).collect()
+    noop = ivf_index_topk(
+        spark, idx, queries, k=5, nprobe=2, where="src = 1",
+        min_candidates=1,
+    ).collect()
+    assert sorted(map(tuple, fixed)) == sorted(map(tuple, noop))
+
+    # (b) sharp filter: ~n/25 candidates spread over all cells — the
+    # fixed 2-cell probe cannot fill k=10, the escalated serve can
+    sharp = f"src = 1 AND vec_id < {max(60, n // 8)}"
+    k = 10
+    starved = ivf_index_topk(
+        spark, idx, queries, k=k, nprobe=2, where=sharp
+    )
+    full = ivf_index_topk(
+        spark, idx, queries, k=k, nprobe=2, where=sharp,
+        min_candidates=3 * k,
+    )
+    n_starved = starved.groupBy("query_id").count().agg(
+        F.min("count")
+    ).collect()[0][0]
+    per_q = {
+        r["query_id"]: r["count"]
+        for r in full.groupBy("query_id").count().collect()
+    }
+    assert n_starved < k, "fixture not sharp enough to starve the probe"
+    assert len(per_q) == 3 and all(c == k for c in per_q.values())
+    # escalated rows still satisfy the predicate
+    assert all(
+        r["vec_id"] % 3 == 1 and r["vec_id"] < max(60, n // 8)
+        for r in full.collect()
+    )
+
+    # (c) tombstones leave the pool: delete every candidate the sharp
+    # filter admits except a handful — the pool collapses and the
+    # serve (escalated to ALL cells) returns exactly the survivors
+    lim = max(60, n // 8)
+    doomed = [
+        v for v in range(lim) if v % 3 == 1 and v >= 12 and v not in (0, 1, 2)
+    ]
+    delete_from_ivf_index(spark, idx, doomed)
+    after = ivf_index_topk(
+        spark, idx, queries, k=k, nprobe=2, where=sharp,
+        min_candidates=3 * k,
+    ).collect()
+    survivors = {v for v in range(min(12, lim)) if v % 3 == 1}
+    assert after and all(r["vec_id"] in survivors for r in after)
+
+    # (d) loud validation
+    with pytest.raises(ValueError, match="min_candidates"):
+        ivf_index_topk(
+            spark, idx, queries, k=3, nprobe=2, where="src = 1",
+            min_candidates=0,
+        )
+
+
 def test_ivf_index_append_canonicalizes_element_type(spark, sf_dir, tmp_path):
     """Regression (round-6 red test): a float-built index receiving an
     ``array<double>`` batch must NOT land mixed-typed parquet files in

@@ -28,14 +28,33 @@ Families:
                  predicate costs on top of the unfiltered serve
                  (expected: ~nothing; the filter pushes into the
                  probed-cell parquet scan)
+- ``ivf_km_filtered`` the plain IVF family at a PRODUCTION-SHAPED
+                 cell count: the coarse quantizer is a ``km_cells``
+                 kmeans assignment (kmeans_fit + assign_clusters
+                 passed as ``label_col`` — no new core API), built
+                 with payload_cols=("label",) and served
+                 where="label < 5". Retires the r13 honesty caveat:
+                 the label fixture's 10 cells probed ~90% of corpus
+                 bytes by construction, so the IVF family's
+                 byte-pruning claim had no measured receipt — at 64
+                 kmeans cells the probed_bytes fraction is the
+                 receipt, same as the ivfpq family's.
+- ``ivf_km_adaptive`` the same index served with ``min_candidates``
+                 (selectivity-aware probe escalation, r14) at the
+                 equal-candidate-budget target nprobe*n/km_cells —
+                 measures what escalation costs on top of the fixed
+                 serve (one column-pruned count pass + the wider
+                 probe set) and proves via probed_bytes that it does
+                 NOT degrade to a full scan.
 
 Usage: ``python tools/serve_bench.py [sf_dir] [replica_factor]
-[n_cells]`` (defaults: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1,
-factor 0 = no replica pass, n_cells 4). With a factor F > 1 a second
-corpus at F x sf0.1 is materialized via
-tools/scale_slope.build_scaled_dir and the same battery runs against
-it — the serve-vs-corpus-size slope is the scale claim (probe-pruned
-serves should grow FAR slower than brute force).
+[n_cells] [km_cells]`` (defaults: $SPARK_GRAFT_SF_DIR or
+/root/testdata/sf0.1, factor 0 = no replica pass, n_cells 4,
+km_cells 64). With a factor F > 1 a second corpus at F x sf0.1 is
+materialized via tools/scale_slope.build_scaled_dir and the same
+battery runs against it — the serve-vs-corpus-size slope is the
+scale claim (probe-pruned serves should grow FAR slower than brute
+force).
 
 ``n_cells`` sizes the IVF-PQ coarse quantizer. The default 4 keeps
 the series comparable round-over-round, but at 4-8 cells a 10-query
@@ -45,8 +64,9 @@ cell count (>= 64) the union stays sparse — nprobe=2 x 10 queries
 probes at most 20 of 64+ cells, typically far fewer — which turns
 "a production index keeps the batch union sparse" from an argument
 into a measured probed_bytes fraction. The label-derived IVF family
-has no cell knob (cells == labels); at high n_cells read the ivfpq /
-ivfpq_rerank rows.
+has no cell knob (cells == labels) — ``km_cells`` exists precisely
+to give the plain-IVF family the same production shape (0 disables
+the km families).
 
 Prints ONE JSON line:
 {"metric": "serve_only_batch_sec", "sf": ..., "batches": B,
@@ -138,7 +158,7 @@ def _probed_bytes(df, data_dirs: list[str]) -> int | None:
     )
 
 
-def _run_family(spark, emb, idx_root, corpus_path, n_cells=4):
+def _run_family(spark, emb, idx_root, corpus_path, n_cells=4, km_cells=64):
     from pyspark.sql import functions as F
 
     from sparktrends_spark.caching import release_persisted
@@ -177,6 +197,39 @@ def _run_family(spark, emb, idx_root, corpus_path, n_cells=4):
         k_codes=4, iterations=3, payload_cols=("label",),
     )
     builds["ivfpq_filtered"] = round(time.perf_counter() - t0, 3)
+    if km_cells:
+        # plain IVF at a production-shaped cell count: the coarse
+        # quantizer is a km_cells kmeans assignment handed to the
+        # build as label_col (the build re-centers per-cell means and
+        # re-assigns by cosine — a genuine coarse quantizer, not the
+        # 10-label fixture)
+        from sparktrends_spark.operators.kmeans import (
+            assign_clusters,
+            kmeans_fit,
+        )
+
+        t0 = time.perf_counter()
+        cents, _ = kmeans_fit(emb, k=km_cells, iterations=3)
+        km = assign_clusters(
+            emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("_v"),
+                "label",
+            ),
+            cents,
+            vec_col="_v",
+            out_col="kcell",
+        ).select(
+            "vec_id", F.col("_v").alias("embedding"), "label", "kcell"
+        )
+        build_ivf_index(
+            km, f"{idx_root}/ivf_km", label_col="kcell",
+            payload_cols=("label",),
+        )
+        builds["ivf_km_filtered"] = round(time.perf_counter() - t0, 3)
+        builds["ivf_km_adaptive"] = None  # serves the same index
+        n_rows = emb.count()
+        km_target = max(1, _NPROBE * n_rows // km_cells)
 
     serves = {
         "brute": lambda q: brute_force_topk(q, emb, k=_K),
@@ -200,6 +253,15 @@ def _run_family(spark, emb, idx_root, corpus_path, n_cells=4):
             nprobe=_NPROBE, where="label < 5",
         ),
     }
+    if km_cells:
+        serves["ivf_km_filtered"] = lambda q: ivf_index_topk(
+            spark, f"{idx_root}/ivf_km", q, k=_K, nprobe=_NPROBE,
+            where="label < 5",
+        )
+        serves["ivf_km_adaptive"] = lambda q: ivf_index_topk(
+            spark, f"{idx_root}/ivf_km", q, k=_K, nprobe=_NPROBE,
+            where="label < 5", min_candidates=km_target,
+        )
     # the corpus-sized artifact(s) each serve scans: brute reads every
     # vector; the index families read only probed cell directories.
     # rerank reads probed cells of BOTH artifacts — ADC shortlist from
@@ -217,6 +279,9 @@ def _run_family(spark, emb, idx_root, corpus_path, n_cells=4):
         ],
         "ivfpq_filtered": [f"{idx_root}/ivfpq_f/codes"],
     }
+    if km_cells:
+        scan_dirs["ivf_km_filtered"] = [f"{idx_root}/ivf_km/vectors"]
+        scan_dirs["ivf_km_adaptive"] = [f"{idx_root}/ivf_km/vectors"]
     corpus_bytes = _dir_bytes(corpus_path)
     out = {}
     for fam, serve in serves.items():
@@ -259,6 +324,7 @@ def main() -> None:
         sf_dir = sys.argv[1]
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     n_cells = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    km_cells = int(sys.argv[4]) if len(sys.argv) > 4 else 64
 
     from sparktrends_spark.session import get_spark
     from sparktrends_spark.sources.tables import load_table
@@ -275,9 +341,10 @@ def main() -> None:
         "batches": _BATCHES,
         "batch_size": _BATCH_Q,
         "n_cells": n_cells,
+        "km_cells": km_cells,
         "families": _run_family(
             spark, emb, idx_root,
-            f"{sf_dir.rstrip('/')}/embeddings.parquet", n_cells,
+            f"{sf_dir.rstrip('/')}/embeddings.parquet", n_cells, km_cells,
         ),
         "replica": None,
     }
@@ -290,7 +357,7 @@ def main() -> None:
             "factor": factor,
             "families": _run_family(
                 spark, big, f"{idx_root}/x{factor}",
-                f"{big_dir}/embeddings.parquet", n_cells,
+                f"{big_dir}/embeddings.parquet", n_cells, km_cells,
             ),
         }
     import shutil
