@@ -837,6 +837,82 @@ def q_doc_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_bm25_index_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+corp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+bm AS (
+  SELECT f.doc_id, f.term,
+         round(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (f.tf * 2.2)
+           / (f.tf + 1.2 * (0.25 + 0.75 * (d.dl / avgdl))),
+           6) AS bm25
+  FROM tf f
+  JOIN dfreq USING (term)
+  JOIN dl d ON d.doc_id = f.doc_id
+  CROSS JOIN corp
+),
+qterm AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM t WHERE doc_id < 10
+),
+scored AS (
+  SELECT qt.query_id, b.doc_id,
+         CAST(sum(CAST(b.bm25 AS DECIMAL(38,6))) AS DOUBLE) AS score
+  FROM qterm qt
+  JOIN bm b ON b.term = qt.term AND b.doc_id != qt.query_id
+  GROUP BY qt.query_id, b.doc_id
+)
+SELECT query_id, doc_id, score, rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 10
+""",
+)
+def q_doc_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per query through the PERSISTED BM25 postings
+    index (text/bm25_index.py — the round-14 lexical-lifecycle
+    symmetry row): postings at rest partitioned by term-hash bucket,
+    the serve pruning the scan to the query terms' buckets (a static
+    partition filter that is EXACT for df, because a term's postings
+    all live in its bucket) while df / n_docs / avgdl are derived
+    from live rows — so this serve is value-identical to the
+    from-scratch BM25 chain, which IS the oracle (the hybrid row's
+    lexical side without the language filter). Scale shape: the
+    corpus-sized postings artifact is read only at probed buckets and
+    joined on term (vocab-keyed shuffle, never broadcast); doclens —
+    two small ints per doc — carries the corpus stats; scores are
+    round-6 per term and DECIMAL-exact in aggregation. Registered
+    swept-only (registry discipline: new capability rows enter
+    outside the graded window)."""
+    from sparktrends_spark.text.bm25_index import (
+        build_bm25_index,
+        bm25_index_topk,
+    )
+    from sparktrends_spark.plans.similarity import _idx_path
+
+    d = _docs(spark, sf_dir)
+    idx = _idx_path("bm25_index", sf_dir)
+    build_bm25_index(d, idx)
+    queries = d.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_index_topk(spark, idx, queries, k=10)
+
+
+@query(
     "doc_pack_sequences",
     oracle=f"""
 WITH {_TOKS_CTE.strip()},

@@ -1,0 +1,144 @@
+"""Persisted BM25 postings-index lifecycle (text/bm25_index.py).
+
+The serve's value semantics vs the from-scratch chain are pinned by
+the swept ``doc_bm25_index_topk`` oracle; these tests pin the
+LIFECYCLE invariants: append == monolithic rebuild (nothing frozen),
+delete == rebuild-on-live-corpus (derived stats shrink with the
+tombstones), compact preserves values while merging segments and
+reclaiming deletes, the serve prunes to the query terms' buckets, and
+the loud-failure surfaces (missing index, tombstoned re-ingest, bad
+bucket counts)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparktrends_spark.sources.tables import load_table
+from sparktrends_spark.text.bm25_index import (
+    append_bm25_index,
+    bm25_index_stats,
+    bm25_index_topk,
+    build_bm25_index,
+    compact_bm25_index,
+    delete_from_bm25_index,
+)
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _queries(docs):
+    return docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_append_equals_monolithic_build(spark, sf_dir, tmp_path):
+    """df / n_docs / avgdl are DERIVED at serve, so build(half) +
+    append(half) must serve BIT-IDENTICALLY to build(all) — the
+    exactness property the frozen-quantizer ANN appends can't have."""
+    d = _docs(spark, sf_dir)
+    q = _queries(d)
+    mono = str(tmp_path / "mono")
+    build_bm25_index(d, mono)
+    inc = str(tmp_path / "inc")
+    build_bm25_index(d.filter("doc_id % 2 = 0"), inc)
+    append_bm25_index(d.filter("doc_id % 2 = 1"), inc)
+    assert _rows(bm25_index_topk(spark, mono, q)) == _rows(
+        bm25_index_topk(spark, inc, q)
+    )
+
+
+def test_delete_equals_rebuild_on_live_corpus(spark, sf_dir, tmp_path):
+    """Tombstoned docs leave the candidate set AND the derived corpus
+    statistics in the same serve: post-delete results equal a fresh
+    index built on the corpus minus the deleted docs — exactly."""
+    d = _docs(spark, sf_dir)
+    q = _queries(d)
+    idx = str(tmp_path / "del")
+    build_bm25_index(d, idx)
+    doomed = [r["doc_id"] for r in d.filter(
+        "doc_id >= 20 AND doc_id < 40"
+    ).select("doc_id").collect()]
+    info = delete_from_bm25_index(spark, idx, doomed)
+    assert info["n_tombstones"] == len(doomed)
+    after = bm25_index_topk(spark, idx, q)
+    assert not {r["doc_id"] for r in after.collect()} & set(doomed)
+    fresh = str(tmp_path / "fresh")
+    build_bm25_index(d.filter(~F.col("doc_id").isin(doomed)), fresh)
+    assert _rows(after) == _rows(bm25_index_topk(spark, fresh, q))
+
+    # compact physically reclaims; serve values unchanged; the
+    # reclaimed ids may then re-ingest, restoring the full corpus
+    before_rows = _rows(after)
+    out = compact_bm25_index(spark, idx)
+    assert out["rows_after"] < out["rows_before"]
+    assert _rows(bm25_index_topk(spark, idx, q)) == before_rows
+    append_bm25_index(d.filter(F.col("doc_id").isin(doomed)), idx)
+    mono2 = str(tmp_path / "mono2")
+    build_bm25_index(d, mono2)
+    assert _rows(bm25_index_topk(spark, idx, q)) == _rows(
+        bm25_index_topk(spark, mono2, q)
+    )
+
+
+def test_append_refuses_tombstoned_docs(spark, sf_dir, tmp_path):
+    d = _docs(spark, sf_dir)
+    idx = str(tmp_path / "ref")
+    build_bm25_index(d.filter("doc_id >= 10"), idx)
+    delete_from_bm25_index(spark, idx, [11, 12])
+    with pytest.raises(ValueError, match="tombstoned"):
+        append_bm25_index(d.filter("doc_id < 13"), idx)
+
+
+def test_serve_prunes_to_query_term_buckets(spark, sf_dir, tmp_path):
+    """The postings scan must carry a static cell partition filter —
+    the probed-cells analogue. With a single short query the bucket
+    union stays a strict subset of the 16 buckets."""
+    d = _docs(spark, sf_dir)
+    idx = str(tmp_path / "prune")
+    build_bm25_index(d, idx)
+    one_word = d.limit(1).select(
+        F.col("doc_id").alias("query_id"),
+        F.lit("marketplace").alias("text"),
+    )
+    df = bm25_index_topk(spark, idx, one_word, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # a one-element isin renders as equality, larger sets as IN/INSET
+    # (past inSetConversionThreshold the parens disappear) — match all
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*?cell[^\]]*?(?:= (\d+)"
+        r"|IN \(([0-9, ]+)\)|INSET ([0-9, ]+))",
+        plan,
+    )
+    assert m, plan
+    got = m.group(1) or m.group(2) or m.group(3)
+    cells = [c for c in got.split(",") if c.strip()]
+    assert len(cells) == 1  # one term -> one bucket
+
+
+def test_stats_probe_and_loud_failures(spark, sf_dir, tmp_path):
+    d = _docs(spark, sf_dir)
+    idx = str(tmp_path / "stats")
+    build_bm25_index(d.filter("doc_id % 2 = 0"), idx)
+    append_bm25_index(d.filter("doc_id % 2 = 1"), idx)
+    delete_from_bm25_index(spark, idx, [2])
+    st = bm25_index_stats(spark, idx)
+    assert st["size_ratio"] > 1.5  # appended roughly half the corpus
+    assert st["n_tombstones"] == 1 and st["tombstone_ratio"] > 0
+    assert st["n_docs"] == d.count()
+
+    with pytest.raises(ValueError, match="no BM25 index"):
+        bm25_index_topk(spark, str(tmp_path / "nope"), _queries(d))
+    with pytest.raises(ValueError, match="n_buckets"):
+        build_bm25_index(d, str(tmp_path / "bad"), n_buckets=0)

@@ -251,6 +251,7 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         "lang_mixture_budget",
         "doc_tfidf_terms",         # idf needs N: one broadcast count row
         "doc_bm25_terms",          # N + avgdl: one broadcast corpus row
+        "doc_bm25_index_topk",     # same one-row corpus-stats broadcast
         "doc_hybrid_rrf",          # semantic side: corpus x broadcast queries
         "doc_unigram_perplexity",  # corpus-total N: one broadcast count row
         "customer_rfm_segments",   # recency anchor: one broadcast max-date row
