@@ -174,57 +174,61 @@ def compact_dedup_index(
     if target_files < 1:
         raise ValueError(f"target_files={target_files}: must be >= 1")
     with maintenance_lock(index_path, operation="dedup-compact"):
-        sig_dir = _signatures_dir(index_path)
-        root = os.path.dirname(sig_dir)
-        tomb = _tombstones(spark, root, id_col)
-        if tomb is not None and tomb.isEmpty():
-            # an empty tombstone SET (e.g. an automated takedown feed
-            # delivered an empty purge batch) must not force a full
-            # corpus-sized rewrite of an unfragmented index
-            tomb = None
-        files_before = sum(
-            1 for f in os.listdir(sig_dir) if f.endswith(".parquet")
-        )
-        if tomb is None and files_before <= target_files:
-            rows = spark.read.parquet(sig_dir).count()
-            return {
-                "rows_before": int(rows),
-                "rows_after": int(rows),
-                "n_reclaimed": 0,
-                "files_before": files_before,
-                "files_after": files_before,
-                "generation": None,
-                "gc_removed": [],
-            }
-        obs = Observation()
-        keep = spark.read.parquet(sig_dir).observe(
-            obs, F.count(F.lit(1)).alias("rows_in")
-        )
-        if tomb is not None:
-            keep = keep.join(tomb, id_col, "left_anti")
-        new_gen = next_generation(index_path)
-        gen_root = os.path.join(index_path, new_gen)
-        try:
-            keep.repartition(target_files, F.col(id_col)).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(gen_root, _SIGNATURES))
-        except BaseException:
-            # never leave a partial never-promoted generation behind
-            # (it would be orphan junk for the next writer's GC)
-            shutil.rmtree(gen_root, ignore_errors=True)
-            raise
-        rows_before = int(obs.get["rows_in"])
-        new_sig = os.path.join(gen_root, _SIGNATURES)
-        rows_after = spark.read.parquet(new_sig).count()
-        files_after = sum(
-            1 for f in os.listdir(new_sig) if f.endswith(".parquet")
-        )
-        # the tombstones artifact is deliberately NOT carried into the
-        # new generation: the rewrite above IS the physical reclaim,
-        # so the promoted root's tombstone set starts clean
-        write_current(index_path, new_gen)
-        removed = gc_generations(index_path, _FLAT_ARTIFACTS, keep=2)
-        spark.catalog.refreshByPath(new_sig)
+        return _compact_dedup_locked(spark, index_path, id_col, target_files)
+
+
+def _compact_dedup_locked(spark, index_path, id_col, target_files) -> dict:
+    sig_dir = _signatures_dir(index_path)
+    root = os.path.dirname(sig_dir)
+    tomb = _tombstones(spark, root, id_col)
+    if tomb is not None and tomb.isEmpty():
+        # an empty tombstone SET (e.g. an automated takedown feed
+        # delivered an empty purge batch) must not force a full
+        # corpus-sized rewrite of an unfragmented index
+        tomb = None
+    files_before = sum(
+        1 for f in os.listdir(sig_dir) if f.endswith(".parquet")
+    )
+    if tomb is None and files_before <= target_files:
+        rows = spark.read.parquet(sig_dir).count()
+        return {
+            "rows_before": int(rows),
+            "rows_after": int(rows),
+            "n_reclaimed": 0,
+            "files_before": files_before,
+            "files_after": files_before,
+            "generation": None,
+            "gc_removed": [],
+        }
+    obs = Observation()
+    keep = spark.read.parquet(sig_dir).observe(
+        obs, F.count(F.lit(1)).alias("rows_in")
+    )
+    if tomb is not None:
+        keep = keep.join(tomb, id_col, "left_anti")
+    new_gen = next_generation(index_path)
+    gen_root = os.path.join(index_path, new_gen)
+    try:
+        keep.repartition(target_files, F.col(id_col)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(gen_root, _SIGNATURES))
+    except BaseException:
+        # never leave a partial never-promoted generation behind
+        # (it would be orphan junk for the next writer's GC)
+        shutil.rmtree(gen_root, ignore_errors=True)
+        raise
+    rows_before = int(obs.get["rows_in"])
+    new_sig = os.path.join(gen_root, _SIGNATURES)
+    rows_after = spark.read.parquet(new_sig).count()
+    files_after = sum(
+        1 for f in os.listdir(new_sig) if f.endswith(".parquet")
+    )
+    # the tombstones artifact is deliberately NOT carried into the
+    # new generation: the rewrite above IS the physical reclaim,
+    # so the promoted root's tombstone set starts clean
+    write_current(index_path, new_gen)
+    removed = gc_generations(index_path, _FLAT_ARTIFACTS, keep=2)
+    spark.catalog.refreshByPath(new_sig)
     return {
         "rows_before": rows_before,
         "rows_after": int(rows_after),
@@ -234,6 +238,90 @@ def compact_dedup_index(
         "generation": new_gen,
         "gc_removed": removed,
     }
+
+
+def dedup_index_stats(
+    spark, index_path: str, id_col: str = "doc_id"
+) -> dict:
+    """Maintenance probe for the signature index — the counting half
+    ``maybe_compact_dedup_index`` decides on, callable on its own
+    (counts-only, metadata-cheap): signature rows, parquet file count
+    of the current generation's artifact (every incremental append
+    lands at least one new file), and the LIVE tombstone ratio
+    (tombstoned ids present in the index / rows — an org-wide purge
+    list wider than this index must not inflate it)."""
+    from sparktrends_spark.similarity.generations import read_current
+
+    sig_dir = _signatures_dir(index_path)
+    root = os.path.dirname(sig_dir)
+    n_files = sum(1 for f in os.listdir(sig_dir) if f.endswith(".parquet"))
+    sig = spark.read.parquet(sig_dir)
+    n_rows = sig.count()
+    tomb = _tombstones(spark, root, id_col)
+    n_tomb = (
+        int(tomb.join(sig.select(id_col), id_col, "left_semi").count())
+        if tomb is not None
+        else 0
+    )
+    return {
+        "generation": read_current(index_path) or "",
+        "n_rows": int(n_rows),
+        "n_files": n_files,
+        "n_tombstones": n_tomb,
+        "tombstone_ratio": n_tomb / max(int(n_rows), 1),
+    }
+
+
+def maybe_compact_dedup_index(
+    spark,
+    index_path: str,
+    id_col: str = "doc_id",
+    max_tombstone_ratio: float = 0.25,
+    max_files: int = 32,
+    target_files: int = 8,
+    lock_timeout_s: float = 600.0,
+) -> dict:
+    """The maintenance POLICY in one call for the dedup index — probe,
+    compare against thresholds, compact only if warranted: the
+    round-14 symmetry with ``maybe_retrain_ivf_index`` /
+    ``maybe_retrain_ivfpq_index`` (same cron-job shape). Triggers:
+
+    - ``max_tombstone_ratio``: logically deleted rows awaiting
+      physical reclaim — they cost band-join scan time AND block
+      re-ingest of their ids until reclaimed;
+    - ``max_files``: segment fragmentation — a long incremental
+      ingest lands at least one file per append until band-join cost
+      is dominated by file opens.
+
+    The whole probe-decide-compact sequence holds the writer lock
+    ONCE (two concurrent policy runs cannot both trigger and promote
+    back-to-back generations; the second re-probes the fresh
+    generation and no-ops). Returns the probe report plus
+    ``{"compacted": bool, "reasons": [...], "compact": <compact
+    result or None>}``."""
+    if target_files < 1:
+        raise ValueError(f"target_files={target_files}: must be >= 1")
+    with maintenance_lock(
+        index_path, lock_timeout_s, operation="dedup-policy"
+    ):
+        st = dedup_index_stats(spark, index_path, id_col)
+        reasons = []
+        if st["tombstone_ratio"] > max_tombstone_ratio:
+            reasons.append(
+                f"tombstone_ratio {st['tombstone_ratio']:.2f} >"
+                f" {max_tombstone_ratio}"
+            )
+        if st["n_files"] > max_files:
+            reasons.append(f"n_files {st['n_files']} > {max_files}")
+        out = dict(st)
+        out["compacted"] = bool(reasons)
+        out["reasons"] = reasons
+        out["compact"] = (
+            _compact_dedup_locked(spark, index_path, id_col, target_files)
+            if reasons
+            else None
+        )
+    return out
 
 
 def banded_signatures(

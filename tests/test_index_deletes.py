@@ -636,6 +636,53 @@ def test_dedup_index_append_refuses_tombstoned_reinsert(spark, tmp_path):
     )
 
 
+def test_maybe_compact_dedup_index_policy(spark, tmp_path):
+    """One-call maintenance policy (round-14 symmetry with the ANN
+    families' maybe_retrain): probe -> thresholds -> compact under ONE
+    lock hold. A fresh index trips nothing (no-op, no new generation);
+    a tombstone past the ratio threshold triggers the compact, whose
+    result reclaims the rows and clears the tombstone set; unknown
+    knobs/invalid targets fail loudly."""
+    import pytest
+
+    from sparktrends_spark.text.dedup_index import (
+        build_dedup_index,
+        delete_from_dedup_index,
+        dedup_index_stats,
+        maybe_compact_dedup_index,
+    )
+
+    idx = str(tmp_path / "didx_policy")
+    build_dedup_index(
+        spark.createDataFrame(
+            [
+                (1, _BASE),
+                (2, "unrelated corpus text about query engines"),
+                (3, "a third unrelated document about parquet readers"),
+            ],
+            "doc_id long, text string",
+        ),
+        idx,
+    )
+    st = dedup_index_stats(spark, idx)
+    assert st["n_rows"] == 3 and st["n_tombstones"] == 0
+
+    out = maybe_compact_dedup_index(spark, idx)
+    assert not out["compacted"] and out["compact"] is None
+
+    delete_from_dedup_index(spark, idx, [1])
+    out = maybe_compact_dedup_index(spark, idx)
+    # 1/3 tombstoned > default 0.25 -> compacted, rows reclaimed
+    assert out["compacted"] and "tombstone_ratio" in out["reasons"][0]
+    assert out["compact"]["n_reclaimed"] == 1
+    # the fresh generation probes clean: a second run no-ops
+    out2 = maybe_compact_dedup_index(spark, idx)
+    assert not out2["compacted"] and out2["n_tombstones"] == 0
+
+    with pytest.raises(ValueError, match="target_files"):
+        maybe_compact_dedup_index(spark, idx, target_files=0)
+
+
 def test_dedup_index_generation_lifecycle(spark, tmp_path):
     """The dedup index follows the ANN indexes' generation-pointer
     discipline (the round-12 port off swap_dirs): compaction promotes
