@@ -1829,6 +1829,136 @@ def build_stream_embedding_ann_serve(
     ).select("query_id", "vec_id", "approx_d2", "rnk")
 
 
+@query("stream_doc_hybrid_rrf", oracle=_hybrid_bm25_ann_oracle())
+def q_stream_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HYBRID retrieval serve as a STREAM — the RAG-shaped online
+    path (round-14, the r13 verdict's streaming-hybrid ask): BOTH
+    persisted indexes are built once (the filtered IVF over the full
+    embedding corpus with lang attached, and the round-14 BM25
+    postings index with the lang payload), then query rows arrive as
+    a stream and every micro-batch runs the full retrieval inside
+    foreachBatch — filtered ANN top-20 + filtered BM25 top-20 + RRF
+    fusion to a top-5 — landing in the keyed idempotent upsert sink
+    (exactly-once under replay, key = (query_id, rnk)). Both indexes
+    are FIXED for the stream's duration, so the serve is stateless
+    per batch and batch boundaries cannot change any verdict — which
+    is why the value oracle is exactly the batch
+    doc_hybrid_bm25_ann_rrf chain. Unlike the batch row, the lexical
+    side here reads POSTINGS AT REST (bucket-pruned, df corpus-wide)
+    instead of re-tokenizing the corpus per query — the hybrid
+    serving story with a full lifecycle on both sides. Registered
+    swept-only (registry discipline)."""
+    return build_stream_doc_hybrid_serve(spark, sf_dir)
+
+
+def build_stream_doc_hybrid_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    ckpt_dir: str | None = None,
+    table_dir: str | None = None,
+    docs_dir: str | None = None,
+) -> DataFrame:
+    """Rides ``run_upsert_stream`` with a ``batch_transform`` that
+    runs the hybrid retrieval per query micro-batch against the two
+    standing indexes. ``docs_dir`` points at the documents table when
+    the query stream's directory holds only embedding files (the
+    multibatch split fixtures); defaults to ``sf_dir``. ``ckpt_dir``/
+    ``table_dir`` must be pinned together for a restart (the
+    run_upsert_stream contract)."""
+    from pyspark.sql import Window
+
+    from sparktrends_spark.plans.streaming_queries import (
+        run_upsert_stream,
+    )
+    from sparktrends_spark.similarity.cosine import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from sparktrends_spark.sources.tables import scan_parallel
+    from sparktrends_spark.text.bm25_index import (
+        bm25_index_topk,
+        build_bm25_index,
+    )
+
+    base = sf_dir.rstrip("/")
+    dbase = (docs_dir or sf_dir).rstrip("/")
+    emb = scan_parallel(spark.read.parquet(f"{base}/embeddings*.parquet"))
+    docs = scan_parallel(
+        spark.read.parquet(f"{dbase}/documents*.parquet")
+    ).select("doc_id", "text", "lang")
+    # the same LEFT-join contract as the batch hybrid row: centroids
+    # train on ALL embeddings; NULL-lang rows fall to the predicate
+    corpus = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"),
+        "vec_id",
+        "left",
+    )
+    idx_sem = _idx_path("hybrid_stream_ivf", sf_dir)
+    build_ivf_index(corpus, idx_sem, payload_cols=("lang",))
+    idx_lex = _idx_path("hybrid_stream_bm25", sf_dir)
+    build_bm25_index(docs, idx_lex, payload_cols=("lang",))
+    qtext = docs.select(F.col("doc_id").alias("query_id"), "text")
+
+    reader = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>, label int"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    query_stream = (
+        reader.parquet(f"{base}/embeddings*.parquet")
+        .filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+    def serve_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return None
+        sem = ivf_index_topk(
+            spark, idx_sem, batch_df, k=20, nprobe=_IVF_NPROBE,
+            where="lang = 'en'",
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.col("rnk").alias("rank_sem"),
+        )
+        ql = batch_df.select("query_id").join(qtext, "query_id")
+        lex = bm25_index_topk(
+            spark, idx_lex, ql, k=20, where="lang = 'en'"
+        ).select("query_id", "doc_id", F.col("rnk").alias("rank_lex"))
+        fused = sem.join(lex, ["query_id", "doc_id"], "full_outer").select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    1.0 / (F.lit(60) + F.col("rank_sem")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    1.0 / (F.lit(60) + F.col("rank_lex")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+        wf = Window.partitionBy("query_id").orderBy(
+            F.desc("rrf"), F.asc("doc_id")
+        )
+        return (
+            fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
+            .filter(F.col("rnk") <= 5)
+        )
+
+    return run_upsert_stream(
+        query_stream,
+        keys=("query_id", "rnk"),
+        output_mode="append",
+        ckpt_dir=ckpt_dir,
+        table_dir=table_dir,
+        batch_transform=serve_batch,
+    ).select("query_id", "doc_id", "rrf", "rnk")
+
+
 _IVFPQ_RERANK_C = 20
 
 

@@ -84,13 +84,23 @@ def _term_cell(term_col, n_buckets: int):
     return F.pmod(F.hash(term_col), F.lit(n_buckets)).cast("int")
 
 
-def _tokenized(docs: DataFrame, doc_id: str, text_col: str, n_buckets: int):
+def _tokenized(
+    docs: DataFrame,
+    doc_id: str,
+    text_col: str,
+    n_buckets: int,
+    payload_cols: tuple[str, ...] = (),
+):
     """(postings, doclens) frames for ``docs`` — the build/append
     shared tokenization: one pass to (doc, term) counts, one to
     lengths. Id column leads both layouts (the compact convention:
-    tombstone anti-joins key off ``df.columns[0]``)."""
+    tombstone anti-joins key off ``df.columns[0]``). Payload columns
+    ride DOCLENS (one row per doc — the cheap place), never the
+    postings."""
     toks = docs.select(
-        F.col(doc_id), tokens(F.col(text_col)).alias("_toks")
+        F.col(doc_id),
+        tokens(F.col(text_col)).alias("_toks"),
+        *payload_cols,
     )
     postings = (
         toks.select(F.col(doc_id), F.explode("_toks").alias("term"))
@@ -101,10 +111,38 @@ def _tokenized(docs: DataFrame, doc_id: str, text_col: str, n_buckets: int):
     doclens = toks.select(
         F.col(doc_id),
         F.size("_toks").cast("bigint").alias("dl"),
+        *payload_cols,
     ).withColumn(
         "cell", F.pmod(F.hash(F.col(doc_id)), F.lit(n_buckets)).cast("int")
     )
     return postings, doclens
+
+
+def _check_bm25_payload_names(payload_cols, doc_id: str) -> None:
+    from sparktrends_spark.similarity.generations import (
+        check_payload_names,
+    )
+
+    # every name this module attaches at any lifecycle point: the two
+    # layouts (doc_id/term/tf/dl/cell), the serve's query id, term
+    # pipeline and output columns, and the derived corpus stats
+    reserved = {
+        doc_id, "term", "tf", "dl", "cell", "_toks",
+        "query_id", "text", "df", "n_docs", "avgdl",
+        "_bm25", "score", "rnk",
+    }
+    check_payload_names(payload_cols, reserved, "BM25")
+
+
+def _bm25_stored_payloads(spark, root: str) -> tuple[str, ...]:
+    from sparktrends_spark.similarity.generations import (
+        stored_payload_cols,
+    )
+
+    dl_cols = spark.read.parquet(f"{root}/{_DOCLENS}").columns
+    return stored_payload_cols(
+        spark, f"{root}/{_DOCLENS}", {dl_cols[0], "dl", "cell"}
+    )
 
 
 def build_bm25_index(
@@ -113,6 +151,7 @@ def build_bm25_index(
     doc_id: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 16,
+    payload_cols: tuple[str, ...] = (),
 ) -> None:
     """(Re)build the postings index. ``n_buckets`` is the pruning AND
     parallelism unit — size it so one bucket's postings fit a task
@@ -124,16 +163,27 @@ def build_bm25_index(
     otherwise suppress legitimate ids of the new corpus). Holds the
     writer lock like every mutator; same reader contract as the ANN
     builds (overwrite-build is out of contract for concurrent readers
-    — compact is the reader-safe promoted rewrite)."""
+    — compact is the reader-safe promoted rewrite).
+
+    ``payload_cols``: metadata columns of ``docs`` (language, source,
+    license class, ...) stored on DOCLENS — the substrate for
+    FILTERED retrieval (``bm25_index_topk(where=...)``), the same
+    contract as the ANN families': the predicate narrows CANDIDATES
+    (never the corpus statistics — df/n_docs/avgdl stay corpus-wide,
+    matching the canonical filtered-BM25 chain). Appends must carry
+    the same columns (checked loudly, schema-derived)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets={n_buckets}: must be >= 1")
+    _check_bm25_payload_names(payload_cols, doc_id)
     spark = docs.sparkSession
     with maintenance_lock(path, operation="bm25-build"):
         reset_generations(path)
         if os.path.isdir(f"{path}/{_TOMBSTONES}"):
             shutil.rmtree(f"{path}/{_TOMBSTONES}")
             spark.catalog.refreshByPath(f"{path}/{_TOMBSTONES}")
-        postings, doclens = _tokenized(docs, doc_id, text_col, n_buckets)
+        postings, doclens = _tokenized(
+            docs, doc_id, text_col, n_buckets, payload_cols
+        )
         postings.repartition(n_buckets, "cell").write.mode(
             "overwrite"
         ).partitionBy("cell").parquet(f"{path}/{_POSTINGS}")
@@ -201,8 +251,14 @@ def append_bm25_index(
                     f" id(s) of {root} — run compact_bm25_index to"
                     " reclaim deletes, then re-ingest"
                 )
+        from sparktrends_spark.similarity.generations import (
+            require_payloads,
+        )
+
+        payloads = _bm25_stored_payloads(spark, root)
+        require_payloads(new_docs.columns, payloads, root, _DOCLENS)
         postings, doclens = _tokenized(
-            new_docs, doc_id, text_col, n_buckets
+            new_docs, doc_id, text_col, n_buckets, payloads
         )
         postings.write.mode("append").partitionBy("cell").parquet(
             f"{root}/{_POSTINGS}"
@@ -311,6 +367,7 @@ def bm25_index_topk(
     query_id: str = "query_id",
     text_col: str = "text",
     exclude_self: bool = True,
+    where=None,
 ) -> DataFrame:
     """Serve top-k documents per text query from the persisted index.
 
@@ -327,6 +384,15 @@ def bm25_index_topk(
     aggregation-order rule) -> per-query top-k by (score desc, doc_id
     asc). ``exclude_self`` drops candidate == query id (shared id
     space, the ANN serves' contract).
+
+    ``where`` (requires an index built with ``payload_cols``):
+    FILTERED retrieval — a predicate over the doclens payload columns
+    narrows CANDIDATES before scoring, while df / n_docs / avgdl
+    deliberately stay corpus-wide: that is the canonical filtered
+    BM25 (score against global statistics, retrieve within the
+    filter), and exactly what the hybrid row's oracle computes. An
+    unresolvable predicate fails loudly naming the stored payloads
+    (the shared ``apply_where`` guard).
 
     Returns (query_id, doc_id, score, rnk)."""
     from pyspark.sql import Window
@@ -357,6 +423,13 @@ def bm25_index_topk(
     if tomb is not None:
         post = post.join(tomb, stored_id, "left_anti")
         dl = dl.join(tomb, stored_id, "left_anti")
+    keep = None
+    if where is not None:
+        from sparktrends_spark.similarity.generations import apply_where
+
+        keep = apply_where(
+            dl, where, root, _bm25_stored_payloads(spark, root)
+        ).select(stored_id)
     # restrict the probed buckets' postings to the query vocabulary
     # BEFORE the df aggregation (term-keyed join; AQE broadcasts a
     # small batch's vocab, a huge batch falls back to the shuffle
@@ -394,6 +467,10 @@ def bm25_index_topk(
             ).alias("_bm25"),
         )
     )
+    if keep is not None:
+        # candidates filtered AFTER df/corp are fixed: the semi-join
+        # drops documents, never a term's df contribution
+        bm = bm.join(keep, stored_id, "left_semi")
     scored = qt.join(bm, "term")
     if exclude_self:
         scored = scored.filter(F.col(stored_id) != F.col(query_id))

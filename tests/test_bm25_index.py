@@ -127,6 +127,60 @@ def test_serve_prunes_to_query_term_buckets(spark, sf_dir, tmp_path):
     assert len(cells) == 1  # one term -> one bucket
 
 
+def test_filtered_serve_candidates_only_stats_corpus_wide(
+    spark, sf_dir, tmp_path
+):
+    """where= narrows CANDIDATES, never the corpus statistics: every
+    returned doc satisfies the predicate, and its score equals the
+    UNFILTERED serve's score for the same (query, doc) — df/n_docs/
+    avgdl unchanged by the filter (the canonical filtered-BM25 and
+    the hybrid oracle's lexical contract). Payload lifecycle guards
+    mirror the ANN families'."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    q = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    idx = str(tmp_path / "bmf")
+    build_bm25_index(docs, idx, payload_cols=("lang",))
+    n = docs.count()
+    langs = {r["doc_id"]: r["lang"] for r in docs.select(
+        "doc_id", "lang"
+    ).collect()}
+    filt = bm25_index_topk(spark, idx, q, k=10, where="lang = 'en'")
+    rows = filt.collect()
+    assert rows and all(langs[r["doc_id"]] == "en" for r in rows)
+    # rank everything unfiltered: filtered scores must be identical
+    # for the same (query, doc) pairs
+    allk = bm25_index_topk(spark, idx, q, k=n)
+    uns = {(r["query_id"], r["doc_id"]): r["score"] for r in allk.collect()}
+    assert all(uns[(r["query_id"], r["doc_id"])] == r["score"] for r in rows)
+
+    # loud guards: unresolvable predicate names stored payloads;
+    # append without the payload refused; append with it works
+    with pytest.raises(ValueError, match="stored payload column.*'lang'"):
+        bm25_index_topk(spark, idx, q, k=3, where="src = 1")
+    bare = str(tmp_path / "bmbare")
+    build_bm25_index(docs.select("doc_id", "text"), bare)
+    with pytest.raises(ValueError, match="without payload_cols"):
+        bm25_index_topk(spark, bare, q, k=3, where="lang = 'en'")
+    half = str(tmp_path / "bmhalf")
+    build_bm25_index(
+        docs.filter("doc_id % 2 = 0"), half, payload_cols=("lang",)
+    )
+    with pytest.raises(ValueError, match="payload"):
+        append_bm25_index(
+            docs.filter("doc_id % 2 = 1").select("doc_id", "text"), half
+        )
+    append_bm25_index(docs.filter("doc_id % 2 = 1"), half)
+    assert _rows(
+        bm25_index_topk(spark, half, q, k=10, where="lang = 'en'")
+    ) == _rows(filt)
+    with pytest.raises(TypeError, match="sequence of column names"):
+        build_bm25_index(docs, str(tmp_path / "bmstr"), payload_cols="lang")
+
+
 def test_stats_probe_and_loud_failures(spark, sf_dir, tmp_path):
     d = _docs(spark, sf_dir)
     idx = str(tmp_path / "stats")

@@ -441,3 +441,26 @@ def test_multibatch_filtered_ann_serve_lands_on_oracle(
     _assert_frames_equal(
         got, _oracle(sf_dir, "embedding_ivfpq_filtered_topk")
     )
+
+
+def test_multibatch_hybrid_serve_lands_on_oracle(
+    spark, sf_dir, emb_split_dir, tmp_path
+):
+    """The streaming HYBRID serve (filtered ANN + persisted-BM25 + RRF
+    per micro-batch, round 14): with the query stream split into 3
+    micro-batches, the upsert table must land exactly on the batch
+    doc_hybrid_bm25_ann_rrf oracle — both standing indexes are fixed
+    for the stream's duration, so retrieval is stateless per batch.
+    The documents table (the lexical corpus) comes from sf_dir while
+    the queries stream from the split embeddings dir."""
+    from sparktrends_spark.plans.similarity import (
+        build_stream_doc_hybrid_serve,
+    )
+
+    ckpt = str(tmp_path / "ckpt_hybrid_serve")
+    got = build_stream_doc_hybrid_serve(
+        spark, emb_split_dir, max_files_per_trigger=1, ckpt_dir=ckpt,
+        docs_dir=sf_dir,
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    _assert_frames_equal(got, _oracle(sf_dir, "doc_hybrid_bm25_ann_rrf"))
