@@ -217,6 +217,35 @@ def compact_cells(
     small artifact whose row count IS the cell count. Caller-visible
     contract (lock, return dict) matches the former per-module
     compactors exactly."""
+    with maintenance_lock(path, lock_timeout_s, operation="compact"):
+        return compact_cells_locked(
+            spark,
+            path,
+            small_artifacts=small_artifacts,
+            cell_artifacts=cell_artifacts,
+            flat_artifacts=flat_artifacts,
+            n_cells_src=n_cells_src,
+            files_per_cell=files_per_cell,
+            keep_generations=keep_generations,
+            tombstones_artifact=tombstones_artifact,
+        )
+
+
+def compact_cells_locked(
+    spark,
+    path: str,
+    *,
+    small_artifacts: tuple[str, ...],
+    cell_artifacts: tuple[str, ...],
+    flat_artifacts: tuple[str, ...],
+    n_cells_src: str,
+    files_per_cell: int = 1,
+    keep_generations: int = 2,
+    tombstones_artifact: str = "tombstones",
+) -> dict:
+    """The body of ``compact_cells`` for callers ALREADY holding the
+    maintenance lock (the one-call maybe_* policies, which probe and
+    decide under a single lock hold — the lock is not reentrant)."""
     from pyspark.sql import functions as F
 
     if files_per_cell < 1:
@@ -228,68 +257,67 @@ def compact_cells(
         )
 
     counted = cell_artifacts[0]
-    with maintenance_lock(path, lock_timeout_s, operation="compact"):
-        root = resolve_root(path)
-        if not os.path.isdir(f"{root}/{counted}"):
-            # bail BEFORE promoting: a CURRENT pointer to a generation
-            # that was never created bricks every later resolve
-            raise ValueError(
-                f"no index at {root} ({root}/{counted} missing) —"
-                " nothing to compact"
-            )
-        n_cells = spark.read.parquet(f"{root}/{n_cells_src}").count()
-        files_before = _nfiles(f"{root}/{counted}")
-        rows_before = spark.read.parquet(f"{root}/{counted}").count()
-        new_gen = next_generation(path)
-        gen_root = os.path.join(path, new_gen)
-        try:
-            for small in small_artifacts:
-                if os.path.isdir(f"{root}/{small}"):
-                    spark.read.parquet(
-                        f"{root}/{small}"
-                    ).coalesce(1).write.mode("overwrite").parquet(
-                        f"{gen_root}/{small}"
-                    )
-            n_parts = max(1, int(n_cells) * files_per_cell)
-            for big in cell_artifacts:
-                if os.path.isdir(f"{root}/{big}"):
-                    df = spark.read.parquet(f"{root}/{big}")
-                    id_c = df.columns[0]  # id column leads the layouts
-                    tomb = read_tombstones(
-                        spark, root, id_c, tombstones_artifact
-                    )
-                    if tomb is not None:
-                        # physical reclaim: tombstoned rows never reach
-                        # the new generation, whose tombstone set starts
-                        # clean (the artifact is deliberately not
-                        # copied — it is not in small_artifacts)
-                        df = df.join(tomb, id_c, "left_anti")
-                    split = F.pmod(F.hash(F.col(id_c)), files_per_cell)
-                    df.withColumn("_fsplit", split).repartition(
-                        n_parts, "cell", "_fsplit"
-                    ).drop("_fsplit").write.mode("overwrite").partitionBy(
-                        "cell"
-                    ).parquet(f"{gen_root}/{big}")
-        except BaseException:
-            # never leave a partial never-promoted generation behind
-            # (it would be orphan junk for the next writer's GC)
-            shutil.rmtree(gen_root, ignore_errors=True)
-            raise
-        write_current(path, new_gen)
-        removed = gc_generations(path, flat_artifacts, keep_generations)
-        for sub in flat_artifacts:
-            spark.catalog.refreshByPath(os.path.join(gen_root, sub))
-        return {
-            "generation": new_gen,
-            "previous_root": root,
-            "files_before": files_before,
-            "files_after": _nfiles(f"{gen_root}/{counted}"),
-            "rows_before": int(rows_before),
-            "rows_after": int(
-                spark.read.parquet(f"{gen_root}/{counted}").count()
-            ),
-            "gc_removed": removed,
-        }
+    root = resolve_root(path)
+    if not os.path.isdir(f"{root}/{counted}"):
+        # bail BEFORE promoting: a CURRENT pointer to a generation
+        # that was never created bricks every later resolve
+        raise ValueError(
+            f"no index at {root} ({root}/{counted} missing) —"
+            " nothing to compact"
+        )
+    n_cells = spark.read.parquet(f"{root}/{n_cells_src}").count()
+    files_before = _nfiles(f"{root}/{counted}")
+    rows_before = spark.read.parquet(f"{root}/{counted}").count()
+    new_gen = next_generation(path)
+    gen_root = os.path.join(path, new_gen)
+    try:
+        for small in small_artifacts:
+            if os.path.isdir(f"{root}/{small}"):
+                spark.read.parquet(
+                    f"{root}/{small}"
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{gen_root}/{small}"
+                )
+        n_parts = max(1, int(n_cells) * files_per_cell)
+        for big in cell_artifacts:
+            if os.path.isdir(f"{root}/{big}"):
+                df = spark.read.parquet(f"{root}/{big}")
+                id_c = df.columns[0]  # id column leads the layouts
+                tomb = read_tombstones(
+                    spark, root, id_c, tombstones_artifact
+                )
+                if tomb is not None:
+                    # physical reclaim: tombstoned rows never reach
+                    # the new generation, whose tombstone set starts
+                    # clean (the artifact is deliberately not
+                    # copied — it is not in small_artifacts)
+                    df = df.join(tomb, id_c, "left_anti")
+                split = F.pmod(F.hash(F.col(id_c)), files_per_cell)
+                df.withColumn("_fsplit", split).repartition(
+                    n_parts, "cell", "_fsplit"
+                ).drop("_fsplit").write.mode("overwrite").partitionBy(
+                    "cell"
+                ).parquet(f"{gen_root}/{big}")
+    except BaseException:
+        # never leave a partial never-promoted generation behind
+        # (it would be orphan junk for the next writer's GC)
+        shutil.rmtree(gen_root, ignore_errors=True)
+        raise
+    write_current(path, new_gen)
+    removed = gc_generations(path, flat_artifacts, keep_generations)
+    for sub in flat_artifacts:
+        spark.catalog.refreshByPath(os.path.join(gen_root, sub))
+    return {
+        "generation": new_gen,
+        "previous_root": root,
+        "files_before": files_before,
+        "files_after": _nfiles(f"{gen_root}/{counted}"),
+        "rows_before": int(rows_before),
+        "rows_after": int(
+            spark.read.parquet(f"{gen_root}/{counted}").count()
+        ),
+        "gc_removed": removed,
+    }
 
 
 def write_current(path: str, generation: str) -> None:

@@ -317,6 +317,74 @@ def compact_bm25_index(
     )
 
 
+def maybe_compact_bm25_index(
+    spark,
+    path: str,
+    max_tombstone_ratio: float = 0.25,
+    max_files_per_cell: float = 4.0,
+    files_per_cell: int = 1,
+    keep_generations: int = 2,
+    lock_timeout_s: float = 600.0,
+) -> dict:
+    """The maintenance POLICY in one call — probe, compare against
+    thresholds, compact only if warranted (the cron-job shape every
+    index family in the repo now shares: maybe_retrain_ivf/_ivfpq,
+    maybe_compact_dedup_index). Triggers: the LIVE tombstone ratio
+    (deletes awaiting physical reclaim — they cost probed-bucket scan
+    time and block re-ingest) and postings-file fragmentation (mean
+    parquet files per bucket beyond ``max_files_per_cell`` — every
+    append lands at least one file per touched bucket). The whole
+    probe-decide-compact sequence holds the writer lock ONCE via
+    ``generations.compact_cells_locked``. Returns the probe report
+    plus ``{"compacted": bool, "reasons": [...],
+    "compact": <result or None>}``."""
+    from sparktrends_spark.similarity.generations import (
+        compact_cells_locked,
+    )
+
+    with maintenance_lock(path, lock_timeout_s, operation="bm25-policy"):
+        st = bm25_index_stats(spark, path)
+        root = resolve_root(path)
+        n_buckets = _n_buckets(spark, root)
+        n_files = sum(
+            1
+            for r, _, fs in os.walk(f"{root}/{_POSTINGS}")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        files_ratio = n_files / max(n_buckets, 1)
+        reasons = []
+        if st["tombstone_ratio"] > max_tombstone_ratio:
+            reasons.append(
+                f"tombstone_ratio {st['tombstone_ratio']:.2f} >"
+                f" {max_tombstone_ratio}"
+            )
+        if files_ratio > max_files_per_cell:
+            reasons.append(
+                f"files_per_cell {files_ratio:.2f} > {max_files_per_cell}"
+            )
+        out = dict(st)
+        out["files_per_cell"] = files_ratio
+        out["compacted"] = bool(reasons)
+        out["reasons"] = reasons
+        out["compact"] = (
+            compact_cells_locked(
+                spark,
+                path,
+                small_artifacts=_SMALL_ARTIFACTS,
+                cell_artifacts=_CELL_ARTIFACTS,
+                flat_artifacts=_FLAT_ARTIFACTS,
+                n_cells_src=_META,
+                files_per_cell=files_per_cell,
+                keep_generations=keep_generations,
+                tombstones_artifact=_TOMBSTONES,
+            )
+            if reasons
+            else None
+        )
+    return out
+
+
 def bm25_index_stats(spark, path: str) -> dict:
     """Maintenance probe: postings growth vs the build-time per-bucket
     baseline (size_ratio / max_cell_growth / cell_skew — the shared

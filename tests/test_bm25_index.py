@@ -196,3 +196,31 @@ def test_stats_probe_and_loud_failures(spark, sf_dir, tmp_path):
         bm25_index_topk(spark, str(tmp_path / "nope"), _queries(d))
     with pytest.raises(ValueError, match="n_buckets"):
         build_bm25_index(d, str(tmp_path / "bad"), n_buckets=0)
+
+
+def test_maybe_compact_policy(spark, sf_dir, tmp_path):
+    """One-call maintenance policy: a fresh index no-ops; a tombstone
+    past the ratio threshold triggers the shared locked compactor,
+    whose promoted generation re-probes clean (and serves the live
+    corpus exactly)."""
+    from sparktrends_spark.text.bm25_index import maybe_compact_bm25_index
+
+    d = _docs(spark, sf_dir).filter("doc_id < 40")
+    q = _queries(d)
+    idx = str(tmp_path / "policy")
+    build_bm25_index(d, idx)
+    out = maybe_compact_bm25_index(spark, idx)
+    assert not out["compacted"] and out["compact"] is None
+
+    doomed = list(range(10, 25))
+    delete_from_bm25_index(spark, idx, doomed)
+    out = maybe_compact_bm25_index(spark, idx)
+    assert out["compacted"] and "tombstone_ratio" in out["reasons"][0]
+    assert out["compact"]["rows_after"] < out["compact"]["rows_before"]
+    out2 = maybe_compact_bm25_index(spark, idx)
+    assert not out2["compacted"] and out2["n_tombstones"] == 0
+    fresh = str(tmp_path / "policy_fresh")
+    build_bm25_index(d.filter(~F.col("doc_id").isin(doomed)), fresh)
+    assert _rows(bm25_index_topk(spark, idx, q)) == _rows(
+        bm25_index_topk(spark, fresh, q)
+    )
