@@ -585,7 +585,7 @@ def q_embedding_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _hybrid_bm25_ann_oracle() -> str:
+def _hybrid_bm25_ann_oracle(embedding_queries_only: bool = False) -> str:
     # semantic side: the shared IVF chain with the language predicate
     # joined into the probed-cell candidate set (filtered ANN), capped
     # at 20; lexical side: the doc_bm25_terms chain re-stated, scored
@@ -593,6 +593,18 @@ def _hybrid_bm25_ann_oracle() -> str:
     # terms (aggregation-order independent across engines), same
     # language restriction, capped at 20; fusion: standard RRF k=60
     # over the full outer union, top-5.
+    #
+    # embedding_queries_only: restrict the LEXICAL query set to ids
+    # that exist in embeddings — the STREAM row's universe (its
+    # queries arrive as embedding rows, so a document with no
+    # embedding can never be a query there, while the batch row's
+    # lexical side covers it). The two universes coincide on the
+    # driver fixtures; the flag keeps each row's oracle honest on any
+    # corpus where the id spaces diverge (the r14 review finding,
+    # same class as the r13 LEFT-join advice).
+    qterm_join = (
+        "\n  JOIN e ON e.vec_id = t.doc_id" if embedding_queries_only else ""
+    )
     return (
         _ivf_with(
             cand_join="\n  JOIN documents dd ON dd.doc_id = a.vec_id",
@@ -632,7 +644,8 @@ bm AS (
   CROSS JOIN corp
 ),
 qterm AS (
-  SELECT DISTINCT doc_id AS query_id, term FROM t WHERE doc_id < {_N_QUERIES}
+  SELECT DISTINCT t.doc_id AS query_id, term FROM t{qterm_join}
+  WHERE t.doc_id < {_N_QUERIES}
 ),
 lex_scored AS (
   SELECT qt.query_id, b.doc_id,
@@ -1829,7 +1842,10 @@ def build_stream_embedding_ann_serve(
     ).select("query_id", "vec_id", "approx_d2", "rnk")
 
 
-@query("stream_doc_hybrid_rrf", oracle=_hybrid_bm25_ann_oracle())
+@query(
+    "stream_doc_hybrid_rrf",
+    oracle=_hybrid_bm25_ann_oracle(embedding_queries_only=True),
+)
 def q_stream_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HYBRID retrieval serve as a STREAM — the RAG-shaped online
     path (round-14, the r13 verdict's streaming-hybrid ask): BOTH
@@ -1843,7 +1859,13 @@ def q_stream_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     are FIXED for the stream's duration, so the serve is stateless
     per batch and batch boundaries cannot change any verdict — which
     is why the value oracle is exactly the batch
-    doc_hybrid_bm25_ann_rrf chain. Unlike the batch row, the lexical
+    doc_hybrid_bm25_ann_rrf chain, restricted to the stream's query
+    universe (queries arrive as EMBEDDING rows, so the oracle's
+    lexical side covers exactly the ids embeddings has — on a corpus
+    where a document lacks an embedding, that doc can never be a
+    query here, while the batch row still ranks it lexically; the
+    id spaces coincide on the driver fixtures). Unlike the batch
+    row, the lexical
     side here reads POSTINGS AT REST (bucket-pruned, df corpus-wide)
     instead of re-tokenizing the corpus per query — the hybrid
     serving story with a full lifecycle on both sides. Registered
@@ -2183,6 +2205,74 @@ _RECALL_K = 10
 _RECALL_RERANK_C = 50
 
 
+def _recall_rows(fams) -> DataFrame:
+    """(family, metric, hits, total, recall) — one row per audited
+    family: exact integer hit counts of the family's top-K set
+    against its ground truth. ONE implementation shared by all three
+    recall-audit rows, so the hits/total arithmetic (semi-join,
+    bigint casts, ratio) cannot drift between them."""
+    out = None
+    for fam_name, metric, frame, gt in fams:
+        hits = (
+            frame.select("query_id", "vec_id")
+            .join(gt, ["query_id", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        tot = gt.agg(F.count(F.lit(1)).alias("total"))
+        row = hits.crossJoin(F.broadcast(tot)).select(
+            F.lit(fam_name).alias("family"),
+            F.lit(metric).alias("metric"),
+            F.col("hits").cast("bigint").alias("hits"),
+            F.col("total").cast("bigint").alias("total"),
+            (F.col("hits").cast("double") / F.col("total")).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _filtered_gts(emb: DataFrame, embs: DataFrame, queries: DataFrame):
+    """Persisted brute-force ground truths over the FILTERED candidate
+    sets (rounded cosine within src = 1; round-6 squared L2 within
+    label < 5) — shared by the fixed and adaptive filtered recall
+    audits so a tie-break or rounding fix lands in both."""
+    from pyspark.sql import Window
+
+    from sparktrends_spark.caching import persist_tracked
+
+    K = _RECALL_K
+    gt_cos = persist_tracked(
+        brute_force_topk(queries, embs.filter("src = 1"), k=K).select(
+            "query_id", "vec_id"
+        )
+    )
+    qv = queries.select(
+        "query_id", F.col("embedding").cast("array<double>").alias("_qv")
+    )
+    cv = emb.filter("label < 5").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_cv")
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("_cv"), F.col("_qv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    wl2 = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("vec_id"))
+    gt_l2 = persist_tracked(
+        cv.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_d2", l2)
+        .withColumn("rn", F.row_number().over(wl2))
+        .where(F.col("rn") <= K)
+        .select("query_id", "vec_id")
+    )
+    return gt_cos, gt_l2
+
+
 def _ann_recall_oracle() -> str:
     """Every ANN family's top-10 vs the brute-force ground truth under
     its own metric, as exact integer hit counts — composed from the
@@ -2446,23 +2536,7 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
          ),
          gt_l2),
     ]
-    out = None
-    for fam_name, metric, frame, gt in fams:
-        hits = (
-            frame.select("query_id", "vec_id")
-            .join(gt, ["query_id", "vec_id"], "left_semi")
-            .agg(F.count(F.lit(1)).alias("hits"))
-        )
-        tot = gt.agg(F.count(F.lit(1)).alias("total"))
-        row = hits.crossJoin(F.broadcast(tot)).select(
-            F.lit(fam_name).alias("family"),
-            F.lit(metric).alias("metric"),
-            F.col("hits").cast("bigint").alias("hits"),
-            F.col("total").cast("bigint").alias("total"),
-            (F.col("hits").cast("double") / F.col("total")).alias("recall"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    return _recall_rows(fams)
 
 
 def _fam_recall_tail(fam_name, metric, top_cte, gt_cte) -> str:
@@ -2581,9 +2655,6 @@ def q_embedding_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFra
     intersections, and ratios. One row per family:
     (family, metric, hits, total, recall). Registered swept-only
     (round-13 registry discipline)."""
-    from pyspark.sql import Window
-
-    from sparktrends_spark.caching import persist_tracked
     from sparktrends_spark.similarity.cosine import (
         build_ivf_index,
         ivf_index_topk,
@@ -2599,39 +2670,7 @@ def q_embedding_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFra
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-
-    # ground truths over the FILTERED candidate sets (each consumed by
-    # one hits join + one total count: persist)
-    gt_cos = persist_tracked(
-        brute_force_topk(queries, embs.filter("src = 1"), k=K).select(
-            "query_id", "vec_id"
-        )
-    )
-    qv = queries.select(
-        "query_id", F.col("embedding").cast("array<double>").alias("_qv")
-    )
-    cv = emb.filter("label < 5").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("_cv")
-    )
-    l2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("_cv"), F.col("_qv"), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    wl2 = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("vec_id"))
-    gt_l2 = persist_tracked(
-        cv.crossJoin(F.broadcast(qv))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("_d2", l2)
-        .withColumn("rn", F.row_number().over(wl2))
-        .where(F.col("rn") <= K)
-        .select("query_id", "vec_id")
-    )
+    gt_cos, gt_l2 = _filtered_gts(emb, embs, queries)
 
     idx_ivf = _idx_path("f_recall_ivf", sf_dir)
     build_ivf_index(embs, idx_ivf, payload_cols=("src",))
@@ -2654,23 +2693,7 @@ def q_embedding_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFra
          ),
          gt_l2),
     ]
-    out = None
-    for fam_name, metric, frame, gt in fams:
-        hits = (
-            frame.select("query_id", "vec_id")
-            .join(gt, ["query_id", "vec_id"], "left_semi")
-            .agg(F.count(F.lit(1)).alias("hits"))
-        )
-        tot = gt.agg(F.count(F.lit(1)).alias("total"))
-        row = hits.crossJoin(F.broadcast(tot)).select(
-            F.lit(fam_name).alias("family"),
-            F.lit(metric).alias("metric"),
-            F.col("hits").cast("bigint").alias("hits"),
-            F.col("total").cast("bigint").alias("total"),
-            (F.col("hits").cast("double") / F.col("total")).alias("recall"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    return _recall_rows(fams)
 
 
 # Equal-candidate-budget escalation targets for the adaptive recall
@@ -2837,9 +2860,6 @@ def q_embedding_filtered_ann_adaptive_recall(
     opens only the escalated probe cells (serve-cost receipt in
     tools/serve_bench.py). Registered swept-only (registry
     discipline)."""
-    from pyspark.sql import Window
-
-    from sparktrends_spark.caching import persist_tracked
     from sparktrends_spark.similarity.cosine import (
         build_ivf_index,
         ivf_index_topk,
@@ -2859,36 +2879,7 @@ def q_embedding_filtered_ann_adaptive_recall(
     ivf_target = (_IVF_NPROBE * n) // _IVF_N_LABEL_CELLS
     pq_target = (_IVF_NPROBE * n) // _KM_K
 
-    gt_cos = persist_tracked(
-        brute_force_topk(queries, embs.filter("src = 1"), k=K).select(
-            "query_id", "vec_id"
-        )
-    )
-    qv = queries.select(
-        "query_id", F.col("embedding").cast("array<double>").alias("_qv")
-    )
-    cv = emb.filter("label < 5").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("_cv")
-    )
-    l2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("_cv"), F.col("_qv"), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    wl2 = Window.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("vec_id"))
-    gt_l2 = persist_tracked(
-        cv.crossJoin(F.broadcast(qv))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("_d2", l2)
-        .withColumn("rn", F.row_number().over(wl2))
-        .where(F.col("rn") <= K)
-        .select("query_id", "vec_id")
-    )
+    gt_cos, gt_l2 = _filtered_gts(emb, embs, queries)
 
     idx_ivf = _idx_path("a_recall_ivf", sf_dir)
     build_ivf_index(embs, idx_ivf, payload_cols=("src",))
@@ -2924,23 +2915,7 @@ def q_embedding_filtered_ann_adaptive_recall(
          ),
          gt_l2),
     ]
-    out = None
-    for fam_name, metric, frame, gt in fams:
-        hits = (
-            frame.select("query_id", "vec_id")
-            .join(gt, ["query_id", "vec_id"], "left_semi")
-            .agg(F.count(F.lit(1)).alias("hits"))
-        )
-        tot = gt.agg(F.count(F.lit(1)).alias("total"))
-        row = hits.crossJoin(F.broadcast(tot)).select(
-            F.lit(fam_name).alias("family"),
-            F.lit(metric).alias("metric"),
-            F.col("hits").cast("bigint").alias("hits"),
-            F.col("total").cast("bigint").alias("total"),
-            (F.col("hits").cast("double") / F.col("total")).alias("recall"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    return _recall_rows(fams)
 
 
 _PI_ITERS = 3

@@ -936,14 +936,17 @@ def ivf_index_topk(
             .collect()
         )
     else:
-        probes = _adaptive_ivf_probes(
+        kept = _adaptive_ivf_probes(
             spark, root, queries, cent_row, nprobe, min_candidates,
             query_id, cand_id, vec_col, round_digits, where, tomb,
         )
-        probe_cells = sorted(
-            r["cell"]
-            for r in probes.select("cell").distinct().collect()
-        )  # bounded: <= |queries| * n_cells small ints
+        # materialize the escalation ONCE: the (query_id, cell) probe
+        # set is bounded (<= |queries| * n_cells small rows), and
+        # reusing the lazy frame in the ranking join would re-execute
+        # the corpus-wide counting scan a second time
+        rows = kept.collect()
+        probe_cells = sorted({int(r["cell"]) for r in rows})
+        probes = spark.createDataFrame(rows, kept.schema)
     assigned = spark.read.parquet(f"{root}/vectors").filter(
         F.col("cell").isin(probe_cells)
     )

@@ -534,7 +534,11 @@ def apply_where(df, where, root: str, payloads: tuple[str, ...]):
     deep in the serve. Shared by the IVF and IVF-PQ serves so the
     error contract cannot drift between families. A string predicate
     with a SQL syntax error still raises at ``F.expr`` parse time —
-    before this guard — with the parser's own message."""
+    before this guard — with the parser's own message, and analysis
+    failures that are NOT missing columns (type mismatches, unknown
+    functions) re-raise untouched: rebranding those as a payload-cols
+    problem would send the operator to rebuild an index that already
+    stores the column."""
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
@@ -544,6 +548,15 @@ def apply_where(df, where, root: str, payloads: tuple[str, ...]):
         # predicate raises HERE, not at the action
         return df.filter(cond)
     except AnalysisException as e:
+        cls = ""
+        getter = getattr(e, "getErrorClass", None)
+        if callable(getter):
+            cls = getter() or ""
+        if (
+            "UNRESOLVED_COLUMN" not in cls
+            and "UNRESOLVED_COLUMN" not in str(e)
+        ):
+            raise
         stored = (
             ", ".join(repr(c) for c in payloads)
             if payloads

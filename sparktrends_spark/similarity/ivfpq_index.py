@@ -582,16 +582,22 @@ def ivfpq_index_topk(
         counts = cand.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
         order = q.select(
             query_id_col,
-            "_qv",
             F.posexplode(F.array_sort(probe_structs)).alias("_r0", "_p"),
         ).select(
             query_id_col,
-            "_qv",
             (F.col("_r0") + 1).alias("_rnk"),
             F.col("_p.c").alias("cell"),
         )
-        probes = escalate_probes(
+        kept = escalate_probes(
             order, counts, query_id_col, nprobe, min_candidates
+        )
+        # materialize the escalation ONCE (bounded (query_id, cell)
+        # rows — vectors deliberately kept out of the collect), then
+        # reattach the query vectors for the LUT build: reusing the
+        # lazy frame would re-execute the corpus-wide counting scan
+        rows = kept.collect()
+        probes = spark.createDataFrame(rows, kept.schema).join(
+            q, query_id_col
         )
 
     cells = sorted(

@@ -257,6 +257,27 @@ def append_bm25_index(
 
         payloads = _bm25_stored_payloads(spark, root)
         require_payloads(new_docs.columns, payloads, root, _DOCLENS)
+        stored = {
+            f.name: f.dataType.simpleString()
+            for f in spark.read.parquet(f"{root}/{_DOCLENS}").schema.fields
+        }
+        stored_id = spark.read.parquet(f"{root}/{_DOCLENS}").columns[0]
+        if stored_id != doc_id:
+            # a differently-named id column would land a second id
+            # column in the same parquet dirs — every later read fails
+            raise ValueError(
+                f"append doc_id={doc_id!r} but the index at {root}"
+                f" stores id column {stored_id!r}"
+            )
+        # canonicalize the batch to the STORED types (the IVF append
+        # element-type lesson): an id or payload with a divergent type
+        # (int batch into a bigint index) would land mixed-typed files
+        # in the same cell directories and poison later reads
+        new_docs = new_docs.withColumn(
+            doc_id, F.col(doc_id).cast(stored[doc_id])
+        )
+        for c in payloads:
+            new_docs = new_docs.withColumn(c, F.col(c).cast(stored[c]))
         postings, doclens = _tokenized(
             new_docs, doc_id, text_col, n_buckets, payloads
         )

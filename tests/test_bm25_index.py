@@ -198,6 +198,36 @@ def test_stats_probe_and_loud_failures(spark, sf_dir, tmp_path):
         build_bm25_index(d, str(tmp_path / "bad"), n_buckets=0)
 
 
+def test_append_canonicalizes_types_and_guards_id_name(
+    spark, sf_dir, tmp_path
+):
+    """The IVF element-type lesson applied to the lexical index: a
+    batch whose id (or payload) type diverges from the stored schema
+    is CAST to it before the write — an int batch appended to a
+    bigint index must not land mixed-typed files in the cell dirs.
+    A differently-NAMED id column is refused loudly."""
+    d = _docs(spark, sf_dir).filter("doc_id < 30")
+    idx = str(tmp_path / "types")
+    build_bm25_index(d.filter("doc_id < 20"), idx)  # doc_id: bigint
+    batch = spark.createDataFrame(
+        [(25, "a fresh appended document about marketplaces")],
+        "doc_id int, text string",  # deliberately narrower id type
+    )
+    append_bm25_index(batch, idx)
+    # every file in every bucket reads back under one schema
+    post = spark.read.parquet(f"{idx}/postings")
+    assert post.schema["doc_id"].dataType.simpleString() == "bigint"
+    assert post.filter("doc_id = 25").count() > 0
+    dl = spark.read.parquet(f"{idx}/doclens")
+    assert dl.schema["doc_id"].dataType.simpleString() == "bigint"
+    assert dl.count() == 21
+
+    with pytest.raises(ValueError, match="stores id column"):
+        append_bm25_index(
+            batch.withColumnRenamed("doc_id", "docid"), idx, doc_id="docid"
+        )
+
+
 def test_maybe_compact_policy(spark, sf_dir, tmp_path):
     """One-call maintenance policy: a fresh index no-ops; a tombstone
     past the ratio threshold triggers the shared locked compactor,

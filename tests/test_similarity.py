@@ -307,6 +307,16 @@ def test_ivf_filtered_search_lifecycle(spark, sf_dir, tmp_path):
     build_ivf_index(emb.select("vec_id", "embedding", "label"), bare)
     with pytest.raises(ValueError, match="without payload_cols"):
         ivf_index_topk(spark, bare, queries, k=3, nprobe=2, where="src = 1")
+    # a predicate over a STORED payload that fails analysis for some
+    # OTHER reason (here: type mismatch) keeps Spark's own error —
+    # rebranding it would send the operator to rebuild an index that
+    # already stores the column
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        ivf_index_topk(
+            spark, idx, queries, k=3, nprobe=2, where="src = array('x')"
+        )
 
     # a bare string (instead of a 1-tuple) is a loud TypeError, not a
     # baffling per-character column-not-found later

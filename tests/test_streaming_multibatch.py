@@ -463,4 +463,6 @@ def test_multibatch_hybrid_serve_lands_on_oracle(
         docs_dir=sf_dir,
     ).toPandas()
     assert _n_batches(ckpt) >= N_SPLITS
-    _assert_frames_equal(got, _oracle(sf_dir, "doc_hybrid_bm25_ann_rrf"))
+    # the stream's own oracle (embedding query universe); on the
+    # driver fixtures it coincides with doc_hybrid_bm25_ann_rrf's
+    _assert_frames_equal(got, _oracle(sf_dir, "stream_doc_hybrid_rrf"))
