@@ -564,9 +564,8 @@ def q_embedding_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     without this, "top-k within a language/license class" forces a
     post-filter that breaks the top-k contract (returns < k). Oracle =
     the shared IVF chain with the same predicate applied to candidates
-    before the per-query rank. Registered swept-only (registry
-    discipline: new capability rows enter outside the graded
-    window)."""
+    before the per-query rank. Entered swept-only in round 13 (registry
+    discipline), ROTATED INTO the graded window in round 14."""
     from sparktrends_spark.similarity.cosine import (
         build_ivf_index,
         ivf_index_topk,
@@ -679,6 +678,30 @@ SELECT query_id, doc_id, rrf, rnk FROM (
     )
 
 
+def _rrf_fuse(sem: DataFrame, lex: DataFrame) -> DataFrame:
+    """Reciprocal Rank Fusion (k=60) of a (query_id, doc_id, rank_sem)
+    and a (query_id, doc_id, rank_lex) ranking, re-ranked to a top-5
+    per query — ONE implementation for the batch hybrid row and the
+    streaming serve, which must both stay byte-identical to the same
+    oracle chain (round-6 rrf, ties by doc_id, rnk cast long)."""
+    from pyspark.sql import Window
+
+    fused = sem.join(lex, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(60) + F.col("rank_sem")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(60) + F.col("rank_lex")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
 @query("doc_hybrid_bm25_ann_rrf", oracle=_hybrid_bm25_ann_oracle())
 def q_doc_hybrid_bm25_ann_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED hybrid retrieval — the round-13 capability row and the
@@ -698,9 +721,9 @@ def q_doc_hybrid_bm25_ann_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the predicate pushed to the scan; the lexical side is the
     doc_bm25_terms dataflow (vocab-keyed shuffle join, never
     broadcast-the-vocabulary) restricted to 10 query docs' terms;
-    fusion joins two ≤ (queries x 20)-row frames. Registered
-    swept-only (registry discipline: new capability rows enter
-    outside the graded window)."""
+    fusion joins two ≤ (queries x 20)-row frames. Entered swept-only
+    in round 13 (registry discipline), ROTATED INTO the graded window
+    in round 14."""
     from pyspark.sql import Window
 
     from sparktrends_spark.similarity.cosine import (
@@ -801,20 +824,7 @@ def q_doc_hybrid_bm25_ann_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_lex") <= 20)
         .select("query_id", "doc_id", "rank_lex")
     )
-    fused = sem.join(lex, ["query_id", "doc_id"], "full_outer").select(
-        "query_id",
-        "doc_id",
-        F.round(
-            F.coalesce(1.0 / (F.lit(60) + F.col("rank_sem")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(60) + F.col("rank_lex")), F.lit(0.0)),
-            6,
-        ).alias("rrf"),
-    )
-    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
-    return (
-        fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
-        .filter(F.col("rnk") <= 5)
-    )
+    return _rrf_fuse(sem, lex)
 
 
 _TEST_SPLIT_EXPR = (
@@ -1888,8 +1898,6 @@ def build_stream_doc_hybrid_serve(
     multibatch split fixtures); defaults to ``sf_dir``. ``ckpt_dir``/
     ``table_dir`` must be pinned together for a restart (the
     run_upsert_stream contract)."""
-    from pyspark.sql import Window
-
     from sparktrends_spark.plans.streaming_queries import (
         run_upsert_stream,
     )
@@ -1950,26 +1958,7 @@ def build_stream_doc_hybrid_serve(
         lex = bm25_index_topk(
             spark, idx_lex, ql, k=20, where="lang = 'en'"
         ).select("query_id", "doc_id", F.col("rnk").alias("rank_lex"))
-        fused = sem.join(lex, ["query_id", "doc_id"], "full_outer").select(
-            "query_id",
-            "doc_id",
-            F.round(
-                F.coalesce(
-                    1.0 / (F.lit(60) + F.col("rank_sem")), F.lit(0.0)
-                )
-                + F.coalesce(
-                    1.0 / (F.lit(60) + F.col("rank_lex")), F.lit(0.0)
-                ),
-                6,
-            ).alias("rrf"),
-        )
-        wf = Window.partitionBy("query_id").orderBy(
-            F.desc("rrf"), F.asc("doc_id")
-        )
-        return (
-            fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
-            .filter(F.col("rnk") <= 5)
-        )
+        return _rrf_fuse(sem, lex)
 
     return run_upsert_stream(
         query_stream,
@@ -2653,8 +2642,9 @@ def q_embedding_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFra
     counts are exact integers, so the statistic itself is
     value-oracled — both engines compute identical top-10 sets,
     intersections, and ratios. One row per family:
-    (family, metric, hits, total, recall). Registered swept-only
-    (round-13 registry discipline)."""
+    (family, metric, hits, total, recall). Entered swept-only in
+    round 13 (registry discipline), ROTATED INTO the graded window in
+    round 14."""
     from sparktrends_spark.similarity.cosine import (
         build_ivf_index,
         ivf_index_topk,

@@ -187,6 +187,11 @@ def build_bm25_index(
         postings.repartition(n_buckets, "cell").write.mode(
             "overwrite"
         ).partitionBy("cell").parquet(f"{path}/{_POSTINGS}")
+        # refresh BEFORE the meta read-back: a rebuild in a session
+        # that previously served this path would otherwise aggregate
+        # the baseline through the stale cached file listing of the
+        # OLD corpus (or die on its deleted files)
+        spark.catalog.refreshByPath(f"{path}/{_POSTINGS}")
         doclens.repartition(n_buckets, "cell").write.mode(
             "overwrite"
         ).partitionBy("cell").parquet(f"{path}/{_DOCLENS}")
@@ -242,21 +247,13 @@ def append_bm25_index(
         root = resolve_root(path)
         _require_index(root)
         n_buckets = _n_buckets(spark, root)
-        tomb = read_tombstones(spark, root, doc_id, _TOMBSTONES)
-        if tomb is not None:
-            n_bad = new_docs.select(doc_id).join(tomb, doc_id).count()
-            if n_bad:
-                raise ValueError(
-                    f"append batch re-inserts {n_bad} tombstoned doc"
-                    f" id(s) of {root} — run compact_bm25_index to"
-                    " reclaim deletes, then re-ingest"
-                )
         from sparktrends_spark.similarity.generations import (
             require_payloads,
         )
 
-        payloads = _bm25_stored_payloads(spark, root)
-        require_payloads(new_docs.columns, payloads, root, _DOCLENS)
+        # id-name guard FIRST: with a mismatched doc_id the tombstone
+        # read below would die on an opaque unresolved-column error —
+        # exactly the failure this guard exists to pre-empt
         stored = {
             f.name: f.dataType.simpleString()
             for f in spark.read.parquet(f"{root}/{_DOCLENS}").schema.fields
@@ -269,6 +266,17 @@ def append_bm25_index(
                 f"append doc_id={doc_id!r} but the index at {root}"
                 f" stores id column {stored_id!r}"
             )
+        payloads = _bm25_stored_payloads(spark, root)
+        require_payloads(new_docs.columns, payloads, root, _DOCLENS)
+        tomb = read_tombstones(spark, root, doc_id, _TOMBSTONES)
+        if tomb is not None:
+            n_bad = new_docs.select(doc_id).join(tomb, doc_id).count()
+            if n_bad:
+                raise ValueError(
+                    f"append batch re-inserts {n_bad} tombstoned doc"
+                    f" id(s) of {root} — run compact_bm25_index to"
+                    " reclaim deletes, then re-ingest"
+                )
         # canonicalize the batch to the STORED types (the IVF append
         # element-type lesson): an id or payload with a divergent type
         # (int batch into a bigint index) would land mixed-typed files

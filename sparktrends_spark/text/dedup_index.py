@@ -301,6 +301,9 @@ def maybe_compact_dedup_index(
     result or None>}``."""
     if target_files < 1:
         raise ValueError(f"target_files={target_files}: must be >= 1")
+    # guard BEFORE taking the lock: its makedirs would create a junk
+    # dir at a typo'd path (the delete-twin discipline)
+    _signatures_dir(index_path)
     with maintenance_lock(
         index_path, lock_timeout_s, operation="dedup-policy"
     ):

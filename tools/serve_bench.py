@@ -43,9 +43,16 @@ Families:
                  (selectivity-aware probe escalation, r14) at the
                  equal-candidate-budget target nprobe*n/km_cells —
                  measures what escalation costs on top of the fixed
-                 serve (one column-pruned count pass + the wider
-                 probe set) and proves via probed_bytes that it does
-                 NOT degrade to a full scan.
+                 serve and proves via probed_bytes that the CANDIDATE
+                 scan does not degrade to a full scan. Honesty note:
+                 probed_bytes covers the candidate (vector) scan
+                 only; the escalation's per-cell counting pass
+                 additionally reads the (cell, payload) columns of
+                 EVERY bucket each serve — those bytes are excluded
+                 from probed_bytes (they are a small fraction of the
+                 vector-carrying artifact) but their cost IS in the
+                 serve wall times, which is the fair fixed-vs-
+                 adaptive comparison.
 
 Usage: ``python tools/serve_bench.py [sf_dir] [replica_factor]
 [n_cells] [km_cells]`` (defaults: $SPARK_GRAFT_SF_DIR or
