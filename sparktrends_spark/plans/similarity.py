@@ -1778,6 +1778,7 @@ def build_stream_embedding_ann_serve(
     table_dir: str | None = None,
     payload_cols: tuple[str, ...] = (),
     where: str | None = None,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """Rides ``run_upsert_stream`` (ONE drive loop for every
     foreachBatch-upsert query) with a ``batch_transform`` that serves
@@ -1792,7 +1793,14 @@ def build_stream_embedding_ann_serve(
     predicate (pushed into the probed-cell scan exactly as in the
     batch serve). The index is fixed for the stream's duration, so
     filtered serving is just as stateless per batch as unfiltered —
-    batch boundaries cannot change any verdict."""
+    batch boundaries cannot change any verdict.
+
+    ``min_candidates``: ONLINE selectivity-aware probe escalation
+    (round 14) — each micro-batch's queries escalate their probe
+    prefixes independently until the live filtered pool reaches the
+    target, exactly the batch serve's contract. Per-query escalation
+    depends only on the fixed index and that query's probe order, so
+    it is batch-boundary-invariant like everything else here."""
     from sparktrends_spark.plans.streaming_queries import (
         run_upsert_stream,
     )
@@ -1840,6 +1848,7 @@ def build_stream_embedding_ann_serve(
         return ivfpq_index_topk(
             spark, idx, batch_df, dim=_DIM, k_neighbors=3,
             nprobe=_IVF_NPROBE, where=where,
+            min_candidates=min_candidates,
         )
 
     return run_upsert_stream(

@@ -443,6 +443,53 @@ def test_multibatch_filtered_ann_serve_lands_on_oracle(
     )
 
 
+def test_multibatch_adaptive_filtered_serve_is_batch_invariant(
+    spark, sf_dir, emb_split_dir, tmp_path
+):
+    """ONLINE selectivity-aware escalation (round 14): the streaming
+    filtered serve with ``min_candidates`` split into 3 micro-batches
+    must equal the BATCH adaptive serve over an identically-built
+    index — per-query escalation depends only on the fixed index and
+    that query's own probe order, so batch boundaries cannot change
+    the probe prefixes or the verdicts."""
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.plans.similarity import (
+        _KM_ITERS,
+        _KM_K,
+        _PQ_K,
+        _PQ_M,
+        build_stream_embedding_ann_serve,
+    )
+    from sparktrends_spark.similarity.ivfpq_index import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    emb = spark.read.parquet(f"{emb_split_dir}/embeddings*.parquet")
+    n = emb.count()
+    ckpt = str(tmp_path / "ckpt_ann_serve_a")
+    got = build_stream_embedding_ann_serve(
+        spark, emb_split_dir, max_files_per_trigger=1, ckpt_dir=ckpt,
+        payload_cols=("label",), where="label < 5", min_candidates=n,
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+
+    idx = str(tmp_path / "ref_idx")
+    build_ivfpq_index(
+        emb, idx, dim=64, n_cells=_KM_K, m=_PQ_M, k_codes=_PQ_K,
+        iterations=_KM_ITERS, payload_cols=("label",),
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = ivfpq_index_topk(
+        spark, idx, queries, dim=64, k_neighbors=3, nprobe=2,
+        where="label < 5", min_candidates=n,
+    ).select("query_id", "vec_id", "approx_d2", "rnk").toPandas()
+    _assert_frames_equal(got, want)
+
+
 def test_multibatch_hybrid_serve_lands_on_oracle(
     spark, sf_dir, emb_split_dir, tmp_path
 ):
