@@ -35,6 +35,7 @@ from tests.test_streaming_multibatch import (
     _assert_frames_equal,
     _n_batches,
     _oracle,
+    emb_split_dir,  # noqa: F401  (fixture re-export)
     split_dir,  # noqa: F401  (fixture re-export)
 )
 
@@ -320,3 +321,41 @@ def test_cdc_stream_kill_and_restart_lands_on_oracle(
     finally:
         con.close()
     assert got == want
+
+
+def test_hybrid_serve_kill_and_restart_lands_on_oracle(
+    spark, sf_dir, emb_split_dir, tmp_path, monkeypatch  # noqa: F811
+):
+    """The round-14 streaming HYBRID serve recovers through a
+    mid-stream kill: both standing indexes (filtered IVF + BM25
+    postings) live OUTSIDE the checkpoint and rebuild
+    deterministically on restart, so the restarted run re-resolves
+    them, replays only the uncommitted query batches through the
+    idempotent upsert sink (the crash lands AFTER the sink commit —
+    the at-least-once window, converged by the versioned-skip), and
+    the table lands exactly on the stream's batch-equivalent
+    oracle."""
+    from sparktrends_spark.plans.similarity import (
+        build_stream_doc_hybrid_serve,
+    )
+
+    ckpt = str(tmp_path / "ckpt_hyb_restart")
+    table_dir = str(tmp_path / "table_hyb_restart")
+    os.makedirs(table_dir, exist_ok=True)
+
+    monkeypatch.setattr(
+        sq, "upsert_parquet_bucketed", _crashing_sink(1, "post_commit")
+    )
+    with pytest.raises(StreamingQueryException, match="injected kill"):
+        build_stream_doc_hybrid_serve(
+            spark, emb_split_dir, max_files_per_trigger=1,
+            ckpt_dir=ckpt, table_dir=table_dir, docs_dir=sf_dir,
+        )
+    monkeypatch.setattr(sq, "upsert_parquet_bucketed", upsert_parquet_bucketed)
+
+    result = build_stream_doc_hybrid_serve(
+        spark, emb_split_dir, max_files_per_trigger=1,
+        ckpt_dir=ckpt, table_dir=table_dir, docs_dir=sf_dir,
+    ).toPandas()
+    assert _n_batches(ckpt) >= N_SPLITS
+    _assert_frames_equal(result, _oracle(sf_dir, "stream_doc_hybrid_rrf"))
