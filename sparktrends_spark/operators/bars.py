@@ -99,9 +99,12 @@ def daily_bars(
     price_col: str = "price",
     volume_col: str = "volume",
     tiebreak_col: str | None = None,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Daily OHLCV bars via hierarchical aggregation: packed-bigint
     minute bars first, then ``rollup_bars`` to 1 day.
+    ``bucket_col`` (a materialized minute-truncated timestamp) is
+    forwarded to the minute-bar stage — see ``ohlcv_bars``.
 
     A direct 1-day ``ohlcv_bars`` falls off the packed fast path — a
     day is 2^36.3 µs, leaving only 26 tiebreak bits (< the 30-bit
@@ -122,6 +125,7 @@ def daily_bars(
         price_col=price_col,
         volume_col=volume_col,
         tiebreak_col=tiebreak_col,
+        bucket_col=bucket_col,
     )
     return rollup_bars(minute, window_duration="1 day")
 
@@ -196,12 +200,23 @@ def ohlcv_bars(
     price_col: str = "price",
     volume_col: str = "volume",
     tiebreak_col: str | None = None,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Aggregate trades into per-(symbol, window) OHLCV bars.
 
     ``tiebreak_col`` disambiguates trades sharing a timestamp (e.g. a
     monotonic trade id); without it, equal-timestamp open/close picks
     are unspecified (as in any engine).
+
+    ``bucket_col``: a caller-materialized column holding the aligned
+    window START (== ``date_trunc`` of ``ts_col`` at the window
+    granularity — the caller guarantees equivalence). Grouping then
+    keys on the bare attribute, so an upstream exchange hash-keyed on
+    ``(symbol_col, bucket_col)`` satisfies the aggregation's clustering
+    requirement and the agg runs in the same stage — one shuffle for
+    fan-out + aggregation instead of two (guide §2.4). Values are
+    identical either way: ``F.window(ts).start`` IS the truncated
+    timestamp for exact-unit tumbling windows.
 
     Ordering is packed into one bigint (see module docstring) when the
     tumbling window duration parses and leaves >=30 tiebreak bits:
@@ -236,17 +251,23 @@ def ohlcv_bars(
         order = F.struct(F.col(ts_col), F.col(tiebreak_col))
     else:
         order = F.col(ts_col)
+    aggs = [
+        F.min_by(F.col(price_col), order).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(F.col(price_col), order).alias("close"),
+        F.sum(volume_col).alias("volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+    ]
+    if bucket_col is not None:
+        return trades.groupBy(
+            F.col(symbol_col).alias("symbol"),
+            F.col(bucket_col).alias("timestamp"),
+        ).agg(*aggs)
     bucket = F.window(F.col(ts_col), window_duration)
     return (
         trades.groupBy(F.col(symbol_col).alias("symbol"), bucket.alias("w"))
-        .agg(
-            F.min_by(F.col(price_col), order).alias("open"),
-            F.max(price_col).alias("high"),
-            F.min(price_col).alias("low"),
-            F.max_by(F.col(price_col), order).alias("close"),
-            F.sum(volume_col).alias("volume"),
-            F.count(F.lit(1)).alias("n_trades"),
-        )
+        .agg(*aggs)
         .select(
             "symbol",
             F.col("w.start").alias("timestamp"),

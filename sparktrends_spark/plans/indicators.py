@@ -64,6 +64,7 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         trades_view(spark, sf_dir),
         ts_col="ts",
         tiebreak_col="event_id",
+        bucket_col="_bucket",
     ).select("symbol", F.col("timestamp").alias("day"), "close")
 
 
@@ -389,6 +390,7 @@ def q_stochastic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         trades_view(spark, sf_dir),
         ts_col="ts",
         tiebreak_col="event_id",
+        bucket_col="_bucket",
     ).select(
         "symbol", F.col("timestamp").alias("day"), "close", "high", "low"
     )

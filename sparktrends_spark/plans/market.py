@@ -99,25 +99,52 @@ def trades_projection(ev: DataFrame) -> DataFrame:
 
 
 def trades_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The canonical trades DataFrame derived from ``events``."""
-    # Per-row JSON extraction is CPU-bound: fan the scan out, but prune
-    # to the needed raw columns FIRST so the round-robin exchange never
-    # carries bytes the projection will drop (column pruning does not
-    # reach through a user Repartition).
+    """The canonical trades DataFrame derived from ``events``.
+
+    Per-row JSON extraction is CPU-bound: fan the scan out, pruned to
+    the needed raw columns FIRST so the exchange never carries bytes
+    the projection will drop. The fan-out hash-partitions on
+    ``(symbol, _bucket)`` — both computed from cheap non-JSON columns
+    BEFORE the exchange — so the minute-bar aggregation downstream
+    (``ohlcv_bars(bucket_col="_bucket")``) reuses this shuffle instead
+    of adding its own (guide §2.4); symbols x minutes gives thousands
+    of distinct keys per 32 partitions, an even spread (guide §2.5).
+    The CPU-heavy JSON volume parse stays downstream of the exchange.
+    """
     events = load_table(spark, sf_dir, "events")
     raw = events.select(
-        "event_type", "user_id", "value", "props", "ts", "event_id"
+        F.concat(
+            F.col("event_type"), F.lit("_"), (F.col("user_id") % 10).cast("string")
+        ).alias("symbol"),
+        F.col("value").alias("price"),
+        F.col("props"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.date_trunc("minute", F.col("ts")).alias("_bucket"),
     )
-    return trades_projection(
-        scan_parallel(
-            raw, source_path=getattr(events, "_sparktrends_scan_path", None)
-        )
+    fanned = scan_parallel(
+        raw,
+        source_path=getattr(events, "_sparktrends_scan_path", None),
+        keys=("symbol", "_bucket"),
+    )
+    return fanned.select(
+        "symbol",
+        "price",
+        (F.get_json_object("props", "$.k").cast("double") + F.lit(1.0)).alias(
+            "volume"
+        ),
+        "ts",
+        "event_id",
+        "_bucket",
     )
 
 
 def bars_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlcv_bars(
-        trades_view(spark, sf_dir), ts_col="ts", tiebreak_col="event_id"
+        trades_view(spark, sf_dir),
+        ts_col="ts",
+        tiebreak_col="event_id",
+        bucket_col="_bucket",
     )
 
 
@@ -322,6 +349,7 @@ def q_weekly_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         trades_view(spark, sf_dir),
         ts_col="ts",
         tiebreak_col="event_id",
+        bucket_col="_bucket",
     ).select("symbol", F.col("timestamp").alias("day"), "close")
     epoch_day = (F.unix_timestamp("day") / F.lit(86400)).cast("long")
     w = (

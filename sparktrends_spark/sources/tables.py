@@ -204,6 +204,7 @@ def scan_parallel(
     df: DataFrame,
     min_partitions: int | None = None,
     source_path: str | None = None,
+    keys: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Ensure a scan has enough partitions to use every core.
 
@@ -219,6 +220,15 @@ def scan_parallel(
     callers that projected first pass ``source_path=``), avoiding a
     physical-planning probe per build; unknown sources keep the exact
     ``df.rdd.getNumPartitions()`` probe.
+
+    ``keys``: hash-partition the fan-out on these columns instead of
+    round-robin. When a downstream groupBy/window clusters on (a
+    superset of) the same columns, Catalyst recognises the partitioning
+    and skips that operator's own exchange — the fan-out and the
+    aggregation share ONE shuffle (guide §2.4). Callers must pick keys
+    with enough distinct values to spread evenly (20-100x the partition
+    count, guide §2.5); this fan-out only exists on narrow scans, where
+    the exchange carries the same bytes either way.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
@@ -227,5 +237,7 @@ def scan_parallel(
     if nparts is None:
         nparts = df.rdd.getNumPartitions()
     if nparts < target:
+        if keys:
+            return df.repartition(target, *[F.col(k) for k in keys])
         return df.repartition(target)
     return df
