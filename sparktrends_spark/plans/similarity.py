@@ -34,6 +34,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_parallel(load_table(spark, sf_dir, "embeddings"))
 
 
+def _emb_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tiny broadcast-side query frame (vec_id < _N_QUERIES), built
+    from the UN-fanned scan: the vec_id predicate pushes into the
+    parquet scan, and the ~10-row frame skips the 32-partition CPU
+    fan-out the candidate side needs (one fewer exchange + stage per
+    query at small scale; a pushed-filter scan at every scale)."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _N_QUERIES
+    )
+
+
 def _idx_path(name: str, sf_dir: str) -> str:
     """Per-query, per-user, per-PROCESS persisted-index root. Distinct
     queries never share an on-disk index (one query's build-overwrite
@@ -91,7 +102,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles; ranking is one per-query window.
     """
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return brute_force_topk(queries, emb, k=5)
@@ -149,7 +160,7 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (compare ~1/2^8 of the corpus per query). Oracle builds identical
     planes, so results match exactly."""
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_topk(queries, emb, num_planes=_N_PLANES, dim=_DIM, k=3)
@@ -228,7 +239,7 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparktrends_spark.similarity.cosine import ivf_topk
 
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(emb, queries, k=3, nprobe=_IVF_NPROBE)
@@ -543,7 +554,7 @@ def q_embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     idx = _idx_path("ivf_index", sf_dir)
     build_ivf_index(emb, idx)
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_index_topk(spark, idx, queries, k=3, nprobe=_IVF_NPROBE)
@@ -576,7 +587,7 @@ def q_embedding_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     idx = _idx_path("ivf_filtered", sf_dir)
     build_ivf_index(emb, idx, payload_cols=("src",))
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_index_topk(
@@ -748,7 +759,7 @@ def q_doc_hybrid_bm25_ann_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = _idx_path("hybrid_ivf", sf_dir)
     build_ivf_index(corpus, idx, payload_cols=("lang",))
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     sem = ivf_index_topk(
@@ -882,7 +893,7 @@ def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE ranking (so negatives never compete with positives for the
     k slots); cosines round-6 before rank, ties by candidate id."""
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding", "label"
     )
     return brute_force_topk(
@@ -1152,7 +1163,7 @@ def q_embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(diffsq, F.lit(0.0), lambda acc, x: acc + x), 6
         )
 
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("_qv"),
     )
@@ -1612,7 +1623,7 @@ def q_embedding_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, idx, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
         k_codes=_PQ_K, iterations=_KM_ITERS,
     )
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_index_topk(
@@ -1664,7 +1675,7 @@ def q_embedding_ivfpq_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFra
         k_codes=_PQ_K, iterations=_KM_ITERS,
         payload_cols=("label",),
     )
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_index_topk(
@@ -1742,7 +1753,7 @@ def q_stream_embedding_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFra
         .start()
         .awaitTermination()
     )
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_index_topk(
@@ -2031,7 +2042,7 @@ def q_embedding_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         emb, idx, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
         k_codes=_PQ_K, iterations=_KM_ITERS, store_vectors=True,
     )
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_index_topk(
@@ -2100,7 +2111,7 @@ def q_embedding_ivfpq_retrain_topk(spark: SparkSession, sf_dir: str) -> DataFram
     info = retrain_ivfpq_index(spark, idx, dim=_DIM, iterations=_KM_ITERS)
     if info["n_vectors"] != st["n_now"]:
         raise ValueError(f"retrain corpus != probed corpus: {info}, {st}")
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_index_topk(
@@ -2166,7 +2177,7 @@ def q_embedding_ivfpq_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     delete_from_ivfpq_index(
         spark, idx, emb.filter(_DEL_PRED).select("vec_id")
     )
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     pre = ivfpq_index_topk(
@@ -2464,7 +2475,7 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K = _RECALL_K
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
 
@@ -2666,7 +2677,7 @@ def q_embedding_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFra
     K = _RECALL_K
     emb = _emb(spark, sf_dir)
     embs = emb.withColumn("src", (F.col("vec_id") % 3).cast("int"))
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     gt_cos, gt_l2 = _filtered_gts(emb, embs, queries)
@@ -2871,7 +2882,7 @@ def q_embedding_filtered_ann_adaptive_recall(
     K = _RECALL_K
     emb = _emb(spark, sf_dir)
     embs = emb.withColumn("src", (F.col("vec_id") % 3).cast("int"))
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     n = emb.count()

@@ -466,7 +466,13 @@ def q_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparktrends_spark.operators.topk import top_k_per_group
     from sparktrends_spark.text.dedup import exact_hash
 
-    d = _docs(spark, sf_dir)
+    # Score + hash BEFORE the fan-out exchange, and key the fan-out on
+    # content_hash: the dedup window downstream clusters on the same
+    # column, so it reuses this shuffle (guide §2.4) — and the exchange
+    # carries (doc_id, lang, quality, content_hash), never the text.
+    # The quality/lang filter still pushes below the exchange into the
+    # scan (fewer rows shuffled, guide §2.3).
+    d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", "lang", "text", tokens(F.col("text")).alias("_toks")
     )
@@ -476,7 +482,12 @@ def q_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score(F.col("_toks")).alias("quality"),
         exact_hash(F.col("text")).alias("content_hash"),
     ).filter((F.col("quality") >= 0.6) & F.col("lang").isin("en", "es"))
-    kept = top_k_per_group(scored, ["content_hash"], [F.asc("doc_id")], k=1)
+    fanned = scan_parallel(
+        scored,
+        source_path=getattr(d, "_sparktrends_scan_path", None),
+        keys=("content_hash",),
+    )
+    kept = top_k_per_group(fanned, ["content_hash"], [F.asc("doc_id")], k=1)
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
