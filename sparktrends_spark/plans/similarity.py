@@ -242,7 +242,7 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=3, nprobe=_IVF_NPROBE)
+    return ivf_topk(emb, queries, k=3, nprobe=_IVF_NPROBE, dim=_DIM)
 
 
 _ND_THRESHOLD = 0.35
@@ -553,7 +553,7 @@ def q_embedding_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     idx = _idx_path("ivf_index", sf_dir)
-    build_ivf_index(emb, idx)
+    build_ivf_index(emb, idx, dim=_DIM)
     queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -586,7 +586,7 @@ def q_embedding_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         "src", (F.col("vec_id") % 3).cast("int")
     )
     idx = _idx_path("ivf_filtered", sf_dir)
-    build_ivf_index(emb, idx, payload_cols=("src",))
+    build_ivf_index(emb, idx, payload_cols=("src",), dim=_DIM)
     queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -758,7 +758,7 @@ def q_doc_hybrid_bm25_ann_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     idx = _idx_path("hybrid_ivf", sf_dir)
-    build_ivf_index(corpus, idx, payload_cols=("lang",))
+    build_ivf_index(corpus, idx, payload_cols=("lang",), dim=_DIM)
     queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1945,7 +1945,7 @@ def build_stream_doc_hybrid_serve(
         "left",
     )
     idx_sem = _idx_path("hybrid_stream_ivf", sf_dir)
-    build_ivf_index(corpus, idx_sem, payload_cols=("lang",))
+    build_ivf_index(corpus, idx_sem, payload_cols=("lang",), dim=_DIM)
     idx_lex = _idx_path("hybrid_stream_bm25", sf_dir)
     build_bm25_index(docs, idx_lex, payload_cols=("lang",))
     qtext = docs.select(F.col("doc_id").alias("query_id"), "text")
@@ -2526,7 +2526,7 @@ def q_embedding_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
          lsh_topk(queries, emb, num_planes=_N_PLANES, dim=_DIM, k=K),
          gt_cos),
         ("ivf", "cosine",
-         ivf_topk(emb, queries, k=K, nprobe=_IVF_NPROBE), gt_cos),
+         ivf_topk(emb, queries, k=K, nprobe=_IVF_NPROBE, dim=_DIM), gt_cos),
         ("pq", "l2",
          pq_topk(emb, queries, books, dim=_DIM, k_neighbors=K), gt_l2),
         ("ivfpq", "l2",
@@ -2683,7 +2683,7 @@ def q_embedding_filtered_ann_recall(spark: SparkSession, sf_dir: str) -> DataFra
     gt_cos, gt_l2 = _filtered_gts(emb, embs, queries)
 
     idx_ivf = _idx_path("f_recall_ivf", sf_dir)
-    build_ivf_index(embs, idx_ivf, payload_cols=("src",))
+    build_ivf_index(embs, idx_ivf, payload_cols=("src",), dim=_DIM)
     idx_ipq = _idx_path("f_recall_ivfpq", sf_dir)
     build_ivfpq_index(
         emb, idx_ipq, dim=_DIM, n_cells=_KM_K, m=_PQ_M,
@@ -2892,7 +2892,7 @@ def q_embedding_filtered_ann_adaptive_recall(
     gt_cos, gt_l2 = _filtered_gts(emb, embs, queries)
 
     idx_ivf = _idx_path("a_recall_ivf", sf_dir)
-    build_ivf_index(embs, idx_ivf, payload_cols=("src",))
+    build_ivf_index(embs, idx_ivf, payload_cols=("src",), dim=_DIM)
     idx_ipq = _idx_path("a_recall_ivfpq", sf_dir)
     build_ivfpq_index(
         emb, idx_ipq, dim=_DIM, n_cells=_KM_K, m=_PQ_M,

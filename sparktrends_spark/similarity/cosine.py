@@ -426,13 +426,27 @@ def label_centroids(
     vectors: DataFrame,
     label_col: str = "label",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Coarse-quantizer centroids: per-label mean vector, as an array.
 
-    Long-form transpose (posexplode -> per-dim avg -> re-assemble
-    sorted by position) keeps the whole computation in built-in
-    aggregates; output is one small row per cell, broadcastable.
+    With ``dim`` known (every index build knows it), the mean is ONE
+    partial+final HashAggregate of ``array(avg(v[0]), .., avg(v[d-1]))``
+    — a fixed-width (2·dim doubles) buffer per cell. The legacy
+    ``dim=None`` path transposes long-form (posexplode -> per-dim avg
+    -> re-assemble), which multiplies the corpus rows x dim through the
+    explode, shuffles (cell, pos) pairs twice, and re-assembles through
+    an ObjectHashAggregate collect_list; per-dimension values are
+    identical (same elements, same per-partition accumulation order —
+    avg skips the nulls that posexplode would not emit).
     """
+    if dim is not None:
+        avgs = ", ".join(
+            f"avg(cast(`{vec_col}`[{i}] as double))" for i in range(dim)
+        )
+        return vectors.groupBy(F.col(label_col).alias("cell")).agg(
+            F.expr(f"array({avgs})").alias("cvec")
+        )
     return (
         vectors.select(
             F.col(label_col).alias("cell"),
@@ -563,6 +577,7 @@ def ivf_topk(
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k via an IVF (inverted-file) index — the cell-probing
     scale path, complementing the hyperplane-LSH variant (``lsh_topk``).
@@ -582,7 +597,9 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    cent = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
+    cent = label_centroids(
+        vectors, label_col=label_col, vec_col=vec_col, dim=dim
+    )
     # One row: [{cell, cvec, cn}, ...] — centroid norms precomputed so
     # the per-vector argmax does k dots, not 2k. Persisted: both the
     # corpus-assignment branch and the query-probe branch broadcast it,
@@ -634,6 +651,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     round_digits: int = 6,
     payload_cols: tuple[str, ...] = (),
+    dim: int | None = None,
 ) -> None:
     """Persist an IVF index: ``path/centroids`` (one tiny parquet of
     cell, cvec, cn) and ``path/vectors`` partitioned BY CELL — so a
@@ -693,14 +711,16 @@ def build_ivf_index(
             shutil.rmtree(f"{path}/tombstones")
             vectors.sparkSession.catalog.refreshByPath(f"{path}/tombstones")
         _build_ivf_locked(vectors, path, label_col, cand_id, vec_col,
-                          round_digits, payload_cols)
+                          round_digits, payload_cols, dim=dim)
 
 
 def _build_ivf_locked(
     vectors, path, label_col, cand_id, vec_col, round_digits,
-    payload_cols=(),
+    payload_cols=(), dim=None,
 ) -> None:
-    cent = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
+    cent = label_centroids(
+        vectors, label_col=label_col, vec_col=vec_col, dim=dim
+    )
     cent_n = cent.select(
         "cell",
         F.col("cvec").cast("array<double>").alias("cvec"),
