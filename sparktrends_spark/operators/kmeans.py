@@ -278,30 +278,36 @@ def kmeans_fit(
         for c, row in enumerate(seed_rows)
     }
 
+    # The update is ONE fixed-width partial+final HashAggregate per
+    # iteration: array(sum(round(_v[0],6)), ..) + count, a 2·dim-decimal
+    # buffer per cluster — no posexplode (corpus rows × dim through a
+    # Generate), no (cluster, pos) shuffle, and the per-iteration
+    # collect shrinks from k·dim rows to k. Fixed dim is already this
+    # loop's contract (the long-form path indexed a [0.0]*dim list by
+    # pos); the exact decimal sums are order-independent, so the means
+    # are bit-identical to the long-form transpose.
+    dim = len(centroids[0])
+    sum_exprs = ", ".join(
+        f"sum(cast(round(_v[{i}], 6) as decimal(38,6)))" for i in range(dim)
+    )
     for _ in range(iterations):
         # memoize=False: intermediate centroids are one-shot — caching
         # them would churn the standing-index literal memo
         assigned = assign_clusters(v, centroids, memoize=False)
         stats = (
-            assigned.select(
-                "cluster", F.posexplode("_v").alias("pos", "val")
-            )
-            .groupBy("cluster", "pos")
+            assigned.groupBy("cluster")
             .agg(
-                # exact decimal sum of round-6-quantized values: the
-                # mean is then independent of partition/merge order
-                F.sum(
-                    F.round(F.col("val"), 6).cast("decimal(38,6)")
-                ).alias("s"),
+                F.expr(f"array({sum_exprs})").alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
             .collect()
         )
-        new: dict[int, list[float]] = {}
-        for r in stats:
-            new.setdefault(r["cluster"], [0.0] * len(centroids[0]))[
-                r["pos"]
-            ] = _round9_mean(r["s"], r["n"])
+        new = {
+            int(r["cluster"]): [
+                _round9_mean(s_i, r["n"]) for s_i in r["s"]
+            ]
+            for r in stats
+        }
         # empty cluster: keep previous centroid
         centroids = {c: new.get(c, centroids[c]) for c in range(k)}
 

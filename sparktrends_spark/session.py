@@ -25,6 +25,18 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def default_shuffle_partitions() -> int:
+    """Scale-dependent: local default 32 (= the bench box's core count,
+    AQE coalesces below it); production sizes partitions to 100 MB-1 GB
+    of shuffle data (guide §2.2) via SPARK_GRAFT_SHUFFLE_PARTITIONS —
+    e.g. a 100 TB shuffle wants O(100k-1M) partitions, not 32."""
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS
+        )
+    )
+
+
 def default_master() -> str:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     return os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
@@ -50,7 +62,9 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.shuffle.partitions": str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or default_shuffle_partitions()
+        ),
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
