@@ -16,7 +16,7 @@ from sparktrends_spark.operators.joins import anti_join, as_of_join, enrich, sem
 from sparktrends_spark.operators.setops import except_, intersect, union_distinct
 from sparktrends_spark.operators.topk import global_top_k, top_k_per_group
 from sparktrends_spark.plans.registry import query
-from sparktrends_spark.sources.tables import load_table
+from sparktrends_spark.sources.tables import load_table, maybe_broadcast, table_bytes
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -190,7 +190,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     joined = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+        # size-aware: orders/customer grow with scale — hint only under
+        # the cap (locally identical); above it AQE picks the strategy
+        maybe_broadcast(
+            orders.join(
+                maybe_broadcast(cust, table_bytes(sf_dir, "customer")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ),
+            table_bytes(sf_dir, "orders", "customer"),
+        ),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
@@ -237,12 +245,24 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     joined = (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        # size-aware hints: orders/customer/supplier all grow with
+        # scale factor — locally (under the cap) the plan is identical
+        # all-broadcast; at 100 TB the hints vanish and AQE chooses
+        li.join(
+            maybe_broadcast(orders, table_bytes(sf_dir, "orders")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey", "n_name")),
+            maybe_broadcast(
+                cust.select("c_custkey", "c_nationkey", "n_name"),
+                table_bytes(sf_dir, "customer"),
+            ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            maybe_broadcast(supp, table_bytes(sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
     )
     return joined.groupBy("n_name").agg(
@@ -271,7 +291,11 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         _t(spark, sf_dir, "orders")
         .join(
-            F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_name")),
+            # customer grows with scale: size-aware hint (locally identical)
+            maybe_broadcast(
+                _t(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+                table_bytes(sf_dir, "customer"),
+            ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("c_custkey", "c_name")

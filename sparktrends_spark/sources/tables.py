@@ -117,6 +117,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_bytes(sf_dir: str, *names: str) -> int | None:
+    """Total on-disk bytes of the named testdata tables, or None when
+    any source is non-local/unstattable (the caller then makes no
+    size claim and leaves strategy choice to AQE)."""
+    total = 0
+    for name in names:
+        lp = _local_path(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        if lp is None:
+            return None
+        try:
+            if os.path.isdir(lp):
+                total += sum(
+                    e.stat().st_size
+                    for e in os.scandir(lp)
+                    if e.is_file() and not e.name.startswith(("_", "."))
+                )
+            else:
+                total += os.stat(lp).st_size
+        except OSError:
+            return None
+    return total
+
+
+def maybe_broadcast(df: DataFrame, nbytes: int | None) -> DataFrame:
+    """Broadcast hint iff the frame's source bytes are known and under
+    ``SPARK_GRAFT_BROADCAST_CAP`` (default 10m — Spark's own
+    autoBroadcastJoinThreshold default).
+
+    For a join side that is a *scale-growing* table (orders, customer,
+    ...) an unconditional ``F.broadcast`` is tuned to the bench box: at
+    100 TB it would demand a multi-TB broadcast (hard-capped by Spark
+    at 8 GB) instead of letting AQE pick a sort-merge/shuffled-hash
+    join from real sizes (guide §3.1). Under the cap the hint is
+    byte-identical to the unconditional one, so local plans (and the
+    driver's bench) are unchanged; above it the hint disappears and
+    the planner decides. Provably-bounded frames (top-k results,
+    scalar aggregates, enum dimensions) keep their unconditional
+    hints — their size is scale-independent by construction."""
+    cap = _parse_bytes(os.environ.get("SPARK_GRAFT_BROADCAST_CAP", "10m"))
+    if nbytes is not None and nbytes < cap:
+        return F.broadcast(df)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for spark.sql use)."""
     for name in TABLES:
