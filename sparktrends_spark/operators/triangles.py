@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparktrends_spark.caching import persist_tracked
+
 
 def triangles(
     edges: DataFrame, u_col: str = "u", v_col: str = "v"
@@ -44,8 +46,17 @@ def triangles(
     ``edges`` are undirected pairs (any per-edge order; duplicates,
     reversed duplicates, and self-loops are normalized/dropped
     map-side). Returns ``(a, b, c)`` with ``a < b < c`` by id — a
-    deterministic canonical form independent of partitioning."""
-    e = (
+    deterministic canonical form independent of partitioning.
+
+    The normalized edge list and the oriented edge list are persisted
+    (released by the caller's ``release_persisted``, the
+    ``jaccard_pairs`` pattern): ``e`` feeds the degree aggregate, the
+    orientation join AND the closing semi-join, and ``oriented`` is
+    self-joined for wedges — without pinning, Spark re-executes the
+    whole upstream edge derivation once per reference (measured on the
+    co-purchase graph: 22 parquet scans / 56 exchanges in one plan,
+    zero reuse)."""
+    e = persist_tracked(
         edges.where(F.col(u_col) != F.col(v_col))
         .select(
             F.least(u_col, v_col).alias("lo"),
@@ -68,13 +79,13 @@ def triangles(
         return F.struct(F.col(d).alias("d"), F.col(x).alias("i"))
 
     lo_first = _key("dlo", "lo") < _key("dhi", "hi")
-    oriented = withd.select(
+    oriented = persist_tracked(withd.select(
         F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
         F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
         F.when(lo_first, _key("dhi", "hi"))
         .otherwise(_key("dlo", "lo"))
         .alias("dk"),
-    )
+    ))
     # Wedges at apex a: unordered out-neighbor pairs, each once.
     w1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dk").alias("bk")
@@ -84,8 +95,14 @@ def triangles(
     )
     wedges = w1.join(w2, "a").where(F.col("bk") < F.col("ck"))
     # Close the wedge: the (b, c) edge exists (stored as lo/hi by id).
+    # The wedge side is the giant frame (O(m^1.5) rows); a sort-merge
+    # join would SORT it. Hinting the edge side SHUFFLE_HASH builds the
+    # per-partition hash table on the m-row side instead (guide §3.1)
+    # — the wedge stream is probed unsorted. Orientation already bounds
+    # per-key skew, and the build side is one partition's share of the
+    # edge list, so the hash table stays small at any scale.
     closed = wedges.join(
-        e,
+        e.hint("shuffle_hash"),
         (F.least("b", "c") == F.col("lo")) & (F.greatest("b", "c") == F.col("hi")),
         "left_semi",
     )
