@@ -667,11 +667,22 @@ def q_returnflag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     are engine-specific by design.
     """
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    # One percentile buffer per COLUMN, not per requested quantile:
+    # percentile(col, array(...)) computes every quantile from one
+    # value-counts buffer (identical interpolation code path), so the
+    # price column is buffered/serialized once instead of twice —
+    # that buffer is the whole cost of an exact percentile at scale.
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("_ep"),
         F.round(F.expr("percentile(l_discount, 0.25)"), 4).alias("p25_discount"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("_ep")[0], 4).alias("median_price"),
+        F.round(F.col("_ep")[1], 4).alias("p90_price"),
+        "p25_discount",
+        "n",
     )
 
 
