@@ -83,6 +83,7 @@ from sparktrends_spark.operators.pq import (
     adc_score,
     pq_train,
 )
+from sparktrends_spark.caching import persist_tracked
 from sparktrends_spark.similarity.generations import (
     gc_generations,
     maintenance_lock,
@@ -91,6 +92,7 @@ from sparktrends_spark.similarity.generations import (
     reset_generations,
     resolve_root as resolve_index_root,
     write_current as _write_current,
+    write_driver_rows,
 )
 
 # single source of truth for the index layout: tiny driver-written
@@ -253,21 +255,36 @@ def _build_ivfpq_locked(
             vectors, k=n_cells, iterations=iterations,
             id_col=id_col, vec_col=vec_col,
         )
-    spark.createDataFrame(
-        [(c, cents[c]) for c in sorted(cents)],
-        "cell int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+    # centroids/codebooks are driver-local (k x dim doubles): write
+    # them without a Spark job (see generations.write_driver_rows)
+    import pyarrow as pa
+
+    write_driver_rows(
+        spark, f"{path}/coarse",
+        [(int(c), cents[c]) for c in sorted(cents)],
+        [pa.field("cell", pa.int32()),
+         pa.field("cvec", pa.list_(pa.float64()))],
+    )
 
     asg = assign_clusters(emb, cents, vec_col="_v", out_col="cell")
-    resid = asg.withColumn("_r", _residual("_v", "cell", cents))
+    # the residual frame feeds every remaining build phase (two
+    # subspace trainers, the code encoding, the quant-err baseline,
+    # and the vectors sidecar via asg) — pin it once or each phase
+    # re-runs the coarse assignment over the corpus
+    resid = persist_tracked(
+        asg.withColumn("_r", _residual("_v", "cell", cents))
+    )
     books = pq_train(
         resid.select(id_col, F.col("_r").alias("embedding")),
         dim=dim, m=m, k=k_codes, iterations=iterations, id_col=id_col,
     )
-    spark.createDataFrame(
-        [(s, c, books[s][c]) for s in sorted(books) for c in sorted(books[s])],
-        "s int, code int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    write_driver_rows(
+        spark, f"{path}/books",
+        [(int(s), int(c), books[s][c])
+         for s in sorted(books) for c in sorted(books[s])],
+        [pa.field("s", pa.int32()), pa.field("code", pa.int32()),
+         pa.field("cvec", pa.list_(pa.float64()))],
+    )
 
     _encode(resid, books, dim, id_col, payload_cols).write.mode(
         "overwrite"
@@ -284,7 +301,10 @@ def _build_ivfpq_locked(
         F.avg("_e").alias("mean_err"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     if store_vectors:
-        asg.select(
+        # derived from the pinned residual frame (same columns as asg)
+        # so the sidecar write reuses the cache instead of re-running
+        # the coarse assignment
+        resid.select(
             id_col, "cell", F.col("_v").alias("_cv"), *payload_cols
         ).write.mode("overwrite").partitionBy("cell").parquet(
             f"{path}/vectors"
