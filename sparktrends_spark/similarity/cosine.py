@@ -718,6 +718,8 @@ def _build_ivf_locked(
     vectors, path, label_col, cand_id, vec_col, round_digits,
     payload_cols=(), dim=None,
 ) -> None:
+    from sparktrends_spark.similarity.generations import write_small_frame
+
     cent = label_centroids(
         vectors, label_col=label_col, vec_col=vec_col, dim=dim
     )
@@ -726,8 +728,10 @@ def _build_ivf_locked(
         F.col("cvec").cast("array<double>").alias("cvec"),
         norm("cvec").alias("cn"),
     )
-    cent_n.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     spark = vectors.sparkSession
+    # k bounded rows: collect + driver-side parquet write instead of a
+    # coalesce(1) write job (generations.write_small_frame)
+    write_small_frame(spark, cent_n, f"{path}/centroids")
     cent_row = spark.read.parquet(f"{path}/centroids").agg(
         F.collect_list(F.struct("cell", "cvec", "cn")).alias("_cents")
     )

@@ -402,6 +402,51 @@ def write_driver_rows(spark, path: str, rows, arrow_schema) -> None:
     spark.catalog.refreshByPath(path)
 
 
+def write_small_frame(spark, df, path: str) -> None:
+    """Materialize a SMALL DataFrame (bounded rows — centroid tables,
+    per-cell stats) to ``path`` as one parquet file via collect +
+    ``write_driver_rows``, skipping the write job's commit protocol
+    (~1 s/artifact on the bench box). The arrow schema is derived
+    from the frame's Spark schema so readers see identical types; an
+    unmapped type falls back to the plain Spark write."""
+    from pyspark.sql import types as T
+
+    try:
+        import pyarrow as pa
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        pa = None
+
+    def _arrow(dt):
+        if isinstance(dt, T.IntegerType):
+            return pa.int32()
+        if isinstance(dt, T.LongType):
+            return pa.int64()
+        if isinstance(dt, T.DoubleType):
+            return pa.float64()
+        if isinstance(dt, T.FloatType):
+            return pa.float32()
+        if isinstance(dt, T.StringType):
+            return pa.string()
+        if isinstance(dt, T.ArrayType):
+            inner = _arrow(dt.elementType)
+            return pa.list_(inner) if inner is not None else None
+        return None
+
+    fields = (
+        [(f.name, _arrow(f.dataType)) for f in df.schema.fields]
+        if pa is not None
+        else [(None, None)]
+    )
+    if any(t is None for _, t in fields):
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        spark.catalog.refreshByPath(path)
+        return
+    rows = [tuple(r) for r in df.collect()]
+    write_driver_rows(
+        spark, path, rows, [pa.field(n, t) for n, t in fields]
+    )
+
+
 def gc_generations(
     path: str, flat_artifacts: tuple[str, ...], keep: int
 ) -> list[str]:
