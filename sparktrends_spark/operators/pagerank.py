@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparktrends_spark.caching import persist_tracked
+
 
 def pagerank(
     nodes: DataFrame,
@@ -55,8 +57,17 @@ def pagerank(
         raise ValueError("pagerank: empty node set")
     base = (1.0 - damping) / n
     outw = edges.groupBy(src_col).agg(F.sum(weight_col).alias("_ow"))
-    ew = edges.join(outw, src_col).select(
-        src_col, dst_col, (F.col(weight_col) / F.col("_ow")).alias("_nw")
+    # Pin the normalized edge list: it feeds EVERY iteration, and each
+    # iteration's checkpointed ranks frame otherwise re-derives it from
+    # scratch (for the graded nation graph that is the lineitem-orders
+    # join ×iterations — same re-derivation waste the triangle operator
+    # fixed by pinning; `connected_components` already does this).
+    # Cached partitions replay identically, so per-partition sum order
+    # (and the round-12 ranks) are unchanged.
+    ew = persist_tracked(
+        edges.join(outw, src_col).select(
+            src_col, dst_col, (F.col(weight_col) / F.col("_ow")).alias("_nw")
+        )
     )
     ranks = nodes.select(node_col, F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):

@@ -320,6 +320,45 @@ def test_upsert_parquet_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
     assert read_upserted(spark, path).count() == 200
 
 
+def test_upsert_bucketed_writes_one_file_per_leaf(spark, tmp_path):
+    """The rewrite is clustered on the bucket id before the partitioned
+    write, so each committed ``_bucket=N/_v=K`` leaf holds exactly one
+    data file — without it, every shuffle partition of the merge window
+    (which hashes by KEY) emitted its own splinter file into every
+    touched bucket, and later point reads paid per-file open cost
+    (measured ~2.9k tasks on the small-batch IVM row at sf0.1)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.streaming.sinks import (
+        read_upserted,
+        upsert_parquet_bucketed,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    upsert_parquet_bucketed(base, path, keys=("k",), n_buckets=8, version=0)
+    for leaf in glob.glob(os.path.join(path, "_bucket=*", "_v=*")):
+        files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
+        assert len(files) == 1, (leaf, files)
+    assert read_upserted(spark, path).count() == 500
+
+    # an empty batch is still a no-op that neither writes nor commits
+    # (the bucket-id collect doubles as the emptiness check)
+    import json
+
+    manifest_before = json.load(open(os.path.join(path, "_manifest.json")))
+    empty = spark.createDataFrame([], "k long, v long")
+    upsert_parquet_bucketed(empty, path, keys=("k",), n_buckets=8, version=1)
+    manifest_after = json.load(open(os.path.join(path, "_manifest.json")))
+    assert manifest_after == manifest_before
+    assert read_upserted(spark, path).count() == 500
+
+
 def test_upsert_parquet_bucketed_manifest_commit_is_atomic(spark, tmp_path):
     """Crash injection at the commit point: a batch that wrote its data
     leaves but died before the manifest swap must be INVISIBLE to
