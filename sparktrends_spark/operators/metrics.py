@@ -58,7 +58,11 @@ def vwap_metrics(
     close = F.col(close_col)
     vwap = (F.sum(close * F.col(volume_col)).over(w) / F.sum(volume_col).over(w))
     vol = F.stddev_samp(close).over(w)
-    out = bars.withColumn("vwap_5", vwap).withColumn("vol_5", vol)
+    # one projection for both window columns (CollapseProject folds the
+    # chained form to the same plan; fusing here just skips a py4j/
+    # analysis round per build — this operator is on every bars-family
+    # build path)
+    out = bars.select("*", vwap.alias("vwap_5"), vol.alias("vol_5"))
     return out.withColumn(
         "is_anomaly",
         F.abs(close - F.col("vwap_5")) > anomaly_threshold * F.col("vol_5"),
@@ -119,7 +123,7 @@ def anomaly_vs_history(
     close = F.col(close_col)
     vwap = F.sum(close * F.col(volume_col)).over(w) / F.sum(volume_col).over(w)
     vol = F.stddev_samp(close).over(w)
-    out = bars.withColumn("hist_vwap", vwap).withColumn("hist_vol", vol)
+    out = bars.select("*", vwap.alias("hist_vwap"), vol.alias("hist_vol"))
     return out.withColumn(
         "is_anomaly",
         F.abs(close - F.col("hist_vwap")) > anomaly_threshold * F.col("hist_vol"),

@@ -2160,6 +2160,7 @@ def q_embedding_ivfpq_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     import os
 
+    from sparktrends_spark.caching import persist_tracked
     from sparktrends_spark.similarity.ivfpq_index import (
         build_ivfpq_index,
         compact_ivfpq_index,
@@ -2180,8 +2181,15 @@ def q_embedding_ivfpq_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     queries = _emb_queries(spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    pre = ivfpq_index_topk(
-        spark, idx, queries, dim=_DIM, k_neighbors=3, nprobe=_IVF_NPROBE
+    # Pin both serves: each feeds TWO exceptAll invariant counts (and
+    # post is also the returned frame), so without the pin the probed-
+    # cell scan + ADC scoring re-ran per consumer — 2x for pre, 3x for
+    # post. pre stays pinned to the retained flat generation either
+    # way; values are unchanged.
+    pre = persist_tracked(
+        ivfpq_index_topk(
+            spark, idx, queries, dim=_DIM, k_neighbors=3, nprobe=_IVF_NPROBE
+        )
     )
     info = compact_ivfpq_index(spark, idx)
     root = resolve_index_root(idx)
@@ -2196,8 +2204,10 @@ def q_embedding_ivfpq_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         raise ValueError(
             f"compact left {n_ghost} tombstoned rows in {root}/codes"
         )
-    post = ivfpq_index_topk(
-        spark, idx, queries, dim=_DIM, k_neighbors=3, nprobe=_IVF_NPROBE
+    post = persist_tracked(
+        ivfpq_index_topk(
+            spark, idx, queries, dim=_DIM, k_neighbors=3, nprobe=_IVF_NPROBE
+        )
     )
     # logical-delete serve == physical-delete serve, row for row (pre
     # is pinned to the retained flat generation, post to the compacted

@@ -488,8 +488,8 @@ def _with_cell_sims(
             F.col(id_alias),
             *[F.col(c) for c in extra_cols],
             F.col(vec_col).alias("_v"),
+            norm(vec_col).alias("_nv"),
         )
-        .withColumn("_nv", norm("_v"))
         .crossJoin(F.broadcast(cent_row))
         .withColumn("_sims", F.expr(sims_sql))
     )
