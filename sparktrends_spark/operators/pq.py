@@ -106,18 +106,100 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> Codebooks:
-    """One independent k-means codebook per sub-space."""
+    """One independent k-means codebook per sub-space, trained JOINTLY:
+    all m sub-spaces ride one tagged union frame, so seeding is one
+    TakeOrdered collect (every sub-space seeds from the same k
+    smallest ids) and each Lloyd step is ONE assignment + aggregate
+    job instead of m — m×(iterations+1) driver round-trips become
+    (iterations+1) per training (r14 §5). The per-sub-space algebra
+    is byte-for-byte the kmeans_fit contract: round-6-before-argmin
+    assignment with the (dist asc, cluster asc) tie-break per
+    sub-space, exact-decimal sums per (sub-space, cluster) group
+    (order-independent, so the union changes nothing), round-9
+    half-away-from-zero means, empty clusters keep their previous
+    centroid."""
+    from functools import reduce
+
+    from sparktrends_spark.caching import persist_tracked
+    from sparktrends_spark.operators.kmeans import (
+        _round9_mean,
+        dist_struct_array,
+    )
+
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_len = dim // m
-    books: Codebooks = {}
-    for s in range(m):
-        sub = vectors.select(
-            F.col(id_col), _sub(vec_col, s, sub_len).alias("embedding")
+    v = persist_tracked(
+        reduce(
+            DataFrame.unionByName,
+            [
+                vectors.select(
+                    F.lit(s).alias("_sub"),
+                    F.col(id_col).alias("_id"),
+                    _sub(vec_col, s, sub_len).alias("_v"),
+                )
+                for s in range(m)
+            ],
         )
-        books[s], _ = kmeans_fit(
-            sub, k=k, iterations=iterations, id_col=id_col
+    )
+    seed_rows = (
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
         )
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"kmeans_fit: need >= {k} vectors")
+    books: Codebooks = {
+        s: {
+            c: [
+                round(x, 9)
+                for x in row["_v"][s * sub_len : (s + 1) * sub_len]
+            ]
+            for c, row in enumerate(seed_rows)
+        }
+        for s in range(m)
+    }
+    sum_exprs = ", ".join(
+        f"sum(cast(round(_v[{i}], 6) as decimal(38,6)))"
+        for i in range(sub_len)
+    )
+    for _ in range(iterations):
+        # per-sub-space argmin (the assign_clusters expression), routed
+        # by the tag — rows of sub-space s evaluate exactly the
+        # expression the independent trainer used
+        cl = F.array_min(
+            dist_struct_array(F.col("_v"), books[m - 1], memoize=False)
+        )["c"]
+        for s in range(m - 2, -1, -1):
+            cl = F.when(
+                F.col("_sub") == s,
+                F.array_min(
+                    dist_struct_array(F.col("_v"), books[s], memoize=False)
+                )["c"],
+            ).otherwise(cl)
+        stats = (
+            v.withColumn("cluster", cl)
+            .groupBy("_sub", "cluster")
+            .agg(
+                F.expr(f"array({sum_exprs})").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = {
+            (int(r["_sub"]), int(r["cluster"])): [
+                _round9_mean(x, r["n"]) for x in r["s"]
+            ]
+            for r in stats
+        }
+        books = {
+            s: {c: new.get((s, c), books[s][c]) for c in range(k)}
+            for s in range(m)
+        }
     return books
 
 

@@ -597,6 +597,36 @@ def test_pq_encode_is_deterministic_and_bounded(spark):
     assert sorted(map(tuple, codes)) == sorted(map(tuple, again))
 
 
+def test_pq_train_joint_matches_independent_kmeans(spark):
+    """The joint tagged-union trainer must reproduce m independent
+    kmeans_fit runs BIT-identically (seed rule, round-6 assignment,
+    exact-decimal update, round-9 mean — the union only batches the
+    jobs, never the algebra). Covers an uneven m (3-way CASE routing)
+    and ties via the shared tie-break."""
+    from pyspark.sql import functions as F
+
+    from sparktrends_spark.caching import release_persisted
+    from sparktrends_spark.operators.kmeans import kmeans_fit
+    from sparktrends_spark.operators.pq import _sub, pq_train
+
+    rows = [
+        (i, [float((i * 13 + j * 5) % 17) / 3.0 for j in range(12)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for m, k, iters in ((2, 4, 3), (3, 5, 2)):
+        joint = pq_train(df, dim=12, m=m, k=k, iterations=iters)
+        release_persisted()
+        sub_len = 12 // m
+        for s in range(m):
+            sub = df.select(
+                F.col("vec_id"), _sub("embedding", s, sub_len).alias("embedding")
+            )
+            indep, _ = kmeans_fit(sub, k=k, iterations=iters)
+            release_persisted()
+            assert joint[s] == indep, (m, k, iters, s)
+
+
 def test_literal_memo_is_session_scoped_and_locked(spark):
     """The centroid-literal memo (the round-12 serve plan-time fix)
     keys every entry by the LIVE gateway's applicationId and guards
