@@ -27,11 +27,10 @@ band's predicate); LSH hashes are by construction.
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Sequence
-from functools import reduce
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 #: Column-name prefix the base frame must use for its band keys.
 KEY_PREFIX = "_k"
@@ -53,34 +52,55 @@ def first_collision_pairs(
     hash-join key and evaluates the id/earlier-band predicates as join
     filters — each branch stays a hash join, never a loop join.
 
-    Each branch's condition and projection build through ONE SQL parse
-    (`F.expr` / `selectExpr`): identical Catalyst trees to the Column
-    chain — `_fca.`x`` parses to the same qualified attribute `F.col`
-    builds — minus O(bands²) py4j round trips per build (measured
-    ~0.5 s of the minhash build on this box; guide §5, the driver
-    should do almost no work).
+    The whole L-branch union builds through ONE ``spark.sql`` call over
+    a transient view of ``base``: one parse + one analysis pass instead
+    of ~5 DataFrame ops per band, each a py4j round trip re-analyzing a
+    growing tree (guide §5, the driver should do almost no work;
+    measured 0.16 s → 0.06 s per warm minhash-shaped build on this
+    box). The view is dropped before returning — ``spark.sql`` analyzes
+    eagerly, so the returned frame no longer needs it. Catalyst trees
+    are identical to the per-band join/selectExpr chain modulo
+    expression ids (UNION ALL by position == unionByName here: every
+    branch projects the same names in the same order).
     """
-    parts = []
-    for t in range(n_bands):
-        a, c = base.alias("_fca"), base.alias("_fcc")
-        conds = [
-            f"_fca.`{KEY_PREFIX}{t}` = _fcc.`{KEY_PREFIX}{t}`",
-            f"_fca.`{id_col}` < _fcc.`{id_col}`",
-        ]
-        conds += [
-            f"_fca.`{KEY_PREFIX}{s}` != _fcc.`{KEY_PREFIX}{s}`"
-            for s in range(t)
-        ]
-        sel = [
-            f"_fca.`{id_col}` AS `{out_ids[0]}`",
-            f"_fcc.`{id_col}` AS `{out_ids[1]}`",
-        ]
-        for payload, alias_a, alias_b in carry:
-            sel += [
-                f"_fca.`{payload}` AS `{alias_a}`",
-                f"_fcc.`{payload}` AS `{alias_b}`",
+    view = f"_fcp_{uuid.uuid4().hex}"
+    base.createOrReplaceTempView(view)
+    try:
+        parts = []
+        for t in range(n_bands):
+            conds = [
+                f"_fca.`{KEY_PREFIX}{t}` = _fcc.`{KEY_PREFIX}{t}`",
+                f"_fca.`{id_col}` < _fcc.`{id_col}`",
             ]
-        parts.append(
-            a.join(c, F.expr(" AND ".join(conds))).selectExpr(*sel)
-        )
-    return reduce(DataFrame.unionByName, parts)
+            conds += [
+                f"_fca.`{KEY_PREFIX}{s}` != _fcc.`{KEY_PREFIX}{s}`"
+                for s in range(t)
+            ]
+            sel = [
+                f"_fca.`{id_col}` AS `{out_ids[0]}`",
+                f"_fcc.`{id_col}` AS `{out_ids[1]}`",
+            ]
+            for payload, alias_a, alias_b in carry:
+                sel += [
+                    f"_fca.`{payload}` AS `{alias_a}`",
+                    f"_fcc.`{payload}` AS `{alias_b}`",
+                ]
+            parts.append(
+                f"SELECT {', '.join(sel)}\n"
+                f"FROM `{view}` _fca JOIN `{view}` _fcc"
+                f" ON {' AND '.join(conds)}"
+            )
+        return base.sparkSession.sql("\nUNION ALL\n".join(parts))
+    finally:
+        # The public Catalog.dropTempView also UNCACHES any cached plan
+        # equal to the view's — it would silently unpersist the
+        # caller's pinned base frame and re-derive it once per band
+        # branch (measured 3x on doc_minhash_pairs). The SessionCatalog
+        # drop removes only the name binding; fall back to the public
+        # API if the internal surface moves (correctness unaffected —
+        # only the caller's persist pin would be lost).
+        try:
+            jss = base.sparkSession._jsparkSession  # type: ignore[attr-defined]
+            jss.sessionState().catalog().dropTempView(view)
+        except Exception:  # pragma: no cover - defensive fallback
+            base.sparkSession.catalog.dropTempView(view)
