@@ -28,12 +28,39 @@ band's predicate); LSH hashes are by construction.
 from __future__ import annotations
 
 import uuid
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
 #: Column-name prefix the base frame must use for its band keys.
 KEY_PREFIX = "_k"
+
+
+@contextmanager
+def transient_views(*frames: DataFrame) -> Iterator[list[str]]:
+    """Register uuid-named temp views for ``frames``, dropping them on
+    exit WITHOUT uncaching: the public ``Catalog.dropTempView`` also
+    uncaches any cached plan equal to the view's, which would silently
+    unpersist a caller's pinned frame (measured as a 3x bench
+    regression on doc_minhash_pairs). The SessionCatalog drop removes
+    only the name binding; the public API is the fallback if the
+    internal surface moves (correctness unaffected — only the persist
+    pin would be lost). ``spark.sql`` analyzes eagerly, so frames built
+    inside the block stay valid after the views are gone."""
+    spark = frames[0].sparkSession
+    names = [f"_tv_{uuid.uuid4().hex}" for _ in frames]
+    for df, name in zip(frames, names):
+        df.createOrReplaceTempView(name)
+    try:
+        yield names
+    finally:
+        for name in names:
+            try:
+                jss = spark._jsparkSession  # type: ignore[attr-defined]
+                jss.sessionState().catalog().dropTempView(name)
+            except Exception:  # pragma: no cover - defensive fallback
+                spark.catalog.dropTempView(name)
 
 
 def first_collision_pairs(
@@ -63,9 +90,7 @@ def first_collision_pairs(
     expression ids (UNION ALL by position == unionByName here: every
     branch projects the same names in the same order).
     """
-    view = f"_fcp_{uuid.uuid4().hex}"
-    base.createOrReplaceTempView(view)
-    try:
+    with transient_views(base) as (view,):
         parts = []
         for t in range(n_bands):
             conds = [
@@ -91,16 +116,3 @@ def first_collision_pairs(
                 f" ON {' AND '.join(conds)}"
             )
         return base.sparkSession.sql("\nUNION ALL\n".join(parts))
-    finally:
-        # The public Catalog.dropTempView also UNCACHES any cached plan
-        # equal to the view's — it would silently unpersist the
-        # caller's pinned base frame and re-derive it once per band
-        # branch (measured 3x on doc_minhash_pairs). The SessionCatalog
-        # drop removes only the name binding; fall back to the public
-        # API if the internal surface moves (correctness unaffected —
-        # only the caller's persist pin would be lost).
-        try:
-            jss = base.sparkSession._jsparkSession  # type: ignore[attr-defined]
-            jss.sessionState().catalog().dropTempView(view)
-        except Exception:  # pragma: no cover - defensive fallback
-            base.sparkSession.catalog.dropTempView(view)

@@ -30,7 +30,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sparktrends_spark.caching import persist_tracked
-from sparktrends_spark.operators.pairs import KEY_PREFIX, first_collision_pairs
+from sparktrends_spark.operators.pairs import (
+    KEY_PREFIX,
+    first_collision_pairs,
+    transient_views,
+)
 from sparktrends_spark.text.analysis import tokens
 
 
@@ -246,28 +250,30 @@ def minhash_dedup_pairs(
     and the verification join); the banded signature frame is persisted
     inside ``lsh_candidate_pairs``, which covers the per-band self-join
     branches — the signatures themselves are consumed exactly once.
+
+    The verification step builds through ONE ``spark.sql`` call over
+    transient views of the candidate and shingle frames (guide §5):
+    same Catalyst tree as the join/withColumn chain — the attach joins
+    stay equi-joins on the pair ids, ``jaccard`` is the identical
+    int/int double division, and the subquery projections collapse —
+    minus ~6 DataFrame ops of py4j/analysis latency per build.
     """
     shingled = persist_tracked(shingle_sets(df, text_col, id_col, shingle_n))
     sigs = minhash_signatures(shingled, num_perm, id_col)
     cands = lsh_candidate_pairs(sigs, bands, num_perm // bands, id_col)
-    sets_a = shingled.select(
-        F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    sets_b = shingled.select(
-        F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
-    verified = (
-        cands.join(sets_a, "doc_a")
-        .join(sets_b, "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("inter")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    with transient_views(cands, shingled) as (cv, shv):
+        return cands.sparkSession.sql(f"""
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b, inter / (n_a + n_b - inter) AS jaccard FROM (
+    SELECT c.`doc_a`, c.`doc_b`,
+           size(array_intersect(sa.`shingles`, sb.`shingles`)) AS inter,
+           size(sa.`shingles`) AS n_a, size(sb.`shingles`) AS n_b
+    FROM `{cv}` c
+    JOIN `{shv}` sa ON c.`doc_a` = sa.`{id_col}`
+    JOIN `{shv}` sb ON c.`doc_b` = sb.`{id_col}`
+  )
+) WHERE jaccard >= CAST({float(threshold)!r} AS DOUBLE)
+""")
 
 
 # Single-pass SimHash as a SQL expression over a `shingles` column:
