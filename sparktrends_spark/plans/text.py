@@ -1255,10 +1255,14 @@ def q_doc_chunk_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = chunk_documents_builtin(_docs(spark, sf_dir), _CHUNK).select(
         "doc_id", F.md5("chunk").alias("ch")
     )
+    # same min/max-inequality restatement of ">= 2 distinct docs" as
+    # _span_frames: one ch-keyed exchange instead of a distinct-dedup
+    # exchange + a ch exchange, and the surviving single shuffle
+    # co-partitions with the join back on ch
     per_hash = ch.groupBy("ch").agg(
-        F.count_distinct("doc_id").alias("nd")
+        F.min("doc_id").alias("_d0"), F.max("doc_id").alias("_d1")
     )
-    shared = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    shared = F.when(F.col("_d0") != F.col("_d1"), 1).otherwise(0)
     return (
         ch.join(per_hash, "ch")
         .groupBy("doc_id")
@@ -1527,10 +1531,16 @@ def _span_frames(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     when its shingle occurs in >= 2 distinct docs. Mirrors
     _SPANS_CTES expression-for-expression."""
     base, hashed = _hashed_positions(d)
+    # ">= 2 distinct docs" == "min(doc_id) != max(doc_id)" (nulls can't
+    # occur in an id column, and even with them: all-null -> null
+    # comparison -> dropped, same as count_distinct 0). min/max are
+    # plain aggregates with map-side partials — ONE h-keyed exchange —
+    # where count_distinct plans a (h, doc_id) dedup exchange first
+    # (2 exchanges of the position-level frame, guide §2.3/§2.4).
     dup_hashes = (
         hashed.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("_d0"), F.max("doc_id").alias("_d1"))
+        .filter(F.col("_d0") != F.col("_d1"))
         .select("h")
     )
     dp = hashed.join(dup_hashes, "h", "left_semi").select(

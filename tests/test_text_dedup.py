@@ -207,6 +207,36 @@ def test_dup_spans_interval_union(spark, tmp_path):
     assert (r5["n_dup_spans"], r5["dup_words"], r5["n_words"]) == (0, 0, 2)
 
 
+def test_dup_spans_within_doc_repeat_not_flagged(spark, tmp_path):
+    """A shingle repeated twice INSIDE one document (no other doc
+    shares it) must not flag: the ">= 2 distinct docs" rule is
+    restated as min(doc_id) != max(doc_id) (r14 optimization — one
+    h-keyed exchange instead of a distinct-dedup exchange + an h
+    exchange), and a single doc's repeats give min == max. Pins the
+    only edge where that restatement could drift from count_distinct."""
+    from sparktrends_spark.plans.registry import QUERIES
+    from sparktrends_spark.plans.text import _SPAN_K
+
+    assert _SPAN_K == 8
+    rep = [f"r{i}" for i in range(8)]
+    rows = [
+        # doc 1 repeats its own 8-gram twice, separated by filler
+        (1, " ".join(rep + ["mid"] + rep)),
+        # doc 2 shares nothing with doc 1
+        (2, " ".join(f"z{i}" for i in range(20))),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["doc_dup_spans"](spark, str(tmp_path)).collect()
+    }
+    assert (out[1]["n_dup_spans"], out[1]["dup_words"]) == (0, 0)
+    assert (out[2]["n_dup_spans"], out[2]["dup_words"]) == (0, 0)
+
+
 def test_pii_detect_and_redact_primitives(spark):
     """Pattern-level checks independent of the injection plumbing:
     multiple matches per doc, all three types in one text, word
