@@ -2236,10 +2236,25 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen projections."""
     from sparktrends_spark.text.pii import pii_count, redact
 
-    d = _docs(spark, sf_dir)
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # Hash BEFORE the fan-out and key the fan-out on the content hash
+    # (the corpus_selection pattern, guide §2.4): the dedup window
+    # clusters on the same column, so it reuses this one exchange —
+    # before, the text payload rode a round-robin fan-out AND the
+    # window's own hash exchange (3 exchanges total, now 2). The
+    # PII/scrub/gate projections stay downstream of the exchange, so
+    # the fan-out still buys their parallelism.
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", "lang", "text", F.md5("text").alias("_chash"))
+    fanned = scan_parallel(
+        hashed,
+        source_path=getattr(d, "_sparktrends_scan_path", None),
+        keys=("_chash",),
+    )
+    w = Window.partitionBy("_chash").orderBy("doc_id")
     dedup = (
-        d.select("doc_id", "lang", "text", F.row_number().over(w).alias("rn"))
+        fanned.select(
+            "doc_id", "lang", "text", F.row_number().over(w).alias("rn")
+        )
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
