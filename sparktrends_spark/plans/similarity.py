@@ -744,7 +744,12 @@ def q_doc_hybrid_bm25_ann_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparktrends_spark.text.analysis import tokens
 
     emb = _emb(spark, sf_dir)
-    docs = scan_parallel(load_table(spark, sf_dir, "documents"))
+    # doc_id-keyed fan-out: the lexical side's (doc, term) tf
+    # aggregate and the doc_id-keyed joins reuse this exchange
+    # (guide §2.4, see doc_tfidf_terms)
+    docs = scan_parallel(
+        load_table(spark, sf_dir, "documents"), keys=("doc_id",)
+    )
     # LEFT join: the index (and so the label centroids) is built over
     # ALL embeddings — exactly the oracle's semantics and the
     # documented filtered-search contract (filter candidates, never

@@ -23,7 +23,6 @@ from sparktrends_spark.text.analysis import (
     tokens,
 )
 from sparktrends_spark.text.dedup import (
-    exact_dedup_groups,
     jaccard_pairs,
     minhash_dedup_pairs,
     shingle_sets,
@@ -50,9 +49,14 @@ sh2 AS (SELECT * FROM sh WHERE len(sh) > 0)
 """
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # shingling/tokenizing is CPU-bound: make sure the scan fans out
-    return scan_parallel(load_table(spark, sf_dir, "documents"))
+def _docs(
+    spark: SparkSession, sf_dir: str, keys: tuple[str, ...] | None = None
+) -> DataFrame:
+    # shingling/tokenizing is CPU-bound: make sure the scan fans out.
+    # ``keys`` hash-partitions the fan-out (instead of round-robin) so
+    # a downstream groupBy/window clustered on (a superset of) them
+    # reuses this exchange (guide §2.4); only valid for source columns.
+    return scan_parallel(load_table(spark, sf_dir, "documents"), keys=keys)
 
 
 @query(
@@ -67,8 +71,28 @@ SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_docs FROM (
 )
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by text hash (north-star): one md5 projection + one
-    hash agg keeping the smallest doc_id per group."""
-    return exact_dedup_groups(_docs(spark, sf_dir))
+    hash agg keeping the smallest doc_id per group.
+
+    The hash is computed BELOW the fan-out and the fan-out is keyed on
+    it, so the aggregation reuses that one exchange (guide §2.4) and
+    only (doc_id, content_hash) ever crosses the wire — the text used
+    to ride the round-robin exchange just to be hashed above it
+    (guide §2.3, shuffle keys and metadata, not payloads)."""
+    from sparktrends_spark.text.dedup import exact_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", exact_hash(F.col("text")).alias("content_hash")
+    )
+    fanned = scan_parallel(
+        hashed,
+        source_path=getattr(d, "_sparktrends_scan_path", None),
+        keys=("content_hash",),
+    )
+    return fanned.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
 
 
 @query(
@@ -718,8 +742,15 @@ def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins that shuffle's partition layout (AQE cannot re-coalesce under
     an InMemoryRelation) — measured 2x slower in a default-partition
     session than recomputing the branch; recompute is also the only
-    option at 100 TB, where a per-(doc, term) frame cannot be cached."""
-    d = _docs(spark, sf_dir)
+    option at 100 TB, where a per-(doc, term) frame cannot be cached.
+
+    The fan-out is keyed on doc_id (a doc's exploded terms are always
+    co-located, so hashpartitioning(doc_id) satisfies the (doc, term)
+    aggregate's clustering): the tf aggregation reuses the fan-out
+    exchange instead of re-shuffling the whole (doc, term) frame
+    (guide §2.4). At real scale the fan-out branch is inactive and the
+    plan is unchanged."""
+    d = _docs(spark, sf_dir, keys=("doc_id",))
     toks = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
     terms = toks.select("doc_id", F.explode("_toks").alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -802,8 +833,10 @@ def q_doc_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks the join strategy) → broadcast only the one-row corpus
     frame; avgdl is an exact integer sum over one tiny frame (no float
     aggregation-order sensitivity); scores round to 6 digits BEFORE
-    ranking; ties break on the term."""
-    d = _docs(spark, sf_dir)
+    ranking; ties break on the term. The fan-out is keyed on doc_id
+    so the (doc, term) tf aggregate reuses the fan-out exchange (see
+    doc_tfidf_terms)."""
+    d = _docs(spark, sf_dir, keys=("doc_id",))
     toks = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
     dl = toks.select("doc_id", F.size("_toks").cast("bigint").alias("dl"))
     terms = toks.select("doc_id", F.explode("_toks").alias("term"))
