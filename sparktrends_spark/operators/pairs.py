@@ -37,6 +37,15 @@ from pyspark.sql import DataFrame
 KEY_PREFIX = "_k"
 
 
+def _internal_drop_temp_view(spark, name: str) -> None:
+    """Drop a temp view's NAME BINDING only, via SessionCatalog.
+
+    Factored out so tests can monkeypatch the internal surface away
+    and exercise ``transient_views``' public-API fallback."""
+    jss = spark._jsparkSession  # type: ignore[attr-defined]
+    jss.sessionState().catalog().dropTempView(name)
+
+
 @contextmanager
 def transient_views(*frames: DataFrame) -> Iterator[list[str]]:
     """Register uuid-named temp views for ``frames``, dropping them on
@@ -44,10 +53,13 @@ def transient_views(*frames: DataFrame) -> Iterator[list[str]]:
     uncaches any cached plan equal to the view's, which would silently
     unpersist a caller's pinned frame (measured as a 3x bench
     regression on doc_minhash_pairs). The SessionCatalog drop removes
-    only the name binding; the public API is the fallback if the
-    internal surface moves (correctness unaffected — only the persist
-    pin would be lost). ``spark.sql`` analyzes eagerly, so frames built
-    inside the block stay valid after the views are gone."""
+    only the name binding; if that internal surface moves, the fallback
+    drops through the public API and then RE-PERSISTS any frame whose
+    pin the drop stole (the data re-materializes once on next use
+    instead of once per downstream reference — the perf cliff shrinks
+    to a single recompute, and correctness is unaffected either way).
+    ``spark.sql`` analyzes eagerly, so frames built inside the block
+    stay valid after the views are gone."""
     spark = frames[0].sparkSession
     names = [f"_tv_{uuid.uuid4().hex}" for _ in frames]
     for df, name in zip(frames, names):
@@ -55,12 +67,16 @@ def transient_views(*frames: DataFrame) -> Iterator[list[str]]:
     try:
         yield names
     finally:
-        for name in names:
+        for df, name in zip(frames, names):
             try:
-                jss = spark._jsparkSession  # type: ignore[attr-defined]
-                jss.sessionState().catalog().dropTempView(name)
-            except Exception:  # pragma: no cover - defensive fallback
+                _internal_drop_temp_view(spark, name)
+            except Exception:  # defensive fallback (tested)
+                level = df.storageLevel
                 spark.catalog.dropTempView(name)
+                if (level.useMemory or level.useDisk) and not (
+                    df.storageLevel.useMemory or df.storageLevel.useDisk
+                ):
+                    df.persist(level)
 
 
 def first_collision_pairs(

@@ -89,6 +89,14 @@ from sparktrends_spark.plans import profile  # noqa: E402,F401
 # doc_incremental_dedup, and embedding_neardup/_topk stay swept; the
 # hybrid row is the retrieval shape the engine now serves). IVF-PQ
 # keeps 2 driver rows (delete + retrain); similarity keeps 6 rows.
+#
+# DISCIPLINE (r14 verdict): the graded window is FROZEN during
+# optimization rounds — the driver's round-over-round per-query
+# comparison keys on these names, so a mid-optimization rotation costs
+# one comparison per rotated row (r14 lost 3 to the r14-build
+# rotation). Rotate only in BUILD rounds, in a named commit the
+# verdict can point at. Round 15: no rotation; keys must equal
+# CORRECTNESS_r14.json's.
 _PRIORITY_ORDER = [
     # reference-parity market core
     # (ohlcv_rollup_hourly displaced late r8 for order_status_ivm —

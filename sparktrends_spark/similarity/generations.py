@@ -402,13 +402,25 @@ def write_driver_rows(spark, path: str, rows, arrow_schema) -> None:
     spark.catalog.refreshByPath(path)
 
 
-def write_small_frame(spark, df, path: str) -> None:
+#: Hard bound on rows write_small_frame will collect to the driver.
+#: Callers pass provably-bounded frames (k centroids, per-cell stats);
+#: the cap makes that contract mechanical — an unbounded frame fails
+#: fast instead of OOMing the driver (guide §5).
+SMALL_FRAME_ROW_CAP = 100_000
+
+
+def write_small_frame(
+    spark, df, path: str, row_cap: int = SMALL_FRAME_ROW_CAP
+) -> None:
     """Materialize a SMALL DataFrame (bounded rows — centroid tables,
     per-cell stats) to ``path`` as one parquet file via collect +
     ``write_driver_rows``, skipping the write job's commit protocol
     (~1 s/artifact on the bench box). The arrow schema is derived
     from the frame's Spark schema so readers see identical types; an
-    unmapped type falls back to the plain Spark write."""
+    unmapped type falls back to the plain Spark write. The collect is
+    bounded by ``row_cap`` (limit(cap+1) probe — below the cap the
+    returned rows and their partition-major order are identical to a
+    plain collect); an over-cap frame raises instead of collecting."""
     from pyspark.sql import types as T
 
     try:
@@ -441,7 +453,12 @@ def write_small_frame(spark, df, path: str) -> None:
         df.coalesce(1).write.mode("overwrite").parquet(path)
         spark.catalog.refreshByPath(path)
         return
-    rows = [tuple(r) for r in df.collect()]
+    rows = [tuple(r) for r in df.limit(row_cap + 1).collect()]
+    if len(rows) > row_cap:
+        raise ValueError(
+            f"write_small_frame: frame exceeds {row_cap} rows —"
+            " not a bounded artifact; use a distributed Spark write"
+        )
     write_driver_rows(
         spark, path, rows, [pa.field(n, t) for n, t in fields]
     )

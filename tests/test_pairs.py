@@ -91,6 +91,39 @@ def test_persisted_base_stays_cached(spark):
         base.unpersist()
 
 
+def test_fallback_drop_repersists_pinned_base(spark, monkeypatch):
+    # If the internal SessionCatalog drop surface ever moves, the
+    # public-API fallback (which UNCACHES plans equal to the view's)
+    # must restore the caller's pin — otherwise every downstream
+    # reference re-derives the banded pipeline (the r14 3x cliff).
+    from sparktrends_spark.operators import pairs as pairs_mod
+
+    def boom(spark_, name):
+        raise RuntimeError("internal surface moved")
+
+    monkeypatch.setattr(pairs_mod, "_internal_drop_temp_view", boom)
+    before = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    rows = [(1, "x", "m", 1.0), (2, "x", "n", 2.0)]
+    base = _base(spark, rows).persist()
+    try:
+        base.count()
+        cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+        assert cache_mgr.lookupCachedData(base._jdf).isDefined()
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in first_collision_pairs(base, 2, "id").collect()
+        }
+        assert got == {(1, 2)}
+        # the pin survived the fallback drop (re-persisted)
+        assert base.storageLevel.useMemory
+        assert cache_mgr.lookupCachedData(base._jdf).isDefined()
+        # and the transient view is still gone
+        after = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+        assert after == before
+    finally:
+        base.unpersist()
+
+
 def test_branches_plan_as_hash_joins(spark):
     rows = [(i, str(i % 3), str(i % 2), float(i)) for i in range(20)]
     plan = (

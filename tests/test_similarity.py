@@ -758,3 +758,26 @@ def test_power_iteration_finds_dominant_axis(spark):
     assert lam > 100.0  # dominant eigenvalue of X'X/n along axis 0
     # unit norm (round-9 components)
     assert abs(sum(c * c for c in direction) - 1.0) < 1e-6
+
+
+def test_write_small_frame_bounds_the_collect(spark, tmp_path):
+    # §5 bounded-collect contract is mechanical: under the cap the
+    # artifact round-trips identically; over it the collect refuses
+    # instead of pulling an unbounded frame onto the driver.
+    import pytest
+
+    from sparktrends_spark.similarity.generations import write_small_frame
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id int, v double"
+    )
+    dest = str(tmp_path / "small_ok")
+    write_small_frame(spark, df, dest)
+    back = spark.read.parquet(dest)
+    assert sorted((r.id, r.v) for r in back.collect()) == [
+        (i, float(i)) for i in range(10)
+    ]
+    assert back.schema == df.schema
+
+    with pytest.raises(ValueError, match="exceeds 4 rows"):
+        write_small_frame(spark, df, str(tmp_path / "small_over"), row_cap=4)
