@@ -56,7 +56,14 @@ def _docs(
     # ``keys`` hash-partitions the fan-out (instead of round-robin) so
     # a downstream groupBy/window clustered on (a superset of) them
     # reuses this exchange (guide §2.4); only valid for source columns.
-    return scan_parallel(load_table(spark, sf_dir, "documents"), keys=keys)
+    # 32 KB/partition floor — small, because tokenize/shingle cost per
+    # source byte is high (minhash measured fastest at ~16-20 wide on
+    # the 0.6 MB sf0.1 file; 4-wide regressed it ~25%).
+    return scan_parallel(
+        load_table(spark, sf_dir, "documents"),
+        keys=keys,
+        min_partition_bytes=32 * 1024,
+    )
 
 
 @query(
@@ -84,10 +91,14 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = d.select(
         "doc_id", exact_hash(F.col("text")).alias("content_hash")
     )
+    # 96 KB/partition floor: downstream of this exchange is only the
+    # keep-min/count aggregate — no CPU to feed, so narrow partitions
+    # are pure task overhead (guide §2.2; r14 scaling block).
     fanned = scan_parallel(
         hashed,
         source_path=getattr(d, "_sparktrends_scan_path", None),
         keys=("content_hash",),
+        min_partition_bytes=96 * 1024,
     )
     return fanned.groupBy("content_hash").agg(
         F.min("doc_id").alias("keep_id"),
@@ -506,10 +517,15 @@ def q_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score(F.col("_toks")).alias("quality"),
         exact_hash(F.col("text")).alias("content_hash"),
     ).filter((F.col("quality") >= 0.6) & F.col("lang").isin("en", "es"))
+    # 96 KB/partition floor: the tokenize/score CPU runs BELOW this
+    # exchange (on the scan side); downstream is only the dedup window
+    # + per-lang aggregate (measured at sf0.1/local[32]: 8-wide beats
+    # 32-wide ~1.5x; at real scale the cap never binds — guide §2.2).
     fanned = scan_parallel(
         scored,
         source_path=getattr(d, "_sparktrends_scan_path", None),
         keys=("content_hash",),
+        min_partition_bytes=96 * 1024,
     )
     kept = top_k_per_group(fanned, ["content_hash"], [F.asc("doc_id")], k=1)
     return kept.groupBy("lang").agg(
@@ -2278,10 +2294,14 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fan-out still buys their parallelism.
     d = load_table(spark, sf_dir, "documents")
     hashed = d.select("doc_id", "lang", "text", F.md5("text").alias("_chash"))
+    # 64 KB/partition floor — smaller than the selection row's: the
+    # PII regex scrub downstream of this exchange is real CPU, so keep
+    # ~10 partitions on the sf0.1 file (guide §2.2 tradeoff).
     fanned = scan_parallel(
         hashed,
         source_path=getattr(d, "_sparktrends_scan_path", None),
         keys=("_chash",),
+        min_partition_bytes=64 * 1024,
     )
     w = Window.partitionBy("_chash").orderBy("doc_id")
     dedup = (

@@ -746,6 +746,13 @@ def _build_ivf_locked(
         _best_cell()["cell"].alias("cell"),
         _best_cell()["sim"].alias("_sim"),
     )
+    # Cluster on the cell id before the partitioned write: one file
+    # per cell directory instead of (scan partitions × cells)
+    # splinter files (guide §6; the r14 upsert-sink lesson — probed-
+    # cell reads pay per-file open cost), and the meta aggregate
+    # below reuses this exchange's clustering instead of adding its
+    # own. The CPU-heavy cell scoring stays below the exchange.
+    assigned = assigned.repartition(F.col("cell"))
     # two actions share the corpus-sized scoring subplan (vectors
     # write + meta agg): pin it once, locally scoped (no cross-branch
     # subplan reuse in Spark — the union-re-execution lesson)

@@ -286,9 +286,13 @@ def _build_ivfpq_locked(
          pa.field("cvec", pa.list_(pa.float64()))],
     )
 
-    _encode(resid, books, dim, id_col, payload_cols).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{path}/codes")
+    # cluster the (tiny, integer) code rows on the cell id before the
+    # partitioned write — one file per cell dir instead of
+    # (scan partitions × cells) splinters (guide §6; the upsert-sink
+    # lesson); probed-cell serves pay per-file open cost otherwise
+    _encode(resid, books, dim, id_col, payload_cols).repartition(
+        F.col("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     # build-time staleness baseline: per-cell row count and mean
     # quantization error (n_cells tiny rows — one extra corpus pass,
     # marginal next to the kmeans training scans). Appends encode with
@@ -306,9 +310,9 @@ def _build_ivfpq_locked(
         # the coarse assignment
         resid.select(
             id_col, "cell", F.col("_v").alias("_cv"), *payload_cols
-        ).write.mode("overwrite").partitionBy("cell").parquet(
-            f"{path}/vectors"
-        )
+        ).repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(f"{path}/vectors")
     else:
         # A rebuild over different data must not leave a prior build's
         # refinement sidecar behind: append_ivfpq_index would keep it

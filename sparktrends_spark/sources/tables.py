@@ -244,11 +244,43 @@ def _estimate_scan_partitions(spark: SparkSession, path: str) -> int | None:
     return max(1, partitions)
 
 
+def _source_bytes(path: str) -> int | None:
+    """On-disk bytes of a local file/dir/glob source, or None when
+    non-local/unstattable."""
+    lp = _local_path(path)
+    if lp is None:
+        return None
+    if any(ch in lp for ch in "*?["):
+        import glob as _glob
+
+        matches = _glob.glob(lp)
+        if not matches:
+            return None
+        total = 0
+        for m in matches:
+            sub = _source_bytes(m)
+            if sub is None:
+                return None
+            total += sub
+        return total
+    try:
+        if os.path.isdir(lp):
+            return sum(
+                e.stat().st_size
+                for e in os.scandir(lp)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            )
+        return os.stat(lp).st_size
+    except OSError:
+        return None
+
+
 def scan_parallel(
     df: DataFrame,
     min_partitions: int | None = None,
     source_path: str | None = None,
     keys: tuple[str, ...] | None = None,
+    min_partition_bytes: int | None = None,
 ) -> DataFrame:
     """Ensure a scan has enough partitions to use every core.
 
@@ -273,10 +305,30 @@ def scan_parallel(
     with enough distinct values to spread evenly (20-100x the partition
     count, guide §2.5); this fan-out only exists on narrow scans, where
     the exchange carries the same bytes either way.
+
+    ``min_partition_bytes``: byte-aware cap on the fan-out (guide §2.2,
+    §6's openCostInBytes rationale). When the source's on-disk bytes
+    are known, the target is capped at ceil(bytes / floor) so a tiny
+    input never fans out into partitions whose task-scheduling overhead
+    exceeds their compute — the r14 driver's 8-vs-32-core scaling block
+    showed exactly that on the CPU-light fan-outs. Callers size the
+    floor to their downstream CPU cost per source byte (heavy tokenize/
+    decode paths use a small floor or none; window/agg-only paths a
+    larger one). At real scale bytes/floor >> cores, the cap never
+    binds, and the plan is byte-identical to the uncapped one.
+    ``SPARK_GRAFT_FANOUT_FLOOR_SCALE`` multiplies every caller's floor
+    (0 disables the caps) for scaling experiments.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     path = source_path or getattr(df, "_sparktrends_scan_path", None)
+    if min_partition_bytes and path:
+        scale = float(os.environ.get("SPARK_GRAFT_FANOUT_FLOOR_SCALE", "1"))
+        floor = int(min_partition_bytes * scale)
+        if floor > 0:
+            nbytes = _source_bytes(path)
+            if nbytes is not None:
+                target = min(target, max(1, -(-nbytes // floor)))
     nparts = _estimate_scan_partitions(spark, path) if path else None
     if nparts is None:
         nparts = df.rdd.getNumPartitions()

@@ -69,3 +69,37 @@ def test_default_shuffle_partitions_env_override(monkeypatch):
     assert default_shuffle_partitions() == DEFAULT_SHUFFLE_PARTITIONS
     monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4096")
     assert default_shuffle_partitions() == 4096
+
+
+def test_scan_parallel_byte_floor_caps_fanout(spark, monkeypatch):
+    # Byte-aware fan-out (guide §2.2): with a floor, the fan-out width
+    # is ceil(source_bytes / floor) when that is below the core count;
+    # with a floor far below the source size the cap must not bind.
+    from sparktrends_spark.sources.tables import scan_parallel
+
+    monkeypatch.delenv("SPARK_GRAFT_FANOUT_FLOOR_SCALE", raising=False)
+    docs = load_table(spark, SF_DIR, "documents")
+    nbytes = table_bytes(SF_DIR, "documents")
+    cores = spark.sparkContext.defaultParallelism
+
+    capped = scan_parallel(docs, min_partition_bytes=nbytes // 2 + 1)
+    assert capped.rdd.getNumPartitions() == 2
+
+    uncapped = scan_parallel(docs, min_partition_bytes=1)
+    assert uncapped.rdd.getNumPartitions() == cores
+
+    # floor-scale 0 disables every cap (scaling experiments)
+    monkeypatch.setenv("SPARK_GRAFT_FANOUT_FLOOR_SCALE", "0")
+    disabled = scan_parallel(docs, min_partition_bytes=nbytes * 10)
+    assert disabled.rdd.getNumPartitions() == cores
+
+
+def test_source_bytes_handles_globs(tmp_path):
+    from sparktrends_spark.sources.tables import _source_bytes
+
+    (tmp_path / "part-a.parquet").write_bytes(b"x" * 100)
+    (tmp_path / "part-b.parquet").write_bytes(b"y" * 50)
+    assert _source_bytes(str(tmp_path / "part-*.parquet")) == 150
+    assert _source_bytes(str(tmp_path)) == 150
+    assert _source_bytes(str(tmp_path / "missing-*.parquet")) is None
+    assert _source_bytes("s3://bucket/x.parquet") is None
