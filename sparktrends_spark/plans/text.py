@@ -84,7 +84,11 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     it, so the aggregation reuses that one exchange (guide §2.4) and
     only (doc_id, content_hash) ever crosses the wire — the text used
     to ride the round-robin exchange just to be hashed above it
-    (guide §2.3, shuffle keys and metadata, not payloads)."""
+    (guide §2.3, shuffle keys and metadata, not payloads). Tradeoff:
+    the normalization+md5 CPU now runs on the (often narrow) scan side
+    of the exchange instead of the fanned side — a measured net win at
+    current cost (0.53 s -> 0.22 s), but RE-MEASURE if exact_hash ever
+    grows heavier normalization (the r14 ADVICE note)."""
     from sparktrends_spark.text.dedup import exact_hash
 
     d = load_table(spark, sf_dir, "documents")
@@ -1577,8 +1581,11 @@ def _merge_spans(dp: DataFrame) -> DataFrame:
 
 def _span_frames(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(base, spans) for CROSS-DOC duplication: a position is flagged
-    when its shingle occurs in >= 2 distinct docs. Mirrors
-    _SPANS_CTES expression-for-expression."""
+    when its shingle occurs in >= 2 distinct docs. Mirrors _SPANS_CTES
+    semantically — expression-for-expression EXCEPT the ">= 2 distinct
+    docs" predicate, intentionally restated as min(doc_id) !=
+    max(doc_id) (equivalent for an id column; see the comment below)
+    while the oracle keeps count(DISTINCT doc_id) >= 2."""
     base, hashed = _hashed_positions(d)
     # ">= 2 distinct docs" == "min(doc_id) != max(doc_id)" (nulls can't
     # occur in an id column, and even with them: all-null -> null
